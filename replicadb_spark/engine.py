@@ -1,0 +1,151 @@
+"""Engine — read → transform → write → merge → cleanup.
+
+The Spark re-expression of ReplicaDB.executeReplication
+(ReplicaDB.java:138-182) + ReplicaTask (ReplicaTask.java:29-80): the
+thread pool becomes Spark's scheduler, the per-task connections become
+per-partition reader/writer connections, and the row pump becomes a
+Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from replicadb_spark import registry
+from replicadb_spark.options import ReplicaJob
+
+
+@dataclass
+class ReplicaResult:
+    rows: int
+    source_kind: str
+    sink_kind: str
+    mode: str
+
+
+def read_source(spark: SparkSession, job: ReplicaJob) -> DataFrame:
+    """Source dispatch (≈ ManagerFactory.accept for SOURCE)."""
+    kind, scheme = registry.classify(job.source_connect)
+    if kind == "jdbc":
+        from replicadb_spark.sources.jdbc import read_jdbc
+
+        return read_jdbc(spark, job)
+    if kind == "file":
+        from replicadb_spark.sources.files import read_file
+
+        fmt = job.source_file_format or "csv"
+        path = registry.file_path(job.source_connect)
+        kwargs = {}
+        if fmt == "csv":
+            kwargs["dialect"] = job.source_params.get("csv.format", "DEFAULT")
+            cols = job.source_column_list
+            types_ = job.source_params.get("columns.types")
+            if types_:
+                kwargs["columns"] = cols
+                kwargs["column_types"] = [t.strip() for t in types_.split(",")]
+            elif cols:
+                kwargs["columns"] = cols
+            for opt in ("sep", "quote", "escape", "header", "nullValue"):
+                if opt in job.source_params:
+                    kwargs[opt] = job.source_params[opt]
+        df = read_file(spark, path, fmt, **kwargs)
+        return apply_row_filters(df, job)
+    if kind == "mongodb":
+        from replicadb_spark.sources.mongo import read_mongo
+
+        db, coll = (job.source_table or "/").split(".", 1)
+        return read_mongo(
+            spark, job.source_connect, db, coll,
+            pipeline=job.source_query,
+            projection=job.source_column_list,
+        )
+    raise ValueError(f"unsupported source kind: {kind}")
+
+
+def apply_row_filters(df: DataFrame, job: ReplicaJob) -> DataFrame:
+    """source-where / source-columns for sources that didn't push them
+    into the scan SQL (S13/S14). Declarative, so Catalyst pushes the
+    filter and the pruned column set into the file scan — check
+    ``PushedFilters``/``ReadSchema`` in .explain()."""
+    out = df
+    if job.source_where:
+        out = out.where(job.source_where)
+    cols = job.source_column_list
+    if cols:
+        out = out.select(*[F.col(c) for c in cols])
+    return out
+
+
+def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
+    """Sink dispatch + mode orchestration (≈ preSinkTasks / insertData /
+    postSinkTasks lifecycle, ConnManager.java:247-259)."""
+    kind, scheme = registry.classify(job.sink_connect)
+    if kind == "jdbc":
+        from replicadb_spark.modes import run_jdbc_mode
+
+        run_jdbc_mode(spark, job, df)
+        return
+    if kind == "file":
+        from replicadb_spark.modes import run_file_mode
+
+        fmt = job.sink_file_format or "csv"
+        path = registry.file_path(job.sink_connect)
+        pks = [c.strip() for c in job.sink_params.get("pk.columns", "").split(",") if c.strip()]
+        run_file_mode(spark, job, df, path=path, fmt=fmt, pk_columns=pks or None)
+        return
+    if kind == "kafka":
+        from replicadb_spark.sinks.kafka import write_kafka
+
+        write_kafka(
+            df,
+            job.sink_params.get("bootstrap.servers", "localhost:9092"),
+            job.sink_table or "replicadb",
+            key_column=job.sink_params.get("key.column"),
+        )
+        return
+    if kind == "mongodb":
+        from replicadb_spark.sinks.mongo import write_mongo
+
+        db, coll = (job.sink_table or "/").split(".", 1)
+        write_mongo(
+            df, job.sink_connect, db, coll,
+            mode="overwrite" if job.mode == "complete" else "append",
+        )
+        return
+    raise ValueError(f"unsupported sink kind: {kind}")
+
+
+def run(spark: SparkSession, job: ReplicaJob) -> ReplicaResult:
+    """Execute one replication job end-to-end."""
+    df = read_source(spark, job)
+    if job.bandwidth_throttling > 0:
+        from replicadb_spark.throttle import throttled
+
+        kbps = job.bandwidth_throttling
+        df = spark.createDataFrame(
+            df.rdd.mapPartitions(lambda it: throttled(it, kbps)), df.schema
+        )
+    write_sink(spark, job, df)
+    src_kind, _ = registry.classify(job.source_connect)
+    sink_kind, _ = registry.classify(job.sink_connect)
+    return ReplicaResult(rows=-1, source_kind=src_kind, sink_kind=sink_kind, mode=job.mode)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry point (≈ ReplicaDB.main, ReplicaDB.java:76-128)."""
+    import sys
+
+    from replicadb_spark.options import parse_args
+    from replicadb_spark.session import get_spark
+
+    job = parse_args(argv if argv is not None else sys.argv[1:])
+    spark = get_spark("replicadb-spark-cli")
+    run(spark, job)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -1,0 +1,281 @@
+"""Deduplication operators for web-scale corpus cleaning.
+
+Five strategies, all shuffle-conscious:
+
+- exact: hash-groupBy on the normalized text fingerprint (one shuffle).
+- ngram-jaccard: word-shingle Jaccard via an inverted-index self-join
+  (explode → join on shingle → count), the exact-verification path.
+- minhash-lsh: MinHash signatures + banded LSH bucketing — the 100 TB
+  path: candidate generation is a groupBy on (band, band_hash), never an
+  all-pairs join.
+- simhash: 64-bit sign-of-sums sketch + hamming distance.
+- embedding cosine: near-dup by vector similarity (see similarity.py).
+
+All hashing is portable integer arithmetic (polynomial mod 1e9+7), so
+results are engine-reproducible (the DuckDB oracle can replay them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+
+def _lcg(seed: int):
+    """Deterministic parameter stream (MINSTD). Python-side only — the
+    generated constants are baked into the Catalyst plan, so executors and
+    oracles all see identical coefficients."""
+    state = seed % 2147483647 or 1
+    while True:
+        state = (state * 48271) % 2147483647
+        yield state
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    gen = _lcg(seed)
+    return [(next(gen) % (MOD - 1) + 1, next(gen) % MOD) for _ in range(num_hashes)]
+
+
+def word_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (space-joined)."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(grams)
+
+
+def poly_hash(col: Column) -> Column:
+    """Portable string hash: fold chars, acc*31 + ascii(c) mod 1e9+7."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
+    )
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct shingle hash set (array<long>) for signature building."""
+    return F.array_distinct(F.transform(shingles(text, k), poly_hash))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: for each (a,b), min over shingle hashes of
+    (a*x + b) mod 1e9+7. Empty shingle set → MOD sentinel (never a real
+    hash). Pure array expressions — stays inside codegen, no shuffle."""
+    sigs = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, lambda x, a=a, b=b: (F.lit(a) * x + F.lit(b)) % MOD)),
+            F.lit(MOD).cast("long"),
+        )
+        for a, b in minhash_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Fold each signature band into one bucket hash:
+    array<struct<band:int, bucket:long>>."""
+    out = []
+    for b in range(bands):
+        piece = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        folded = F.aggregate(
+            piece, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % MOD
+        )
+        out.append(F.struct(F.lit(b).alias("band"), folded.alias("bucket")))
+    return F.array(*out)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-text group: returns
+    (keep_id, dup_count) per duplicated text, keep = min id.
+    One hash-partial-aggregated shuffle on the text key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.groupBy(norm.alias("norm_text"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .select("keep_id", "dup_count")
+    )
+
+
+def deduplicate_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per normalized text (the drop-duplicates form)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w_min = (
+        df.withColumn("__norm", norm)
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(w_min, on=id_col, how="left_semi")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Plan: explode distinct shingles → self-join on shingle (id_a < id_b)
+    → count = |A∩B| → join shingle-set sizes → filter. The join key is
+    the shingle, so hot shingles skew — at 100 TB add a document-frequency
+    cap on shingles before the join (standard trick); here the corpus is
+    word-salad so DF stays modest. Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), on="shingle")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing ≥1 (band, bucket).
+
+    This is the scale path: cost is O(n·bands) rows shuffled by bucket,
+    never O(n²). rows_per_band = num_hashes // bands sets the similarity
+    knee: P(candidate) = 1-(1-s^r)^b.
+    Returns distinct (id_a, id_b).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingle_hashes(F.col(text_col), k), num_hashes, seed).alias("sig"),
+    )
+    buckets = sig.select(
+        "id", F.explode(band_hashes(F.col("sig"), bands, r)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    return (
+        buckets.alias("l")
+        .join(buckets.alias("r"), on=["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard — the standard
+    two-phase near-dup pipeline (candidate recall from LSH, precision
+    from exact verification on the candidate set only)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    sets_ = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), k).alias("hs")
+    )
+    joined = (
+        cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+        .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column, *, k: int = 3, bits: int = 64, seed: int = 7) -> Column:
+    """SimHash sketch: bit j = sign of Σ_shingles (2·((a_j·x+b_j) mod MOD mod 2) - 1).
+
+    Returned as an array<int> of bits (LSB first) to keep the arithmetic
+    portable; hamming distance = count of differing positions.
+    """
+    hashes = shingle_hashes(text, k)
+    params = minhash_params(bits, seed)
+    bit_cols = []
+    for a, b in params:
+        s = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, x, a=a, b=b: acc + (((F.lit(a) * x + F.lit(b)) % MOD) % 2) * 2 - 1,
+        )
+        bit_cols.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bit_cols)
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y), lambda v: v))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 8,
+    k: int = 3, bits: int = 64, band_bits: int = 16, seed: int = 7,
+) -> DataFrame:
+    """SimHash near-dup pairs, LSH-blocked on bit-bands so the join is on
+    band buckets (scale path), then exact hamming filter."""
+    if bits % band_bits:
+        raise ValueError("bits must be divisible by band_bits")
+    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), k=k, bits=bits, seed=seed).alias("sh"))
+    nb = bits // band_bits
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.aggregate(
+                F.slice("sh", i * band_bits + 1, band_bits),
+                F.lit(0).cast("long"), lambda acc, v: acc * 2 + v,
+            ).alias("bucket"),
+        )
+        for i in range(nb)
+    ])
+    buckets = sig.select("id", "sh", F.explode(bands_arr).alias("bb")).select("id", "sh", "bb.band", "bb.bucket")
+    return (
+        buckets.alias("l").join(buckets.alias("r"), on=["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                hamming(F.col("l.sh"), F.col("r.sh")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (no Python
+UDFs in the hot path) and uses only portable integer/double arithmetic so
+the DuckDB oracle can reproduce results bit-for-bit.
+
+Scale notes: each function is a narrow per-row projection — no shuffle,
+fully pipelined inside WholeStageCodegen, trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007  # fits in int64 under (acc*31 + c) without overflow
+
+# Tiny per-language stopword lexicons for the n-gram/stopword heuristic
+# language scorer. Real pipelines plug fastText etc.; the heuristic is the
+# deterministic, cluster-cheap baseline.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "that"),
+    "es": ("el", "la", "los", "que", "y", "es", "un", "una"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of maximal runs of letters or digits
+    (``[a-z]+|[0-9]+`` on the lowercased text). Deterministic and portable
+    (same RE2-safe pattern in DuckDB's regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z]+|[0-9]+"), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — a classic quality signal."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are not alphanumeric."""
+    stripped = F.regexp_replace(text, r"\s+", "")
+    non_alnum = F.length(F.regexp_replace(stripped, r"[a-zA-Z0-9]", ""))
+    return non_alnum.cast("double") / F.greatest(F.length(stripped), F.lit(1)).cast("double")
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from length, stopword density,
+    punctuation density, and mean token length — the standard cheap
+    pre-filter in web-scale corpus cleaning (C4/Gopher-style rules).
+
+    All terms are exact integer-ratio doubles, so the score is
+    reproducible in any engine.
+    """
+    n_tok = token_count(text).cast("double")
+    len_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    mtl = mean_token_length(text)
+    mtl_term = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_term + stop_term + punct_term + mtl_term) / F.lit(4.0)
+
+
+def language_scores(text: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit counts on the lowercased token set."""
+    toks = tokens(F.lower(text))
+
+    def hits(sw: tuple[str, ...]):
+        return lambda t: t.isin(*sw)
+
+    return [
+        (lang, F.size(F.filter(toks, hits(sw))))
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+
+
+def language_id(text: Column) -> Column:
+    """Argmax language by stopword hits; ties break to the alphabetically
+    first language; zero hits → 'und' (undetermined), matching BCP-47.
+    """
+    scores = language_scores(text)
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # iterate reversed so earlier languages win ties via later .when override
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    whitespace-normalized lowercased text, mod 1e9+7.
+
+    h = fold(chars, acc -> (acc*31 + ascii(c)) % MOD). Used as the exact-
+    dedup key: collision probability ~n²/2e9 — acceptable for blocking,
+    with byte-equality confirmation downstream when it matters.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    chars = F.split(norm, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
+    )

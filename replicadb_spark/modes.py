@@ -1,0 +1,172 @@
+"""Replication modes — the engine's "query plans" (SURVEY.md §2.3).
+
+- ``complete`` (M1): truncate-and-reload.
+- ``complete-atomic`` (M2): load staging, swap DELETE+INSERT in ONE
+  transaction on ONE driver-held JDBC connection (Spark writes cannot
+  share a transaction — SqlManager.java:386-434's shape survives as
+  driver-side SQL).
+- ``incremental`` (M3): load staging, PK-keyed MERGE into the sink.
+
+For file sinks the same three modes exist with DataFrame semantics:
+truncate = overwrite, merge = PK upsert computed as a union + last-wins
+dedup (the relational meaning of every dialect's MERGE, M3a-M3f).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from replicadb_spark.options import ReplicaJob
+from replicadb_spark.sql import dialects
+
+
+def upsert_dataframe(sink: DataFrame, staging: DataFrame, pk_columns: list[str]) -> DataFrame:
+    """The relational core of M3a-M3f: staging rows replace sink rows on
+    PK match, new staging rows insert, unmatched sink rows survive.
+
+    Plan shape: union + per-PK last-wins dedup via a window over the
+    union — ONE shuffle on the PK (vs join+union's two). Priority column
+    marks staging rows as winners. At 100 TB the shuffle is on the PK,
+    which is as partition-friendly as an upsert can be; AQE handles skew.
+    """
+    if not pk_columns:
+        raise ValueError("upsert requires pk columns")
+    cols = sink.columns
+    tagged = sink.select(*cols).withColumn("__pri", F.lit(0)).unionByName(
+        staging.select(*cols).withColumn("__pri", F.lit(1))
+    )
+    w = Window.partitionBy(*pk_columns).orderBy(F.col("__pri").desc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__pri", "__rn")
+    )
+
+
+# --- JDBC-side mode orchestration ------------------------------------------
+
+def _jvm_connection(spark: SparkSession, url: str, user: str | None, password: str | None):
+    """One driver-held JDBC connection via the JVM's DriverManager —
+    the transaction holder the reference keeps in SqlManager.getConnection.
+    Requires the driver jar on Spark's classpath (gated in tests)."""
+    jvm = spark._sc._jvm  # noqa: SLF001
+    props = jvm.java.util.Properties()
+    if user:
+        props.setProperty("user", user)
+    if password:
+        props.setProperty("password", password)
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def execute_sql(spark: SparkSession, url: str, statements: list[str], *,
+                user: str | None = None, password: str | None = None,
+                transactional: bool = False) -> None:
+    """Run driver-side DDL/DML. ``transactional=True`` = one commit for
+    all statements (the complete-atomic swap, SqlManager.java:404-434)."""
+    conn = _jvm_connection(spark, url, user, password)
+    try:
+        if transactional:
+            conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+        finally:
+            stmt.close()
+        if transactional:
+            conn.commit()
+    except Exception:
+        if transactional:
+            conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+def sink_primary_keys(spark: SparkSession, job: ReplicaJob) -> list[str]:
+    """PK discovery from DatabaseMetaData.getPrimaryKeys
+    (SqlManager.java:282-353), including the case-insensitive retry."""
+    conn = _jvm_connection(spark, job.sink_connect, job.sink_user, job.sink_password)
+    try:
+        meta = conn.getMetaData()
+        table = job.sink_table
+        schema = None
+        if table and "." in table:
+            schema, table = table.split(".", 1)
+        pks: list[str] = []
+        for candidate in (table, table.upper(), table.lower()):
+            rs = meta.getPrimaryKeys(None, schema, candidate)
+            while rs.next():
+                pks.append(rs.getString("COLUMN_NAME"))
+            rs.close()
+            if pks:
+                break
+        return pks
+    finally:
+        conn.close()
+
+
+def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
+    """Dispatch M1/M2/M3 against a JDBC sink."""
+    from replicadb_spark.sinks.jdbc import write_jdbc
+
+    dialect = dialects.dialect_from_url(job.sink_connect)
+    if job.mode == "complete":
+        write_jdbc(df, job, mode="overwrite", truncate=job.sink_truncate)
+        return
+
+    staging = job.sink_staging_table or dialects.staging_table_name(
+        hash(job.sink_table) & 0xFFFF, job.sink_staging_schema
+    )
+    auto_staging = job.sink_staging_table is None
+    run = lambda sqls, txn=False: execute_sql(  # noqa: E731
+        spark, job.sink_connect, sqls, user=job.sink_user,
+        password=job.sink_password, transactional=txn,
+    )
+    if auto_staging:
+        run([dialects.create_staging_sql(dialect, staging, job.sink_table)])
+    try:
+        write_jdbc(df, job, table=staging, mode="append")
+        cols = job.sink_column_list or df.columns
+        if job.mode == "complete-atomic":
+            run(dialects.atomic_swap_sql(dialect, job.sink_table, staging, cols), txn=True)
+        else:  # incremental
+            pks = sink_primary_keys(spark, job)
+            if not pks:
+                raise ValueError(f"incremental mode needs primary keys on {job.sink_table}")
+            spec = dialects.MergeSpec(job.sink_table, staging, cols, pks)
+            run([dialects.merge_sql(dialect, spec)])
+    finally:
+        if auto_staging:
+            run([dialects.drop_staging_sql(staging)])
+
+
+def run_file_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame, *,
+                  path: str, fmt: str, pk_columns: list[str] | None = None,
+                  **write_opts) -> None:
+    """File-sink modes. complete/complete-atomic = overwrite (Spark's
+    job-commit protocol already gives all-or-nothing visibility, which is
+    strictly stronger than the reference's temp-file merge K11/K12);
+    incremental = read-existing → upsert → rewrite.
+    """
+    from replicadb_spark.sinks.files import write_file
+
+    if job.mode in ("complete", "complete-atomic"):
+        write_file(df, path, fmt, mode="overwrite", **write_opts)
+        return
+    # incremental
+    try:
+        existing = spark.read.format(fmt).load(path) if fmt != "csv" else None
+    except Exception:
+        existing = None
+    if existing is None:
+        write_file(df, path, fmt, mode="append", **write_opts)
+        return
+    if not pk_columns:
+        write_file(df, path, fmt, mode="append", **write_opts)
+        return
+    merged = upsert_dataframe(existing, df, pk_columns).cache()
+    merged.count()  # materialize before overwriting the input path
+    write_file(merged, path, fmt, mode="overwrite", **write_opts)
+    merged.unpersist()

@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for the replication + analytics workload.
+
+The reference engine's parallelism knob is ``jobs`` (N identical JDBC
+sessions, cli/ToolOptions.java:14). Here parallelism is Spark's scheduler;
+the knobs that matter at 100 TB are shuffle partitioning, AQE, and Arrow
+batch transfer for the (rare) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32]/128GiB test harness; on a real cluster
+# every one of these is expected to be overridden by spark-submit conf.
+_LOCAL_DEFAULTS = {
+    # AQE owns runtime re-planning: shuffle-partition coalescing, skew-join
+    # splitting, and dynamic broadcast conversion. Non-negotiable at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Static shuffle width for local[32]; AQE coalesces down when small.
+    "spark.sql.shuffle.partitions": "32",
+    # Arrow for any pandas_udf / applyInPandas path (similarity, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Keep scans splittable and right-sized (parquet row-group ≈ 128MB).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: dims like region/nation/supplier always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Quieter driver logs in tests.
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "replicadb_spark", **extra_conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    Any ``extra_conf`` key wins over the defaults.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_LOCAL_DEFAULTS)
+    conf.update({k: str(v) for k, v in extra_conf.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the TESTDATA star-schema parquet tables as a dict of DataFrames.
+
+    Also registers each as a temp view so ``spark.sql`` works over them —
+    the Spark-side equivalent of the reference registering a source table
+    per ConnManager (manager/ConnManager.java:41-42).
+    """
+    all_names = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    out = {}
+    for name in names or all_names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

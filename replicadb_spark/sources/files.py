@@ -1,0 +1,84 @@
+"""File sources — CSV (with the reference's dialect presets), ORC, and the
+formats the reference declares but never implemented (parquet/json/avro:
+FileFormats.java:3-15, orc read stub rowset/OrcCachedRowSetImpl.java:8-15).
+
+Spark-first upgrades vs the reference CSV reader
+(manager/file/CsvFileManager.java:204-232, rowset/CsvCachedRowSetImpl.java):
+splittable multi-file reads (the reference forces jobs==1,
+LocalFileManager.java:112-116), no whole-file buffering (§7.4 quirk), and
+schema either declared (columns.types parity) or inferred.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from replicadb_spark.types import schema_from_declared_types
+
+# The 11 predefined CSV dialects (manager/file/CsvFileManager.java:38-201),
+# mapped onto spark.read.csv options.
+CSV_DIALECTS: dict[str, dict[str, str]] = {
+    "DEFAULT": {"sep": ",", "quote": '"', "escape": '"', "header": "false"},
+    "EXCEL": {"sep": ",", "quote": '"', "escape": '"', "header": "false"},
+    "INFORMIX_UNLOAD": {"sep": "|", "quote": '"', "escape": "\\", "header": "false"},
+    "INFORMIX_UNLOAD_CSV": {"sep": ",", "quote": '"', "escape": '"', "header": "false"},
+    "MONGODB_CSV": {"sep": ",", "quote": '"', "escape": '"', "header": "true"},
+    "MONGODB_TSV": {"sep": "\t", "quote": '"', "escape": '"', "header": "true"},
+    "MYSQL": {"sep": "\t", "quote": "", "escape": "\\", "header": "false", "nullValue": "\\N"},
+    "ORACLE": {"sep": ",", "quote": '"', "escape": "\\", "header": "false"},
+    "POSTGRESQL_CSV": {"sep": ",", "quote": '"', "escape": '"', "header": "false", "nullValue": ""},
+    "POSTGRESQL_TEXT": {"sep": "\t", "quote": '"', "escape": "\\", "header": "false", "nullValue": "\\N"},
+    "RFC4180": {"sep": ",", "quote": '"', "escape": '"', "header": "false"},
+    "TDF": {"sep": "\t", "quote": '"', "escape": '"', "header": "false", "ignoreLeadingWhiteSpace": "true"},
+}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    dialect: str = "DEFAULT",
+    columns: list[str] | None = None,
+    column_types: list[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (S10/S11). ``column_types`` mirrors the mandatory
+    ``source.connect.parameter.columns.types`` declared-type list
+    (CsvFileManager.java:215-220); without it the schema is inferred
+    (a capability upgrade the reference lacks).
+    """
+    opts = dict(CSV_DIALECTS.get(dialect.upper(), CSV_DIALECTS["DEFAULT"]))
+    opts.update({k: str(v) for k, v in options.items()})
+    reader = spark.read.options(**opts)
+    if column_types is not None:
+        if columns is None:
+            raise ValueError("columns (names) required when column_types is declared")
+        reader = reader.schema(schema_from_declared_types(columns, column_types))
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if columns is not None and column_types is None:
+        df = df.toDF(*columns)
+    return df
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    **kwargs,
+) -> DataFrame:
+    """Format-dispatched file scan: csv/orc/parquet/json/avro."""
+    fmt = fmt.lower()
+    if fmt == "csv":
+        return read_csv(spark, path, **kwargs)
+    if fmt in ("orc", "parquet", "json"):
+        return spark.read.options(**{k: str(v) for k, v in kwargs.get("options", {}).items()}).format(fmt).load(path)
+    if fmt == "avro":
+        # spark-avro is an external module; gate like the unimplemented
+        # reference ORC reader rather than failing at import time.
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception as exc:  # pragma: no cover - environment-dependent
+            raise NotImplementedError("avro reader requires the spark-avro package") from exc
+    raise ValueError(f"unsupported source file format: {fmt}")

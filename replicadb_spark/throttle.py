@@ -1,0 +1,52 @@
+"""Bandwidth throttling (SURVEY.md §2.5 F2).
+
+The reference rate-limits fetch batches with a TimedSemaphore sized from
+a sampled first-row width and a KB/s cap
+(manager/util/BandwidthThrottling.java:30-74). Spark has no builtin; this
+token bucket runs inside each partition iterator, so an N-partition job
+is capped at N × kbps_per_partition — document the approximation instead
+of pretending a global cap (a global cap would need a shared service).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterable, Iterator
+
+
+class TokenBucket:
+    """Byte-budget token bucket; refills continuously at ``kbps`` KB/s."""
+
+    def __init__(self, kbps: int, clock=time.monotonic, sleep=time.sleep):
+        if kbps <= 0:
+            raise ValueError("kbps must be positive")
+        self.rate = kbps * 1024.0  # bytes/sec
+        self.capacity = self.rate  # 1 second of burst
+        self.tokens = self.capacity
+        self.clock = clock
+        self.sleep = sleep
+        self.last = clock()
+
+    def acquire(self, nbytes: int) -> None:
+        while True:
+            now = self.clock()
+            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= nbytes:
+                self.tokens -= nbytes
+                return
+            deficit = nbytes - self.tokens
+            self.sleep(deficit / self.rate)
+
+
+def throttled(rows: Iterable, kbps: int, row_bytes: int = 256) -> Iterator:
+    """Wrap a partition iterator with a per-partition KB/s cap.
+
+    ``row_bytes`` plays the role of the reference's sampled first-row
+    size (BandwidthThrottling.java:46-59); callers with real Row objects
+    can pass a measured width.
+    """
+    bucket = TokenBucket(kbps)
+    for row in rows:
+        bucket.acquire(row_bytes)
+        yield row
