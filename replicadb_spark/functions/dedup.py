@@ -66,17 +66,57 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(hashes: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature: for each (a,b), min over shingle hashes of
-    (a*x + b) mod 1e9+7. Empty shingle set → MOD sentinel (never a real
-    hash). Pure array expressions — stays inside codegen, no shuffle."""
+    """MinHash signature as one array expression: for each (a,b), min over
+    shingle hashes of (a*x + b) mod 1e9+7. Empty set → MOD sentinel.
+
+    NOTE: evaluating N of these over the same ``hashes`` subtree
+    re-executes it N times (higher-order functions are interpreted — no
+    common-subexpression elimination), so for bulk signature computation
+    use minhash_signatures_df, which explodes once and runs N codegen'd
+    min() aggregates instead."""
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MOD
+
     sigs = [
         F.coalesce(
-            F.array_min(F.transform(hashes, lambda x, a=a, b=b: (F.lit(a) * x + F.lit(b)) % MOD)),
+            F.array_min(F.transform(hashes, perm(a, b))),
             F.lit(MOD).cast("long"),
         )
         for a, b in minhash_params(num_hashes, seed)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bulk MinHash: (id, sig array<long>) for every row.
+
+    Plan: shingle-hash array computed ONCE per row → explode → N parallel
+    min() hash-aggregates (whole-stage codegen, map-side partial
+    aggregation, one shuffle on id). This is the shape that survives
+    100 TB: the shuffle carries one row of N longs per document.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingle_hashes(F.col(text_col), k)).alias("h"),
+    )
+    aggs = [
+        F.coalesce(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD), F.lit(MOD).cast("long")
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    wide = exploded.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -178,9 +218,8 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingle_hashes(F.col(text_col), k), num_hashes, seed).alias("sig"),
+    sig = minhash_signatures_df(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed
     )
     buckets = sig.select(
         "id", F.explode(band_hashes(F.col("sig"), bands, r)).alias("bb")
@@ -211,8 +250,10 @@ def minhash_dedup_pairs(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
     )
+    # verify on STRING shingle sets (hash sets would add a ~1e-9/pair
+    # collision risk to the reported jaccard value)
     sets_ = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), k).alias("hs")
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("hs")
     )
     joined = (
         cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
@@ -227,23 +268,38 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(text: Column, *, k: int = 3, bits: int = 64, seed: int = 7) -> Column:
-    """SimHash sketch: bit j = sign of Σ_shingles (2·((a_j·x+b_j) mod MOD mod 2) - 1).
+def simhash_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    bits: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SimHash sketch per row: bit j = sign of
+    Σ_shingles (2·((a_j·x+b_j) mod MOD mod 2) − 1), returned as
+    (id, sh array<int>) with bits LSB-first.
 
-    Returned as an array<int> of bits (LSB first) to keep the arithmetic
-    portable; hamming distance = count of differing positions.
+    Same columnar shape as minhash_signatures_df: explode once, ``bits``
+    codegen'd sum() aggregates, one shuffle on id.
     """
-    hashes = shingle_hashes(text, k)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingle_hashes(F.col(text_col), k)).alias("h"),
+    )
     params = minhash_params(bits, seed)
-    bit_cols = []
-    for a, b in params:
-        s = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, x, a=a, b=b: acc + (((F.lit(a) * x + F.lit(b)) % MOD) % 2) * 2 - 1,
-        )
-        bit_cols.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.array(*bit_cols)
+    aggs = [
+        F.coalesce(
+            F.sum((((F.lit(a) * F.col("h") + F.lit(b)) % MOD) % 2) * 2 - 1), F.lit(0)
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    wide = exploded.groupBy("id").agg(*aggs)
+    bit_cols = [
+        F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(bits)
+    ]
+    return wide.select("id", F.array(*bit_cols).alias("sh"))
 
 
 def hamming(a: Column, b: Column) -> Column:
@@ -258,7 +314,7 @@ def simhash_pairs(
     band buckets (scale path), then exact hamming filter."""
     if bits % band_bits:
         raise ValueError("bits must be divisible by band_bits")
-    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), k=k, bits=bits, seed=seed).alias("sh"))
+    sig = simhash_df(df, id_col, text_col, k=k, bits=bits, seed=seed)
     nb = bits // band_bits
     bands_arr = F.array(*[
         F.struct(

@@ -1,0 +1,856 @@
+"""Query catalog: every operator surfaced as a (spark_fn, oracle_sql) pair.
+
+This is the correctness gate's contract (see __spark_entry__.py): each
+entry's Spark DataFrame must hash-match the DuckDB oracle SQL at sf0.01.
+
+Determinism rules used throughout (so two engines agree bit-for-bit):
+- money/quantity sums go through DECIMAL casts (exact, order-independent),
+  then CAST AS DOUBLE for a stable output type;
+- double ratios are exact int/int or identical-double divisions;
+- floating similarity scores are rounded (4-6 dp) AFTER identical-order
+  arithmetic where possible;
+- temporal outputs are cast to strings (engine-native timestamp hashing
+  differs);
+- every top-k has a total tiebreak order.
+
+Scale annotations (the "would this hold at 100 TB?" check) are inline on
+each query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from replicadb_spark.functions import dedup as D
+from replicadb_spark.functions import multimodal as MM
+from replicadb_spark.functions import similarity as S
+from replicadb_spark.functions import text as X
+from replicadb_spark.modes import upsert_dataframe
+from replicadb_spark.session import tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry filled by @register
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return tables(spark, sf_dir, names or None)
+
+
+def _dec(col, scale: int = 6):
+    """Order-independent exact sum unit: double → DECIMAL(28,scale)."""
+    return col.cast(f"decimal(28,{scale})")
+
+
+# =========================================================================
+# Replication-core queries (SURVEY §2.1/§2.3/§2.4 semantics over parquet)
+# =========================================================================
+
+@register(
+    "repl_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount > 0.02
+    """,
+)
+def repl_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S13+S14: scan with projection & predicate pushdown.
+
+    Scale: filter + pruned 4-column ReadSchema reach the parquet scan
+    (verified via PushedFilters in .explain) — no shuffle at any size.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.where((F.col("l_quantity") >= 30) & (F.col("l_discount") > 0.02)).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "repl_type_normalize",
+    oracle="""
+    SELECT event_id,
+           hex(encode(event_type))                    AS type_hex,
+           to_base64(encode(event_type))              AS type_b64,
+           (value > 50)                               AS flag,
+           CAST(epoch_ms(CAST(floor(value * 1000) AS BIGINT)) AS VARCHAR) AS epoch_ts
+    FROM events
+    """,
+)
+def repl_type_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The type-pipe T3/T4/T5/T8/T9 as one projection (types.py).
+
+    flag exercises boolean_lexical ('yes'/'off' lexemes); epoch_ts
+    exercises epoch-millis→timestamp. Narrow projection, codegen-only.
+    """
+    from replicadb_spark.types import boolean_lexical, epoch_millis_to_timestamp
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    raw = F.when(F.col("value") > 50, F.lit("yes")).otherwise(F.lit("off"))
+    return ev.select(
+        "event_id",
+        F.hex(F.encode(F.col("event_type"), "utf-8")).alias("type_hex"),
+        F.base64(F.encode(F.col("event_type"), "utf-8")).alias("type_b64"),
+        boolean_lexical(raw).alias("flag"),
+        epoch_millis_to_timestamp(F.floor(F.col("value") * 1000)).cast("timestamp_ntz").cast("string").alias("epoch_ts"),
+    )
+
+
+_UPSERT_ORACLE = """
+    WITH sink AS (
+      SELECT * FROM orders WHERE o_orderkey % 2 = 0
+    ), staging AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate_s, o_orderpriority
+    FROM staging
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS VARCHAR), o_orderpriority
+    FROM sink WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
+"""
+
+
+@register("repl_incremental_upsert", oracle=_UPSERT_ORACLE)
+def repl_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 incremental merge semantics (modes.upsert_dataframe): staging
+    rows replace sink rows on PK, new rows insert, the rest survive.
+
+    Scale: one shuffle on the PK (union + last-wins window) — see
+    modes.py for why this beats join+union.
+    """
+    o = _t(spark, sf_dir, "orders")["orders"]
+    sink = o.where(F.col("o_orderkey") % 2 == 0)
+    staging = o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100000
+    )
+    merged = upsert_dataframe(sink, staging, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("string").alias("o_orderdate_s"), "o_orderpriority",
+    )
+
+
+# =========================================================================
+# Relational surface (SURVEY §2.6/§2.7 — "beyond the reference" per §7.2.7)
+# =========================================================================
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)       AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the flagship aggregation.
+
+    Scale: partial (map-side) aggregation into 6 groups means the shuffle
+    carries ~6 rows per task regardless of input size; decimal sums are
+    exact and order-independent. Filter pushed to parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec(F.col("l_discount"))).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate_s,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective join + agg + top-k.
+
+    Scale: customer is the small side — broadcast to orders; the
+    orders⋈lineitem join shuffles on orderkey (co-partitioned agg key, so
+    groupBy reuses the exchange). Decimal revenue → deterministic top-10
+    with orderkey tiebreak.
+    """
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["orders"].where(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["lineitem"].where(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join.
+
+    Scale: nation/region/supplier/customer are dimensions → broadcast
+    (checked in .explain: only orders⋈lineitem shuffles). The
+    c_nationkey = s_nationkey correlation rides the broadcast join.
+    """
+    t = _t(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "window_top_customers",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rn <= 3
+    """,
+)
+def window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 customers by balance per nation.
+
+    Scale: single shuffle on n_name (25 groups — at real scale partition
+    by a higher-cardinality key or pre-aggregate); rank pushdown via
+    WindowGroupLimit keeps per-partition heaps at 3.
+    """
+    t = _t(spark, sf_dir, "customer", "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS VARCHAR) AS o_orderdate_s
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps of 100 + driver merge, no full sort at any scale."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+        )
+    )
+
+
+@register(
+    "set_intersect_customers",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics). Scale: both sides partial-distinct
+    before the shuffle; AQE picks the join strategy."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("c_custkey"))
+    big = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("c_custkey"))
+    return urgent.intersect(big)
+
+
+@register(
+    "set_except_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics) — BUILDING customers with no finished order."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    b = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    f = t["orders"].where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return b.subtract(f)
+
+
+@register(
+    "rollup_orders",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical totals (year → priority → grand)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .rollup("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "distinct_counts_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def distinct_counts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain agg in one pass (Spark expands to two-phase
+    distinct aggregation; AQE coalesces)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers with no orders. Scale: broadcast the
+    distinct custkeys of the probe side when small; else shuffle-hash."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "semi_join_parts",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 49
+    )
+    """,
+)
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — parts that ever shipped in bulk."""
+    t = _t(spark, sf_dir, "part", "lineitem")
+    bulky = t["lineitem"].where(F.col("l_quantity") >= 49)
+    return t["part"].join(
+        bulky, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+# =========================================================================
+# Events: sessionization + tumbling windows (batch mirror of streaming)
+# =========================================================================
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum.
+
+    Scale: one shuffle on user_id; both windows share the same partition
+    + sort order so Spark plans a single Window exchange. The streaming
+    twin is session_window() in streaming/pipeline.py.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_micros = F.lag(micros).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(lag_micros.isNull() | ((micros - lag_micros) > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_tumbling_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch mirror of the
+    Structured Streaming windowed agg (streaming/pipeline.py uses
+    F.window; semantics identical for complete data)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.withColumn("bucket", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# =========================================================================
+# Text analysis (functions/text.py)
+# =========================================================================
+
+_TEXT_STATS_ORACLE = r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_subwords,
+           length(text) AS n_chars_computed,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c) AS BIGINT) FOR c IN string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '')]),
+             (acc, c) -> (acc * 31 + c) % 1000000007
+           ) AS fingerprint
+    FROM documents
+"""
+
+
+@register("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + subword-regex) and the rolling-hash
+    document fingerprint. Narrow projection — codegen only, no shuffle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(c).alias("n_tokens"),
+        X.word_token_count(c).alias("n_subwords"),
+        X.char_count(c).alias("n_chars_computed"),
+        X.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    from replicadb_spark.functions.text import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != ''),"
+        f" t -> t IN ({words})))"
+    )
+
+
+_LANG_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql('de')} AS h_de,
+             {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('es')} AS h_es,
+             {_lang_hits_sql('fr')} AS h_fr,
+             {_lang_hits_sql('zh')} AS h_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+"""
+
+
+@register("text_language_id", oracle=_LANG_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID (argmax, alphabetical tiebreak)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", "lang", X.language_id(F.col("text")).alias("lang_pred"))
+
+
+_QUALITY_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS DOUBLE) AS ntok,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks,
+             regexp_replace(text, '\s+', '', 'g') AS stripped
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, ntok,
+             least(ntok / 64.0, 1.0) AS len_term,
+             least((len(list_filter(toks, t -> t IN ('the','a','and','is','of','to','in','that')))
+                    / greatest(ntok, 1.0)) * 4.0, 1.0) AS stop_term,
+             1.0 - least((CAST(length(regexp_replace(stripped, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                          / greatest(CAST(length(stripped) AS DOUBLE), 1.0)) * 4.0, 1.0) AS punct_term,
+             CASE WHEN list_aggregate(list_transform(toks, t -> length(t)), 'sum') / greatest(ntok, 1.0)
+                       BETWEEN 3.0 AND 10.0
+                  THEN 1.0 ELSE 0.5 END AS mtl_term
+      FROM base
+    )
+    SELECT doc_id,
+           round((len_term + stop_term + punct_term + mtl_term) / 4.0, 6) AS quality
+    FROM terms
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/punctuation/token-shape)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", F.round(X.quality_score(F.col("text")), 6).alias("quality"))
+
+
+# =========================================================================
+# Deduplication (functions/dedup.py)
+# =========================================================================
+
+_SHINGLE_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS s
+      FROM toks
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+      FROM sh l JOIN sh r USING (s)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+_JACCARD_ORACLE = _SHINGLE_CTE + """
+    SELECT id_a, id_b,
+           round(i * 1.0 / (za.sz + zb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz za ON id_a = za.doc_id
+    JOIN sz zb ON id_b = zb.doc_id
+    WHERE i * 1.0 / (za.sz + zb.sz - i) >= {thr}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE.format(thr="0.2"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+
+    Scale: join key is the shingle; add a document-frequency cap on hot
+    shingles before the join at corpus scale (see functions/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = D.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE.format(thr="0.5"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(64 bands × 2 rows) candidates, exact-Jaccard
+    verified at 0.5 — the 100 TB near-dup path (O(n·bands) shuffle, never
+    all-pairs). Oracle = exact all-pairs Jaccard ≥ 0.5: with r=2,b=64 the
+    miss probability at s=0.5 is (1-0.25)^64 ≈ 1e-8, and the planted
+    near-dups in TESTDATA sit at s ≥ 0.9 where it is ~1e-46."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_dedup_pairs(
+        d, "doc_id", "text", k=3, num_hashes=128, bands=64, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_DEDUP_KEY_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS t
+      FROM documents
+    )
+    SELECT array_to_string(t[1:2], ' ') AS dup_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM toks
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_exact_key", oracle=_DEDUP_KEY_ORACLE)
+def dedup_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by blocking key (first-2-token prefix): hash-groupBy,
+    min-id representative — the exact-hash dedup shape (full-text exact
+    dedup is functions/dedup.deduplicate_exact; TESTDATA has no full-text
+    dups, so the query uses the prefix key to exercise the operator)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = D.word_tokens(F.col("text"))
+    key = F.concat_ws(" ", F.slice(toks, 1, 2))
+    return (
+        d.groupBy(key.alias("dup_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+@register("dedup_simhash")  # no SQL oracle: sketch-specific, rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs, banded-LSH blocked, hamming ≤ 8.
+
+    Non-SQL-expressible economically (64 sign-of-sum aggregates per doc);
+    validated by unit tests on planted near-dups instead (tests/test_dedup.py).
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+# =========================================================================
+# Similarity search (functions/similarity.py)
+# =========================================================================
+
+_KNN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), pairs AS (
+      SELECT q.qid, e.vec_id AS nid, q.qv, e.embedding AS ev
+      FROM q, embeddings e WHERE e.vec_id <> q.qid
+    ), expl AS (
+      SELECT qid, nid, CAST(unnest(qv) AS DOUBLE) AS qx, CAST(unnest(ev) AS DOUBLE) AS nx
+      FROM pairs
+    ), scored AS (
+      SELECT qid, nid,
+             SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))) AS s
+      FROM expl GROUP BY qid, nid
+    ), ranked AS (
+      SELECT qid AS query_id, nid AS neighbor_id, s,
+             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(s, 4) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@register("knn_bruteforce", oracle=_KNN_ORACLE)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors over the corpus.
+
+    Scale: queries broadcast; corpus never shuffles — scores stream
+    through the broadcast join, top-k per query via window (the only
+    shuffle carries ≤ corpus×5 skinny rows; at real scale use partial
+    per-partition top-k first). Score rounded to 4 dp after double
+    arithmetic so engines agree."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = S.knn_bruteforce(e, e.where(F.col("vec_id") < 5), k=10)
+    return out.select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+
+
+_NEARDUP_ORACLE = """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ), e AS (
+      SELECT id_a, id_b, CAST(unnest(va) AS DOUBLE) AS x, CAST(unnest(vb) AS DOUBLE) AS y
+      FROM p
+    ), s AS (
+      SELECT id_a, id_b, SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))) AS c
+      FROM e GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(c, 4) AS cos FROM s WHERE c >= 0.45
+"""
+
+
+@register("emb_neardup", oracle=_NEARDUP_ORACLE)
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45)."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = S.embedding_neardup_pairs(e, threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+@register("ann_lsh")  # no SQL oracle: approximate by construction
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (bucketed candidates). Recall vs
+    the exact path is asserted in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.ann_lsh(e, e.where(F.col("vec_id") < 5), dim=64, n_planes=6, k=10)
+
+
+# =========================================================================
+# Multimodal plumbing (functions/multimodal.py)
+# =========================================================================
+
+_MM_ORACLE = """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           round(list_aggregate([CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')], 'sum')
+                 * 1.0 / octet_length(encode(text)), 6) AS mean_byte
+    FROM documents
+"""
+
+
+@register("multimodal_features", oracle=_MM_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents.text → binary payload →
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder; real decoders are the stubbed step — see
+    functions/multimodal.py). Oracle recomputes byte stats in SQL.
+
+    Scale: mapInPandas streams Arrow batches; payloads never shuffle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = MM.extract_image_features(media, fake=True)
+    return feats.select(
+        "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte")
+    )

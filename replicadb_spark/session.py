@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 # Defaults chosen for the local[32]/128GiB test harness; on a real cluster
 # every one of these is expected to be overridden by spark-submit conf.
@@ -31,6 +32,9 @@ _LOCAL_DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast threshold: dims like region/nation/supplier always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # TESTDATA parquet stores INT64 TIMESTAMP(NANOS) which Spark has no
+    # native type for; read as long and convert in tables().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Quieter driver logs in tests.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
@@ -64,9 +68,24 @@ def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = Non
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
+    # TESTDATA timestamp columns arrive as INT64 nanos (see
+    # nanosAsLong conf); convert to TimestampNTZ at load so every plan
+    # downstream sees real timestamps. NTZ matches DuckDB's naive
+    # TIMESTAMP semantics for oracle comparisons.
+    ts_cols = {
+        "orders": ("o_orderdate",),
+        "lineitem": ("l_shipdate",),
+        "events": ("ts",),
+    }
     out = {}
     for name in names or all_names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in ts_cols.get(name, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(
+                    c,
+                    F.timestamp_micros((F.col(c) / 1000).cast("long")).cast("timestamp_ntz"),
+                )
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
