@@ -46,9 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin per query (omitted for the two
+    """DuckDB-runnable ANSI SQL twin per query (omitted for the three
     sketch-based ops whose outputs are approximate by construction:
-    dedup_simhash, ann_lsh — driver records rows-only checks there)."""
+    dedup_simhash, ann_lsh, ann_ivf — driver records rows-only checks
+    there; their recall is pinned by unit tests instead)."""
     from replicadb_spark.plans.catalog import ORACLES
 
     return dict(ORACLES)

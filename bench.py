@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is total wall time across the query set (lower is
+better). Each query materializes fully (count) so lazy plans don't hide
+work. Sessions warm up with a trivial action first so JVM startup isn't
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The representative subset of the catalog: one per operator family,
+# weighted toward the scale-sensitive ones (joins, dedup, knn).
+BENCH_QUERIES = [
+    "repl_scan_project_filter",
+    "repl_incremental_upsert",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "window_top_customers",
+    "events_sessionize",
+    "events_tumbling_agg",
+    "asof_join_enrich",
+    "range_join_event_pairs",
+    "text_stats",
+    "text_quality",
+    "dedup_exact_key",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "emb_neardup",
+    "multimodal_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from replicadb_spark.plans.catalog import QUERIES
+    from replicadb_spark.session import get_spark
+
+    spark = get_spark("replicadb-spark-bench")
+    spark.range(1000).count()  # warm up JVM/scheduler
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,12 +43,15 @@ def word_tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (space-joined)."""
+    """Distinct word k-gram shingles (space-joined); < k tokens → empty
+    (sequence(1,0) would count DOWN in Spark, hence the guard)."""
     toks = word_tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), n - (k - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(grams)
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def poly_hash(col: Column) -> Column:

@@ -88,11 +88,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 13) -> Column:
-    """Random-hyperplane signature as one bucket id (long): bit i =
-    sign(<v, h_i>). ±1 hyperplanes make the dot an exact sum of floats
-    widened to double."""
-    planes = _hyperplanes(dim, n_planes, seed)
+def _signature_from(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id from explicit ±1 hyperplanes: bit i = sign(<v, h_i>)."""
     acc = F.lit(0).cast("long")
     for plane in planes:
         pl = F.array(*[F.lit(x) for x in plane])
@@ -104,6 +101,27 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 13) -> 
     return acc
 
 
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 13) -> Column:
+    """Random-hyperplane signature as one bucket id (long). ±1 hyperplanes
+    make the dot an exact sum of floats widened to double."""
+    return _signature_from(vec, _hyperplanes(dim, n_planes, seed))
+
+
+def lsh_tables(vec: Column, dim: int, n_tables: int, bits: int, seed: int = 13) -> Column:
+    """Multi-table LSH keys: array of ``table_id·2^(bits+1) + bucket``
+    longs, one per table (one contiguous plane stream split across
+    tables). OR-amplification (candidate if ANY table collides) — the
+    sign-random-projection analog of MinHash banding; essential when
+    neighbors sit at moderate cosine, where a single table's AND-only
+    collision probability collapses."""
+    planes = _hyperplanes(dim, n_tables * bits, seed)
+    keys = []
+    for t in range(n_tables):
+        sig = _signature_from(vec, planes[t * bits : (t + 1) * bits])
+        keys.append(F.lit(t).cast("long") * (1 << (bits + 1)) + sig)
+    return F.array(*keys)
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -111,29 +129,121 @@ def ann_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_tables: int = 12,
+    bits: int = 6,
     k: int = 10,
     seed: int = 13,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same hyperplane bucket, then exact
-    cosine rank within bucket. At scale the bucket join replaces the
-    broadcast cross-join — O(n/2^planes) candidates per query."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    """Approximate top-k: candidates share ≥1 of n_tables hyperplane
+    buckets; exact cosine ranks the candidates.
+
+    Scale: corpus explodes to n_tables skinny (key, id) rows and joins the
+    broadcast query keys — O(n · n_tables / 2^bits) scored pairs instead
+    of O(n·q) brute force; the corpus vectors themselves never shuffle
+    (the candidate ids semi-join back to the corpus on id)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    keys = lambda col: lsh_tables(col, dim, n_tables, bits, seed)  # noqa: E731
+    c_keys = c.select(
+        "neighbor_id", F.explode(keys(F.col("c_vec"))).alias("bucket")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    q_keys = q.select(
+        "query_id", F.explode(keys(F.col("q_vec"))).alias("bucket")
+    )
+    cand = (
+        c_keys.join(F.broadcast(q_keys), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic coarse quantizer
+    (every (corpus_size/n_cells)-th vector by id is a "centroid") assigns
+    each corpus vector to its nearest cell; each query probes its n_probe
+    nearest cells and brute-forces only those.
+
+    Scale: the centroid table is tiny and broadcast twice (assignment +
+    probe); the corpus partition never shuffles for assignment — it streams
+    through a broadcast join. The candidate join is corpus⋈probed-cells on
+    cell id: O(n · n_probe / n_cells) scored pairs instead of O(n·q).
+    (Real IVF trains centroids with k-means; a deterministic stride sample
+    keeps the oracle/test reproducible — swap `centroids` for trained ones
+    in production.)
+    """
+    w_cell = Window.partitionBy("__vid").orderBy(
+        F.col("__cscore").desc(), F.col("cell").asc()
+    )
+
+    # stride-sample n_cells centroids deterministically by id rank (the
+    # global row_number runs on the tiny id+vec projection; production
+    # would use trained k-means centroids instead)
+    n = corpus.count()
+    stride = max(n // n_cells, 1)
+    centroids = (
+        corpus.withColumn("__rn", F.row_number().over(Window.orderBy(F.col(id_col))))
+        .where(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * n_cells))
+        .select(
+            ((F.col("__rn") - 1) / stride).cast("int").alias("cell"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str, top: int) -> DataFrame:
+        scored = df.select(F.col(idc).alias("__vid"), F.col(vc).alias("__v")).crossJoin(
+            F.broadcast(centroids)
+        ).select(
+            "__vid", "cell", cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w_cell))
+            .where(F.col("__r") <= top)
+            .select("__vid", "cell")
+        )
+
+    c_assign = assign(corpus, id_col, vec_col, 1)
+    q_probe = assign(queries, id_col, vec_col, n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(c_assign.withColumnRenamed("__vid", "neighbor_id"), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(q_probe.withColumnRenamed("__vid", "query_id"), "query_id")
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -29,6 +29,7 @@ from replicadb_spark.functions import multimodal as MM
 from replicadb_spark.functions import similarity as S
 from replicadb_spark.functions import text as X
 from replicadb_spark.modes import upsert_dataframe
+from replicadb_spark.operators import asof_join, range_join_pairs
 from replicadb_spark.session import tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -818,10 +819,11 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh")  # no SQL oracle: approximate by construction
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (bucketed candidates). Recall vs
-    the exact path is asserted in tests/test_similarity.py."""
+    """Multi-table hyperplane-LSH approximate top-k (candidates share ≥1
+    of 12 six-bit buckets). Recall vs the exact path is asserted in
+    tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return S.ann_lsh(e, e.where(F.col("vec_id") < 5), dim=64, n_planes=6, k=10)
+    return S.ann_lsh(e, e.where(F.col("vec_id") < 5), dim=64, n_tables=12, bits=6, k=10)
 
 
 # =========================================================================
@@ -854,3 +856,391 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte")
     )
+
+
+# =========================================================================
+# Relational surface, wave 2: outer joins, conditional aggregation,
+# correlated-subquery shapes, JSON, pivot, percentiles
+# =========================================================================
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: LEFT OUTER join with a non-key condition + two-level
+    aggregation (order counts → count distribution).
+
+    Scale: first agg shuffles on c_custkey (high cardinality — healthy);
+    second agg's key space is tiny so partial agg collapses it map-side.
+    """
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q12_priority_shipmode",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation (CASE inside SUM).
+
+    Scale: filter pushed to the lineitem scan; one shuffle join on
+    orderkey; 2-group agg collapses map-side.
+    """
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+             6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share (conditional / total ratio).
+
+    Scale: part broadcasts (dimension), lineitem never shuffles — the
+    global agg is a single partial-agg tree. Decimal sums keep the ratio
+    order-independent.
+    """
+    t = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(_dec(promo)).cast("double")
+                / F.sum(_dec(rev)).cast("double"),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN (
+      SELECT l_partkey AS a_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    ) ON l_partkey = a_partkey
+    WHERE l_quantity < half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated subquery, decorrelated into an aggregate
+    join: lineitems below half their part's average quantity.
+
+    Scale: the per-part average is a groupBy on l_partkey (one shuffle);
+    the rejoin broadcasts the aggregate when it fits, else AQE picks a
+    shuffle join co-partitioned with the agg output. Never row-at-a-time.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)))
+        ).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q4_priority_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS with a correlated non-equi term → LEFT SEMI
+    join on the equi key with the extra predicate in the join condition."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        o.join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE) / COUNT(*) AS avg_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column shaping (reference T10/T11: BSON/PGobject JSON →
+    engine values): parse the props JSON, extract and aggregate a field.
+
+    Scale: get_json_object is a codegen'd JVM expression — no UDF; the
+    agg collapses map-side (5 event types)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "pivot_priority_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS unspecified,
+           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-priority counts fanned out per market segment.
+
+    Scale: explicit pivot values (no discovery pass over the data); the
+    pivot agg is partial-aggregated like any groupBy."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    named = {
+        "1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "unspecified", "5-LOW": "low",
+    }
+    piv = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", list(named))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(alias) for v, alias in named.items()],
+    )
+    return out
+
+
+@register(
+    "median_balance_by_nation",
+    oracle="""
+    SELECT n_name,
+           round(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS median_bal,
+           round(CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE), 6) AS p90_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def median_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per nation.
+
+    Scale: exact percentile buffers per group — fine for bounded groups;
+    at unbounded cardinality switch to approx_percentile (documented
+    trade; the oracle pins the exact variant)."""
+    t = _t(spark, sf_dir, "customer", "nation")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 6).alias("median_bal"),
+            F.round(F.percentile(F.col("c_acctbal"), F.lit(0.9)), 6).alias("p90_bal"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS latest_event_id, CAST(ts AS VARCHAR) AS ts_s
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: newest event per (user, type) — the standard
+    snapshot-compaction shape (CDC last-write-wins).
+
+    Scale: single shuffle on the dedup key; WindowGroupLimit caps each
+    partition buffer at 1 row. Same shape as modes.upsert_dataframe."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").cast("string").alias("ts_s"),
+        )
+    )
+
+
+@register(
+    "asof_join_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CAST(o.o_orderdate AS VARCHAR) AS last_order_date_s,
+           o.last_price
+    FROM events e ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS last_price
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event enriched with its user's most
+    recent order at-or-before the event time. The right side is
+    pre-aggregated to one row per (custkey, orderdate) so ties are
+    deterministic in both engines.
+
+    Scale: operators.asof_join — union + one window pass, ONE shuffle on
+    the key, zero pair explosion (see module docstring)."""
+    t = _t(spark, sf_dir, "events", "orders")
+    right = (
+        t["orders"]
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max(_dec(F.col("o_totalprice"))).cast("double").alias("last_price"))
+    )
+    ev = t["events"].select("event_id", "user_id", "ts")
+    joined = asof_join(
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        right,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderdate", "last_price"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("string").alias("last_order_date_s"),
+        "last_price",
+    )
+
+
+@register(
+    "range_join_event_pairs",
+    oracle="""
+    SELECT l.user_id,
+           least(l.event_id, r.event_id) AS id_a,
+           greatest(l.event_id, r.event_id) AS id_b,
+           round(epoch_us(r.ts) / 1000000.0 - epoch_us(l.ts) / 1000000.0, 6) AS gap_s
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND (r.ts > l.ts OR (r.ts = l.ts AND r.event_id > l.event_id))
+     AND epoch_us(r.ts) / 1000000.0 - epoch_us(l.ts) / 1000000.0 <= 300
+    """,
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: same-user event pairs within 5 minutes.
+
+    Scale: operators.range_join_pairs — epoch-bucket blocking (band join)
+    instead of the oracle's all-pairs-per-user condition join."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return range_join_pairs(
+        ev, key="user_id", id_col="event_id", ts_col="ts", max_gap_seconds=300
+    )
+
+
+@register("ann_ivf")  # no SQL oracle: approximate by construction (recall
+# vs exact knn asserted in tests/test_similarity.py)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer, n_probe cells per
+    query, brute-force within probed cells (functions/similarity.ann_ivf)."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.ann_ivf(e, e.where(F.col("vec_id") < 5), n_cells=16, n_probe=3, k=10)

@@ -82,9 +82,13 @@ def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = Non
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in ts_cols.get(name, ()):
             if dict(df.dtypes).get(c) == "bigint":
+                # integer `div`, NOT float `/`: epoch nanos (~1.7e18)
+                # exceed double's 2^53 exact-integer range, and DuckDB
+                # truncates nanos→micros exactly — µs drift breaks oracle
+                # hashes on ts outputs and can flip near-tie orderings.
                 df = df.withColumn(
                     c,
-                    F.timestamp_micros((F.col(c) / 1000).cast("long")).cast("timestamp_ntz"),
+                    F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
                 )
         df.createOrReplaceTempView(name)
         out[name] = df

@@ -58,7 +58,12 @@ def read_csv(
         reader = reader.option("inferSchema", "true")
     df = reader.csv(path)
     if columns is not None and column_types is None:
-        df = df.toDF(*columns)
+        if opts.get("header", "false").lower() == "true":
+            # header supplies names → columns is a projection (S14)
+            df = df.select(*columns)
+        else:
+            # no header → columns supplies the names (reference CSV path)
+            df = df.toDF(*columns)
     return df
 
 

@@ -1,0 +1,106 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (Kafka is sink-only, README.md:188; "CDC
+mode is no longer supported", cli/ToolOptions.java:724) — SURVEY §1.4
+marks this an optional extension. It is included because the batch
+operators here (tumbling agg, sessionization, incremental upsert) all
+have natural streaming twins, and a training-data pipeline ingests
+continuously:
+
+- stream_tumbling_agg  = events_tumbling_agg with a watermark
+- stream_sessionize    = events_sessionize via session_window
+- stream_file_replica  = continuous file→file replication (the streaming
+  form of `complete` mode: append-only micro-batches)
+
+Tests drive these with Trigger.AvailableNow over file sources so they run
+bounded (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed count/sum per event_type with late-data watermark.
+
+    Scale: state per (window, event_type) only; the watermark bounds
+    state size — the streaming twin of events_tumbling_agg.
+    """
+    # watermarks require TIMESTAMP; NTZ sources cast (session tz is UTC)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions via session_window — the built-in stateful
+    operator replaces the lag+running-sum batch formulation."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_file_replica(
+    source: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous file replication: the streaming form of complete/append
+    mode — each micro-batch lands as new part-files, exactly-once via the
+    checkpoint + file-sink commit log (stronger than the reference's
+    non-transactional inserts)."""
+    writer = (
+        source.writeStream.format(fmt)
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

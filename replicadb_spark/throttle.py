@@ -28,15 +28,19 @@ class TokenBucket:
         self.last = clock()
 
     def acquire(self, nbytes: int) -> None:
-        while True:
-            now = self.clock()
-            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
-            self.last = now
-            if self.tokens >= nbytes:
-                self.tokens -= nbytes
-                return
-            deficit = nbytes - self.tokens
-            self.sleep(deficit / self.rate)
+        """Debt model: take the bytes immediately, sleep off any deficit.
+
+        (A wait-until-full loop would never terminate for a request larger
+        than the bucket capacity — the balance is capped below the request;
+        letting the balance go negative keeps the long-run rate exact for
+        any request size.)
+        """
+        now = self.clock()
+        self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        self.tokens -= nbytes
+        if self.tokens < 0:
+            self.sleep(-self.tokens / self.rate)
 
 
 def throttled(rows: Iterable, kbps: int, row_bytes: int = 256) -> Iterator:

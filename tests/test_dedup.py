@@ -1,0 +1,85 @@
+"""Dedup operators on planted duplicates (functions/dedup.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from replicadb_spark.functions import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm window sill in the late afternoon sun"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token change → high jaccard
+FAR = "completely different content about spark shuffles and parquet row groups and columnar execution"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE), (1, NEAR), (2, FAR),
+        (3, BASE),              # exact dup of 0
+        (4, "  " + BASE.upper() + "  "),  # normalized dup of 0
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    got = df.select(D.shingles(F.col("t"), 3).alias("s")).first()["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    # shorter than k → empty
+    got2 = df.select(D.shingles(F.lit("a b"), 3).alias("s")).first()["s"]
+    assert got2 == []
+
+
+def test_exact_duplicates(corpus):
+    dups = {(r["keep_id"], r["dup_count"]) for r in D.exact_duplicates(corpus, "doc_id", "text").collect()}
+    assert dups == {(0, 3)}  # 0, 3, 4 normalize to the same text
+
+
+def test_deduplicate_exact_keeps_min_id(corpus):
+    kept = {r["doc_id"] for r in D.deduplicate_exact(corpus, "text", "doc_id").collect()}
+    assert kept == {0, 1, 2, 5}
+
+
+def test_jaccard_pairs_finds_near_dup(corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.7
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_minhash_matches_exact_on_high_sim(corpus):
+    mh = {(r["id_a"], r["id_b"]) for r in
+          D.minhash_dedup_pairs(corpus, "doc_id", "text", num_hashes=128, bands=64,
+                                threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
+    assert mh == exact
+
+
+def test_minhash_signature_deterministic(corpus):
+    a = D.minhash_signatures_df(corpus, "doc_id", "text", num_hashes=16).collect()
+    b = D.minhash_signatures_df(corpus, "doc_id", "text", num_hashes=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    sig = dict((r["id"], r["sig"]) for r in a)
+    assert sig[0] == sig[3]          # exact dups → identical signatures
+    assert sig[0] != sig[2]
+
+
+def test_simhash_near_dup_low_hamming(corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_pairs(corpus, "doc_id", "text", max_hamming=10, band_bits=8).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 10
+
+
+def test_lsh_candidates_scale_shape(corpus):
+    cands = D.minhash_lsh_candidates(corpus, "doc_id", "text", num_hashes=32, bands=16)
+    # candidate set must include the true near-dups
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert {(0, 1), (0, 3), (0, 4)} <= got

@@ -1,0 +1,103 @@
+"""Unit tests for the custom relational operators (as-of join, range
+self-join) and IVF ANN — semantics pinned against tiny hand-built frames
+plus recall checks the catalog's rows-only queries rely on."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from replicadb_spark.operators import asof_join, range_join_pairs
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left = _df(
+        spark,
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        "k int, lt string",
+    ).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    right = _df(
+        spark,
+        [
+            (1, "2024-01-01 09:00:00", 100.0),
+            (1, "2024-01-01 11:30:00", 200.0),
+            (1, "2024-01-01 12:00:00", 300.0),  # exactly at left ts → visible
+            (2, "2024-01-02 00:00:00", 999.0),  # after every left row → never
+        ],
+        "k int, rt string, price double",
+    ).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+
+    out = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", payload=["price"]
+    )
+    got = {(r["k"], str(r["lt"])): r["price"] for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 100.0
+    assert got[(1, "2024-01-01 12:00:00")] == 300.0
+    assert got[(2, "2024-01-01 10:00:00")] is None  # no match → null payload
+
+
+def test_asof_join_single_shuffle(spark):
+    left = _df(spark, [(1, "2024-01-01 10:00:00")], "k int, lt string").withColumn(
+        "lt", F.col("lt").cast("timestamp_ntz")
+    )
+    right = _df(spark, [(1, "2024-01-01 09:00:00", 1.0)], "k int, rt string, p double").withColumn(
+        "rt", F.col("rt").cast("timestamp_ntz")
+    )
+    plan = (
+        asof_join(left, right, on="k", left_ts="lt", right_ts="rt", payload=["p"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union + window, not a join: exactly one exchange, zero join nodes
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_range_join_pairs_matches_naive(spark):
+    # events per key at t=0,100,250,600,650s — pairs within 300s:
+    # (0,100),(0,250),(100,250),(600,650); crucially (250,600) spans a
+    # bucket boundary gap of 350 → excluded, (100,250) crosses buckets.
+    rows = [(7, i, f"2024-01-01 00:{m:02d}:{s:02d}") for i, (m, s) in enumerate(
+        [(0, 0), (1, 40), (4, 10), (10, 0), (10, 50)]
+    )]
+    df = _df(spark, rows, "user_id int, event_id int, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = range_join_pairs(
+        df, key="user_id", id_col="event_id", ts_col="ts", max_gap_seconds=300
+    )
+    got = {(r["id_a"], r["id_b"]): r["gap_s"] for r in out.collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    assert got[(0, 1)] == 100.0 and got[(3, 4)] == 50.0
+
+
+def test_range_join_equal_timestamps_once(spark):
+    df = _df(
+        spark,
+        [(1, 10, "2024-01-01 00:00:00"), (1, 11, "2024-01-01 00:00:00")],
+        "user_id int, event_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = range_join_pairs(
+        df, key="user_id", id_col="event_id", ts_col="ts", max_gap_seconds=300
+    ).collect()
+    assert len(out) == 1 and (out[0]["id_a"], out[0]["id_b"]) == (10, 11)
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    from replicadb_spark.functions.similarity import ann_ivf, knn_bruteforce
+    from replicadb_spark.session import tables
+
+    e = tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(e, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf(e, q, n_cells=16, n_probe=4, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"

@@ -1,0 +1,67 @@
+"""Physical-plan assertions — the scale contract.
+
+These tests pin the plan shapes that make the engine viable at 100 TB:
+pushdown reaching the scan, dimensions broadcasting, partial aggregation,
+and top-k avoiding global sorts. A regression here is a performance bug
+even when results stay correct.
+"""
+
+import pytest
+
+from replicadb_spark.plans.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(spark, name: str) -> str:
+    """Plan string AFTER execution — AQE has re-planned and codegen has
+    wrapped stages (the pre-execution adaptive plan shows neither)."""
+    df = QUERIES[name](spark, SF)
+    df.collect()  # count() would build a NEW plan; collect finalizes THIS one
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = _plan(spark, "repl_scan_project_filter")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_quantity)" in plan
+    # pruned ReadSchema: only the 2 filter + 2 output columns are read
+    assert "l_comment" not in plan
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"):
+        assert col in schema_line
+    assert "l_returnflag" not in schema_line
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _final_plan(spark, "q1_pricing_summary")
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen spans show as WholeStageCodegen / *(n) markers
+    assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+    # the only shuffle join is orders⋈lineitem (or AQE broadcasts it at tiny SF)
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_global_topk_no_full_sort(spark):
+    plan = _plan(spark, "global_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_pushes_group_limit(spark):
+    plan = _plan(spark, "window_top_customers")
+    # Spark 3.5+/4.x WindowGroupLimit keeps per-partition heaps at k
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_knn_corpus_never_shuffles_before_scoring(spark):
+    plan = _plan(spark, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,46 @@
+"""Text-analysis functions (functions/text.py)."""
+
+from pyspark.sql import functions as F
+
+from replicadb_spark.functions import text as X
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(col.alias("v")).first()["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "  the quick  brown fox ", X.token_count(F.col("t"))) == 4
+    assert _one(spark, "", X.token_count(F.col("t"))) == 0
+    assert _one(spark, "ab12cd x", X.word_token_count(F.col("t"))) == 4  # ab|12|cd|x
+
+
+def test_stopword_and_punct_ratio(spark):
+    assert _one(spark, "the cat is here", X.stopword_ratio(F.col("t"))) == 0.5
+    assert _one(spark, "ab!?", X.punct_ratio(F.col("t"))) == 0.5
+    assert _one(spark, "", X.punct_ratio(F.col("t"))) == 0.0
+
+
+def test_quality_score_bounds(spark):
+    v = _one(spark, "the quick brown fox jumps over a lazy dog " * 8, X.quality_score(F.col("t")))
+    assert 0.0 <= v <= 1.0
+    junk = _one(spark, "!!! ??? ***", X.quality_score(F.col("t")))
+    good = _one(spark, "the cat sat on a mat and it is nice to see that " * 6, X.quality_score(F.col("t")))
+    assert good > junk
+
+
+def test_language_id(spark):
+    assert _one(spark, "the cat and the dog is here", X.language_id(F.col("t"))) == "en"
+    assert _one(spark, "el perro y la casa es grande", X.language_id(F.col("t"))) == "es"
+    assert _one(spark, "der hund und die katze ist da", X.language_id(F.col("t"))) == "de"
+    assert _one(spark, "xyzzy plugh", X.language_id(F.col("t"))) == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    a = _one(spark, "Hello   World", X.fingerprint(F.col("t")))
+    b = _one(spark, "hello world ", X.fingerprint(F.col("t")))
+    c = _one(spark, "hello worlds", X.fingerprint(F.col("t")))
+    assert a == b
+    assert a != c
+    assert 0 <= a < 1_000_000_007
