@@ -55,7 +55,9 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def poly_hash(col: Column) -> Column:
-    """Portable string hash: fold chars, acc*31 + ascii(c) mod 1e9+7."""
+    """Portable string hash: fold chars, acc*31 + ascii(c) mod 1e9+7.
+    Engine-replayable (a DuckDB oracle can recompute it) but interpreted
+    per character — use only where the oracle must see the hash value."""
     return F.aggregate(
         F.split(col, ""),
         F.lit(0).cast("long"),
@@ -63,9 +65,25 @@ def poly_hash(col: Column) -> Column:
     )
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Distinct shingle hash set (array<long>) for signature building."""
-    return F.array_distinct(F.transform(shingles(text, k), poly_hash))
+def shingle_hash(shingle: Column) -> Column:
+    """Shingle → [0, MOD) via xxhash64 (JVM codegen, fixed seed).
+
+    Sketch internals never surface in oracle comparisons — only the
+    exact-Jaccard verification on string shingles does — so the hash
+    needs determinism, not engine portability. Apply it to an *exploded*
+    string column, not inside transform(): higher-order functions are
+    interpreted, plain column expressions are whole-stage codegen'd
+    (the HOF form cost ~2× the entire shingle explode at sf0.1)."""
+    return F.pmod(F.xxhash64(shingle), F.lit(MOD))
+
+
+def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, h) — one row per distinct shingle per document; empty docs
+    keep one null-h row (explode_outer) so they survive the groupBy."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingles(F.col(text_col), k)).alias("s"),
+    ).select("id", shingle_hash(F.col("s")).alias("h"))
 
 
 def minhash_signature(hashes: Column, num_hashes: int = 64, seed: int = 42) -> Column:
@@ -106,10 +124,7 @@ def minhash_signatures_df(
     aggregation, one shuffle on id). This is the shape that survives
     100 TB: the shuffle carries one row of N longs per document.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(shingle_hashes(F.col(text_col), k)).alias("h"),
-    )
+    exploded = exploded_shingle_hashes(df, id_col, text_col, k)
     aggs = [
         F.coalesce(
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD), F.lit(MOD).cast("long")
@@ -124,14 +139,17 @@ def minhash_signatures_df(
 
 def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Fold each signature band into one bucket hash:
-    array<struct<band:int, bucket:long>>."""
+    array<struct<band:int, bucket:long>>.
+
+    The fold is an unrolled element_at chain, not aggregate(): explicit
+    expressions stay in whole-stage codegen while higher-order lambdas
+    are interpreted."""
     out = []
     for b in range(bands):
-        piece = F.slice(signature, b * rows_per_band + 1, rows_per_band)
-        folded = F.aggregate(
-            piece, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % MOD
-        )
-        out.append(F.struct(F.lit(b).alias("band"), folded.alias("bucket")))
+        acc = F.lit(0).cast("long")
+        for j in range(rows_per_band):
+            acc = (acc * 31 + F.element_at(signature, b * rows_per_band + j + 1)) % MOD
+        out.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
     return F.array(*out)
 
 
@@ -201,6 +219,75 @@ def jaccard_pairs(
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bucket) LSH keys via one Arrow-batched mapInPandas pass.
+
+    The whole sketch — tokenize, shingle, hash (crc32), minhash perms
+    (one numpy broadcast multiply-mod per batch), band fold — runs
+    vectorized per Arrow batch with NO shuffle, no explode, and no
+    interpreted higher-order functions. This is the sanctioned
+    Pandas-UDF escape hatch: the equivalent DataFrame formulation
+    (explode → 128 min() aggs → band folds) is expression-bound and
+    needed a shuffle plus a persist to avoid double compute. Sketch
+    internals never face the SQL oracle (only the exact-Jaccard verify
+    does), so the hash only has to be deterministic.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    r = num_hashes // bands
+    params = minhash_params(num_hashes, seed)
+    a_arr = [a for a, _ in params]
+    b_arr = [b for _, b in params]
+
+    def gen(batches):
+        A = np.array(a_arr, dtype=np.int64)
+        B = np.array(b_arr, dtype=np.int64)
+        for pdf in batches:
+            ids, bnd, buck = [], [], []
+            for doc_id, text in zip(pdf["id"].values, pdf["text"].values):
+                toks = (text or "").lower().split()
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                if not sh:
+                    # shingle-less docs can never reach a positive Jaccard
+                    # — emitting them would put every empty doc in ONE
+                    # bucket (a skew bomb at corpus scale), so drop here
+                    continue
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) % MOD for s in sh),
+                    dtype=np.int64, count=len(sh),
+                )
+                # (num_hashes, n_shingles) permuted hashes → min per row
+                sig = ((A[:, None] * h[None, :] + B[:, None]) % MOD).min(axis=1)
+                folded = sig.reshape(bands, r)
+                acc = np.zeros(bands, dtype=np.int64)
+                for j in range(r):
+                    acc = (acc * 31 + folded[:, j]) % MOD
+                ids.extend([doc_id] * bands)
+                bnd.extend(range(bands))
+                buck.extend(acc.tolist())
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "band": pd.Series(bnd, dtype="int32"),
+                "bucket": pd.Series(buck, dtype="int64"),
+            })
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(gen, schema="id long, band int, bucket long")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -218,15 +305,14 @@ def minhash_lsh_candidates(
     knee: P(candidate) = 1-(1-s^r)^b.
     Returns distinct (id_a, id_b).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    sig = minhash_signatures_df(
-        df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
     )
-    buckets = sig.select(
-        "id", F.explode(band_hashes(F.col("sig"), bands, r)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    # persist: the self-join broadcasts one side (buckets are small), and
+    # a BroadcastExchange can never reuse the probe side's pipeline — so
+    # without this the sketch computation runs twice. One row per
+    # (doc, band); the 100 TB form stages this to parquet instead.
+    buckets = buckets.persist()
     return (
         buckets.alias("l")
         .join(buckets.alias("r"), on=["band", "bucket"])
@@ -250,13 +336,25 @@ def minhash_dedup_pairs(
     """MinHash-LSH candidates verified with exact Jaccard — the standard
     two-phase near-dup pipeline (candidate recall from LSH, precision
     from exact verification on the candidate set only)."""
+    # the candidate set is the one genuinely reused frame (pair join +
+    # two semi-joins below) and it is tiny — persist it, not the corpus
     cands = minhash_lsh_candidates(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
-    )
+    ).persist()
     # verify on STRING shingle sets (hash sets would add a ~1e-9/pair
-    # collision risk to the reported jaccard value)
-    sets_ = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("hs")
+    # collision risk to the reported jaccard value) — computed ONLY for
+    # docs that appear in a candidate pair: at any scale the candidate
+    # universe is a sliver of the corpus, so the second shingle pass
+    # touches almost nothing
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets_ = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("hs"))
+        .join(cand_ids, "id", "left_semi")
+        .persist()  # read once per pair side; candidate-only, so tiny
     )
     joined = (
         cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
@@ -287,10 +385,7 @@ def simhash_df(
     Same columnar shape as minhash_signatures_df: explode once, ``bits``
     codegen'd sum() aggregates, one shuffle on id.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(shingle_hashes(F.col(text_col), k)).alias("h"),
-    )
+    exploded = exploded_shingle_hashes(df, id_col, text_col, k)
     params = minhash_params(bits, seed)
     aggs = [
         F.coalesce(
@@ -329,7 +424,9 @@ def simhash_pairs(
         )
         for i in range(nb)
     ])
-    buckets = sig.select("id", "sh", F.explode(bands_arr).alias("bb")).select("id", "sh", "bb.band", "bb.bucket")
+    buckets = sig.select("id", "sh", F.explode(bands_arr).alias("bb")).select(
+        "id", "sh", "bb.band", "bb.bucket"
+    ).persist()  # broadcast self-join recomputes the probe side otherwise
     return (
         buckets.alias("l").join(buckets.alias("r"), on=["band", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
