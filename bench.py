@@ -27,8 +27,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_nation_volume",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "q18_large_orders",
     "window_top_customers",
     "events_sessionize",
     "events_tumbling_agg",

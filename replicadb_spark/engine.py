@@ -135,7 +135,11 @@ def run(spark: SparkSession, job: ReplicaJob) -> ReplicaResult:
 
 
 def main(argv: list[str] | None = None) -> int:
-    """CLI entry point (≈ ReplicaDB.main, ReplicaDB.java:76-128)."""
+    """CLI entry point (≈ ReplicaDB.main, ReplicaDB.java:76-128).
+
+    Exit codes mirror the reference: 0 success, 1 failure (the reference
+    logs the exception and exits nonzero, ReplicaDB.java:120-127).
+    """
     import sys
 
     from replicadb_spark.options import parse_args
@@ -143,7 +147,14 @@ def main(argv: list[str] | None = None) -> int:
 
     job = parse_args(argv if argv is not None else sys.argv[1:])
     spark = get_spark("replicadb-spark-cli")
-    run(spark, job)
+    try:
+        run(spark, job)
+    except Exception as exc:  # surface the first line, not a Py4J dump
+        first = str(exc).strip().splitlines()
+        print(f"replicadb-spark: ERROR: {first[0] if first else exc!r}", file=sys.stderr)
+        if job.verbose:
+            raise
+        return 1
     return 0
 
 

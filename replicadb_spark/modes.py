@@ -21,14 +21,22 @@ from replicadb_spark.options import ReplicaJob
 from replicadb_spark.sql import dialects
 
 
-def upsert_dataframe(sink: DataFrame, staging: DataFrame, pk_columns: list[str]) -> DataFrame:
+def upsert_dataframe(
+    sink: DataFrame,
+    staging: DataFrame,
+    pk_columns: list[str],
+    order_column: str | None = None,
+) -> DataFrame:
     """The relational core of M3a-M3f: staging rows replace sink rows on
     PK match, new staging rows insert, unmatched sink rows survive.
 
     Plan shape: union + per-PK last-wins dedup via a window over the
     union — ONE shuffle on the PK (vs join+union's two). Priority column
-    marks staging rows as winners. At 100 TB the shuffle is on the PK,
-    which is as partition-friendly as an upsert can be; AQE handles skew.
+    marks staging rows as winners; ``order_column`` (desc) breaks ties
+    when one side carries several rows per PK (e.g. a streaming
+    micro-batch with multiple updates for a key). At 100 TB the shuffle
+    is on the PK, which is as partition-friendly as an upsert can be;
+    AQE handles skew.
     """
     if not pk_columns:
         raise ValueError("upsert requires pk columns")
@@ -36,7 +44,10 @@ def upsert_dataframe(sink: DataFrame, staging: DataFrame, pk_columns: list[str])
     tagged = sink.select(*cols).withColumn("__pri", F.lit(0)).unionByName(
         staging.select(*cols).withColumn("__pri", F.lit(1))
     )
-    w = Window.partitionBy(*pk_columns).orderBy(F.col("__pri").desc())
+    order = [F.col("__pri").desc()]
+    if order_column:
+        order.append(F.col(order_column).desc())
+    w = Window.partitionBy(*pk_columns).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

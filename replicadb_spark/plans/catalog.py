@@ -1443,3 +1443,120 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["supplier"].join(
         qual.withColumnRenamed("l_suppkey", "s_suppkey"), "s_suppkey", "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q11_value_concentration",
+    oracle="""
+    WITH scoped AS (
+      SELECT p_type, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS v
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT p_type, CAST(SUM(v) AS DOUBLE) AS value
+    FROM scoped
+    GROUP BY p_type
+    HAVING SUM(v) > (SELECT SUM(v) * 0.1 FROM scoped)
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: groups whose value exceeds a fraction of the
+    global total (HAVING against a scalar subquery).
+
+    Scale: the grouped agg and the global agg share one scan via the
+    same shuffled partials; the scalar joins back as a 1-row broadcast
+    cross join — no second pass over the fact table's width."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    scoped = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_type",
+            _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+    )
+    per_type = scoped.groupBy("p_type").agg(F.sum("v").alias("sv"))
+    total = per_type.agg((F.sum("sv") * 0.1).alias("cut"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .where(F.col("sv") > F.col("cut"))
+        .select("p_type", F.col("sv").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) achieving the maximum revenue in a
+    quarter (scalar MAX subquery over an aggregated view — exact decimal
+    equality, so ties surface identically in both engines)."""
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier")["supplier"]),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    WITH rich AS (
+      SELECT * FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0)
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_idle,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS idle_balance
+    FROM rich
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no URGENT
+    orders (scalar AVG subquery + conditional anti join + aggregation)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    c = t["customer"]
+    avg_pos = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("idle_balance"),
+        )
+    )

@@ -70,3 +70,32 @@ def test_stream_file_replica(spark, event_dir, tmp_path):
     n_src = spark.read.parquet(path).count()
     n_dst = spark.read.parquet(sink).count()
     assert n_dst == n_src
+
+
+def test_stream_incremental_upsert(spark, event_dir, tmp_path):
+    """foreachBatch upsert: snapshot ends with one row per PK, the
+    latest by ts — the streaming twin of incremental mode."""
+    path, schema = event_dir
+    stream = P.read_event_stream(spark, path, schema)
+    sink = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ck2")
+    q = P.stream_incremental_upsert(
+        stream, sink, ckpt, pk_columns=["user_id", "event_type"], order_column="ts"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    src = spark.read.parquet(path)
+    # one row per (user, type), matching the batch keep-latest answer
+    n_keys = src.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_keys
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        src.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts")
+    )
+    got_ts = {(r["user_id"], r["event_type"]): r["ts"] for r in got.collect()}
+    for r in latest.collect():
+        assert got_ts[(r["user_id"], r["event_type"])] == r["ts"]
