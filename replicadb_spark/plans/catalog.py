@@ -1560,3 +1560,38 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("idle_balance"),
         )
     )
+
+
+@register(
+    "text_winnowing",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), grams AS (
+      SELECT id, unnest(range(1, length(t) - 7 + 1)) AS p, t
+      FROM base WHERE length(t) >= 8
+    ), hashed AS (
+      SELECT id, p, CAST(CAST(ascii(substring(t, p + 0, 1)) AS BIGINT) * 27512614111 + CAST(ascii(substring(t, p + 1, 1)) AS BIGINT) * 887503681 + CAST(ascii(substring(t, p + 2, 1)) AS BIGINT) * 28629151 + CAST(ascii(substring(t, p + 3, 1)) AS BIGINT) * 923521 + CAST(ascii(substring(t, p + 4, 1)) AS BIGINT) * 29791 + CAST(ascii(substring(t, p + 5, 1)) AS BIGINT) * 961 + CAST(ascii(substring(t, p + 6, 1)) AS BIGINT) * 31 + CAST(ascii(substring(t, p + 7, 1)) AS BIGINT) * 1 AS BIGINT) AS h
+      FROM grams
+    ), sel AS (
+      SELECT DISTINCT id,
+             MIN(h) OVER (PARTITION BY id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM hashed
+      QUALIFY p <= MAX(p) OVER (PARTITION BY id) - 3
+    )
+    SELECT id AS doc_id, COUNT(*) AS n_fp, SUM(fp) AS fp_sum
+    FROM sel GROUP BY id
+""",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS scheme) per document, reported as
+    (count, checksum) of the selected k-gram minima — see
+    functions/text.winnowing_fingerprints for the plan shape (closed-form
+    codegen k-gram hash + sliding window min, one shuffle on doc_id)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fps = X.winnowing_fingerprints(d, "doc_id", "text", k=8, w=4)
+    return fps.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fp"), F.sum("fp").alias("fp_sum")
+    )

@@ -44,3 +44,26 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     assert a == b
     assert a != c
     assert 0 <= a < 1_000_000_007
+
+
+def test_winnowing_fingerprints_tiny(spark):
+    """Hand-checkable winnowing: identical docs share all fingerprints;
+    a doc shorter than k yields none; overlapping docs share some."""
+    from replicadb_spark.functions.text import winnowing_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # identical
+        (3, "short"),                                        # < k chars? no: 5 < 8
+        (4, "a completely different sentence with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(df, "doc_id", "text", k=8, w=4)
+    by_id = {}
+    for r in fp.collect():
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert by_id[1] == by_id[2]          # identical docs → identical sketch
+    assert 3 not in by_id                # too short for any k-gram
+    assert by_id[1] != by_id[4]          # different docs → different sketch
+    # windows overlap, so selected set is smaller than the gram count
+    assert 0 < len(by_id[1]) <= len(rows[0][1]) - 8 + 1
