@@ -146,6 +146,12 @@ def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
             pks = sink_primary_keys(spark, job)
             if not pks:
                 raise ValueError(f"incremental mode needs primary keys on {job.sink_table}")
+            # metadata may report PKs in a different case than the frame's
+            # columns (Derby/Oracle upper-case); unquoted SQL identifiers
+            # are case-insensitive, so align to the column list's spelling
+            # (the reference's case-insensitive retry, SqlManager.java:282-318)
+            colmap = {c.lower(): c for c in cols}
+            pks = [colmap.get(p.lower(), p) for p in pks]
             spec = dialects.MergeSpec(job.sink_table, staging, cols, pks)
             run([dialects.merge_sql(dialect, spec)])
     finally:

@@ -100,6 +100,11 @@ def read_jdbc(spark: SparkSession, job: ReplicaJob) -> DataFrame:
         )
 
     dialect = dialect_from_url(job.source_connect)
+    if dialect not in ("oracle", "sqlserver") and not job.source_split_by:
+        # generic dialect with no split column: the reference's
+        # StandardJDBCManager reads single-stream in this case (S1,
+        # SqlManager.java:58-93 — "no partitioning, jobs=1 only")
+        return reader.load()
     predicates = hash_partition_predicates(dialect, job.jobs, job.source_split_by)
     where = f" AND ({job.source_where})" if (job.source_where and job.source_query) else ""
     props = {"fetchsize": str(job.fetch_size)}

@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-SUPPORTED_DIALECTS = ("oracle", "postgresql", "mysql", "mariadb", "sqlserver", "sqlite", "db2", "denodo")
+SUPPORTED_DIALECTS = (
+    "oracle", "postgresql", "mysql", "mariadb", "sqlserver", "sqlite",
+    "db2", "denodo", "derby",
+)
 
 
 def dialect_from_url(url: str) -> str:
@@ -88,6 +91,9 @@ def create_staging_sql(dialect: str, staging: str, sink: str) -> str:
         return f"CREATE TABLE {staging} AS SELECT * FROM {sink} WHERE 1 = 0"
     if dialect == "sqlserver":
         return f"SELECT * INTO {staging} FROM {sink} WHERE 0 = 1"
+    if dialect in ("derby", "db2"):
+        # SQL-standard CTAS form; Derby/DB2 require WITH NO DATA
+        return f"CREATE TABLE {staging} AS SELECT * FROM {sink} WITH NO DATA"
     return f"CREATE TABLE {staging} AS SELECT * FROM {sink} WHERE 1 = 0"
 
 
@@ -174,6 +180,21 @@ def merge_sql(dialect: str, spec: MergeSpec) -> str:
             f"MERGE INTO {spec.sink} trg USING (SELECT {cols} FROM {spec.staging}) src "
             f"ON ({on}){matched} "
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({ins_vals});"
+        )
+    if dialect in ("derby", "db2", "jdbc"):
+        # SQL:2003 standard MERGE — Derby 10.11+, DB2, and the
+        # StandardJDBCManager fallback. The source is the staging BASE
+        # table, not a derived table: Derby rejects subquery sources
+        # (ERROR 42XAL).
+        on = " AND ".join(f"trg.{c} = src.{c}" for c in spec.pk_columns)
+        sets = ", ".join(f"trg.{c} = src.{c}" for c in spec.non_pk_columns)
+        matched = f" WHEN MATCHED THEN UPDATE SET {sets}" if sets else ""
+        ins_vals = ", ".join(f"src.{c}" for c in spec.columns)
+        return (
+            f"MERGE INTO {spec.sink} trg "
+            f"USING {spec.staging} src "
+            f"ON ({on}){matched} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({ins_vals})"
         )
     raise ValueError(f"no merge template for dialect {dialect!r}")
 
