@@ -142,3 +142,30 @@ def test_jdbc_source_where_and_columns_pushdown(spark, tmp_path):
     df = read_source(spark, job)
     assert df.columns == ["ID", "AMOUNT"]
     assert df.count() == 10
+
+
+def test_parquet_to_jdbc_complete_atomic(spark, tmp_path):
+    """M2 against a live sink: staging load + single-transaction
+    DELETE + INSERT..SELECT swap (one driver-held connection)."""
+    url = _derby_url(tmp_path, "snk3")
+    execute_sql(spark, url, [
+        "CREATE TABLE t_sink (id INT, name VARCHAR(64))",
+        "INSERT INTO t_sink VALUES (999, 'stale')",
+    ])
+    src = str(tmp_path / "in3")
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(30)], "id int, name string"
+    ).write.parquet(src)
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="parquet",
+        sink_connect=url, sink_table="t_sink", mode="complete-atomic",
+    )
+    run(spark, job)
+    got = spark.read.format("jdbc").option("url", url).option("dbtable", "t_sink").load()
+    assert got.count() == 30
+    assert got.where(F.col("ID") == 999).count() == 0
+    # staging dropped
+    tables = spark.read.format("jdbc").option("url", url).option(
+        "query", "SELECT tablename FROM sys.systables WHERE tabletype = 'T'"
+    ).load()
+    assert {r[0] for r in tables.collect()} == {"T_SINK"}

@@ -65,3 +65,29 @@ def test_window_topk_pushes_group_limit(spark):
 def test_knn_corpus_never_shuffles_before_scoring(spark):
     plan = _plan(spark, "knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q7_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "q7_nation_volume")
+    # customer/supplier/nation×2 broadcast; only orders⋈lineitem may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q18_semi_join_before_wide_join(spark):
+    plan = _plan(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q10_topk_no_global_sort(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_range_join_no_cartesian(spark):
+    plan = _plan(spark, "range_join_event_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
