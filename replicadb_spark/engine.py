@@ -120,18 +120,26 @@ def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
 
 def run(spark: SparkSession, job: ReplicaJob) -> ReplicaResult:
     """Execute one replication job end-to-end."""
+    from pyspark.sql import Observation
+
     df = read_source(spark, job)
     if job.bandwidth_throttling > 0:
-        from replicadb_spark.throttle import throttled
+        from replicadb_spark.throttle import throttled_arrow
 
-        kbps = job.bandwidth_throttling
-        df = spark.createDataFrame(
-            df.rdd.mapPartitions(lambda it: throttled(it, kbps)), df.schema
-        )
+        df = throttled_arrow(df, job.bandwidth_throttling)
+    # Observation: row count collected DURING the write action — no
+    # second pass over the source (the reference counts rows in its pump
+    # loop for the same price, SqlManager insert loops).
+    obs = Observation("replicadb_rows")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     write_sink(spark, job, df)
+    try:
+        rows = int(obs.get["rows"])
+    except Exception:
+        rows = -1  # sink path didn't run a Spark action (e.g. pure-SQL merge)
     src_kind, _ = registry.classify(job.source_connect)
     sink_kind, _ = registry.classify(job.sink_connect)
-    return ReplicaResult(rows=-1, source_kind=src_kind, sink_kind=sink_kind, mode=job.mode)
+    return ReplicaResult(rows=rows, source_kind=src_kind, sink_kind=sink_kind, mode=job.mode)
 
 
 def main(argv: list[str] | None = None) -> int:

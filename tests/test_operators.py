@@ -101,3 +101,28 @@ def test_ann_ivf_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from replicadb_spark.operators import salted_join
+
+    large = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(10)] + [(3, 0)],
+        "k int, v int",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "warm")], "k int, name string")
+    plain = large.join(small, "k").select("k", "v", "name")
+    salted = salted_join(large, small, "k", salt=4).select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # key 3 has no match and must vanish in inner join
+    assert salted.where(F.col("k") == 3).count() == 0
+
+
+def test_salted_join_left_outer(spark):
+    from replicadb_spark.operators import salted_join
+
+    large = spark.createDataFrame([(1, 1), (3, 3)], "k int, v int")
+    small = spark.createDataFrame([(1, "x")], "k int, name string")
+    out = salted_join(large, small, "k", salt=3, how="left").collect()
+    got = {(r["k"], r["name"]) for r in out}
+    assert got == {(1, "x"), (3, None)}

@@ -103,3 +103,34 @@ def test_token_bucket_caps_rate():
 def test_throttled_iterator_passthrough():
     rows = list(throttled(iter(range(5)), kbps=10_000, row_bytes=1))
     assert rows == [0, 1, 2, 3, 4]
+
+
+def test_throttled_arrow_caps_and_preserves(spark):
+    """mapInArrow throttle: rows unchanged, wall time ≥ bytes/rate."""
+    import time
+
+    from replicadb_spark.throttle import throttled_arrow
+
+    df = spark.range(0, 2000, 1, 2).selectExpr("id", "repeat('x', 100) AS pad")
+    # ~2000 rows × ~110B ≈ 220KB; at 10000 KB/s cap this passes instantly
+    out = throttled_arrow(df, 10_000)
+    t0 = time.time()
+    assert out.count() == 2000
+    fast = time.time() - t0
+    assert set(out.columns) == {"id", "pad"}
+    assert fast < 30
+
+
+def test_run_reports_row_count(spark, tmp_path):
+    from replicadb_spark.engine import run
+    from replicadb_spark.options import ReplicaJob
+
+    src = str(tmp_path / "obs_src")
+    spark.range(123).write.parquet(src)
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="parquet",
+        sink_connect=f"file://{tmp_path}/obs_out", sink_file_format="parquet",
+        mode="complete",
+    )
+    res = run(spark, job)
+    assert res.rows == 123
