@@ -105,3 +105,85 @@ def sample_video_frames(
         )
         .withColumn("frame_ts_ms", F.col("frame_idx").cast("long") * every_ms)
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.IntegerType(), True),
+])
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    width: int = 64,
+    height: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize via mapInPandas. Real path is STUBBED (needs
+    PIL/libvips); ``fake=True`` substitutes a deterministic byte
+    truncate/pad to width*height so the schema, Arrow batch flow, and
+    output contract are real and testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/libvips — not in this container"
+                )
+            resized = pdf["payload"].map(
+                lambda p: (p or b"")[:target].ljust(target, b"\0")
+            )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": resized,
+                "width": width,
+                "height": height,
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio decode + loudness features via mapInPandas. Real decode is
+    STUBBED (needs ffmpeg/librosa); ``fake=True`` treats the payload
+    bytes as 8-bit samples and computes real RMS/peak over them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires ffmpeg/librosa — not in this container"
+                )
+            rows = {"media_id": [], "duration_ms": [], "rms": [], "peak": []}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = payload or b""
+                rows["media_id"].append(mid)
+                rows["duration_ms"].append(dur)
+                rows["rms"].append(
+                    math.sqrt(sum(x * x for x in b) / len(b)) if b else 0.0
+                )
+                rows["peak"].append(max(b) if b else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload", "duration_ms").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )

@@ -1595,3 +1595,40 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.groupBy(F.col("id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_fp"), F.sum("fp").alias("fp_sum")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, COUNT(*) AS n_frames, MAX(frame_ts_ms) AS last_ts
+    FROM (
+      SELECT media_id,
+             unnest(range(0, greatest(CAST(duration_ms // 1000 AS INT) - 1, 0) + 1)) * 1000 AS frame_ts_ms
+      FROM media
+    )
+    GROUP BY media_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (functions/multimodal.sample_video_frames):
+    one row per sampled timestamp from typed metadata only — the decode
+    of each frame is the stubbed step; the Spark-side fan-out (explode of
+    a per-media frame sequence, payload carried to the decoder without a
+    shuffle) is the real, tested plumbing. documents stands in as the
+    media table (duration := n_chars·10 ms)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    frames = MM.sample_video_frames(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_ts"),
+    )

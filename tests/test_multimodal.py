@@ -45,3 +45,40 @@ def test_video_frame_sampling_plan(media):
     ts = sorted(r["frame_ts_ms"] for r in out)
     assert ts == [0, 1000, 2000]
     assert all(r["media_id"] == 3 for r in out)
+
+
+def test_resize_images_fake_contract(spark):
+    from replicadb_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, None), (3, b"x" * 100)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, width=4, height=2, fake=True).collect()}
+    assert len(out[1]["payload"]) == 8 and out[1]["payload"].startswith(b"abcdef")
+    assert out[2]["payload"] == b"\0" * 8          # null payload → zero canvas
+    assert len(out[3]["payload"]) == 8              # truncated to target
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+
+
+def test_resize_images_real_path_raises(spark):
+    from replicadb_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"abc")], "media_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|PIL|libvips"):
+        resize_images(df, fake=False).collect()
+
+
+def test_extract_audio_features_fake(spark):
+    import math
+
+    from replicadb_spark.functions.multimodal import extract_audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytes([10, 20, 30]), 3000), (2, None, 0)],
+        "media_id long, payload binary, duration_ms long",
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(df, fake=True).collect()}
+    assert got[1]["peak"] == 30
+    assert got[1]["rms"] == pytest.approx(math.sqrt((100 + 400 + 900) / 3))
+    assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0
