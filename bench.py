@@ -65,6 +65,27 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # bulk-replication throughput (the reference's headline number:
+    # ~666K rows/min per 4-core worker, BASELINE.md): lineitem → parquet
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bench_repl_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        t0 = time.time()
+        li.write.mode("overwrite").parquet(f"{out}/lineitem")
+        wall = time.time() - t0
+        n_rows = spark.read.parquet(f"{out}/lineitem").count()
+        timings["repl_bulk_write_parquet"] = round(wall, 3)
+        print(
+            f"# repl_bulk_write_parquet: {wall:.2f}s "
+            f"({n_rows} rows ≈ {n_rows / wall * 60:,.0f} rows/min)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

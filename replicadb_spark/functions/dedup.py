@@ -336,28 +336,69 @@ def minhash_dedup_pairs(
     """MinHash-LSH candidates verified with exact Jaccard — the standard
     two-phase near-dup pipeline (candidate recall from LSH, precision
     from exact verification on the candidate set only)."""
-    # the candidate set is the one genuinely reused frame (pair join +
-    # two semi-joins below) and it is tiny — persist it, not the corpus
+    # the candidate set is the one genuinely reused frame — persist it
     cands = minhash_lsh_candidates(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
     ).persist()
-    # verify on STRING shingle sets (hash sets would add a ~1e-9/pair
-    # collision risk to the reported jaccard value) — computed ONLY for
-    # docs that appear in a candidate pair: at any scale the candidate
-    # universe is a sliver of the corpus, so the second shingle pass
-    # touches almost nothing
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sets_ = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("hs"))
+    # Phase 1 prefilter: Jaccard over crc32-HASH sets (cheap long-array
+    # intersect) with a collision margin — a crc32 collision inside a
+    # pair's union shifts its hash-Jaccard by ≤ ~1/|union|, so a 0.05
+    # margin keeps every true pair. Hash sets come from one vectorized
+    # mapInPandas pass over candidate docs only.
+    import pandas as pd
+    import zlib
+
+    def hash_sets(batches):
+        for pdf in batches:
+            out_id, out_hs = [], []
+            for doc_id, text in zip(pdf["id"].values, pdf["text"].values):
+                toks = (text or "").lower().split()
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                out_id.append(doc_id)
+                out_hs.append([zlib.crc32(s.encode()) for s in sh])
+            yield pd.DataFrame({"id": pd.Series(out_id, dtype="int64"), "hs": out_hs})
+
+    hsets = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .join(cand_ids, "id", "left_semi")
+        .mapInPandas(hash_sets, schema="id long, hs array<long>")
         .persist()  # read once per pair side; candidate-only, so tiny
     )
+    hj = (
+        cands.join(hsets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+        .join(hsets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+    )
+    h_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    h_union = F.size("hs_a") + F.size("hs_b") - h_inter
+    near = (
+        hj.withColumn(
+            "hj", h_inter.cast("double") / F.greatest(h_union, F.lit(1)).cast("double")
+        )
+        .where(F.col("hj") >= threshold - 0.05)
+        .select("id_a", "id_b")
+        .persist()  # read by the two semi-join branches + the pair join
+    )
+    # Phase 2: exact verify on STRING shingle sets, for surviving pairs
+    # only (a sliver of a sliver) — the reported jaccard is collision-free
+    # and engine-exact, which is what the oracle comparison hashes.
+    sets_ = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("hs"))
+        .join(
+            near.select(F.col("id_a").alias("id"))
+            .unionByName(near.select(F.col("id_b").alias("id")))
+            .distinct(),
+            "id",
+            "left_semi",
+        )
+        .persist()
+    )
     joined = (
-        cands.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+        near.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
         .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
