@@ -141,15 +141,40 @@ def ann_lsh(
     broadcast query keys — O(n · n_tables / 2^bits) scored pairs instead
     of O(n·q) brute force; the corpus vectors themselves never shuffle
     (the candidate ids semi-join back to the corpus on id)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, n_tables * bits, seed))  # (T·b, dim)
+    pow2 = 2 ** np.arange(bits)[::-1]
+
+    def keyser(out_col):
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                sig = (vecs @ planes.T > 0).astype(np.int64)  # (n, T·b)
+                sig = sig.reshape(len(pdf), n_tables, bits)
+                buckets = (sig * pow2).sum(axis=2)            # (n, T)
+                buckets += np.arange(n_tables, dtype=np.int64) * (1 << (bits + 1))
+                ids = np.repeat(np.asarray(pdf["id"].values, dtype=np.int64), n_tables)
+                yield pd.DataFrame({out_col: ids, "bucket": buckets.reshape(-1)})
+
+        return gen
+
+    # one numpy matmul per Arrow batch replaces T·b interpreted
+    # aggregate() plane-dots per row (the JVM HOF form is expression-
+    # interpreted); same ±1 planes, so buckets are deterministic
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    keys = lambda col: lsh_tables(col, dim, n_tables, bits, seed)  # noqa: E731
-    c_keys = c.select(
-        "neighbor_id", F.explode(keys(F.col("c_vec"))).alias("bucket")
-    )
-    q_keys = q.select(
-        "query_id", F.explode(keys(F.col("q_vec"))).alias("bucket")
-    )
+    c_keys = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(keyser("neighbor_id"), schema="neighbor_id long, bucket long")
+    q_keys = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(keyser("query_id"), schema="query_id long, bucket long")
     cand = (
         c_keys.join(F.broadcast(q_keys), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))

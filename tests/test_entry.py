@@ -17,7 +17,7 @@ def test_entry_runs(spark):
 def test_queries_and_oracles_aligned():
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 25
+    assert len(qs) >= 45
     # every oracle key has a query
     assert set(oracles) <= set(qs)
     # only the two approximate sketch ops lack oracles

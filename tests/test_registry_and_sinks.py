@@ -134,3 +134,13 @@ def test_run_reports_row_count(spark, tmp_path):
     )
     res = run(spark, job)
     assert res.rows == 123
+
+
+def test_classify_derby_and_dialect():
+    from replicadb_spark.registry import classify
+    from replicadb_spark.sql.dialects import dialect_from_url, merge_sql, MergeSpec
+
+    assert classify("jdbc:derby:/tmp/db;create=true") == ("jdbc", "derby")
+    assert dialect_from_url("jdbc:derby:/tmp/db") == "derby"
+    sql = merge_sql("derby", MergeSpec("s", "stg", ["id", "v"], ["id"]))
+    assert "USING stg src" in sql and "MERGE INTO s trg" in sql
