@@ -1632,3 +1632,79 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max("frame_ts_ms").alias("last_ts"),
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.salted_join under the gate: the salted plan must produce
+    exactly the plain join's answer (the oracle IS the plain join).
+
+    Scale: 8-way salt spreads any hot custkey across tasks; the build
+    side replicates 8× (why it must be the small side). Normally AQE skew
+    split covers this — salting is the escape hatch it can't reach."""
+    from replicadb_spark.operators import salted_join
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    joined = salted_join(
+        t["orders"].where(F.col("o_orderpriority") == "1-URGENT"),
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        salt=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+    )
+
+
+_CLEAN_ORACLE = r"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS ntok
+      FROM documents
+    ), en AS (
+      SELECT doc_id, text, ntok FROM scored WHERE lang = 'en' AND ntok >= 16
+    ), keyed AS (
+      SELECT doc_id, ntok,
+             array_to_string(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                         t -> t != '')[1:4], ' ') AS dkey
+      FROM en
+    ), kept AS (
+      SELECT dkey, MIN(doc_id) AS doc_id FROM keyed GROUP BY dkey
+    )
+    SELECT k.doc_id, ky.ntok AS n_tokens
+    FROM kept k JOIN keyed ky ON k.doc_id = ky.doc_id
+"""
+
+
+@register("clean_corpus_pipeline", oracle=_CLEAN_ORACLE)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data cleaning pipeline in ONE plan: language
+    filter → minimum-length filter → exact dedup by 4-token-prefix key
+    (keep min doc_id) — filter, project, window-free agg dedup compose
+    without materialization barriers.
+
+    Scale: both filters reach the scan; the only shuffle is the dedup
+    groupBy on the blocking key."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = D.word_tokens(F.col("text"))
+    staged = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("dkey"),
+        "lang",
+    ).where((F.col("lang") == "en") & (F.col("n_tokens") >= 16))
+    kept = staged.groupBy("dkey").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        staged.join(kept, ["dkey", "doc_id"], "left_semi")
+        .select("doc_id", "n_tokens")
+    )
