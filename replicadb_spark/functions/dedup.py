@@ -42,16 +42,31 @@ def word_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (space-joined); < k tokens → empty
-    (sequence(1,0) would count DOWN in Spark, hence the guard)."""
-    toks = word_tokens(text)
+def shingles_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (space-joined) from a token-array
+    column; < k tokens → empty (sequence(1,0) would count DOWN in Spark,
+    hence the guard).
+
+    ``toks`` MUST be a projected attribute, not an inline word_tokens()
+    expression: higher-order functions are interpreted with no
+    common-subexpression elimination, so an inlined split+filter subtree
+    re-evaluates per lambda element — O(tokens²) per row, measured 8×
+    slower at sf0.1. This function references ``toks`` several times,
+    which also stops CollapseProject from re-inlining the upstream
+    projection (it refuses to duplicate non-cheap expressions)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles straight from text. Convenience form
+    for single-expression use; in bulk paths project word_tokens() first
+    and use shingles_tokens() (see its docstring for why)."""
+    return shingles_tokens(word_tokens(text), k)
 
 
 def poly_hash(col: Column) -> Column:
@@ -80,10 +95,11 @@ def shingle_hash(shingle: Column) -> Column:
 def exploded_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, h) — one row per distinct shingle per document; empty docs
     keep one null-h row (explode_outer) so they survive the groupBy."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(shingles(F.col(text_col), k)).alias("s"),
-    ).select("id", shingle_hash(F.col("s")).alias("h"))
+    return (
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode_outer(shingles_tokens(F.col("toks"), k)).alias("s"))
+        .select("id", shingle_hash(F.col("s")).alias("h"))
+    )
 
 
 def minhash_signature(hashes: Column, num_hashes: int = 64, seed: int = 42) -> Column:
@@ -194,9 +210,10 @@ def jaccard_pairs(
     cap on shingles before the join (standard trick); here the corpus is
     word-salad so DF stays modest. Returns (id_a, id_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode(shingles_tokens(F.col("toks"), k)).alias("shingle"))
+        .persist()  # read 3×: both self-join sides + the sizes agg
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -387,7 +404,8 @@ def minhash_dedup_pairs(
     # only (a sliver of a sliver) — the reported jaccard is collision-free
     # and engine-exact, which is what the oracle comparison hashes.
     sets_ = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("hs"))
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
+        .select("id", shingles_tokens(F.col("toks"), k).alias("hs"))
         .join(
             near.select(F.col("id_a").alias("id"))
             .unionByName(near.select(F.col("id_b").alias("id")))
