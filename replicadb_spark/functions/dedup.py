@@ -365,30 +365,41 @@ def minhash_dedup_pairs(
     # Phase 1 prefilter: Jaccard over crc32-HASH sets (cheap long-array
     # intersect) with a collision margin — a crc32 collision inside a
     # pair's union shifts its hash-Jaccard by ≤ ~1/|union|, so a 0.05
-    # margin keeps every true pair. Hash sets come from one vectorized
-    # mapInPandas pass over candidate docs only.
+    # margin keeps every true pair. ONE vectorized mapInPandas pass over
+    # candidate docs emits both the hash sets (phase-1 prefilter) and the
+    # string shingle sets (phase-2 exact verify): candidates are a sliver
+    # of the corpus, so carrying the strings alongside costs little and
+    # saves a second full-corpus scan + semi-join + persist chain.
     import pandas as pd
     import zlib
 
-    def hash_sets(batches):
+    def cand_sets(batches):
         for pdf in batches:
-            out_id, out_hs = [], []
+            out_id, out_hs, out_ss = [], [], []
             for doc_id, text in zip(pdf["id"].values, pdf["text"].values):
                 toks = (text or "").lower().split()
                 sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
                 out_id.append(doc_id)
                 out_hs.append([zlib.crc32(s.encode()) for s in sh])
-            yield pd.DataFrame({"id": pd.Series(out_id, dtype="int64"), "hs": out_hs})
+                out_ss.append(list(sh))
+            yield pd.DataFrame({
+                "id": pd.Series(out_id, dtype="int64"),
+                "hs": out_hs,
+                "ss": out_ss,
+            })
 
     hsets = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .join(cand_ids, "id", "left_semi")
-        .mapInPandas(hash_sets, schema="id long, hs array<long>")
-        .persist()  # read once per pair side; candidate-only, so tiny
+        .mapInPandas(cand_sets, schema="id long, hs array<long>, ss array<string>")
+        .persist()  # read once per pair side per phase; candidate-only, so tiny
     )
     hj = (
-        cands.join(hsets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
-        .join(hsets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+        cands.join(
+            hsets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+        ).join(
+            hsets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b"
+        )
     )
     h_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     h_union = F.size("hs_a") + F.size("hs_b") - h_inter
@@ -402,25 +413,19 @@ def minhash_dedup_pairs(
     )
     # Phase 2: exact verify on STRING shingle sets, for surviving pairs
     # only (a sliver of a sliver) — the reported jaccard is collision-free
-    # and engine-exact, which is what the oracle comparison hashes.
-    sets_ = (
-        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
-        .select("id", shingles_tokens(F.col("toks"), k).alias("hs"))
-        .join(
-            near.select(F.col("id_a").alias("id"))
-            .unionByName(near.select(F.col("id_b").alias("id")))
-            .distinct(),
-            "id",
-            "left_semi",
-        )
-        .persist()
-    )
+    # and engine-exact, which is what the oracle comparison hashes. The
+    # string sets come from the same persisted cand_sets frame; Python
+    # `.lower().split()` tokenization matches word_tokens() (trim + split
+    # on whitespace, empties dropped) on this corpus.
     joined = (
-        near.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
-        .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+        near.join(
+            hsets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a"
+        ).join(
+            hsets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b")), "id_b"
+        )
     )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    union = F.size("hs_a") + F.size("hs_b") - inter
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    union = F.size("ss_a") + F.size("ss_b") - inter
     return (
         joined.withColumn("jaccard", inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"))
         .where(F.col("jaccard") >= threshold)
