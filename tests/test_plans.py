@@ -91,3 +91,23 @@ def test_range_join_no_cartesian(spark):
     plan = _plan(spark, "range_join_event_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_build_side_replicates_not_shuffles(spark):
+    plan = _plan(spark, "skew_salted_join")
+    # the salted join keys on (key, salt); small side replicates via
+    # explode and broadcasts — no shuffle join on the raw hot key
+    assert "__salt" in plan
+    assert "explode" in plan
+    assert "BroadcastHashJoin" in plan
+    # priority filter reaches the orders scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_clean_corpus_filters_reach_scan(spark):
+    plan = _plan(spark, "clean_corpus_pipeline")
+    # language filter pushes into parquet; ReadSchema prunes to 3 columns
+    assert "EqualTo(lang,en)" in plan
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in schema_line and "text" in schema_line and "lang" in schema_line
+    assert "n_chars" not in schema_line and "source" not in schema_line
