@@ -49,6 +49,8 @@ def knn_bruteforce(
     Returns (query_id, neighbor_id, score) with deterministic (score desc,
     id asc) ranking.
     """
+    import pandas as pd
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -64,11 +66,37 @@ def knn_bruteforce(
             cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
         )
     )
+
+    # Per-partition partial top-k BEFORE the window shuffle: each corpus
+    # partition keeps only its k best candidates per query, so the
+    # exchange moves ≤ k·partitions·|queries| rows instead of
+    # |corpus|·|queries|. The reducer only FILTERS rows whose score was
+    # computed JVM-side, and applies the exact (score desc, id asc)
+    # tie-break the final window uses — the global top-k of the reduced
+    # set is provably the global top-k of the full set, bit-identical.
+    def local_topk(batches):
+        best: "pd.DataFrame | None" = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            merged = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            merged = merged.sort_values(
+                ["query_id", "score", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = merged.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    reduced = scored.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, score double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("score"), "rank")
     )

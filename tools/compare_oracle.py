@@ -83,6 +83,26 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         problems = []
+        # DuckDB renders HUGEINT (bare SUM over integers) and DECIMAL
+        # outputs differently per fetch path — fetchall→int, pandas→
+        # float64 ("604.0"), arrow→decimal128. The driver's gate fetches
+        # through one of the lossy paths (the r01 q12/pivot/winnowing
+        # hash-fails), so any oracle emitting those types is a hazard
+        # regardless of which path: fail it here and cast in the SQL.
+        try:
+            rel = con.sql(oracles[name])
+            hazard = [
+                f"{cname}:{ctype}"
+                for cname, ctype in zip(rel.columns, rel.types)
+                if str(ctype) in ("HUGEINT", "UHUGEINT") or str(ctype).startswith("DECIMAL")
+            ]
+            if hazard:
+                problems.append(
+                    f"oracle emits driver-unstable types ({', '.join(hazard)}) — "
+                    "CAST to BIGINT/DOUBLE in the SQL"
+                )
+        except Exception as e:
+            problems.append(f"oracle type-audit error: {e}")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
