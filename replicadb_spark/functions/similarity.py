@@ -64,6 +64,11 @@ def knn_bruteforce(
             "query_id",
             "neighbor_id",
             cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            # NaN must survive the Arrow boundary: pandas→Arrow folds NaN
+            # into null, and Spark orders null LAST under desc while NaN
+            # ranks FIRST — so the flag rides along and the NaN is
+            # restored after the reducer.
+            F.coalesce(F.isnan("score"), F.lit(False)).alias("score_nan"),
         )
     )
 
@@ -71,9 +76,14 @@ def knn_bruteforce(
     # partition keeps only its k best candidates per query, so the
     # exchange moves ≤ k·partitions·|queries| rows instead of
     # |corpus|·|queries|. The reducer only FILTERS rows whose score was
-    # computed JVM-side, and applies the exact (score desc, id asc)
-    # tie-break the final window uses — the global top-k of the reduced
-    # set is provably the global top-k of the full set, bit-identical.
+    # computed JVM-side, and applies the exact global order the final
+    # window uses — (NaN first, finite desc, null last, id asc) — so the
+    # global top-k of the reduced set is provably the global top-k of
+    # the full set, bit-identical. In pandas both NaN and null arrive as
+    # NaN; the score_nan flag separates them (flag desc ⇒ true-NaN rows
+    # first, remaining NaN==genuine-null rows sort last via
+    # na_position). Id columns keep their input types (derived below,
+    # not hard-coded).
     def local_topk(batches):
         best: "pd.DataFrame | None" = None
         for pdf in batches:
@@ -81,22 +91,30 @@ def knn_bruteforce(
                 continue
             merged = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
             merged = merged.sort_values(
-                ["query_id", "score", "neighbor_id"],
-                ascending=[True, False, True],
+                ["query_id", "score_nan", "score", "neighbor_id"],
+                ascending=[True, False, False, True],
                 kind="mergesort",
+                na_position="last",
             )
             best = merged.groupby("query_id", sort=False).head(k)
         if best is not None:
             yield best
 
+    q_t = q.schema["query_id"].dataType.simpleString()
+    c_t = c.schema["neighbor_id"].dataType.simpleString()
     reduced = scored.mapInPandas(
-        local_topk, schema="query_id long, neighbor_id long, score double"
+        local_topk,
+        schema=f"query_id {q_t}, neighbor_id {c_t}, score double, score_nan boolean",
+    )
+    restored = reduced.withColumn(
+        "score",
+        F.when(F.col("score_nan"), F.lit(float("nan"))).otherwise(F.col("score")),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
-        reduced.withColumn("rank", F.row_number().over(w))
+        restored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("score"), "rank")
     )
@@ -233,34 +251,41 @@ def ann_ivf(
     k: int = 10,
 ) -> DataFrame:
     """IVF-style approximate top-k: a deterministic coarse quantizer
-    (every (corpus_size/n_cells)-th vector by id is a "centroid") assigns
-    each corpus vector to its nearest cell; each query probes its n_probe
-    nearest cells and brute-forces only those.
+    (one hash-picked representative vector per cell) assigns each corpus
+    vector to its nearest cell; each query probes its n_probe nearest
+    cells and brute-forces only those.
 
     Scale: the centroid table is tiny and broadcast twice (assignment +
     probe); the corpus partition never shuffles for assignment — it streams
     through a broadcast join. The candidate join is corpus⋈probed-cells on
     cell id: O(n · n_probe / n_cells) scored pairs instead of O(n·q).
-    (Real IVF trains centroids with k-means; a deterministic stride sample
-    keeps the oracle/test reproducible — swap `centroids` for trained ones
-    in production.)
+    Centroid selection is ONE map-side-combined hash aggregate over
+    (pmod(xxhash64(id), n_cells)) — each task emits ≤ n_cells partial
+    rows, so there is no count() action, no global sort, and no
+    single-partition exchange (the round-2 version ranked the whole
+    corpus through one Window.orderBy partition). Deterministic: the
+    representative of each cell is the member whose xxhash64(id) is
+    smallest, ties broken by min id via the (hash, id, vec) struct-min.
+    (Real IVF trains centroids with k-means; the hash pick keeps the
+    oracle/test reproducible — swap `centroids` for trained ones in
+    production.)
     """
     w_cell = Window.partitionBy("__vid").orderBy(
         F.col("__cscore").desc(), F.col("cell").asc()
     )
 
-    # stride-sample n_cells centroids deterministically by id rank (the
-    # global row_number runs on the tiny id+vec projection; production
-    # would use trained k-means centroids instead)
-    n = corpus.count()
-    stride = max(n // n_cells, 1)
     centroids = (
-        corpus.withColumn("__rn", F.row_number().over(Window.orderBy(F.col(id_col))))
-        .where(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * n_cells))
-        .select(
-            ((F.col("__rn") - 1) / stride).cast("int").alias("cell"),
-            F.col(vec_col).alias("cent_vec"),
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).cast("int").alias("cell"),
+            F.struct(
+                F.xxhash64(F.col(id_col), F.lit(1)).alias("__h"),
+                F.col(id_col).alias("__cid"),
+                F.col(vec_col).alias("__cv"),
+            ).alias("__pick"),
         )
+        .groupBy("cell")
+        .agg(F.min("__pick").alias("__pick"))
+        .select("cell", F.col("__pick.__cv").alias("cent_vec"))
     )
 
     def assign(df: DataFrame, idc: str, vc: str, top: int) -> DataFrame:
@@ -304,64 +329,216 @@ def ann_ivf(
     )
 
 
+def _exact_rescore(v: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their vectors with PLAIN
+    joins (no broadcast hints — AQE picks the strategy from runtime
+    sizes; the round-2 version force-broadcast the whole corpus twice)
+    and apply the deterministic sequential-fold cosine (JVM), so every
+    reported pair's cosine is bit-identical to the naive all-pairs form.
+    """
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t)
+    via distributed triangle blocking — nothing is collected to the
+    driver and the corpus is never broadcast (the round-2 version did
+    both; that was the exact forbidden pattern at 100 TB).
 
-    Two phases, exact overall:
+    Each vector hashes to one of B blocks; every unordered block pair
+    (i ≤ j) is one task group, so every vector pair meets in EXACTLY one
+    group (recall = 1 by construction, no dedup needed):
 
-    1. **Candidate generation** — Arrow-batched ``mapInPandas``: the
-       normalized corpus matrix is broadcast to executors; each Arrow
-       batch runs one numpy GEMM (batch × corpus) and emits pairs with
-       approx cosine ≥ t − 1e-6. A 12.5M-pair sweep is a ~1.6 GFLOP
-       matmul (milliseconds) instead of 12.5M interpreted array folds.
-    2. **Exact rescore** — the handful of survivors join back to their
-       vectors and the deterministic sequential-fold cosine (JVM) applies
-       the threshold, so the result is bit-identical to the naive
-       all-pairs form (GEMM rounding stays inside the 1e-6 margin).
+    1. **Replicate** — one JVM-side explode sends each vector to its B
+       block-pair groups (key = (min(i,j), max(i,j)), side = which end).
+    2. **Per-group GEMM** — ``groupBy(key).applyInPandas``: one numpy
+       matmul per group (triu within a diagonal block, cross between two
+       blocks) emits pairs with approx cosine ≥ t − 1e-6.
+    3. **Exact rescore** — ``_exact_rescore`` re-checks survivors with
+       the JVM fold, so GEMM rounding (≪ 1e-6) cannot change the result.
 
-    Scale: the broadcast matrix caps this at ~10M vectors per block
-    (64-dim float64 ≈ 5 GB); past that, block by ``lsh_tables`` /
-    ``ann_ivf`` cells first and run this within blocks — same two-phase
-    shape, same rescore.
+    Scale: exact all-pairs is inherently O(n²) similarity work; this
+    spreads it evenly over B(B+1)/2 groups with B× vector replication
+    (B ≈ n·dim·8B / executor-mem bounds a group's two blocks in memory;
+    raise n_blocks as the corpus grows). Total GEMM work stays n²/2 —
+    no overlap between groups. For corpora where exact is too costly,
+    use ``embedding_neardup_pairs_lsh`` (sub-quadratic, tunable recall).
     """
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
+    B = n_blocks
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    local = v.toPandas()
-    ids = np.asarray(local["id"].values, dtype=np.int64)
-    mat = np.asarray([np.asarray(x, dtype=np.float64) for x in local["vec"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    id_t = v.schema["id"].dataType.simpleString()
+    vec_t = v.schema["vec"].dataType.simpleString()
     margin = 1e-6
 
-    def gen(batches):
-        b_ids, b_mat = bc.value
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    j = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("j")
+    keyed = (
+        v.withColumn("blk", blk)
+        .select("id", "vec", "blk", j)
+        .select(
+            F.when(F.col("blk") <= F.col("j"), F.col("blk") * B + F.col("j"))
+            .otherwise(F.col("j") * B + F.col("blk"))
+            .alias("grp"),
+            F.when(F.col("blk") <= F.col("j"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("side"),
+            "id",
+            "vec",
+        )
+    )
+
+    def group_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": pdf["id"][:0], "id_b": pdf["id"][:0]})
+        if len(pdf) < 2:
+            return empty
+
+        def normed(sub):
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in sub["vec"]])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return m / norms
+
+        grp = int(pdf["grp"].iloc[0])
+        diagonal = grp // B == grp % B
+        if diagonal:
+            mat = normed(pdf)
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold - margin, k=1))
+            ids = pdf["id"].values
+            a, b = ids[ii], ids[jj]
+        else:
+            left = pdf[pdf["side"] == 0]
+            right = pdf[pdf["side"] == 1]
+            if not len(left) or not len(right):
+                return empty
+            sims = normed(left) @ normed(right).T
+            ii, jj = np.nonzero(sims >= threshold - margin)
+            a, b = left["id"].values[ii], right["id"].values[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    cand = keyed.groupBy("grp").applyInPandas(
+        group_pairs, schema=f"id_a {id_t}, id_b {id_t}"
+    )
+    return _exact_rescore(v, cand, threshold)
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_tables: int | None = None,
+    bits: int | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs via LSH blocking — the
+    sub-quadratic 100 TB path (``embedding_neardup_pairs`` is exact but
+    inherently O(n²)).
+
+    1. **LSH blocking** — one Arrow-batched ``mapInPandas`` pass computes
+       ``n_tables`` sign-random-projection bucket keys per vector (one
+       numpy matmul per batch, the same ±1 hyperplane stream as
+       ``lsh_tables``) and emits (bucket, id, vec) rows.
+    2. **Per-bucket GEMM** — ``groupBy(bucket).applyInPandas`` emits
+       pairs with approx cosine ≥ t − 1e-6; a pair can appear in several
+       buckets, so candidates dedup before rescore.
+    3. **Exact rescore** — ``_exact_rescore`` (plain joins, JVM fold).
+
+    Recall: a pair at cosine t collides in one b-bit table with prob
+    p^b, p = 1 − arccos(t)/π; miss prob over T OR'd tables is
+    (1 − p^b)^T. When (bits, n_tables) are not given they are tuned from
+    the threshold: b = max(2, ⌊ln .35 / ln p⌋) (per-table collision
+    ≈ .35 for the target similarity), T = ⌈ln 1e-5 / ln(1 − p^b)⌉ —
+    e.g. t=.95 → (b=9, T=29), t=.7 → (b=4, T=35). The planes are a
+    fixed seeded stream, so the output is deterministic run to run.
+
+    Scale: the shuffle moves n_tables copies of each vector (skinny
+    rows); a pathological bucket (mass-duplicate corpus) concentrates
+    quadratic work in one task — cap it upstream with exact-hash dedup
+    (``dedup.exact_duplicates``) before near-dup, which is the standard
+    pipeline order anyway. Low thresholds (< ~0.5) force few bits and
+    many tables — degenerating toward blocked all-pairs — so prefer the
+    exact triangle path there.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if bits is None:
+        bits = max(2, int(math.log(0.35) / math.log(p)))
+    if n_tables is None:
+        n_tables = max(4, math.ceil(math.log(1e-5) / math.log(1.0 - p**bits)))
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    id_t = v.schema["id"].dataType.simpleString()
+    vec_t = v.schema["vec"].dataType.simpleString()
+    pow2 = 2 ** np.arange(bits)[::-1]
+    margin = 1e-6
+    nt, nb = n_tables, bits
+
+    def keyser(batches):
+        # planes derived lazily from the first batch's width: a pure
+        # function of (seed, dim), so every worker rebuilds the SAME
+        # deterministic stream — nothing is shipped from the driver
+        planes = None if dim is None else np.array(_hyperplanes(dim, nt * nb, seed))
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ b_mat.T
-            qi, cj = np.nonzero(sims >= threshold - margin)
-            qa = np.asarray(pdf["id"].values, dtype=np.int64)[qi]
-            ca = b_ids[cj]
-            keep = qa < ca
-            yield pd.DataFrame({"id_a": qa[keep], "id_b": ca[keep]})
+            vecs = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+            if planes is None:
+                planes = np.array(_hyperplanes(vecs.shape[1], nt * nb, seed))
+            sig = (vecs @ planes.T > 0).astype(np.int64)
+            sig = sig.reshape(len(pdf), nt, nb)
+            buckets = (sig * pow2).sum(axis=2)  # (n, T)
+            buckets += np.arange(nt, dtype=np.int64) * (1 << (nb + 1))
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), nt)].copy()
+            out["bucket"] = buckets.reshape(-1)
+            yield out[["bucket", "id", "vec"]]
 
-    cand = v.mapInPandas(gen, schema="id_a long, id_b long")
-    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    return (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .where(F.col("cos") >= threshold)
+    keyed = v.mapInPandas(keyser, schema=f"bucket long, id {id_t}, vec {vec_t}")
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pdf["id"][:0], "id_b": pdf["id"][:0]})
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mat = mat / norms
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold - margin, k=1))
+        ids = pdf["id"].values
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    cand = (
+        keyed.groupBy("bucket")
+        .applyInPandas(block_pairs, schema=f"id_a {id_t}, id_b {id_t}")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return _exact_rescore(v, cand, threshold)

@@ -83,3 +83,90 @@ def test_embedding_neardup_pairs(vectors):
 def test_hyperplanes_deterministic():
     assert S._hyperplanes(8, 4, seed=13) == S._hyperplanes(8, 4, seed=13)
     assert S._hyperplanes(8, 4, seed=13) != S._hyperplanes(8, 4, seed=14)
+
+
+def test_knn_string_ids(spark):
+    """Id types flow from the input schema (round-2 hard-coded them to
+    long, which broke non-integral ids at runtime)."""
+    rows = [
+        ("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]),
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = S.knn_bruteforce(df, df.where(F.col("vec_id") == "a"), k=1).collect()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in out] == [("a", "b", 1)]
+
+
+def test_knn_nan_scores_rank_first(spark):
+    """A NaN-element vector scores NaN; Spark's desc ordering treats NaN
+    as greatest, and the pandas partial top-k must agree
+    (na_position='first' — the round-2 reducer silently dropped NaN rows
+    when k others existed in the same partition)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [float("nan"), 0.5]),
+        (3, [0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    out = S.knn_bruteforce(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    by_rank = {r["rank"]: r["neighbor_id"] for r in out}
+    # NaN-score neighbor (id 2) outranks every finite score under
+    # NaN-greatest semantics
+    assert by_rank[1] == 2
+    assert math.isnan([r["score"] for r in out if r["rank"] == 1][0])
+
+
+def test_embedding_neardup_exact_matches_bruteforce(spark):
+    """Triangle-blocked pairs = brute-force pairs, any n_blocks."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 7 == 0:  # plant a near-dup
+            rows.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, SCHEMA)
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_pairs(df, threshold=0.9, n_blocks=1).collect()
+    }
+    for nb in (3, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_neardup_pairs(df, threshold=0.9, n_blocks=nb).collect()
+        }
+        assert got == expect
+    assert len(expect) >= 9  # the planted near-dups are found
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Auto-tuned LSH blocking recovers the exact pair set at a high
+    threshold (miss prob ≈ 1e-5 with deterministic planes)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(80):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, base))
+        if i % 5 == 0:
+            rows.append((1000 + i, [x + rng.uniform(-0.02, 0.02) for x in base]))
+    df = spark.createDataFrame(rows, SCHEMA)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_pairs_lsh(df, threshold=0.95).collect()
+    }
+    assert exact, "fixture must plant near-dup pairs"
+    assert approx == exact  # fixed planes; miss prob ~1e-5 at t=0.95
+    # rescore guarantees precision — no pair below threshold survives
+    assert all(a != b for a, b in approx)
