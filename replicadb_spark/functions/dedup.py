@@ -201,20 +201,37 @@ def jaccard_pairs(
     *,
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
     Plan: explode distinct shingles → self-join on shingle (id_a < id_b)
     → count = |A∩B| → join shingle-set sizes → filter. The join key is
-    the shingle, so hot shingles skew — at 100 TB add a document-frequency
-    cap on shingles before the join (standard trick); here the corpus is
-    word-salad so DF stays modest. Returns (id_a, id_b, jaccard).
+    the shingle, so hot shingles skew: `max_shingle_df` drops shingles
+    whose document frequency exceeds the cap BEFORE the self-join,
+    bounding any bucket to cap²/2 pairs (one viral shingle would
+    otherwise make that bucket quadratic in corpus size). The cap is
+    applied consistently — sizes and intersections are both computed
+    over the capped shingle universe — so the returned jaccard is the
+    exact Jaccard over sub-viral shingles, a well-defined semantics an
+    oracle can mirror, not an underestimate. The hot-shingle list is
+    tiny by construction, so the exclusion is a broadcast anti-join
+    (no extra shuffle of the exploded index).
+    Returns (id_a, id_b, jaccard).
     """
     sh = (
         df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
         .select("id", F.explode(shingles_tokens(F.col("toks"), k)).alias("shingle"))
         .persist()  # read 3×: both self-join sides + the sizes agg
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("l")

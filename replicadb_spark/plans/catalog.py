@@ -227,7 +227,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     return (
         t["orders"].where(F.col("o_orderdate") < cutoff)
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(
             t["lineitem"].where(F.col("l_shipdate") > cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -278,9 +278,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -433,7 +433,7 @@ def distinct_counts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders")
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
@@ -686,15 +686,55 @@ _JACCARD_ORACLE = _SHINGLE_CTE + """
     WHERE i * 1.0 / (za.sz + zb.sz - i) >= {thr}
 """
 
+# Same pair query, but sizes/intersections computed over the shingle
+# universe capped at document frequency <= {cap} — mirrors
+# jaccard_pairs(max_shingle_df=...) exactly (functions/dedup.py).
+_SHINGLE_CAPPED_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS t
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS s
+      FROM toks
+    ), dfreq AS (
+      SELECT s, count(*) AS df FROM sh0 GROUP BY s
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq USING (s) WHERE df <= {cap}
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+      FROM sh l JOIN sh r USING (s)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+"""
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE.format(thr="0.2"))
+_JACCARD_CAPPED_ORACLE = _SHINGLE_CAPPED_CTE + """
+    SELECT id_a, id_b,
+           round(i * 1.0 / (za.sz + zb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz za ON id_a = za.doc_id
+    JOIN sz zb ON id_b = zb.doc_id
+    WHERE i * 1.0 / (za.sz + zb.sz - i) >= {thr}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_CAPPED_ORACLE.format(thr="0.2", cap="1000"),
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
 
-    Scale: join key is the shingle; add a document-frequency cap on hot
-    shingles before the join at corpus scale (see functions/dedup.py)."""
+    Scale: join key is the shingle, so one viral shingle makes its
+    bucket quadratic — max_shingle_df=1000 drops shingles shared by
+    >1000 docs before the self-join (broadcast anti-join, bucket size
+    bounded at cap²/2). The oracle mirrors the cap, so the gate stays
+    exact; on TESTDATA max DF is 25, so the cap never binds there."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    pairs = D.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+    pairs = D.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2, max_shingle_df=1000)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1016,7 +1056,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -1154,7 +1194,7 @@ def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     piv = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .pivot("o_orderpriority", list(named))
         .agg(F.count(F.lit(1)))
@@ -1349,8 +1389,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .where(F.col("cust_nation") < F.col("supp_nation"))
@@ -1387,7 +1427,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"].where(F.col("l_returnflag") == "R")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1418,7 +1458,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(
             F.broadcast(
                 t["part"].where(
@@ -1468,7 +1508,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -1534,7 +1574,7 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "part")
     scoped = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_type",
             _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
@@ -1582,7 +1622,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(_t(spark, sf_dir, "supplier")["supplier"]),
+        .join(_t(spark, sf_dir, "supplier")["supplier"],
               F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
     )

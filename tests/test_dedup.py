@@ -53,6 +53,49 @@ def test_jaccard_pairs_finds_near_dup(corpus):
     assert not any({a, b} == {0, 2} for a, b in pairs)
 
 
+def test_jaccard_cap_not_binding_is_identity(corpus):
+    # cap far above any shingle's DF → identical pairs and values
+    base = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.2).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.2,
+                              max_shingle_df=1000).collect()}
+    assert base == capped
+
+
+def test_jaccard_cap_neutralizes_viral_shingle(spark):
+    # 12 docs all share one viral 3-gram ("spam spam spam") but are
+    # otherwise pairwise-disjoint word salad; docs 100/101 are true
+    # near-dups. Uncapped, the viral shingle links every doc pair
+    # (quadratic bucket); capped at DF<=8 the viral shingle is dropped
+    # and only the true near-dup pair survives the threshold.
+    viral = "spam spam spam"
+    rows = [(i, f"{viral} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(12)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                D.jaccard_pairs(df, "doc_id", "text", threshold=0.05).collect()}
+    # viral shingle creates pairs among the 12 spam docs
+    assert any(a < 12 and b < 12 for a, b in uncapped)
+
+    capped = {(r["id_a"], r["id_b"]) for r in
+              D.jaccard_pairs(df, "doc_id", "text", threshold=0.05,
+                              max_shingle_df=8).collect()}
+    # spam-doc pairs vanish (their only shared shingle is viral)
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    assert (100, 101) in capped
+
+    # jaccard for the surviving pair is exact over the capped universe ==
+    # full universe here (no viral shingle in docs 100/101)
+    val = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.jaccard_pairs(df, "doc_id", "text", threshold=0.05,
+                           max_shingle_df=8).collect()}[(100, 101)]
+    # 8 tokens → 6 shingles each, 5 shared → 5/7
+    assert abs(val - 5 / 7) < 1e-9
+
+
 def test_minhash_matches_exact_on_high_sim(corpus):
     mh = {(r["id_a"], r["id_b"]) for r in
           D.minhash_dedup_pairs(corpus, "doc_id", "text", num_hashes=128, bands=64,

@@ -20,8 +20,8 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 45
     # every oracle key has a query
     assert set(oracles) <= set(qs)
-    # only the two approximate sketch ops lack oracles
-    assert set(qs) - set(oracles) == {"dedup_simhash", "ann_lsh", "ann_ivf"}
+    # every query is oracle-gated (the approximate sketches via recall-gate rows)
+    assert set(qs) - set(oracles) == set()
 
 
 def test_each_query_is_callable(spark, sf_dir):

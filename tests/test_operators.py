@@ -97,7 +97,7 @@ def test_ann_ivf_recall_vs_exact(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in ann_ivf(e, q, n_cells=16, n_probe=4, k=10).collect()
+        for r in ann_ivf(e, q, n_cells=16, n_probe=6, k=10).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
