@@ -118,12 +118,50 @@ def sink_primary_keys(spark: SparkSession, job: ReplicaJob) -> list[str]:
         conn.close()
 
 
+def _bulk_append(spark: SparkSession, job: ReplicaJob, df: DataFrame, table: str) -> None:
+    """Append via the fastest available path: Postgres sinks take the
+    COPY FROM STDIN stream (K2, PostgresqlManager.java:49-192), MySQL/
+    MariaDB the LOAD DATA infile stream (K3, MySQLManager.java:51-227)
+    when a client lib is present on the executors; everything else (and
+    the no-client fallback) the connector batch writer."""
+    from replicadb_spark.sinks.jdbc import write_jdbc
+
+    dialect = dialects.dialect_from_url(job.sink_connect)
+    if dialect == "postgresql":
+        try:
+            from replicadb_spark.sinks.pg_copy import write_postgres_copy
+
+            write_postgres_copy(df, job, table=table)
+            return
+        except NotImplementedError:
+            pass  # psycopg absent — batch path below
+    elif dialect in ("mysql", "mariadb"):
+        try:
+            from replicadb_spark.sinks.mysql_load import write_mysql_load
+
+            write_mysql_load(df, job, table=table)
+            return
+        except NotImplementedError:
+            pass  # pymysql absent — batch path below
+    write_jdbc(df, job, table=table, mode="append")
+
+
 def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
     """Dispatch M1/M2/M3 against a JDBC sink."""
     from replicadb_spark.sinks.jdbc import write_jdbc
 
     dialect = dialects.dialect_from_url(job.sink_connect)
     if job.mode == "complete":
+        if dialect == "postgresql" and job.sink_truncate:
+            # reference M1 on postgres: TRUNCATE, then COPY into the sink
+            # table itself (PostgresqlManager.java:60-63)
+            execute_sql(
+                spark, job.sink_connect,
+                [dialects.truncate_sql(dialect, job.sink_table)],
+                user=job.sink_user, password=job.sink_password,
+            )
+            _bulk_append(spark, job, df, job.sink_table)
+            return
         write_jdbc(df, job, mode="overwrite", truncate=job.sink_truncate)
         return
 
@@ -138,7 +176,7 @@ def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
     if auto_staging:
         run([dialects.create_staging_sql(dialect, staging, job.sink_table)])
     try:
-        write_jdbc(df, job, table=staging, mode="append")
+        _bulk_append(spark, job, df, staging)
         cols = job.sink_column_list or df.columns
         if job.mode == "complete-atomic":
             run(dialects.atomic_swap_sql(dialect, job.sink_table, staging, cols), txn=True)
@@ -183,7 +221,24 @@ def run_file_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame, *,
     if not pk_columns:
         write_file(df, path, fmt, mode="append", **write_opts)
         return
-    merged = upsert_dataframe(existing, df, pk_columns).cache()
-    merged.count()  # materialize before overwriting the input path
-    write_file(merged, path, fmt, mode="overwrite", **write_opts)
-    merged.unpersist()
+    # Crash-safe merge: the merged plan READS `path`, so writing back to
+    # `path` directly races the overwrite against lazy/recomputed reads
+    # (cache eviction mid-write would recompute from the half-overwritten
+    # input → data loss). Instead the merge is fully materialized at a
+    # sibling temp path first, then swapped in; a crash at any point
+    # leaves at least one complete copy on disk (the original, or —
+    # between delete and rename — the durable temp, recoverable by hand).
+    # Hadoop FileSystem rename is atomic on HDFS/local; on object stores
+    # (s3a) it degrades to copy+delete, which still never corrupts the
+    # source because the temp write completed before the original is
+    # touched.
+    merged = upsert_dataframe(existing, df, pk_columns)
+    tmp = path.rstrip("/") + ".__replicadb_tmp__"
+    write_file(merged, tmp, fmt, mode="overwrite", **write_opts)
+    jvm = spark._sc._jvm  # noqa: SLF001
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(spark._sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {tmp} -> {path} failed; merged data is intact at {tmp}")

@@ -3,10 +3,11 @@
 ``df.write.jdbc`` with ``batchsize`` reproduces the reference's typed
 addBatch/executeBatch loop (StandardJDBCManager.java:80-223) on every
 partition in parallel — the same N-connections shape as N ReplicaTasks.
-Dialect fast paths the reference implements natively (Postgres COPY,
-MySQL LOAD DATA, SQLServer BulkCopy) map to connector options here;
-an exact-parity COPY ``foreachPartition`` writer is a planned round-2
-fast path (SURVEY §7.3 "medium").
+Dialect fast paths the reference implements natively map to connector
+options here (MySQL LOAD DATA → rewriteBatchedStatements, SQLServer
+BulkCopy → useBulkCopyForBatchInsert); Postgres COPY has the exact
+``foreachPartition`` writer in ``sinks/pg_copy.py`` (K2), with these
+connector flags as its no-client-lib fallback.
 """
 
 from __future__ import annotations

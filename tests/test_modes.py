@@ -37,3 +37,31 @@ def test_upsert_single_shuffle_plan(spark):
     staging = spark.range(50).withColumn("v", F.lit("b"))
     plan = upsert_dataframe(sink, staging, ["id"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_file_mode_temp_swap(spark, tmp_path):
+    """Incremental file merge must never overwrite the path its own plan
+    reads (the recompute-from-half-overwritten-input hazard): the merge
+    lands at a temp sibling first, then swaps. Verify merged contents and
+    that the temp dir is gone."""
+    import os
+
+    from replicadb_spark.modes import run_file_mode
+
+    class _Job:
+        mode = "incremental"
+
+    path = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.parquet(path)
+    delta = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    run_file_mode(spark, _Job(), delta, path=path, fmt="parquet", pk_columns=["id"])
+
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.exists(path + ".__replicadb_tmp__")
+
+    # second merge over the swapped output still correct (path fully valid)
+    delta2 = spark.createDataFrame([(3, "C"), (4, "d")], ["id", "v"])
+    run_file_mode(spark, _Job(), delta2, path=path, fmt="parquet", pk_columns=["id"])
+    got2 = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got2 == {(1, "a"), (2, "B"), (3, "C"), (4, "d")}
