@@ -28,9 +28,13 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q7_nation_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "window_top_customers",
     "events_sessionize",
     "events_tumbling_agg",

@@ -1814,3 +1814,253 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.join(kept, ["dkey", "doc_id"], "left_semi")
         .select("doc_id", "n_tokens")
     )
+
+
+# =========================================================================
+# TPC-H breadth round 3: q6 / q8 / q19 / q21 (adapted to TESTDATA's
+# slimmed lineitem/part — no receiptdate/commitdate/container/shipmode)
+# =========================================================================
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue from small-quantity discounted lines in a year.
+
+    Scale: pure scan → filter → global partial-agg tree. All three
+    predicates push into the parquet scan (PushedFilters); zero
+    shuffles, no join. The 100 TB plan is identical to the sf0.01 one.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT)                          AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS volume,
+             n2.n_name                                               AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of ECONOMY-part volume sold into a
+    region, per order-year.
+
+    Scale: the only SF-scaled shuffle is orders⋈lineitem; customer and
+    supplier join AQE-chosen (no forced broadcast — they grow with SF),
+    nation/region broadcast as fixed dims, part filtered to one type
+    before its join. Decimal volume keeps the share order-independent.
+    """
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+           "nation", "region", "part")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_regionkey").alias("c_rk"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    vol = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "AMERICA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(
+            F.broadcast(t["part"].where(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-ANDs predicate spanning both
+    join sides (adapted to TESTDATA columns: brand/size/quantity).
+
+    Scale: Catalyst splits the disjunction — the part-only prefix
+    (brand ∈ {1,2,3}, size ≥ 1) and lineitem-only prefix (quantity
+    between 1 and 30) push into their scans BEFORE the join, and the
+    full disjunction applies post-join. The filtered part side is
+    broadcast-safe (3 brands × bounded size).
+    """
+    t = _t(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .where(cond)
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late
+    ), multi AS (
+      SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+      WHERE EXISTS (SELECT 1 FROM li l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM multi JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order (lateness adapted to TESTDATA as
+    shipdate > orderdate + 90 days; no receipt/commit dates exist).
+
+    Scale: the exists/not-exists pair decorrelates into ONE groupBy on
+    l_orderkey computing (distinct suppliers, distinct late suppliers)
+    — a single shuffle replaces two correlated self-joins of lineitem;
+    the late-line set then semi-joins those order stats. Supplier join
+    AQE-chosen; no SF-scaled broadcast.
+    """
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    # one pass over li: per order, total distinct suppliers and distinct
+    # late suppliers — the decorrelated exists / not-exists
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole_late = (
+        li.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            stats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        sole_late.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

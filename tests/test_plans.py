@@ -111,3 +111,32 @@ def test_clean_corpus_filters_reach_scan(spark):
     schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in schema_line and "text" in schema_line and "lang" in schema_line
     assert "n_chars" not in schema_line and "source" not in schema_line
+
+
+def test_q6_zero_shuffle_full_pushdown(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # all three predicates reach the parquet scan (toString truncates the
+    # PushedFilters list, so pin the visible prefix + DataFilters); no
+    # join, no hash shuffle
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    assert "DataFilters" in plan and "l_quantity" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q19_disjunction_splits_to_both_scans(spark):
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    # Catalyst derives per-side prefixes of the OR-of-ANDs: quantity
+    # bounds push to lineitem, brand/size to part — BEFORE the join
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed)
+    assert any("In(p_brand" in l for l in pushed)
+    assert "BroadcastHashJoin" in plan  # 3-brand part side broadcasts
+
+
+def test_q21_single_lineitem_shuffle_decorrelated(spark):
+    plan = _final_plan(spark, "q21_waiting_suppliers")
+    # exists/not-exists decorrelates to ONE stats groupBy + semi join;
+    # orderstatus filter reaches the orders scan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
