@@ -65,7 +65,7 @@ class ReplicaJob:
     sink_staging_table_alias: str | None = None
     sink_staging_schema: str | None = None
     sink_truncate: bool = True                 # sink-truncate (M1)
-    sink_disable_escape: bool = False          # T7 toggle — no-op in Spark
+    sink_disable_escape: bool = False          # T7 toggle (pg_copy/mysql_load)
     sink_disable_index: bool = False           # parsed-but-unused in reference
     sink_analyze: bool = False                 # parsed-but-unused in reference
 

@@ -131,6 +131,79 @@ def stream_incremental_upsert(
     return writer.start()
 
 
+def stream_dedup_first_seen(
+    events: DataFrame,
+    *,
+    key_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Cross-batch exact dedup with duplicate ACCOUNTING — the custom
+    stateful operator built-ins can't express: ``dropDuplicates`` on a
+    stream suppresses repeats but cannot report how many arrived, which
+    a training-data ingest pipeline needs for per-source dup-rate
+    monitoring.
+
+    ``applyInPandasWithState`` keeps (first_ts, dup_count) per key and,
+    in each micro-batch where a key appears, emits one updated row
+    (earliest event time seen, cumulative duplicates). Downstream keeps
+    the latest row per key (update semantics).
+
+    Scale: state is one tiny tuple per DISTINCT key, partitioned by the
+    group key across executors; per-batch work is Arrow-batched pandas.
+    EventTimeTimeout + ``state_ttl_ms`` past each key's newest event
+    evicts idle keys so state doesn't grow with stream lifetime — the
+    watermark alone can't bound it because a key may recur forever.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, first_ts timestamp, dup_count bigint"
+    state_schema = "first_ts timestamp, last_ms bigint, dups bigint"
+
+    def track(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = 0
+        batch_first = None
+        batch_last_ms = 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            mn, mx = pdf[ts_col].min(), pdf[ts_col].max()
+            batch_first = mn if batch_first is None else min(batch_first, mn)
+            batch_last_ms = max(batch_last_ms, int(mx.value // 1_000_000))
+        if n == 0:
+            return
+        if state.exists:
+            prev_first, prev_last_ms, dups = state.get
+            first = min(pd.Timestamp(prev_first), batch_first)
+            dups += n
+            last_ms = max(prev_last_ms, batch_last_ms)
+        else:
+            first, dups, last_ms = batch_first, n - 1, batch_last_ms
+        state.update((first.to_pydatetime(), last_ms, dups))
+        state.setTimeoutTimestamp(last_ms + state_ttl_ms)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "first_ts": [first], "dup_count": [dups]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_file_replica(
     source: DataFrame,
     sink_path: str,

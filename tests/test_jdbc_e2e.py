@@ -5,6 +5,12 @@ connections, real partitioned reads, real staging+MERGE.
 This is the closest in-container analog of the reference's
 Testcontainers matrix (SURVEY §5.1): seed a source table over JDBC, run
 the engine's modes, assert sink contents.
+
+A second live dialect is container-blocked: the only embedded-engine
+jars on this Spark classpath are Derby's (no H2/HSQLDB anywhere on the
+filesystem), so the pg/mysql/oracle/sqlserver MERGE templates stay
+covered at the SQL-text level (tests/test_dialects.py) while Derby
+exercises the SQL:2003 template end-to-end.
 """
 
 import pytest

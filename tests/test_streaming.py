@@ -99,3 +99,58 @@ def test_stream_incremental_upsert(spark, event_dir, tmp_path):
     got_ts = {(r["user_id"], r["event_type"]): r["ts"] for r in got.collect()}
     for r in latest.collect():
         assert got_ts[(r["user_id"], r["event_type"])] == r["ts"]
+
+
+def test_stream_dedup_first_seen_accumulates_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): a key recurring in both
+    must carry its state across — cumulative dup_count, earliest
+    first_ts — proving applyInPandasWithState keeps per-key state."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write(name, keys, ts_base):
+        tbl = pa.table({
+            "event_id": pa.array(keys, pa.int64()),
+            "ts": pa.array(
+                [ts_base + i * 60_000_000 for i in range(len(keys))],
+                pa.timestamp("us"),
+            ),
+        })
+        pq.write_table(tbl, src / name)
+
+    base = 1_700_000_000_000_000  # µs epoch
+    write("f1.parquet", [1, 2, 2], base)                 # batch 1: key2 dup'd
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    write("f2.parquet", [2, 3], base + 3_600_000_000)    # batch 2: key2 again
+    os.utime(src / "f2.parquet")
+
+    from replicadb_spark.streaming import pipeline as P
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+    out = _run_to_memory(
+        spark,
+        P.stream_dedup_first_seen(stream, key_col="event_id", watermark="10 seconds"),
+        "t_dedup_state",
+        mode="update",
+    )
+    rows = out.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_id"], []).append(r)
+
+    # key 2 appeared in both batches → two emissions, dup_count 1 then 2
+    assert sorted(r["dup_count"] for r in by_key[2]) == [1, 2]
+    # its first_ts never regresses past the batch-1 minimum
+    assert min(str(r["first_ts"]) for r in by_key[2]) == str(by_key[2][0]["first_ts"])
+    # unique keys emit once with zero dups
+    assert [r["dup_count"] for r in by_key[1]] == [0]
+    assert [r["dup_count"] for r in by_key[3]] == [0]
