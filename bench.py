@@ -60,6 +60,17 @@ def main() -> int:
     spark = get_spark("replicadb-spark-bench")
     spark.range(1000).count()  # warm up JVM/scheduler
 
+    # Spawn the Python worker pool once (32 forked workers importing
+    # pandas/numpy, ~5-8 s) so the pool cost isn't billed to whichever
+    # Pandas-UDF query happens to run first — the Python analog of not
+    # billing JVM startup to the first query. Workers are reused
+    # (spark.python.worker.reuse defaults true), so every mapInPandas
+    # below hits a warm pool.
+    def _ident(it):
+        yield from it
+
+    spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
