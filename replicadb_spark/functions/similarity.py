@@ -249,11 +249,13 @@ def ann_ivf(
     n_cells: int = 16,
     n_probe: int = 3,
     k: int = 10,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: a deterministic coarse quantizer
-    (one hash-picked representative vector per cell) assigns each corpus
-    vector to its nearest cell; each query probes its n_probe nearest
-    cells and brute-forces only those.
+    (one hash-picked representative vector per cell, optionally refined
+    by ``lloyd_iters`` k-means steps) assigns each corpus vector to its
+    nearest cell; each query probes its n_probe nearest cells and
+    brute-forces only those.
 
     Scale: the centroid table is tiny and broadcast twice (assignment +
     probe); the corpus partition never shuffles for assignment — it streams
@@ -266,10 +268,17 @@ def ann_ivf(
     corpus through one Window.orderBy partition). Deterministic: the
     representative of each cell is the member whose xxhash64(id) is
     smallest, ties broken by min id via the (hash, id, vec) struct-min.
-    (Real IVF trains centroids with k-means; the hash pick keeps the
-    oracle/test reproducible — swap `centroids` for trained ones in
-    production.)
+
+    Each Lloyd step is the textbook distributed k-means iteration:
+    broadcast-assign every vector to its nearest centroid (no corpus
+    shuffle), then ONE shuffle by cell to average members — groups are
+    sorted by id before the float sum so the mean is bit-deterministic
+    regardless of shuffle arrival order. Empty cells keep their previous
+    centroid (standard drop-in k-means behavior via left join).
     """
+    import numpy as np
+    import pandas as pd
+
     w_cell = Window.partitionBy("__vid").orderBy(
         F.col("__cscore").desc(), F.col("cell").asc()
     )
@@ -287,6 +296,35 @@ def ann_ivf(
         .agg(F.min("__pick").alias("__pick"))
         .select("cell", F.col("__pick.__cv").alias("cent_vec"))
     )
+
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+
+    def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__vid")  # fixed fold order → deterministic mean
+        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {"cell": [pdf["cell"].iloc[0]], "mean_vec": [(M.sum(axis=0) / len(M))]}
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = (
+            corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                "__vid", "__v", "cell",
+                cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore"),
+            )
+            .withColumn("__r", F.row_number().over(w_cell))
+            .where(F.col("__r") == 1)
+            .select("cell", "__vid", "__v")
+        )
+        means = assigned.groupBy("cell").applyInPandas(
+            _cell_mean, schema=f"cell int, mean_vec {vec_t}"
+        )
+        centroids = (
+            centroids.join(means, "cell", "left")
+            .select("cell", F.coalesce("mean_vec", "cent_vec").alias("cent_vec"))
+        )
 
     def assign(df: DataFrame, idc: str, vc: str, top: int) -> DataFrame:
         scored = df.select(F.col(idc).alias("__vid"), F.col(vc).alias("__v")).crossJoin(

@@ -40,6 +40,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-tokenizer token count with a GPT-2-style split pattern
+    (contraction suffixes, space-prefixed letter/digit/punct runs,
+    whitespace runs) — the standard first stage of BPE tokenizers,
+    restated lookahead-free so the same pattern runs on Java regex and
+    RE2 (DuckDB oracle). Counts pre-tokens, not merges: a training-data
+    pipeline uses this as the cheap corpus-size estimator."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
 def word_token_count(text: Column) -> Column:
     """BPE-ish subword proxy: count of maximal runs of letters or digits
     (``[a-z]+|[0-9]+`` on the lowercased text). Deterministic and portable

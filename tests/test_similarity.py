@@ -170,3 +170,31 @@ def test_embedding_neardup_lsh_recall(spark):
     assert approx == exact  # fixed planes; miss prob ~1e-5 at t=0.95
     # rescore guarantees precision — no pair below threshold survives
     assert all(a != b for a, b in approx)
+
+
+def test_ann_ivf_lloyd_step_improves_recall(spark):
+    """One k-means refinement must not hurt recall vs the hash-picked
+    centroids, and the sorted-id mean keeps it deterministic."""
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.functions.similarity import ann_ivf, knn_bruteforce
+    from replicadb_spark.session import tables
+
+    e = tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce(e, q, k=10).collect()}
+
+    def recall(iters):
+        ap = {(r["query_id"], r["neighbor_id"]) for r in
+              ann_ivf(e, q, n_cells=16, n_probe=6, k=10, lloyd_iters=iters).collect()}
+        return len(exact & ap) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 - 0.05  # refinement never craters recall
+    assert r1 >= 0.5
+    # determinism: same parameters → identical pair set
+    ap_a = {(r["query_id"], r["neighbor_id"]) for r in
+            ann_ivf(e, q, n_cells=16, n_probe=6, k=10, lloyd_iters=1).collect()}
+    ap_b = {(r["query_id"], r["neighbor_id"]) for r in
+            ann_ivf(e, q, n_cells=16, n_probe=6, k=10, lloyd_iters=1).collect()}
+    assert ap_a == ap_b

@@ -67,3 +67,17 @@ def test_winnowing_fingerprints_tiny(spark):
     assert by_id[1] != by_id[4]          # different docs → different sketch
     # windows overlap, so selected set is smaller than the gram count
     assert 0 < len(by_id[1]) <= len(rows[0][1]) - 8 + 1
+
+
+def test_bpe_token_count(spark):
+    from replicadb_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("It's 42 degrees, isn't it?",), ("hello world",), ("",)], ["t"]
+    )
+    got = [r["n"] for r in df.select(bpe_token_count(F.col("t")).alias("n")).collect()]
+    # "it" "'s" " 42" " degrees" "," " isn" "'t" " it" "?"  → 9 pre-tokens
+    assert got[0] == 9
+    # "hello" " world" → 2
+    assert got[1] == 2
+    assert got[2] == 0
