@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) for the pure-Python hot spots and
+the relational core.
+
+The wire-format encoders are pure functions — hypothesis drives them
+hard (hundreds of examples, no Spark). The Spark-backed properties run
+few examples (each example is a real job) but assert against
+independent Python reference models, which is what makes them worth
+having: the unit suites pin known cases, these pin the CONTRACT.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from replicadb_spark.sinks import mysql_load as M
+from replicadb_spark.sinks import pg_copy as P
+
+# ---------------------------------------------------------------------------
+# COPY / LOAD DATA wire-format round-trips (pure, fast, many examples)
+# ---------------------------------------------------------------------------
+
+text_values = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters=["\x00"]),
+    max_size=60,
+)
+
+
+def _pg_decode_field(s: str) -> str:
+    """Inverse of the COPY text escaping for the subset we emit."""
+    if s == "\\N":
+        return None
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt == "\\":
+                out.append("\\"); i += 2; continue
+            if nxt == "n":
+                out.append("\n"); i += 2; continue
+            if nxt == "r":
+                out.append("\r"); i += 2; continue
+            if nxt == "x" and s[i + 2 : i + 4] == "1f":
+                out.append("\x1f"); i += 4; continue
+        out.append(s[i]); i += 1
+    return "".join(out)
+
+
+@given(st.lists(st.one_of(st.none(), text_values), min_size=1, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_pg_copy_row_roundtrip(values):
+    row = P.encode_row(values).decode("utf-8")
+    assert row.endswith("\n")
+    fields = row[:-1].split("\x1f")
+    assert len(fields) == len(values)
+    for got, want in zip(fields, values):
+        assert _pg_decode_field(got) == want
+    # the encoded row never contains a raw delimiter inside a field,
+    # a raw newline, or a raw CR (column/row-shift corruption)
+    body = row[:-1]
+    assert "\n" not in body and "\r" not in body
+
+
+@given(st.binary(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_pg_copy_binary_hex(payload):
+    enc = P.encode_value(payload)
+    assert enc.startswith("\\\\x")
+    assert bytes.fromhex(enc[3:]) == payload
+
+
+@given(st.lists(st.one_of(st.none(), text_values), min_size=1, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_mysql_load_row_shape(values):
+    row = M.encode_row(values).decode("utf-8")
+    assert row.endswith("\n")
+    body = row[:-1]
+    # backslash-escaped 0x1F is not a field boundary: count unescaped ones
+    boundaries = 0
+    i = 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "\x1f":
+            boundaries += 1
+        i += 1
+    assert boundaries == len(values) - 1
+    assert "\n" not in body and "\r" not in body
+
+
+# ---------------------------------------------------------------------------
+# upsert_dataframe vs a dict model (the M3 relational core)
+# ---------------------------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 1000)), min_size=0, max_size=12
+)
+
+
+@given(sink=rows_strategy, staging=rows_strategy)
+@settings(max_examples=8, deadline=None)
+def test_upsert_matches_dict_model(spark, sink, staging):
+    from replicadb_spark.modes import upsert_dataframe
+
+    schema = "id int, v int"
+    sink_df = spark.createDataFrame(sink, schema) if sink else spark.createDataFrame([], schema)
+    stg_df = spark.createDataFrame(staging, schema) if staging else spark.createDataFrame([], schema)
+    got = {(r["id"], r["v"]) for r in upsert_dataframe(sink_df, stg_df, ["id"]).collect()}
+
+    # model: staging beats sink per PK; duplicate PKs within a side
+    # collapse to ONE winner (any of them — the window breaks ties
+    # arbitrarily but deterministically)
+    model_keys = {i for i, _ in sink} | {i for i, _ in staging}
+    assert {i for i, _ in got} == model_keys
+    assert len(got) == len(model_keys)  # exactly one row per PK
+    stg_keys = {i for i, _ in staging}
+    for i, v in got:
+        if i in stg_keys:
+            assert (i, v) in set(staging)  # staging won
+        else:
+            assert (i, v) in set(sink)
+
+
+# ---------------------------------------------------------------------------
+# jaccard_pairs vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=8).map(" ".join), min_size=2, max_size=6
+)
+
+
+def _py_jaccard_pairs(texts, k=3, threshold=0.2):
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if uni and inter / uni >= threshold:
+                    out[(a, b)] = inter / uni
+    return out
+
+_JACCARD_CACHE = {}
+
+
+@given(docs=docs_strategy)
+@settings(max_examples=8, deadline=None)
+def test_jaccard_pairs_matches_python_reference(spark, docs):
+    from replicadb_spark.functions.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.2).collect()}
+    want = _py_jaccard_pairs(docs, k=3, threshold=0.2)
+    assert set(got) == set(want)
+    for pair, val in got.items():
+        assert math.isclose(val, want[pair], rel_tol=1e-12)
