@@ -1463,10 +1463,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(
-            F.broadcast(
-                t["part"].where(
-                    (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
-                )
+            t["part"].where(
+                (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -1543,7 +1541,7 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
     qual = (
         t["lineitem"]
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(_dec(F.col("l_quantity"))).alias("q"))
         .where(F.col("q") > 100)
@@ -1888,10 +1886,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of ECONOMY-part volume sold into a
     region, per order-year.
 
-    Scale: the only SF-scaled shuffle is orders⋈lineitem; customer and
-    supplier join AQE-chosen (no forced broadcast — they grow with SF),
-    nation/region broadcast as fixed dims, part filtered to one type
-    before its join. Decimal volume keeps the share order-independent.
+    Scale: the only SF-scaled shuffle is orders⋈lineitem; customer,
+    supplier, and the type-filtered part (a fixed FRACTION of an
+    SF-scaled table, so no static hint) join AQE-chosen; nation/region
+    broadcast as truly fixed dims. Decimal volume keeps the share
+    order-independent.
     """
     t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier",
            "nation", "region", "part")
@@ -1917,7 +1916,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .join(
-            F.broadcast(t["part"].where(F.col("p_type") == "ECONOMY")),
+            t["part"].where(F.col("p_type") == "ECONOMY"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(
@@ -1957,8 +1956,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Catalyst splits the disjunction — the part-only prefix
     (brand ∈ {1,2,3}, size ≥ 1) and lineitem-only prefix (quantity
     between 1 and 30) push into their scans BEFORE the join, and the
-    full disjunction applies post-join. The filtered part side is
-    broadcast-safe (3 brands × bounded size).
+    full disjunction applies post-join. The 3-brand part side is a
+    fixed fraction of an SF-scaled table — AQE decides whether it
+    broadcasts (it does at every test SF).
     """
     t = _t(spark, sf_dir, "lineitem", "part")
     cond = (
@@ -1977,9 +1977,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(
-                t["part"].where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
-            ),
+            t["part"].where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .where(cond)
