@@ -2073,3 +2073,73 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# =========================================================================
+# Streaming, driver-gated: a REAL Structured Streaming run whose bounded
+# result is SQL-checkable (streaming/pipeline.py)
+# =========================================================================
+
+@register(
+    "streaming_dedup_state",
+    oracle="""
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS first_ts,
+           COUNT(*) - 1 AS dup_count
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState cross-batch dedup, driven bounded
+    (Trigger.AvailableNow) and hash-checked against batch SQL: per key
+    the final emission carries the earliest event time and the
+    cumulative duplicate count, which for a complete bounded run must
+    equal GROUP BY over the same data — a full value gate on the
+    stateful operator, not a rows-only smoke check. min/max over the
+    memory sink's update-mode emissions keeps the reduction correct
+    under ANY micro-batch split (dup_count grows monotonically; state
+    carries first_ts across batches).
+
+    Scale: state is one tuple per distinct key with event-time TTL
+    (streaming/pipeline.py stream_dedup_first_seen); the memory sink is
+    test harness only — production writes each update batch to an
+    upsert sink."""
+    import uuid
+
+    from replicadb_spark.streaming.pipeline import stream_dedup_first_seen
+
+    batch = _t(spark, sf_dir, "events")["events"]
+    # FileStreamSource needs a directory-or-glob path; point it at the
+    # single events file via a glob with the sf dir as basePath
+    src = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.[p]arquet")
+    )
+    # TESTDATA ts arrives as INT64 nanos under nanosAsLong (session.py) —
+    # mirror tables()'s exact integer-div conversion on the stream
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ntz")
+        )
+    deduped = stream_dedup_first_seen(
+        src, key_col="user_id", ts_col="ts", watermark="1 hour"
+    )
+    name = f"strm_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("first_ts").cast("timestamp_ntz")).cast("string").alias("first_ts"),
+            F.max("dup_count").alias("dup_count"),
+        )
+    )
