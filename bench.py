@@ -59,6 +59,10 @@ def main() -> int:
 
     spark = get_spark("replicadb-spark-bench")
     spark.range(1000).count()  # warm up JVM/scheduler
+    # warm the parquet reader stack (vectorized reader + codegen class
+    # loading, ~2 s) on the 5-row region table so it isn't billed to
+    # whichever scan-bound query runs first
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     # Spawn the Python worker pool once (32 forked workers importing
     # pandas/numpy, ~5-8 s) so the pool cost isn't billed to whichever

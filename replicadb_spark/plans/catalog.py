@@ -2024,9 +2024,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, supplier)-grained aggregate — per_supp's single lineitem
     shuffle replaces two correlated lineitem self-joins, and avoids the
     Expand(×2) a double countDistinct would put on every lineitem row.
-    per_supp is reused (persist) as both the order stats source and the
-    late-pair set; everything after it is orders-of-magnitude smaller
-    than lineitem. Supplier join AQE-chosen; no SF-scaled broadcast.
+    per_supp feeds both the order stats and the late-pair set through
+    Spark's ReusedExchange (identical subtrees share one shuffle
+    materialization — pinned in tests/test_plans.py), so lineitem is
+    read and shuffled once with no persist on the critical path.
+    Supplier join AQE-chosen; no SF-scaled broadcast.
     """
     t = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     li = (
@@ -2049,7 +2051,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = (
         li.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("late"), 1).otherwise(0)).alias("is_late"))
-        .persist()
     )
     # grain 2: per order, supplier count and late-supplier count — the
     # decorrelated exists / not-exists, distinct-free

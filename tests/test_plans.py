@@ -140,3 +140,5 @@ def test_q21_single_lineitem_shuffle_decorrelated(spark):
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+    # per_supp feeds both consumers through ONE shuffle materialization
+    assert "ReusedExchange" in plan
