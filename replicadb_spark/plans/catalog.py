@@ -2144,3 +2144,49 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dup_count").alias("dup_count"),
         )
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    # RECURSIVE must prefix the whole WITH list in DuckDB
+    oracle=_SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1) + """
+    , pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz za ON id_a = za.doc_id
+      JOIN sz zb ON id_b = zb.doc_id
+      WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.5
+    ), und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      -- transitive closure by fixpoint; near-dup clusters are tiny, so
+      -- the closure stays small even though it is O(n*m) in general
+      SELECT src AS a, src AS b FROM und
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN und e ON r.b = e.src
+    )
+    SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash-LSH pairs at 0.5 → connected
+    components → (doc_id, canonical_id = min doc in its cluster). The
+    step a dedup pipeline actually keys its keep/drop decision on —
+    transitive closure collapses A~B~C chains the pair list alone
+    misses (operators/graph.py min-label propagation; the DuckDB
+    oracle's RECURSIVE closure checks the same fixpoint).
+
+    Scale: the iterative loop shuffles only the edge list (pairs — a
+    sliver of the corpus), once per round, bounded by cluster diameter
+    (near-dup clusters are quasi-cliques, diameter ≈ 2-3)."""
+    from replicadb_spark.operators import connected_components
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_dedup_pairs(
+        d, "doc_id", "text", k=3, num_hashes=128, bands=64, threshold=0.5
+    )
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("canonical_id")
+    )

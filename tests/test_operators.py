@@ -126,3 +126,28 @@ def test_salted_join_left_outer(spark):
     out = salted_join(large, small, "k", salt=3, how="left").collect()
     got = {(r["k"], r["name"]) for r in out}
     assert got == {(1, "x"), (3, None)}
+
+
+def test_connected_components_collapses_chains(spark):
+    from replicadb_spark.operators import connected_components
+
+    # two clusters: a 4-chain (1-2, 2-3, 3-4) that pairwise lists would
+    # miss as one group, and an isolated pair (10-11)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {r["vertex"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    from replicadb_spark.operators import connected_components
+
+    # a 12-vertex path — needs multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["src", "dst"]
+    )
+    got = {r["vertex"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 12
