@@ -44,12 +44,14 @@ _GATE_FIRST = (
     "q6_forecast_revenue", "q8_market_share",
     "q19_disjunctive_revenue", "q21_waiting_suppliers",
     "streaming_dedup_state", "dedup_cluster_canonical",
+    "text_repetition", "decontaminate_overlap",
 )
 _GATE_LAST = (
     "set_except_customers", "anti_join_customers",
     "set_intersect_customers", "semi_join_parts",
     "rollup_orders", "cube_status_priority",
     "global_topk_orders", "dedup_keep_latest",
+    "json_extract_props", "pivot_priority_by_segment",
 )
 
 

@@ -2190,3 +2190,100 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+                  ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                  ELSE [] END AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(g2)) * 1.0 / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+           round(1.0 - len(list_distinct(g3)) * 1.0 / greatest(len(g3), 1), 6) AS dup_3gram_frac
+    FROM grams
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family):
+    fraction of duplicated word 2-grams / 3-grams per document — high
+    values mark boilerplate/spam for corpus filtering.
+
+    Scale: pure codegen array expressions per row (split, transform,
+    array_distinct) — no explode, no shuffle; the gram arrays live only
+    inside the row's expression evaluation."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    staged = d.select("doc_id", D.word_tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+
+    def dup_frac(k: int):
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        grams = F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.greatest(F.size(grams), F.lit(1)),
+            6,
+        )
+
+    return staged.select(
+        "doc_id",
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)])) AS s
+      FROM toks
+      WHERE len(t) >= 5
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id < 5
+    )
+    SELECT doc_id, COUNT(DISTINCT s) AS n_hit_grams
+    FROM sh JOIN bench USING (s)
+    WHERE doc_id >= 5
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    5-gram with the benchmark set (here: doc_id < 5 stands in for the
+    eval suite) and how many distinct grams hit — the overlap check run
+    before training to drop eval-contaminated documents.
+
+    Scale: the benchmark gram set is tiny by definition (an eval suite,
+    not a corpus) → broadcast; the corpus side explodes its distinct
+    grams and inner-joins the broadcast set, then ONE groupBy on doc_id.
+    Corpus never self-joins and never shuffles its text."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    staged = d.select("doc_id", D.word_tokens(F.col("text")).alias("toks"))
+    sh = staged.select(
+        "doc_id", F.explode(D.shingles_tokens(F.col("toks"), 5)).alias("s")
+    )
+    bench = sh.where(F.col("doc_id") < 5).select("s").distinct()
+    return (
+        sh.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hit_grams"))
+    )
