@@ -396,6 +396,13 @@ def minhash_band_buckets(
             })
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # a small input (single parquet file → one partition) would run the
+    # whole sketch on one core; fan it out to cluster width first. The
+    # round-robin shuffle moves only (id, text) once and is a no-op
+    # when the input is already at least as wide.
+    width = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < width:
+        src = src.repartition(width)
     return src.mapInPandas(gen, schema="id long, band int, bucket long")
 
 

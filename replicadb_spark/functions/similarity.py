@@ -57,6 +57,12 @@ def knn_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    # a narrow input (single parquet file → one partition) would score
+    # the whole cross product on one core; fan out to cluster width
+    # (no-op when the corpus is already wider)
+    width = c.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < width:
+        c = c.repartition(width)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
