@@ -45,6 +45,7 @@ _GATE_FIRST = (
     "q19_disjunctive_revenue", "q21_waiting_suppliers",
     "streaming_dedup_state", "dedup_cluster_canonical",
     "text_repetition", "decontaminate_overlap",
+    "dedup_incremental_batch",
 )
 _GATE_LAST = (
     "set_except_customers", "anti_join_customers",
@@ -52,6 +53,7 @@ _GATE_LAST = (
     "rollup_orders", "cube_status_priority",
     "global_topk_orders", "dedup_keep_latest",
     "json_extract_props", "pivot_priority_by_segment",
+    "median_balance_by_nation",
 )
 
 

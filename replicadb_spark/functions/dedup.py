@@ -516,6 +516,80 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_pairs_bipartite(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup: (existing_id, incoming_id, jaccard) pairs
+    ACROSS the two sets only — the shape a production ingest runs when a
+    new batch lands (dedupe the batch against the corpus without
+    re-pairing the corpus with itself).
+
+    Same banded-LSH + exact-verify pipeline as minhash_dedup_pairs, but
+    the bucket join is bipartite: existing buckets ⋈ incoming buckets,
+    so cost is O(batch·bands + matched buckets), independent of
+    corpus×corpus. At 100 TB the existing side's buckets are a
+    precomputed index (stage them to a table); here they are computed
+    inline from the frame.
+    """
+    eb = minhash_band_buckets(
+        existing, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    ib = minhash_band_buckets(
+        incoming, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    cands = (
+        eb.alias("l")
+        .join(ib.alias("r"), on=["band", "bucket"])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    import pandas as pd
+
+    def cand_sets(batches):
+        for pdf in batches:
+            out_id, out_ss = [], []
+            for doc_id, text in zip(pdf["id"].values, pdf["text"].values):
+                toks = (text or "").lower().split()
+                out_id.append(doc_id)
+                out_ss.append(
+                    list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+                )
+            yield pd.DataFrame({"id": pd.Series(out_id, dtype="int64"), "ss": out_ss})
+
+    def sets_for(side: DataFrame, ids: DataFrame) -> DataFrame:
+        return (
+            side.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+            .join(ids, "id", "left_semi")
+            .mapInPandas(cand_sets, schema="id long, ss array<string>")
+        )
+
+    a_sets = sets_for(existing, cands.select(F.col("id_a").alias("id")).distinct())
+    b_sets = sets_for(incoming, cands.select(F.col("id_b").alias("id")).distinct())
+    joined = (
+        cands.join(a_sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a")
+        .join(b_sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    union = F.size("ss_a") + F.size("ss_b") - inter
+    return (
+        joined.withColumn(
+            "jaccard", inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_df(
     df: DataFrame,
     id_col: str,

@@ -2287,3 +2287,34 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("s").alias("n_hit_grams"))
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_SHINGLE_CTE + """
+    SELECT id_a, id_b,
+           round(i * 1.0 / (za.sz + zb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz za ON id_a = za.doc_id
+    JOIN sz zb ON id_b = zb.doc_id
+    WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.5
+      AND id_a < 250 AND id_b >= 250
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 'new batch' (doc_id >= 250)
+    near-dup-checked AGAINST the existing corpus (doc_id < 250) via the
+    bipartite banded-LSH pipeline — corpus×corpus pairs are never
+    formed (functions/dedup.minhash_dedup_pairs_bipartite). The oracle
+    is the exact cross-set Jaccard pair list at 0.5.
+
+    Scale: cost is O(batch·bands) plus matched buckets; the existing
+    side's bucket index is precomputable once and reused per batch."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    existing = d.where(F.col("doc_id") < 250)
+    incoming = d.where(F.col("doc_id") >= 250)
+    pairs = D.minhash_dedup_pairs_bipartite(
+        existing, incoming, "doc_id", "text",
+        k=3, num_hashes=128, bands=64, threshold=0.5,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -126,3 +126,21 @@ def test_lsh_candidates_scale_shape(corpus):
     # candidate set must include the true near-dups
     got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert {(0, 1), (0, 3), (0, 4)} <= got
+
+
+def test_bipartite_dedup_only_cross_pairs(spark):
+    # existing: 0-2, incoming: 100-102; 100 duplicates 0, 101 duplicates
+    # 102 (BOTH incoming — must NOT pair), 2 duplicates 1 (both existing)
+    rows = [
+        (0, BASE), (1, FAR), (2, FAR),
+        (100, BASE), (101, NEAR), (102, NEAR.replace("sleepy", "drowsy")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    existing = df.where("doc_id < 100")
+    incoming = df.where("doc_id >= 100")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.minhash_dedup_pairs_bipartite(
+                 existing, incoming, "doc_id", "text",
+                 num_hashes=128, bands=64, threshold=0.5).collect()}
+    assert (0, 100) in pairs                      # cross-set dup found
+    assert all(a < 100 <= b for a, b in pairs)    # bipartite only
