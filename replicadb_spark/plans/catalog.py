@@ -2318,3 +2318,80 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hashes=128, bands=64, threshold=0.5,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "approx_distinct_gate",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting, gated like the ANN sketches:
+    emit the EXACT distinct count (hash-checkable) plus a boolean
+    pinning the HLL estimate within 5% relative error — a sketch
+    regression flips the boolean and fails the value hash.
+
+    Scale: approx_count_distinct is the 100 TB path (fixed-size sketch,
+    map-side mergeable, no distinct Expand); the exact count rides
+    along here only to gate it."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers"))
+                / F.greatest(F.col("exact_customers"), F.lit(1))
+                <= 0.05
+            ).alias("approx_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS order_date, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS running_spend,
+           CAST(o_totalprice - lag(o_totalprice, 1, NULL)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS delta_vs_prev
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative running spend + order-over-order delta per customer —
+    the frame-based window family (running SUM, LAG) the earlier
+    entries (rank/top-k windows) don't exercise.
+
+    Scale: one shuffle on o_custkey; both windows share the same
+    partitioning+ordering so they evaluate in a single Window node
+    (no second exchange). Decimal accumulation keeps the running sum
+    deterministic; total tiebreak (date, orderkey) fixes frame order."""
+    o = _t(spark, sf_dir, "orders")["orders"].where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_spend"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w))
+        .cast("double")
+        .alias("delta_vs_prev"),
+    )
