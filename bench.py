@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "text_quality",
     "dedup_exact_key",
     "dedup_minhash_lsh",
+    "dedup_incremental_batch",
+    "skew_salted_join",
+    "clean_corpus_pipeline",
+    "text_repetition",
     "knn_bruteforce",
     "emb_neardup",
     "multimodal_features",
