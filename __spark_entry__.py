@@ -46,8 +46,12 @@ _GATE_FIRST = (
     "text_repetition", "decontaminate_overlap",
     "dedup_incremental_batch",
     "approx_distinct_gate", "window_running_total",
+    "shard_pack_chars", "sample_stratified_hash",
+    "docs_chunk_overlap", "ngram_topk_corpus",
 )
 _GATE_LAST = (
+    "q4_priority_count", "q12_priority_shipmode",
+    "q14_promo_revenue_share", "q17_small_quantity_revenue",
     "set_except_customers", "anti_join_customers",
     "set_intersect_customers", "semi_join_parts",
     "rollup_orders", "cube_status_priority",

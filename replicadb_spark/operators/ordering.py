@@ -1,0 +1,91 @@
+"""Globally-ordered running totals without a single-partition sort.
+
+A cumulative sum over ``Window.orderBy(key)`` with no partitionBy pulls
+every row through ONE partition (Spark even warns). These helpers keep
+the exact global-order semantics but do the heavy work partition-local:
+
+1. range-bucket rows by ``floor(key / bucket_width)`` (narrow, no action);
+2. intra-bucket running sum — a window PARTITIONED by bucket (parallel);
+3. per-bucket totals (one tiny hash-agg: n_rows / bucket_width rows),
+   exclusive-prefix-summed with a window over that tiny frame only;
+4. broadcast the prefixes back and add.
+
+The only single-partition window runs over the bucket totals —
+``n / bucket_width`` rows — so at 100 TB with width 1M the "global"
+step touches ~100k rows, not 10^11.
+
+Requires a unique, numeric, roughly-uniform ``order_col`` (ids from a
+sequence/snowflake). Ties would make the running value nondeterministic,
+same as any SQL cumulative window without a total order.
+
+Used by the ``shard_pack_chars`` catalog query: greedy packing of
+documents into fixed-cost training shards (token/char budget per shard),
+the standard sharding step before writing webdataset/tfrecord-style
+training archives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Exact inclusive running sum of ``value_col`` in ``order_col`` order.
+
+    Equivalent to ``SUM(value) OVER (ORDER BY key ROWS UNBOUNDED
+    PRECEDING)`` but scalable (see module docstring).
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(bucket_width))
+    b = df.withColumn("__bucket", bucket)
+
+    intra_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = b.withColumn("__intra", F.sum(value_col).over(intra_w))
+
+    # tiny side: one row per bucket
+    totals = b.groupBy("__bucket").agg(F.sum(value_col).alias("__btot"))
+    prefix_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(prefix_w), F.lit(0)).alias("__prefix"),
+    )
+
+    out = intra.join(F.broadcast(prefix), "__bucket")
+    return (
+        out.withColumn(out_col, F.col("__intra") + F.col("__prefix"))
+        .drop("__bucket", "__intra", "__prefix")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    cost_col: str,
+    budget: int,
+    shard_col: str = "shard",
+    running_col: str = "running_total",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Assign rows to consecutive shards of ~``budget`` total cost.
+
+    A row lands in the shard its cumulative START offset falls into:
+    ``shard = (running - cost) div budget``. Deterministic, single pass,
+    no driver-side state; shard boundaries may overshoot by at most one
+    row's cost (greedy packing, same contract as tar-shard writers).
+    """
+    out = global_running_sum(
+        df, order_col, cost_col, out_col=running_col, bucket_width=bucket_width
+    )
+    return out.withColumn(
+        shard_col, F.expr(f"({running_col} - {cost_col}) div {budget}")
+    )

@@ -2395,3 +2395,158 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("delta_vs_prev"),
     )
+
+
+# =========================================================================
+# Round-3 additions: training-shard packing, reproducible sampling,
+# chunking, corpus n-gram frequency
+# =========================================================================
+
+@register(
+    "shard_pack_chars",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS running_chars,
+           CAST((SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_chars) // 8192 AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def shard_pack_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into consecutive training shards of ~8 KiB text
+    each (the sharding step before writing webdataset/tfrecord archives)
+    via an exact GLOBAL running char total.
+
+    Scale: the oracle's naive form (SUM OVER (ORDER BY doc_id) with no
+    PARTITION BY) is a single-partition sort in Spark — the forbidden
+    shape. operators/ordering.py replaces it with range-bucketed
+    partition-local windows + a prefix sum over the tiny bucket-totals
+    frame + a broadcast join back: same bit-exact result, the only
+    SinglePartition exchange sees n/4096 rows."""
+    from replicadb_spark.operators.ordering import pack_shards
+
+    d = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "n_chars")
+    return pack_shards(
+        d, "doc_id", "n_chars", budget=8192, running_col="running_chars"
+    ).select("doc_id", "n_chars", "running_chars", "shard")
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5('seed-42:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '40' END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: keep ~50% of 'en' docs and ~25%
+    of every other language, deciding membership from md5(seed || id) —
+    the standard trick for a sample that is stable across runs, engines
+    and resampling (vs rand(), which is neither reproducible nor
+    engine-portable; both engines emit identical lowercase-hex md5).
+
+    Scale: pure codegen projection + filter, no shuffle, no skew; the
+    per-stratum rate is a literal comparison on the first hash byte."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    h = F.substring(
+        F.md5(F.concat(F.lit("seed-42:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    rate = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("40"))
+    return d.where(h < rate).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= 80 THEN 1
+                  ELSE CAST(ceil((length(text) - 80) / 60.0) AS BIGINT) + 1
+             END AS nc
+      FROM documents WHERE text IS NOT NULL
+    ), x AS (
+      SELECT doc_id, text, UNNEST(generate_series(0, nc - 1)) AS i FROM d
+    )
+    SELECT doc_id, i AS chunk_idx, i*60 + 1 AS chunk_start,
+           substring(text, CAST(i*60 + 1 AS INT), 80) AS chunk_text,
+           length(substring(text, CAST(i*60 + 1 AS INT), 80)) AS chunk_len
+    FROM x
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 80-char chunks on a 60-char
+    stride (20-char overlap) — the context-window chunking step of a
+    training/RAG pipeline, done with array ops instead of a UDF.
+
+    Scale: narrow projection + explode, no shuffle; output rows ≈
+    input_chars/60, generated lazily per input split. The chunk count is
+    closed-form (ceil((len-80)/60)+1) so no second pass over text."""
+    d = (
+        _t(spark, sf_dir, "documents")["documents"]
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", F.length("text").alias("len"))
+    )
+    nc = F.when(F.col("len") <= 80, F.lit(1).cast("long")).otherwise(
+        F.ceil((F.col("len") - 80) / F.lit(60.0)) + 1
+    )
+    x = d.withColumn("nc", nc).select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias("i"),
+    )
+    return x.select(
+        "doc_id",
+        F.col("i").alias("chunk_idx"),
+        (F.col("i") * 60 + 1).alias("chunk_start"),
+        F.expr("substring(text, CAST(i*60 + 1 AS INT), 80)").alias("chunk_text"),
+        F.length(F.expr("substring(text, CAST(i*60 + 1 AS INT), 80)")).alias(
+            "chunk_len"
+        ),
+    )
+
+
+@register(
+    "ngram_topk_corpus",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+      FROM (SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM b GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams with counts — the n-gram frequency
+    profile used to spot boilerplate/template contamination in a
+    training corpus.
+
+    Scale: transform+explode is narrow; the count is a hash aggregate
+    with map-side partial rows bounded by the bigram vocabulary (not the
+    corpus), and the top-20 is TakeOrderedAndProject (no global sort).
+    A heavy-hitter sketch could replace the exact count above ~10^9
+    distinct n-grams; the exact plan is the right default. Total
+    tiebreak (cnt desc, bigram) keeps the cutoff deterministic."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = d.select(F.split("text", " ").alias("toks")).where(F.size("toks") >= 2)
+    b = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        b.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )

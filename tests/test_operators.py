@@ -151,3 +151,64 @@ def test_connected_components_long_path_converges(spark):
     got = {r["vertex"]: r["component"]
            for r in connected_components(edges).collect()}
     assert set(got.values()) == {0} and len(got) == 12
+
+
+# ---------------------------------------------------------------- ordering
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from replicadb_spark.operators.ordering import global_running_sum
+
+    rows = [(i * 7 % 997, (i * 13) % 50 + 1) for i in range(997)]  # unique keys
+    df = _df(spark, rows, "k long, v long")
+
+    got = {
+        r["k"]: r["rt"]
+        for r in global_running_sum(df, "k", "v", "rt", bucket_width=64).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r["k"]: r["rt"] for r in df.select("k", F.sum("v").over(w).alias("rt")).collect()}
+    assert got == want
+
+
+def test_pack_shards_budget_and_monotonicity(spark):
+    from replicadb_spark.operators.ordering import pack_shards
+
+    df = _df(spark, [(i, 10) for i in range(100)], "k long, cost long")
+    out = pack_shards(df, "k", "cost", budget=25, bucket_width=16).orderBy("k").collect()
+    # start-offset assignment: shards are contiguous, nondecreasing in key order
+    shards = [r["shard"] for r in out]
+    assert shards == sorted(shards)
+    assert shards[0] == 0
+    # each shard's total cost overshoots the budget by at most one row's cost
+    from collections import Counter
+
+    per = Counter()
+    for r in out:
+        per[r["shard"]] += r["cost"]
+    assert all(tot <= 25 + 10 for tot in per.values())
+    # every row accounted for exactly once
+    assert sum(per.values()) == 100 * 10
+
+
+def test_global_running_sum_wide_window_is_partitioned(spark):
+    """The scale contract: the window over the FULL input must be
+    partitioned by bucket; only the tiny bucket-totals window may run
+    single-partition."""
+    from replicadb_spark.operators.ordering import global_running_sum
+
+    df = _df(spark, [(i, 1) for i in range(500)], "k long, v long")
+    plan = (
+        global_running_sum(df, "k", "v", bucket_width=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    wide_windows = [
+        ln for ln in plan.splitlines() if re.search(r"\bWindow\b", ln) and "__btot" not in ln
+    ]
+    assert wide_windows, "expected a partition-local window over the input"
+    assert all("__bucket" in ln for ln in wide_windows)
