@@ -48,8 +48,10 @@ _GATE_FIRST = (
     "approx_distinct_gate", "window_running_total",
     "shard_pack_chars", "sample_stratified_hash",
     "docs_chunk_overlap", "ngram_topk_corpus",
+    "events_sliding_agg", "pii_redact_props",
 )
 _GATE_LAST = (
+    "q16_part_supplier_counts", "q22_idle_customers",
     "q4_priority_count", "q12_priority_shipmode",
     "q14_promo_revenue_share", "q17_small_quantity_revenue",
     "set_except_customers", "anti_join_customers",

@@ -188,3 +188,38 @@ def winnowing_fingerprints(df, id_col: str, text_col: str, *, k: int = 8, w: int
         .distinct()
     )
     return sel
+
+
+# PII scrubbing patterns — shared with the DuckDB oracle, so they must
+# behave identically under Java regex (Spark) and RE2 (DuckDB): plain
+# character classes + counted quantifiers only, no lookaround (RE2 has
+# none), no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{6,}"  # phone/account/ssn-length digit runs
+PII_NUM_RE = r"[0-9]+"
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Sequential PII scrub: emails → '<EMAIL>', ≥6-digit runs →
+    '<NUM>', remaining digit runs → '#', with per-stage match counts
+    (counted on the stage INPUT, so digits inside an email are never
+    double-counted).
+
+    Returns ``{"redacted", "n_email", "n_longnum", "n_num"}`` columns.
+
+    Scale: three codegen regexp passes per row, no shuffle, no UDF —
+    the cheap always-on scrub of an ingest pipeline (a learned NER
+    scrubber would ride a Pandas UDF downstream of this)."""
+    s0 = text
+    n_email = F.regexp_count(s0, F.lit(PII_EMAIL_RE)).cast("long")
+    s1 = F.regexp_replace(s0, PII_EMAIL_RE, "<EMAIL>")
+    n_longnum = F.regexp_count(s1, F.lit(PII_LONGNUM_RE)).cast("long")
+    s2 = F.regexp_replace(s1, PII_LONGNUM_RE, "<NUM>")
+    n_num = F.regexp_count(s2, F.lit(PII_NUM_RE)).cast("long")
+    s3 = F.regexp_replace(s2, PII_NUM_RE, "#")
+    return {
+        "redacted": s3,
+        "n_email": n_email,
+        "n_longnum": n_longnum,
+        "n_num": n_num,
+    }

@@ -2550,3 +2550,92 @@ def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "events_sliding_agg",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS k, event_type, value
+      FROM events
+    ), x AS (
+      SELECT (k - 1 + j) * 300 AS win_start_epoch, event_type, value
+      FROM e, UNNEST([0, 1]) AS t(j)
+    )
+    SELECT win_start_epoch, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM x GROUP BY win_start_epoch, event_type
+    """,
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 10-minute windows hopping every 5 minutes (each event
+    counted in exactly 2 windows) — batch twin of
+    streaming/pipeline.py:stream_sliding_agg, emitting epoch seconds so
+    both engines agree without timestamp formatting.
+
+    Scale: window expansion (×2) happens map-side inside the window
+    operator; one hash-agg shuffle keyed (window, event_type). The
+    oracle derives the same windows arithmetically: start ∈
+    {300(k-1), 300k} for k = floor(epoch/300) — Spark aligns hop
+    windows to the epoch, so the closed form is exact."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(
+            # NTZ → TIMESTAMP is identity under the UTC session tz; the
+            # second cast yields epoch seconds (NTZ→long is not allowed)
+            F.col("w.start").cast("timestamp").cast("long").alias("win_start_epoch"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+@register(
+    "pii_redact_props",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g'),
+             '[0-9]+', '#', 'g') AS props_redacted,
+           CAST(len(regexp_extract_all(props,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(
+             regexp_replace(props,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{6,}')) AS BIGINT) AS n_longnum,
+           CAST(len(regexp_extract_all(
+             regexp_replace(
+               regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g'),
+             '[0-9]+')) AS BIGINT) AS n_num
+    FROM events
+    """,
+)
+def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the event payloads: mask emails, long digit runs,
+    then any digits, with per-stage counts (functions/text.py:redact_pii
+    — patterns chosen to mean the same thing under Java regex and RE2).
+
+    Scale: three codegen regexp projections, no shuffle; count columns
+    let a pipeline cheaply monitor scrub rates per batch."""
+    e = _t(spark, sf_dir, "events")["events"]
+    cols = X.redact_pii(F.col("props"))
+    return e.select(
+        "event_id",
+        cols["redacted"].alias("props_redacted"),
+        cols["n_email"].alias("n_email"),
+        cols["n_longnum"].alias("n_longnum"),
+        cols["n_num"].alias("n_num"),
+    )

@@ -61,6 +61,38 @@ def stream_tumbling_agg(
     )
 
 
+def stream_sliding_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping (sliding) windowed count/sum per event_type — the hop
+    windows of a rates/trends dashboard. Each event lands in
+    window÷slide windows; Spark expands that assignment inside the
+    window operator, then state is per (window, event_type).
+
+    Scale: state ∝ active_windows × event_types, bounded by the
+    watermark; the expansion factor (window/slide) multiplies shuffle
+    rows, so keep it small (2 here). Batch twin: `events_sliding_agg`
+    in plans/catalog.py (same expression, oracle-gated)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window, slide).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     *,

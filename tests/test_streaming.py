@@ -154,3 +154,26 @@ def test_stream_dedup_first_seen_accumulates_across_batches(spark, tmp_path):
     # unique keys emit once with zero dups
     assert [r["dup_count"] for r in by_key[1]] == [0]
     assert [r["dup_count"] for r in by_key[3]] == [0]
+
+
+def test_stream_sliding_agg_matches_batch(spark, event_dir):
+    path, schema = event_dir
+    stream = P.read_event_stream(spark, path, schema)
+    out = _run_to_memory(
+        spark,
+        P.stream_sliding_agg(stream, window="10 minutes", slide="5 minutes"),
+        "t_slide",
+    )
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "event_type", "n")
+    )
+    got = {(str(r["win_start"]), r["event_type"]): r["n_events"] for r in out.collect()}
+    want = {(str(r["s"]), r["event_type"]): r["n"] for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(want.values()) == 2 * spark.read.parquet(path).count()

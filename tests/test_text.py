@@ -81,3 +81,33 @@ def test_bpe_token_count(spark):
     # "hello" " world" → 2
     assert got[1] == 2
     assert got[2] == 0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from replicadb_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "contact john.doe+x@example.co.uk or call 5551234567 now"),
+        (2, "k=42 v=007"),
+        (3, "no pii here"),
+        (4, "two mails a@b.io c@d.org and run 123456789012"),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    cols = redact_pii(F.col("s"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            cols["redacted"].alias("red"),
+            cols["n_email"].alias("ne"),
+            cols["n_longnum"].alias("nl"),
+            cols["n_num"].alias("nn"),
+        ).collect()
+    }
+    assert out[1]["red"] == "contact <EMAIL> or call <NUM> now"
+    assert (out[1]["ne"], out[1]["nl"], out[1]["nn"]) == (1, 1, 0)
+    assert out[2]["red"] == "k=# v=#"
+    assert (out[2]["ne"], out[2]["nl"], out[2]["nn"]) == (0, 0, 2)
+    assert out[3]["red"] == "no pii here"
+    assert out[4]["red"] == "two mails <EMAIL> <EMAIL> and run <NUM>"
+    assert (out[4]["ne"], out[4]["nl"], out[4]["nn"]) == (2, 1, 0)
