@@ -142,3 +142,26 @@ def test_q21_single_lineitem_shuffle_decorrelated(spark):
     assert "TakeOrderedAndProject" in plan
     # per_supp feeds both consumers through ONE shuffle materialization
     assert "ReusedExchange" in plan
+
+
+def test_chunk_and_redact_and_sample_no_shuffle(spark):
+    """The three per-row pipeline ops (chunking, PII scrub, hash
+    sampling) must stay narrow: zero exchanges at any scale."""
+    for name in ("docs_chunk_overlap", "pii_redact_props", "sample_stratified_hash"):
+        plan = _final_plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_ngram_topk_partial_agg_and_no_global_sort(spark):
+    # AQE dumps Final + Initial plans; count shuffles in the Final only
+    plan = _final_plan(spark, "ngram_topk_corpus").split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan  # top-20 never globally sorts
+    # map-side partial aggregation before the single exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_sliding_agg_single_shuffle_with_expand(spark):
+    plan = _final_plan(spark, "events_sliding_agg").split("== Initial Plan ==")[0]
+    assert "Expand" in plan  # ×2 hop-window expansion happens map-side
+    assert plan.count("Exchange hashpartitioning") == 1
