@@ -49,8 +49,10 @@ _GATE_FIRST = (
     "shard_pack_chars", "sample_stratified_hash",
     "docs_chunk_overlap", "ngram_topk_corpus",
     "events_sliding_agg", "pii_redact_props",
+    "emb_dim_profile",
 )
 _GATE_LAST = (
+    "q10_returned_items",
     "q16_part_supplier_counts", "q22_idle_customers",
     "q4_priority_count", "q12_priority_shipmode",
     "q14_promo_revenue_share", "q17_small_quantity_revenue",

@@ -2639,3 +2639,67 @@ def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_longnum"].alias("n_longnum"),
         cols["n_num"].alias("n_num"),
     )
+
+
+@register(
+    "emb_dim_profile",
+    oracle="""
+    WITH x AS (
+      SELECT UNNEST(generate_series(1, len(embedding))) AS dim, embedding
+      FROM embeddings
+    ), v AS (
+      SELECT dim,
+             CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS sv,
+             CAST(embedding[dim] AS DOUBLE) AS val
+      FROM x
+    )
+    SELECT dim, COUNT(*) AS n_vals,
+           round(CAST(SUM(sv) AS BIGINT) / 1000000.0 / COUNT(*), 6) AS mean_val,
+           round(sqrt(greatest(
+             CAST(SUM(sv * sv) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+               - (CAST(SUM(sv) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))
+                 * (CAST(SUM(sv) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)),
+             0)) / 1000000.0, 6) AS std_val,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM v GROUP BY dim
+    """,
+)
+def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (count/mean/std/
+    min/max) — the feature-QA pass that catches dead dims, scale drift
+    and NaN poisoning before vectors hit training or an ANN index.
+
+    Determinism across engines: float sums are order-dependent, so mean
+    and std are computed on values quantized to 1e-6 (exact int64 sums,
+    order-free); min/max are exact float→double casts. Identical
+    double-op ORDER on both sides keeps the rounded outputs bit-equal.
+
+    Scale: posexplode multiplies rows ×dims map-side, but partial
+    aggregation collapses them to dims×partitions rows before the one
+    64-key shuffle — no wide data ever moves."""
+    em = _t(spark, sf_dir, "embeddings")["embeddings"]
+    v = em.select(F.posexplode("embedding").alias("pos", "fval")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("fval").cast("double") * 1000000, 0).cast("long").alias("sv"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    s = F.sum("sv").cast("double")
+    n = F.count("*")
+    ssq = F.sum(F.col("sv") * F.col("sv")).cast("double")
+    return v.groupBy("dim").agg(
+        n.alias("n_vals"),
+        F.round(s / 1000000.0 / n, 6).alias("mean_val"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    ssq / n.cast("double") - (s / n.cast("double")) * (s / n.cast("double")),
+                    F.lit(0.0),
+                )
+            )
+            / 1000000.0,
+            6,
+        ).alias("std_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
