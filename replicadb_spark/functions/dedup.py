@@ -262,8 +262,14 @@ def minhash_band_buckets(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    extras: dict[str, str] | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH keys via one Arrow-batched mapInPandas pass.
+
+    ``extras`` ({column: spark_type}) echoes integer side/tag columns
+    through the sketch, repeated per band — this is how the bipartite
+    incremental pipeline sketches corpus+batch in ONE pass and still
+    knows which side each bucket row came from.
 
     The whole sketch — tokenize, shingle-hash (k-term polynomial over
     per-unique-token crc32), minhash perms, band fold — runs vectorized
@@ -286,10 +292,12 @@ def minhash_band_buckets(
     params = minhash_params(num_hashes, seed)
     a_arr = [a for a, _ in params]
     b_arr = [b for _, b in params]
+    extra_names = tuple((extras or {}).keys())
     _EMPTY = {
         "id": pd.Series([], dtype="int64"),
         "band": pd.Series([], dtype="int32"),
         "bucket": pd.Series([], dtype="int64"),
+        **{c: pd.Series([], dtype="int64") for c in extra_names},
     }
     # perm-matrix chunk bound: 128 hashes × 8k shingles × 8B = 8 MB —
     # a buffer this small is touched once and then lives in the
@@ -393,9 +401,17 @@ def minhash_band_buckets(
                     dtype="int32",
                 ),
                 "bucket": pd.Series(acc.T.reshape(-1), dtype="int64"),
+                **{
+                    c: pd.Series(np.repeat(pdf[c].values[present], bands))
+                    for c in extra_names
+                },
             })
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        *[F.col(c) for c in extra_names],
+    )
     # a small input (single parquet file → one partition) would run the
     # whole sketch on one core; fan it out to cluster width first. The
     # round-robin shuffle moves only (id, text) once and is a no-op
@@ -403,7 +419,10 @@ def minhash_band_buckets(
     width = src.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < width:
         src = src.repartition(width)
-    return src.mapInPandas(gen, schema="id long, band int, bucket long")
+    schema = "id long, band int, bucket long" + "".join(
+        f", {c} {t}" for c, t in (extras or {}).items()
+    )
+    return src.mapInPandas(gen, schema=schema)
 
 
 def minhash_lsh_candidates(
@@ -539,16 +558,30 @@ def minhash_dedup_pairs_bipartite(
     corpus×corpus. At 100 TB the existing side's buckets are a
     precomputed index (stage them to a table); here they are computed
     inline from the frame.
+
+    Ids must be disjoint across the two sides (the incremental-ingest
+    contract: batch rows get fresh ids) — both sides are sketched and
+    shingled in ONE tagged pass over the union, halving the
+    mapInPandas stage count vs per-side passes.
     """
-    eb = minhash_band_buckets(
-        existing, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
+    tagged = (
+        existing.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("side", F.lit(0))
+        .unionByName(
+            incoming.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+            .withColumn("side", F.lit(1))
+        )
     )
-    ib = minhash_band_buckets(
-        incoming, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
-    )
+    # one sketch pass over corpus+batch; side echoed through per band.
+    # persist: both sides of the bucket join read this frame (the 100 TB
+    # form stages the existing side's rows to a table instead).
+    buckets = minhash_band_buckets(
+        tagged, "id", "text", k=k, num_hashes=num_hashes, bands=bands, seed=seed,
+        extras={"side": "int"},
+    ).persist()
     cands = (
-        eb.alias("l")
-        .join(ib.alias("r"), on=["band", "bucket"])
+        buckets.where(F.col("side") == 0).alias("l")
+        .join(buckets.where(F.col("side") == 1).alias("r"), on=["band", "bucket"])
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
         .persist()
@@ -566,18 +599,21 @@ def minhash_dedup_pairs_bipartite(
                 )
             yield pd.DataFrame({"id": pd.Series(out_id, dtype="int64"), "ss": out_ss})
 
-    def sets_for(side: DataFrame, ids: DataFrame) -> DataFrame:
-        return (
-            side.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-            .join(ids, "id", "left_semi")
-            .mapInPandas(cand_sets, schema="id long, ss array<string>")
-        )
-
-    a_sets = sets_for(existing, cands.select(F.col("id_a").alias("id")).distinct())
-    b_sets = sets_for(incoming, cands.select(F.col("id_b").alias("id")).distinct())
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # disjoint ids → ONE shared shingle-set pass serves both join sides
+    ssets = (
+        tagged.select("id", "text")
+        .join(cand_ids, "id", "left_semi")
+        .mapInPandas(cand_sets, schema="id long, ss array<string>")
+        .persist()
+    )
     joined = (
-        cands.join(a_sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a")
-        .join(b_sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b")), "id_b")
+        cands.join(ssets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a")
+        .join(ssets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b")), "id_b")
     )
     inter = F.size(F.array_intersect("ss_a", "ss_b"))
     union = F.size("ss_a") + F.size("ss_b") - inter
