@@ -48,8 +48,14 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "clean_corpus_pipeline",
     "text_repetition",
+    "ngram_topk_corpus",
+    "docs_chunk_overlap",
+    "shard_pack_chars",
+    "events_sliding_agg",
+    "pii_redact_props",
     "knn_bruteforce",
     "emb_neardup",
+    "emb_dim_profile",
     "multimodal_features",
 ]
 
