@@ -50,8 +50,10 @@ _GATE_FIRST = (
     "docs_chunk_overlap", "ngram_topk_corpus",
     "events_sliding_agg", "pii_redact_props",
     "emb_dim_profile",
+    "events_funnel", "approx_percentile_gate",
 )
 _GATE_LAST = (
+    "q11_value_concentration", "q15_top_supplier",
     "q10_returned_items",
     "q16_part_supplier_counts", "q22_idle_customers",
     "q4_priority_count", "q12_priority_shipmode",

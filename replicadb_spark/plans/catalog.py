@@ -2703,3 +2703,115 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id
+    ), u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+           t1, t2, t3
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user: first view,
+    first click strictly after it, first purchase strictly after that.
+
+    Scale: ONE shuffle — collect each user's (ts, type) events and fold
+    them with a higher-order aggregate tracking the funnel stage
+    (sort_array + aggregate lambda, all codegen). The oracle's
+    equivalent min()-chain formulation would cost three user-keyed
+    shuffles + joins; the fold replaces them with per-group state the
+    size of one struct. Per-user event lists bound memory — for
+    power-user skew, pre-filter to funnel event types first (done here
+    implicitly: the fold ignores other types but they do ride the
+    collect; a where() on type would trim them at the scan)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    folded = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "aggregate("
+                "  sort_array(collect_list(named_struct("
+                "    't', unix_micros(cast(ts as timestamp)), 'y', event_type))),"
+                "  named_struct('stage', 0, 't1', CAST(NULL AS BIGINT),"
+                "               't2', CAST(NULL AS BIGINT), 't3', CAST(NULL AS BIGINT)),"
+                "  (acc, e) -> CASE"
+                "    WHEN acc.stage = 0 AND e.y = 'view'"
+                "      THEN named_struct('stage', 1, 't1', e.t, 't2', acc.t2, 't3', acc.t3)"
+                "    WHEN acc.stage = 1 AND e.y = 'click' AND e.t > acc.t1"
+                "      THEN named_struct('stage', 2, 't1', acc.t1, 't2', e.t, 't3', acc.t3)"
+                "    WHEN acc.stage = 2 AND e.y = 'purchase' AND e.t > acc.t2"
+                "      THEN named_struct('stage', 3, 't1', acc.t1, 't2', acc.t2, 't3', e.t)"
+                "    ELSE acc END)"
+            ).alias("f")
+        )
+        .select(
+            "user_id",
+            F.col("f.stage").alias("stage_reached"),
+            F.col("f.t1").alias("t1"),
+            F.col("f.t2").alias("t2"),
+            F.col("f.t3").alias("t3"),
+        )
+    )
+    return folded
+
+
+@register(
+    "approx_percentile_gate",
+    oracle="""
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 4) AS p95,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-sketch gate, same contract as approx_distinct_gate:
+    the EXACT interpolated p95 is value-hashed, and the
+    approx_percentile sketch estimate must sit within 2% relative error
+    or the boolean flips and fails the hash.
+
+    Scale: approx_percentile (KLL-family sketch: fixed size, map-side
+    mergeable) is the 100 TB path — exact percentile buffers every
+    value per group; the exact column here exists only to gate the
+    sketch."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.95)), 4).alias("p95"),
+            F.approx_percentile(
+                F.col("o_totalprice"), F.lit(0.95), F.lit(10000)
+            ).alias("__approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "p95",
+            (
+                F.abs(F.col("__approx") - F.col("p95"))
+                / F.greatest(F.abs(F.col("p95")), F.lit(1.0))
+                <= 0.02
+            ).alias("approx_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
