@@ -51,8 +51,10 @@ _GATE_FIRST = (
     "events_sliding_agg", "pii_redact_props",
     "emb_dim_profile",
     "events_funnel", "approx_percentile_gate",
+    "events_retention_cohort",
 )
 _GATE_LAST = (
+    "q20_bulk_suppliers",
     "q11_value_concentration", "q15_top_supplier",
     "q10_returned_items",
     "q16_part_supplier_counts", "q22_idle_customers",

@@ -2815,3 +2815,43 @@ def approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(cohort_d AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', cohort_d, CAST(e.ts AS DATE)) AS INTEGER)
+             AS offset_day,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY cohort_d, offset_day
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date,
+    counted distinct on each day-offset since — the standard
+    product-analytics retention triangle.
+
+    Scale: first-activity is one user-keyed partial-agg shuffle; the
+    activity⋈cohort join reuses that user partitioning (ReusedExchange /
+    AQE), then one (cohort, offset) agg. countDistinct's Expand is per
+    (cohort, offset, user) — bounded by activity rows, never users²."""
+    e = _t(spark, sf_dir, "events")["events"].select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        e.join(first, "user_id")
+        .groupBy("cohort_d", F.datediff("d", "cohort_d").alias("offset_day"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.col("cohort_d").cast("string").alias("cohort_day"),
+            "offset_day",
+            "active_users",
+        )
+    )
