@@ -2837,10 +2837,12 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted distinct on each day-offset since — the standard
     product-analytics retention triangle.
 
-    Scale: first-activity is one user-keyed partial-agg shuffle; the
-    activity⋈cohort join reuses that user partitioning (ReusedExchange /
-    AQE), then one (cohort, offset) agg. countDistinct's Expand is per
-    (cohort, offset, user) — bounded by activity rows, never users²."""
+    Scale: first-activity is one user-keyed partial-agg shuffle down to
+    one row per user — AQE broadcasts it back onto the activity scan
+    (at extreme user counts it degrades to a shuffle join on the same
+    key). countDistinct rewrites to a (cohort, offset, user) distinct
+    with map-side partials — every agg row is bounded by activity rows,
+    never users²."""
     e = _t(spark, sf_dir, "events")["events"].select(
         "user_id", F.to_date("ts").alias("d")
     )
