@@ -116,6 +116,50 @@ def stream_sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    payload: str = "event_id",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events for the same key within (left.ts, left.ts + max_gap] — the
+    streaming form of operators/relational.py:range_join_pairs
+    (click→purchase attribution, error correlation, ...).
+
+    Scale: Spark keeps BOTH sides' state keyed by (key, time); the
+    time-range condition plus watermarks lets it evict rows older than
+    watermark + max_gap, so state is bounded by the gap window — the
+    required shape for an unbounded 100 TB/day stream (an unbounded
+    equi-join on key alone would hold the full history)."""
+    lw = left.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    rw = right.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    l = lw.select(
+        F.col(key).alias("k"),
+        F.col(ts_col).alias("l_ts"),
+        F.col(payload).alias("l_id"),
+    )
+    r = rw.select(
+        F.col(key).alias("rk"),
+        F.col(ts_col).alias("r_ts"),
+        F.col(payload).alias("r_id"),
+    )
+    return l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select("k", "l_id", "r_id", "l_ts", "r_ts")
+
+
 def stream_incremental_upsert(
     source: DataFrame,
     sink_path: str,

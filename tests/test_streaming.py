@@ -177,3 +177,33 @@ def test_stream_sliding_agg_matches_batch(spark, event_dir):
         assert want[k] == v
     # every event lands in exactly window/slide = 2 windows
     assert sum(want.values()) == 2 * spark.read.parquet(path).count()
+
+
+def test_stream_interval_join_matches_batch(spark, event_dir):
+    path, schema = event_dir
+    clicks = P.read_event_stream(spark, path, schema).where(F.col("event_type") == "click")
+    buys = P.read_event_stream(spark, path, schema).where(F.col("event_type") == "purchase")
+    out = _run_to_memory(
+        spark,
+        P.stream_interval_join(clicks, buys, max_gap="10 minutes"),
+        "t_ivjoin",
+    )
+    ev = spark.read.parquet(path)
+    bc = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    bp = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("rk"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    want_df = bc.join(
+        bp,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes")),
+    ).select("k", "l_id", "r_id")
+    got = {(r["k"], r["l_id"], r["r_id"]) for r in out.collect()}
+    want = {(r["k"], r["l_id"], r["r_id"]) for r in want_df.collect()}
+    # watermark may hold back tail pairs; everything emitted must be a
+    # true pair, and the bulk of the batch result must be emitted
+    assert got <= want
+    assert len(got) >= 0.9 * len(want) and got
