@@ -212,3 +212,25 @@ def test_global_running_sum_wide_window_is_partitioned(spark):
     ]
     assert wide_windows, "expected a partition-local window over the input"
     assert all("__bucket" in ln for ln in wide_windows)
+
+
+def test_chunk_overlap_reconstructs_documents(spark):
+    """Stitching chunks (drop the 20-char overlap from every chunk after
+    the first) must reproduce every document exactly — the invariant
+    that makes overlap chunking lossless for training/RAG."""
+    from replicadb_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    chunks = QUERIES["docs_chunk_overlap"](spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    assert set(by_doc) == set(docs)
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        rebuilt = parts[0][1] + "".join(p[20:] for _, p in parts[1:])
+        assert rebuilt == docs[doc_id], doc_id

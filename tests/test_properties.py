@@ -161,3 +161,73 @@ def test_jaccard_pairs_matches_python_reference(spark, docs):
     assert set(got) == set(want)
     for pair, val in got.items():
         assert math.isclose(val, want[pair], rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# PII patterns (pure `re` — the patterns use only RE2∩Java-safe constructs,
+# which Python's engine interprets identically)
+# ---------------------------------------------------------------------------
+
+import re
+
+from replicadb_spark.functions.text import PII_EMAIL_RE, PII_LONGNUM_RE, PII_NUM_RE
+
+
+def _scrub(s: str) -> str:
+    s = re.sub(PII_EMAIL_RE, "<EMAIL>", s)
+    s = re.sub(PII_LONGNUM_RE, "<NUM>", s)
+    return re.sub(PII_NUM_RE, "#", s)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=500, deadline=None)
+def test_pii_scrub_idempotent_and_digit_free(s):
+    once = _scrub(s)
+    # no digit survives a scrub, so scrubbing again changes nothing
+    assert not re.search(r"[0-9]", once)
+    assert _scrub(once) == once
+
+
+_local = st.text(
+    alphabet="ABCDEFghijkl0123456789._%+-", min_size=1, max_size=12
+).filter(lambda s: s.strip("._%+-"))
+_domain = st.text(alphabet="abcXYZ0123456789", min_size=1, max_size=8)
+_tld = st.text(alphabet="abcdefgh", min_size=2, max_size=5)
+_simple_emails = st.builds(lambda l, d, t: f"{l}@{d}.{t}", _local, _domain, _tld)
+
+
+@given(st.lists(_simple_emails, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_pii_scrub_removes_emails(emails):
+    # the pattern's declared contract: common-shape addresses
+    # (alnum/._%+- local, dotted alnum domain) — not full RFC 5321
+    joined = " x ".join(emails)
+    assert "@" not in _scrub(joined)
+
+
+# ---------------------------------------------------------------------------
+# Shard packing vs a sequential Python reference (Spark-backed, few examples)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=1, max_size=120, unique_by=lambda t: t[0],
+    ),
+    st.integers(100, 2000),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_shards_matches_sequential_reference(spark, rows, budget):
+    from replicadb_spark.operators.ordering import pack_shards
+
+    df = spark.createDataFrame(rows, "k long, cost long")
+    got = {
+        r["k"]: (r["running_total"], r["shard"])
+        for r in pack_shards(df, "k", "cost", budget=budget, bucket_width=37).collect()
+    }
+    running, want = 0, {}
+    for k, cost in sorted(rows):
+        running += cost
+        want[k] = (running, (running - cost) // budget)
+    assert got == want
