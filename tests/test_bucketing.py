@@ -43,16 +43,35 @@ def bucketed_tables(spark, tmp_path_factory):
 
 def test_bucketed_join_has_no_exchange(bucketed_tables):
     spark = bucketed_tables
-    joined = (
-        spark.table("b_orders")
-        .join(
-            spark.table("b_lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
+    # At sf0.001 AQE may elect a broadcast join (which is trivially
+    # exchange-free); pin the shuffle-join strategy so the test actually
+    # exercises the bucketing layout the way a 100 TB large⋈large would.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
         )
-        .groupBy("o_orderpriority")
-        .agg(F.sum("l_quantity").alias("qty"))
-    )
-    joined.collect()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        joined.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     plan = (
         joined._jdf.queryExecution().executedPlan().toString()
         .split("== Initial Plan ==")[0]
