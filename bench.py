@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
+    "q9_profit_by_nation",
+    "q2_min_cost_supplier",
+    "snapshot_diff_orders",
+    "bloom_prejoin_revenue",
     "window_top_customers",
     "events_sessionize",
     "events_tumbling_agg",
@@ -81,7 +85,14 @@ def main() -> int:
     # (spark.python.worker.reuse defaults true), so every mapInPandas
     # below hits a warm pool.
     def _ident(it):
-        yield from it
+        # touch numpy so the workers' import cost (~0.5 s each, paid
+        # once per forked worker) lands here, not in the first
+        # sketch/similarity query that references it
+        import numpy as np
+
+        for pdf in it:
+            pdf["id"] = pdf["id"] + np.int64(0)
+            yield pdf
 
     spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
 

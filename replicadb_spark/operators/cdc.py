@@ -1,0 +1,122 @@
+"""Change-data-capture shaped operators: snapshot diff and SCD2 history.
+
+The reference engine replicates snapshots and upserts deltas
+(`manager/SqlManager.java:503-512` routes incremental mode through a
+staging MERGE) but never COMPUTES a delta — a user who wants "what
+changed between yesterday's copy and today's" diffs by hand. These two
+operators close that loop Spark-side:
+
+- ``snapshot_diff``: classify every key as insert/update/delete between
+  two snapshots of the same table.
+- ``scd2_intervals``: collapse an event/row stream into slowly-changing-
+  dimension type-2 validity intervals (valid_from/valid_to/is_current).
+
+Both are pure DataFrame compositions — one shuffle per input on the key
+— and both are exactly SQL-expressible, so the driver gate hash-checks
+them against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """(keys..., change_type, old/new compare columns) for every row
+    whose state differs between two snapshots.
+
+    change_type ∈ {'insert', 'update', 'delete'}; unchanged rows are
+    dropped. Comparison is null-safe per column.
+
+    Scale: both sides are projected to keys+compare BEFORE the full
+    outer join, so the shuffle moves only the compared columns; the
+    join co-partitions on the key (one exchange per side, AQE-skew
+    safe). For very wide compare lists, pre-hash the compared columns
+    into one fingerprint column (md5(concat_ws(...))) and pass that as
+    the single compare column — the classification is identical, the
+    shuffle narrows to key+hash.
+    """
+    keys = list(keys)
+    compare = list(compare)
+    o = old.select(*keys, *compare)
+    n = new.select(*keys, *compare)
+    o = o.toDF(*keys, *[f"__old_{c}" for c in compare])
+    n = n.toDF(*keys, *[f"__new_{c}" for c in compare])
+    # presence flags: a full-outer miss leaves EVERY column of that side
+    # null, so "row existed" must be tracked by a non-null marker column.
+    # Join keys match by name; null keys never match themselves, which is
+    # fine under the replication contract (PKs are non-null).
+    o = o.withColumn("__old_present", F.lit(True))
+    n = n.withColumn("__new_present", F.lit(True))
+    j = o.join(n, on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+    ct = (
+        F.when(F.col("__old_present").isNull(), F.lit("insert"))
+        .when(F.col("__new_present").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = (
+        keys
+        + [F.col("__ct").alias("change_type")]
+        + [F.col(f"__old_{c}").alias(f"old_{c}") for c in compare]
+        + [F.col(f"__new_{c}").alias(f"new_{c}") for c in compare]
+    )
+    return (
+        j.withColumn("__ct", ct)
+        .where(F.col("__ct").isNotNull())
+        .select(*out_cols)
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attrs: Sequence[str],
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: per key, the distinct
+    runs of attribute values ordered by event time, each with
+    [valid_from, valid_to) and an is_current flag on the open interval.
+
+    The input is an observation stream (one row per sighting); output
+    has one row per CHANGE. Semantics match a per-key ordered scan
+    that opens a new version whenever any attr differs (null-safely)
+    from the previous sighting.
+
+    Scale: one shuffle on the key; both the change detection (lag) and
+    interval close (lead over the filtered changes) reuse the same
+    partitioning, so Catalyst plans a single Exchange. State per key is
+    bounded by the window frame (rows, not bytes of history).
+    """
+    attrs = list(attrs)
+    order_cols = [F.col(ts), *[F.col(c) for c in order_tiebreak]]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    # the first sighting per key has lag()=null for every attr → counts
+    # as changed (opens the first version), which eqNullSafe handles
+    # unless the attr itself is null on row 1 — force-open via row_number
+    first = F.row_number().over(w) == 1
+    marked = df.withColumn("__open", first | changed)
+    versions = marked.where(F.col("__open"))
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    closed = versions.withColumn("__valid_to", F.lead(ts).over(w2))
+    return closed.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(ts).alias("valid_from"),
+        F.col("__valid_to").alias("valid_to"),
+        F.col("__valid_to").isNull().alias("is_current"),
+    )

@@ -2857,3 +2857,268 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
+
+
+# =========================================================================
+# CDC / layout / pruning operators (round 3 continuation)
+# =========================================================================
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice - 5.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice  AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice  AS new_o_totalprice
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/cdc.snapshot_diff): classify every
+    key as insert/update/delete between two snapshots of orders. The
+    snapshots are carved deterministically from the one table: the
+    'old' copy is missing every 11th key (→ inserts), perturbs price on
+    every 5th (→ updates); the 'new' copy is missing every 13th
+    (→ deletes). The reference engine SHIPS deltas (incremental mode,
+    SqlManager.java:503-512) but cannot COMPUTE one — this operator
+    closes that loop.
+
+    Scale: keys+compare projected before the full-outer join — the
+    shuffle carries 3 columns; co-partitioned on the PK; the -5.0
+    perturbation is exact in IEEE double so both engines classify
+    identically."""
+    from replicadb_spark.operators import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    old = o.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") - 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    new = o.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN row_number() OVER w = 1
+                       OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS opens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to_ts
+      FROM marked WHERE opens = 1
+    )
+    SELECT user_id, event_type,
+           CAST(ts AS VARCHAR)          AS valid_from,
+           CAST(valid_to_ts AS VARCHAR) AS valid_to,
+           valid_to_ts IS NULL          AS is_current
+    FROM versions
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/cdc.scd2_intervals): collapse
+    each user's event stream into validity intervals over event_type —
+    one row per CHANGE with [valid_from, valid_to) and is_current. The
+    dimension-history shape every warehouse replication pipeline
+    maintains next to the reference's flat upsert (M3).
+
+    Scale: ONE shuffle on user_id; change detection (lag), interval
+    close (lead) and the open-run filter all reuse that partitioning —
+    Catalyst plans a single Exchange. Output is bounded by change
+    count, not event count."""
+    from replicadb_spark.operators import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = scd2_intervals(
+        ev, "user_id", "ts", ["event_type"], order_tiebreak=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "bloom_prejoin_revenue",
+    oracle="""
+    SELECT s_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal > 9000
+    GROUP BY s_name
+    """,
+)
+def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⋈dim join (operators/bloom.bloom_prejoin):
+    lineitem pruned by a Bloom filter of the selective supplier subset
+    (s_acctbal > 9000) BEFORE the join; the real join then removes the
+    false positives, so the result is row-for-row the plain join — the
+    oracle IS the plain join (exact-equivalence gate, like
+    skew_salted_join).
+
+    Scale: this is the shape for dim sides too big to broadcast exactly
+    but selective against the fact — the filter is built with one
+    ≤num_bits/64-row shuffle (never collected to the driver), the probe
+    is whole-stage-codegen bit tests, and the fact shuffle after
+    pruning carries only rows that can match. Spark's own runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter) covers the planner-
+    injected case; this operator is the explicit form."""
+    from replicadb_spark.operators import bloom_prejoin
+
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    dim = t["supplier"].where(F.col("s_acctbal") > 9000).select("s_suppkey", "s_name")
+    fact = t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
+    joined = bloom_prejoin(
+        fact, dim, "l_suppkey", "s_suppkey", num_bits=1 << 14, num_hashes=5
+    )
+    return joined.groupBy("s_name").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1
+                         AS DECIMAL(28,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN part     ON l_partkey  = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the testdata schema has
+    no partsupp, so lineitem is the part↔supplier bridge and supply
+    cost is modeled as 10% of retail price × quantity. Profit per
+    nation per order-year over parts matching '%widget%'.
+
+    Scale: part filter reaches the scan and shrinks the build side;
+    nation broadcasts (fixed 25 rows); orders⋈lineitem is the one real
+    shuffle pair; DECIMAL sum is order-independent. Same plan family
+    as q5/q7 — AQE picks broadcast vs shuffle for supplier/part by
+    size."""
+    t = _t(spark, sf_dir, "lineitem", "supplier", "part", "orders", "nation")
+    return (
+        t["lineitem"]
+        .join(t["part"].where(F.col("p_name").like("%widget%")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                _dec(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+                )
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_price) AS best_price
+      FROM offer GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(unit_price, 6) AS unit_price
+    FROM offer
+    JOIN best USING (l_partkey)
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE unit_price = best_price
+      AND p_type = 'PROMO' AND p_size <= 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp table, so
+    a supplier's 'offer' for a part is its minimum observed unit price
+    in lineitem; for each small PROMO part, return the supplier(s)
+    achieving the part's best price. Keeps Q2's signature shape — a
+    correlated MIN subquery decorrelated into an aggregate + self-join.
+
+    Scale: both aggregates and the offer⋈best join share the l_partkey
+    shuffle key (one Exchange reused); part filter prunes before the
+    dimension joins; min-unit-price equality is exact (both engines
+    compute the identical IEEE division then MIN over the same set).
+    Ties keep all winning suppliers — deterministic without a
+    tiebreak."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    offer = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = offer.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
+    return (
+        offer.join(best, "l_partkey")
+        .where(F.col("unit_price") == F.col("best_price"))
+        .join(
+            t["part"].where((F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )

@@ -24,6 +24,9 @@ def write_file(
     single_file: bool = False,
     header: bool = True,
     compression: str | None = None,
+    partition_by: list[str] | tuple[str, ...] | None = None,
+    max_records_per_file: int | None = None,
+    dynamic_overwrite: bool = False,
     **options: str,
 ) -> None:
     """Format-dispatched file sink.
@@ -31,11 +34,28 @@ def write_file(
     ``mode='append'`` reproduces the reference's incremental file append
     (CsvFileManager.java:295-305); ``compression`` carries the ORC codec
     option (OrcFileManager.java:205-220).
+
+    Beyond the reference (it writes flat files only):
+
+    - ``partition_by``: hive-style directory layout — the 100 TB table
+      layout that makes downstream partition pruning free. Combine with
+      ``dynamic_overwrite=True`` to replace ONLY the partitions present
+      in ``df`` (incremental backfill) instead of truncating the table.
+    - ``max_records_per_file``: bounds output file size so a skewed
+      write task can't produce a multi-GB file.
     """
     fmt = fmt.lower()
     path = rewrite_s3_url(path)
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+        if dynamic_overwrite and mode == "overwrite":
+            # session-level knob; scope it to this write via the
+            # writer option Spark exposes for DSv1 file sinks
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if compression:
         writer = writer.option("compression", compression)
     for k, v in options.items():
@@ -55,3 +75,43 @@ def write_file(
             raise NotImplementedError("avro writer requires the spark-avro package") from exc
     else:
         raise ValueError(f"unsupported sink file format: {fmt}")
+
+
+def compact_files(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    target_file_mb: int = 128,
+    compression: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a directory of part-files into
+    ~``target_file_mb``-sized files. Returns the new file count.
+
+    The 100 TB operational problem this solves: streaming/incremental
+    sinks accrete thousands of KB-scale files per partition, and every
+    downstream scan then pays a task per file. Compaction = read (one
+    splittable scan) → repartition to ceil(bytes/target) → atomic swap
+    via a temp directory — the same crash-safe rename dance as
+    modes.run_file_mode's incremental path (never overwrite the
+    directory a live plan reads from).
+    """
+    import math
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    src = Path(path)
+    total_bytes = sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    reader = spark.read
+    df = getattr(reader, fmt)(str(src))
+    tmp = str(src.parent / f".{src.name}.compact-{uuid.uuid4().hex[:8]}")
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    getattr(writer, fmt)(tmp)
+    # swap only after the full write committed
+    shutil.rmtree(src)
+    Path(tmp).rename(src)
+    return n_files

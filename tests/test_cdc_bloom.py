@@ -1,0 +1,123 @@
+"""Unit tests for the CDC operators (snapshot diff, SCD2 intervals) and
+the distributed Bloom-filter prejoin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from replicadb_spark.operators import (
+    bloom_build,
+    bloom_prejoin,
+    bloom_probe,
+    scd2_intervals,
+    snapshot_diff,
+)
+
+
+# ---------------------------------------------------------------- snapshot_diff
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (5, None, 5.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 9.0), (4, "d", 4.0), (5, None, 5.0)],
+        "id long, s string, v double",
+    )
+    rows = snapshot_diff(old, new, ["id"], ["s", "v"]).collect()
+    got = {r.id: r.change_type for r in rows}
+    # id=2 and id=5 are unchanged (5 has a null attr on both sides —
+    # null-safe equality keeps it out of the diff)
+    assert got == {1: "delete", 3: "update", 4: "insert"}
+    upd = next(r for r in rows if r.id == 3)
+    assert (upd.old_v, upd.new_v) == (3.0, 9.0)
+    assert (upd.old_s, upd.new_s) == ("c", "c")
+
+
+def test_snapshot_diff_null_transitions(spark):
+    # value → null and null → value must both classify as updates
+    old = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+    new = spark.createDataFrame([(1, None), (2, "y")], "id long, s string")
+    got = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"], ["s"]).collect()}
+    assert got == {1: "update", 2: "update"}
+
+
+def test_snapshot_diff_composite_key(spark):
+    old = spark.createDataFrame([(1, 1, 10.0), (1, 2, 20.0)], "a long, b long, v double")
+    new = spark.createDataFrame([(1, 1, 10.0), (2, 1, 30.0)], "a long, b long, v double")
+    got = {(r.a, r.b): r.change_type
+           for r in snapshot_diff(old, new, ["a", "b"], ["v"]).collect()}
+    assert got == {(1, 2): "delete", (2, 1): "insert"}
+
+
+# ---------------------------------------------------------------- scd2
+
+def test_scd2_intervals_runs_and_current(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "x"), (1, 2, "x"), (1, 3, "y"), (1, 4, "y"), (1, 5, "x"),
+            (2, 1, None), (2, 2, None), (2, 3, "z"),
+        ],
+        "uid long, t long, state string",
+    )
+    rows = (
+        scd2_intervals(ev, "uid", "t", ["state"])
+        .orderBy("uid", "valid_from")
+        .collect()
+    )
+    got = [(r.uid, r.state, r.valid_from, r.valid_to, r.is_current) for r in rows]
+    assert got == [
+        (1, "x", 1, 3, False),
+        (1, "y", 3, 5, False),
+        (1, "x", 5, None, True),
+        (2, None, 1, 3, False),  # first sighting opens even with null attr
+        (2, "z", 3, None, True),
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    ev = spark.createDataFrame([(1, 1, "x"), (1, 2, "y")], "uid long, t long, s string")
+    out = scd2_intervals(ev, "uid", "t", ["s"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # lag-detect, filter, and lead-close all reuse the uid partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives(spark):
+    dim = spark.range(0, 997, 7).toDF("k")
+    fact = spark.range(0, 5000).toDF("fk")
+    bf = bloom_build(dim, "k", num_bits=1 << 12, num_hashes=5)
+    kept = {r.fk for r in bloom_probe(
+        fact, bf, "fk", num_bits=1 << 12, num_hashes=5).collect()}
+    assert set(range(0, 997, 7)) <= kept
+
+
+def test_bloom_prejoin_equals_plain_join(spark):
+    dim = spark.range(0, 300, 3).toDF("k").withColumn("tag", F.col("k") * 2)
+    fact = spark.range(0, 2000).toDF("fk")
+    pj = bloom_prejoin(fact, dim, "fk", "k", num_bits=1 << 12, num_hashes=5)
+    plain = fact.join(dim, F.col("fk") == F.col("k"))
+    assert sorted((r.fk, r.tag) for r in pj.collect()) == sorted(
+        (r.fk, r.tag) for r in plain.collect()
+    )
+
+
+def test_bloom_probe_is_jvm_only(spark):
+    dim = spark.range(10).toDF("k")
+    fact = spark.range(100).toDF("fk")
+    bf = bloom_build(dim, "k", num_bits=1 << 10, num_hashes=3)
+    probed = bloom_probe(fact, bf, "fk", num_bits=1 << 10, num_hashes=3)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_empty_dim_prunes_everything_safely(spark):
+    dim = spark.range(0).toDF("k")
+    fact = spark.range(50).toDF("fk")
+    bf = bloom_build(dim, "k", num_bits=1 << 10, num_hashes=3)
+    assert bloom_probe(fact, bf, "fk", num_bits=1 << 10, num_hashes=3).count() == 0

@@ -101,3 +101,37 @@ def test_engine_file_incremental_upsert(spark, tmp_path):
     run(spark, job)
     back = spark.read.parquet(str(out))
     assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "old"), (2, "new"), (3, "new")}
+
+
+def test_partitioned_write_layout_and_dynamic_overwrite(spark, tmp_path):
+    from replicadb_spark.sinks.files import write_file
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id long, pt string, v double"
+    )
+    out = str(tmp_path / "ptbl")
+    write_file(df, out, "parquet", partition_by=["pt"])
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("pt=")) == ["pt=a", "pt=b"]
+    # dynamic overwrite replaces ONLY partition a; b survives
+    repl = spark.createDataFrame([(9, "a", 99.0)], "id long, pt string, v double")
+    write_file(repl, out, "parquet", partition_by=["pt"], dynamic_overwrite=True)
+    back = spark.read.parquet(out)
+    got = {(r.id, r.pt) for r in back.collect()}
+    assert got == {(9, "a"), (3, "b")}
+
+
+def test_compact_files_preserves_rows(spark, tmp_path):
+    from replicadb_spark.sinks.files import compact_files
+
+    out = str(tmp_path / "frag")
+    spark.range(10_000).repartition(64).write.parquet(out)
+    import os
+
+    n_before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_before == 64
+    n_target = compact_files(spark, out, "parquet", target_file_mb=1024)
+    n_after = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_after == n_target == 1
+    assert spark.read.parquet(out).count() == 10_000
