@@ -56,12 +56,14 @@ _GATE_FIRST = (
     "snapshot_diff_orders", "scd2_user_history",
     "bloom_prejoin_revenue", "q9_profit_by_nation",
     "q2_min_cost_supplier",
+    "incremental_agg_update", "table_profile_orders",
 )
 _GATE_LAST = (
     # rotated past the cap this round (green rows+schema+hash in BOTH
     # r01 and r02; operators additionally pinned by unit/plan tests)
     "repl_scan_project_filter", "repl_type_normalize",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "distinct_counts_per_segment", "events_sessionize",
     "q20_bulk_suppliers",
     "q11_value_concentration", "q15_top_supplier",
     "q10_returned_items",

@@ -3122,3 +3122,92 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("unit_price", 6).alias("unit_price"),
         )
     )
+
+
+@register(
+    "incremental_agg_update",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS avg,
+           MIN(o_totalprice) AS vmin,
+           MAX(o_totalprice) AS vmax
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/rollup): the orders
+    table split into a 'historical base' (orderdate < 1997) and a
+    'delta batch' (the rest); each side reduces to mergeable partials
+    (count/sum/min/max), the partials merge, and the finalized view
+    must equal the oracle's full recompute over everything — the
+    algebraic proof that the maintained aggregate never drifts from
+    the truth.
+
+    Scale: refresh cost is O(delta) + a |keys|-row partial merge, vs
+    the oracle's O(history) rescan; DECIMAL sums make the merge
+    order-independent so batches can arrive in any order."""
+    from replicadb_spark.operators.rollup import (
+        agg_partials,
+        finalize_partials,
+        merge_partials,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    split = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    base = agg_partials(o.where(split), ["o_orderpriority"], "o_totalprice")
+    delta = agg_partials(o.where(~split), ["o_orderpriority"], "o_totalprice")
+    state = merge_partials(base, delta, ["o_orderpriority"])
+    return finalize_partials(state, ["o_orderpriority"])
+
+
+@register(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile (operators/rollup.profile_table): rows,
+    nulls, exact distinct, min/max per column — the engine-side ANALYZE
+    the reference parses an option for but never implements
+    (`sink-analyze`, cli/ToolOptions.java:196-216).
+
+    Profiled columns here are the key/string ones (double min/max
+    stringification differs across engines; at scale you'd emit
+    typed per-class profiles anyway).
+
+    Scale: ONE Aggregate node computes every column's stats in a
+    single pass (the multi-distinct rewrites to one Expand, cost
+    #cols × input, map-side partial); the row unpivot happens on the
+    single result row. Swap count_distinct → approx_count_distinct at
+    trillion-row scale."""
+    from replicadb_spark.operators.rollup import profile_table
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
