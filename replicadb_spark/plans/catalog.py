@@ -3211,3 +3211,54 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "zorder_curve_ids",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey AS id, l_linenumber,
+             CAST(l_partkey % 256 AS BIGINT) AS x,
+             CAST(l_suppkey % 256 AS BIGINT) AS y
+      FROM lineitem WHERE l_orderkey % 97 = 0
+    ),
+    s1 AS (SELECT id, l_linenumber, x, y,
+                  (x | (x << 8)) & 16711935 AS sx,
+                  (y | (y << 8)) & 16711935 AS sy FROM base),
+    s2 AS (SELECT id, l_linenumber, x, y,
+                  (sx | (sx << 4)) & 252645135 AS sx,
+                  (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+    s3 AS (SELECT id, l_linenumber, x, y,
+                  (sx | (sx << 2)) & 858993459 AS sx,
+                  (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+    s4 AS (SELECT id, l_linenumber, x, y,
+                  (sx | (sx << 1)) & 1431655765 AS sx,
+                  (sy | (sy << 1)) & 1431655765 AS sy FROM s3)
+    SELECT id, l_linenumber, x, y, sx | (sy << 1) AS z FROM s4
+    """,
+)
+def zorder_curve_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve values (operators/ordering.zorder_value):
+    the interleaved-bit key behind zorder_layout's multi-dimensional
+    file clustering, computed over a deterministic lineitem subset and
+    hash-checked against a pure-SQL magic-mask interleave in DuckDB —
+    the curve itself is the contract; the layout operator rides on it.
+
+    Scale: pure codegen projection (4 shift-mask steps per column), no
+    shuffle; zorder_layout adds one range repartition (sampled bounds)
+    when applying it to files."""
+    from replicadb_spark.operators.ordering import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    x = (F.col("l_partkey") % 256).cast("long")
+    y = (F.col("l_suppkey") % 256).cast("long")
+    return (
+        li.where(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.col("l_orderkey").alias("id"),
+            "l_linenumber",
+            x.alias("x"),
+            y.alias("y"),
+            zorder_value(x, y).alias("z"),
+        )
+    )
