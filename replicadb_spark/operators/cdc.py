@@ -120,3 +120,36 @@ def scd2_intervals(
         F.col("__valid_to").alias("valid_to"),
         F.col("__valid_to").isNull().alias("is_current"),
     )
+
+
+def apply_diff(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """Apply a ``snapshot_diff`` change set to the old snapshot,
+    reconstructing the new one — the consumer side of the CDC loop
+    (ship the diff, not the snapshot; the reference ships full rows
+    even in incremental mode).
+
+    Deletes drop, updates replace, inserts append. Roundtrip contract
+    (tested): ``apply_diff(old, snapshot_diff(old, new)) == new`` on
+    the keyed+compared columns, for ANY pair of snapshots.
+
+    Scale: one left-anti/left-outer co-partitioned join on the key
+    (same single shuffle pair as the diff itself) + a union of the
+    insert/update rows, which are O(changes)."""
+    keys = list(keys)
+    compare = list(compare)
+    o = old.select(*keys, *compare)
+    touched = diff.select(*keys, "change_type")
+    survivors = o.join(
+        touched.where(F.col("change_type").isin("delete", "update")),
+        on=keys,
+        how="left_anti",
+    )
+    replacements = diff.where(F.col("change_type").isin("insert", "update")).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare]
+    )
+    return survivors.unionByName(replacements)

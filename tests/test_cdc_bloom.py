@@ -121,3 +121,42 @@ def test_bloom_empty_dim_prunes_everything_safely(spark):
     fact = spark.range(50).toDF("fk")
     bf = bloom_build(dim, "k", num_bits=1 << 10, num_hashes=3)
     assert bloom_probe(fact, bf, "fk", num_bits=1 << 10, num_hashes=3).count() == 0
+
+
+def test_apply_diff_roundtrip_on_testdata(spark):
+    """apply_diff(old, snapshot_diff(old, new)) == new for the catalog's
+    carved orders snapshots — the full CDC produce/consume cycle."""
+    from replicadb_spark.operators import apply_diff
+    from replicadb_spark.session import tables
+
+    o = tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
+    old = o.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") - 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    new = o.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    keys, cmp_cols = ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    diff = snapshot_diff(old, new, keys, cmp_cols)
+    rebuilt = apply_diff(old, diff, keys, cmp_cols)
+    a = sorted(map(tuple, rebuilt.collect()))
+    b = sorted(map(tuple, new.select(*keys, *cmp_cols).collect()))
+    assert a == b
+
+
+def test_apply_diff_roundtrip_with_nulls(spark):
+    from replicadb_spark.operators import apply_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "id long, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, "D"), (5, "e")], "id long, s string"
+    )
+    diff = snapshot_diff(old, new, ["id"], ["s"])
+    rebuilt = apply_diff(old, diff, ["id"], ["s"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
