@@ -231,3 +231,44 @@ def test_pack_shards_matches_sequential_reference(spark, rows, budget):
         running += cost
         want[k] = (running, (running - cost) // budget)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC diff/apply roundtrip vs a dict model
+# ---------------------------------------------------------------------------
+
+snap_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.one_of(st.none(), st.integers(0, 3))),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],  # PK-unique rows, per the replication contract
+)
+
+
+@given(old=snap_strategy, new=snap_strategy)
+@settings(max_examples=8, deadline=None)
+def test_snapshot_diff_apply_roundtrip(spark, old, new):
+    from replicadb_spark.operators import apply_diff, snapshot_diff
+
+    schema = "id int, v int"
+    old_df = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+    new_df = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+
+    diff = snapshot_diff(old_df, new_df, ["id"], ["v"]).collect()
+
+    # model: classification per key
+    o, n = dict(old), dict(new)
+    want = {}
+    for k in o.keys() | n.keys():
+        if k not in o:
+            want[k] = "insert"
+        elif k not in n:
+            want[k] = "delete"
+        elif o[k] != n[k]:
+            want[k] = "update"
+    assert {r.id: r.change_type for r in diff} == want
+
+    rebuilt = apply_diff(
+        old_df, snapshot_diff(old_df, new_df, ["id"], ["v"]), ["id"], ["v"]
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new))
