@@ -692,3 +692,63 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup pairs: c(a→b) = |A∩B| / |A|.
+
+    Jaccard under-scores asymmetric duplication — a short document
+    fully quoted inside a long one has tiny |A∩B|/|A∪B| but
+    containment 1.0. This is the dedup signal for quote-inclusion /
+    expansion cases (and the basis of containment-MinHash sketches).
+    Returns (id_a, id_b, containment_a_in_b, containment_b_in_a) for
+    unordered pairs where EITHER direction reaches the threshold;
+    c ≥ jaccard always, so this is a superset of the jaccard pairs at
+    the same cutoff.
+
+    Plan: identical single inverted-index self-join as jaccard_pairs
+    (same shuffle, same optional hot-shingle DF cap bounding viral
+    buckets); only the final filter arithmetic differs.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode(shingles_tokens(F.col("toks"), k)).alias("shingle"))
+        .persist()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti").persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), on="shingle")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c_ab = F.col("inter").cast("double") / F.col("sz_a").cast("double")
+    c_ba = F.col("inter").cast("double") / F.col("sz_b").cast("double")
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .where(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a")
+    )

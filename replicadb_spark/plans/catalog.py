@@ -3262,3 +3262,33 @@ def zorder_curve_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             zorder_value(x, y).alias("z"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=_SHINGLE_CTE + """
+    SELECT id_a, id_b,
+           round(i * 1.0 / za.sz, 6) AS c_ab,
+           round(i * 1.0 / zb.sz, 6) AS c_ba
+    FROM inter
+    JOIN sz za ON id_a = za.doc_id
+    JOIN sz zb ON id_b = zb.doc_id
+    WHERE i * 1.0 / za.sz >= 0.55 OR i * 1.0 / zb.sz >= 0.55
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (functions/dedup.containment_pairs): pairs
+    where either direction of |A∩B|/|A| reaches 0.55 — the asymmetric
+    signal that flags a short doc quoted inside a long one, which
+    symmetric Jaccard under-scores (containment ≥ jaccard always).
+
+    Scale: the identical single inverted-index self-join (and optional
+    hot-shingle DF cap) as dedup_ngram_jaccard — only the final filter
+    arithmetic differs, so the scale profile is already established."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = D.containment_pairs(d, "doc_id", "text", k=3, threshold=0.55)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("containment_a_in_b", 6).alias("c_ab"),
+        F.round("containment_b_in_a", 6).alias("c_ba"),
+    )

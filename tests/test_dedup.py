@@ -144,3 +144,36 @@ def test_bipartite_dedup_only_cross_pairs(spark):
                  num_hashes=128, bands=64, threshold=0.5).collect()}
     assert (0, 100) in pairs                      # cross-set dup found
     assert all(a < 100 <= b for a, b in pairs)    # bipartite only
+
+
+def test_containment_catches_quoted_inclusion(spark):
+    """A short doc fully contained in a long one: containment flags it,
+    jaccard at the same cutoff does not."""
+    from replicadb_spark.functions.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+
+    cont = containment_pairs(df, "doc_id", "text", k=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.containment_a_in_b == 1.0  # every trigram of the short doc is in the long
+    assert row.containment_b_in_a < 0.1
+
+    jac = jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.9).collect()
+    assert jac == []  # symmetric measure misses the inclusion
+
+
+def test_containment_superset_of_jaccard(spark):
+    from replicadb_spark.functions.dedup import containment_pairs, jaccard_pairs
+    from replicadb_spark.session import tables
+
+    d = tables(spark, "/root/testdata/sf0.001", ("documents",))["documents"]
+    thr = 0.5
+    jac = {(r.id_a, r.id_b) for r in
+           jaccard_pairs(d, "doc_id", "text", k=3, threshold=thr).collect()}
+    cont = {(r.id_a, r.id_b) for r in
+            containment_pairs(d, "doc_id", "text", k=3, threshold=thr).collect()}
+    assert jac <= cont  # c(a→b) ≥ jaccard(a,b) for every pair
