@@ -57,7 +57,7 @@ _GATE_FIRST = (
     "bloom_prejoin_revenue", "q9_profit_by_nation",
     "q2_min_cost_supplier",
     "incremental_agg_update", "table_profile_orders",
-    "zorder_curve_ids", "dedup_containment",
+    "zorder_curve_ids", "dedup_containment", "ann_ivfpq",
 )
 _GATE_LAST = (
     # rotated past the cap this round (green rows+schema+hash in BOTH
@@ -65,7 +65,7 @@ _GATE_LAST = (
     "repl_scan_project_filter", "repl_type_normalize",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "distinct_counts_per_segment", "events_sessionize",
-    "text_stats", "text_language_id",
+    "text_stats", "text_language_id", "text_quality",
     "q20_bulk_suppliers",
     "q11_value_concentration", "q15_top_supplier",
     "q10_returned_items",

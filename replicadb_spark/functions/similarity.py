@@ -586,3 +586,204 @@ def embedding_neardup_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _exact_rescore(v, cand, threshold)
+
+
+def ann_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 4,
+    k: int = 10,
+    m_sub: int = 16,
+    ks: int = 32,
+    rerank: int = 50,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: the memory-bounded ANN shape for
+    corpora whose raw embeddings don't fit storage/RAM budgets.
+
+    Three stages, each with the 100 TB-safe plan:
+
+    1. coarse IVF — the same deterministic hash-picked centroid table
+       as ann_ivf, broadcast for assignment (corpus never shuffles);
+    2. product quantization — each vector split into ``m_sub``
+       subvectors, each encoded as the nearest of ``ks`` codewords:
+       64-dim float32 (256 B) → m_sub bytes (16 B at defaults, 16×
+       compression). The codebook is ``ks`` hash-sampled corpus
+       vectors — CONSTANT-size (ks rows) regardless of corpus size, so
+       the one driver collect here is bounded like a broadcast-join
+       build side, not a scale-dependent pull. Encoding is one
+       vectorized mapInPandas pass; codes live alongside the cell id.
+    3. ADC search — each query builds an (m_sub × ks) lookup table of
+       subvector dot products ONCE, scores candidates in its probed
+       cells by fancy-indexed LUT sums (no float decode of the corpus),
+       keeps the top ``rerank`` by approximate score, and exact-rescores
+       only those (broadcast of ≤ rerank·|queries| candidate ids — the
+       standard two-stage retrieve+rerank).
+
+    Approximate cosine: dot(q, x̂) / (|q|·|x̂|) with x̂ the PQ
+    reconstruction; |x̂| is stored at encode time (one double per row).
+    Deterministic end-to-end: hash-picked centroids and codebook, fixed
+    tiebreaks, so the recall gate hashes stably.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+
+    # --- coarse centroids (identical construction to ann_ivf) ---------
+    centroids = (
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).cast("int").alias("cell"),
+            F.struct(
+                F.xxhash64(F.col(id_col), F.lit(1)).alias("__h"),
+                F.col(id_col).alias("__cid"),
+                F.col(vec_col).alias("__cv"),
+            ).alias("__pick"),
+        )
+        .groupBy("cell")
+        .agg(F.min("__pick").alias("__pick"))
+        .select("cell", F.col("__pick.__cv").alias("cent_vec"))
+    )
+
+    w_cell = Window.partitionBy("__vid").orderBy(
+        F.col("__cscore").desc(), F.col("cell").asc()
+    )
+
+    def assign(df: DataFrame, top: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                "__vid", "cell", cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore")
+            )
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w_cell))
+            .where(F.col("__r") <= top)
+            .select("__vid", "cell")
+        )
+
+    # --- codebook: ks hash-sampled vectors, constant size -------------
+    sample = (
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(ks)).cast("int").alias("b"),
+            F.struct(
+                F.xxhash64(F.col(id_col), F.lit(seed + 1)).alias("__h"),
+                F.col(id_col).alias("__sid"),
+                F.col(vec_col).alias("__sv"),
+            ).alias("__pick"),
+        )
+        .groupBy("b")
+        .agg(F.min("__pick").alias("__pick"))
+        .select(F.col("__pick.__sv").alias("sv"))
+        .collect()  # ≤ ks rows — bounded by a constant, see docstring
+    )
+    S_ = np.array([r["sv"] for r in sample], dtype=np.float64)  # (≤ks, dim)
+    dim = S_.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    # (m_sub, ks_eff, dsub); ks_eff may be < ks on tiny corpora
+    CB = np.ascontiguousarray(S_.reshape(len(S_), m_sub, dsub).transpose(1, 0, 2))
+    cb_norms_sq = (CB ** 2).sum(axis=2)  # (m_sub, ks_eff)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["__v"].tolist(), dtype=np.float64)  # (n, dim)
+            Xs = X.reshape(len(X), m_sub, dsub)
+            # (n, m_sub, ks): ||x_m - c_j||² = |x|² - 2 x·c + |c|²; the
+            # |x|² term is constant per (row, m) → argmin over -2x·c+|c|²
+            dots = np.einsum("nmd,mkd->nmk", Xs, CB)
+            code = (cb_norms_sq[None, :, :] - 2.0 * dots).argmin(axis=2)  # (n, m_sub)
+            rows = np.arange(len(X))[:, None]
+            recon_sq = cb_norms_sq[np.arange(m_sub)[None, :], code].sum(axis=1)
+            yield pd.DataFrame({
+                "neighbor_id": pdf["__vid"].values,
+                "codes": list(code.astype(np.int32)),
+                "recon_norm": np.sqrt(recon_sq),
+            })
+
+    encoded = (
+        corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+        .mapInPandas(encode, schema="neighbor_id long, codes array<int>, recon_norm double")
+        .join(
+            assign(corpus, 1).withColumnRenamed("__vid", "neighbor_id"), "neighbor_id"
+        )
+    )
+
+    q_probe = assign(queries, n_probe).withColumnRenamed("__vid", "query_id")
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        encoded.join(F.broadcast(q_probe), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q_vecs), "query_id")
+    )
+
+    def adc(batches):
+        luts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_scores = np.empty(len(pdf), dtype=np.float64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            recon = pdf["recon_norm"].values
+            qids = pdf["query_id"].values
+            for qid in pd.unique(qids):
+                sel = qids == qid
+                if qid not in luts:
+                    qv = np.array(pdf["q_vec"].values[sel][0], dtype=np.float64)
+                    qs = qv.reshape(m_sub, dsub)
+                    luts[qid] = (
+                        np.einsum("md,mkd->mk", qs, CB),
+                        float(np.sqrt((qv ** 2).sum())),
+                    )
+                lut, qn = luts[qid]
+                cc = codes[sel]
+                dots = lut[np.arange(m_sub)[None, :], cc].sum(axis=1)
+                denom = qn * recon[sel]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out_scores[sel] = np.where(denom > 0, dots / denom, 0.0)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].values,
+                "neighbor_id": pdf["neighbor_id"].values,
+                "adc_score": out_scores,
+            })
+
+    adc_scored = cand.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, adc_score double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc_scored.withColumn("__r", F.row_number().over(w_adc))
+        .where(F.col("__r") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore of the shortlist only: broadcast the ≤ rerank·|q|
+    # candidate ids onto the corpus (corpus side never shuffles)
+    exact = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

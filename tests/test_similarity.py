@@ -198,3 +198,34 @@ def test_ann_ivf_lloyd_step_improves_recall(spark):
     ap_b = {(r["query_id"], r["neighbor_id"]) for r in
             ann_ivf(e, q, n_cells=16, n_probe=6, k=10, lloyd_iters=1).collect()}
     assert ap_a == ap_b
+
+
+def test_ann_ivfpq_recall_and_determinism(spark):
+    from replicadb_spark.functions import similarity as S
+    from replicadb_spark.session import tables
+    from pyspark.sql import functions as F
+
+    e = tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    q = e.where(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.knn_bruteforce(e, q, k=5).collect()}
+    run1 = S.ann_ivf_pq(e, q, n_cells=4, n_probe=3, k=5, m_sub=16, ks=16, rerank=30)
+    got1 = {(r.query_id, r.neighbor_id) for r in run1.collect()}
+    # generous cells+probes at this tiny scale: recall must clear 0.6
+    assert len(exact & got1) / len(exact) >= 0.6
+    # fully deterministic end-to-end (hash-picked centroids/codebook)
+    run2 = S.ann_ivf_pq(e, q, n_cells=4, n_probe=3, k=5, m_sub=16, ks=16, rerank=30)
+    got2 = {(r.query_id, r.neighbor_id, round(r.score, 9)) for r in run2.collect()}
+    assert {(r.query_id, r.neighbor_id, round(r.score, 9)) for r in run1.collect()} == got2
+
+
+def test_ann_ivfpq_rejects_indivisible_dim(spark):
+    import pytest
+    from replicadb_spark.functions import similarity as S
+    from replicadb_spark.session import tables
+    from pyspark.sql import functions as F
+
+    e = tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    q = e.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.ann_ivf_pq(e, q, m_sub=7).count()
