@@ -94,7 +94,27 @@ def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
         fmt = job.sink_file_format or "csv"
         path = registry.file_path(job.sink_connect)
         pks = [c.strip() for c in job.sink_params.get("pk.columns", "").split(",") if c.strip()]
-        run_file_mode(spark, job, df, path=path, fmt=fmt, pk_columns=pks or None)
+        # layout options, reachable from the properties surface like any
+        # sink.connect.parameter.* (OptionsFile passthrough):
+        #   partition.by=pt_col1,pt_col2   hive-style directory layout
+        #   partition.overwrite=dynamic    replace only written partitions
+        #   max.records.per.file=N         bound file sizes
+        write_opts: dict = {}
+        part_by = [
+            c.strip()
+            for c in job.sink_params.get("partition.by", "").split(",")
+            if c.strip()
+        ]
+        if part_by:
+            write_opts["partition_by"] = part_by
+            if job.sink_params.get("partition.overwrite", "") == "dynamic":
+                write_opts["dynamic_overwrite"] = True
+        mrpf = job.sink_params.get("max.records.per.file", "")
+        if mrpf:
+            write_opts["max_records_per_file"] = int(mrpf)
+        run_file_mode(
+            spark, job, df, path=path, fmt=fmt, pk_columns=pks or None, **write_opts
+        )
         return
     if kind == "kafka":
         from replicadb_spark.sinks.kafka import write_kafka

@@ -135,3 +135,26 @@ def test_compact_files_preserves_rows(spark, tmp_path):
     n_after = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
     assert n_after == n_target == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_engine_partitioned_sink_params(spark, tmp_path):
+    """sink.connect.parameter.partition.by / max.records.per.file reach
+    the file writer from the properties surface (engine → run_file_mode
+    → write_file)."""
+    import os
+
+    src = tmp_path / "src.csv"
+    src.write_text("id,pt\n1,a\n2,a\n3,b\n")
+    out = tmp_path / "out_part"
+    job = ReplicaJob(
+        source_connect=f"file://{src}",
+        sink_connect=f"file://{out}",
+        source_file_format="csv",
+        sink_file_format="parquet",
+        source_params={"header": "true"},
+        sink_params={"partition.by": "pt", "max.records.per.file": "10"},
+        mode="complete",
+    )
+    run(spark, job)
+    assert sorted(d for d in os.listdir(out) if d.startswith("pt=")) == ["pt=a", "pt=b"]
+    assert spark.read.parquet(str(out)).count() == 3
