@@ -3095,17 +3095,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieving the part's best price. Keeps Q2's signature shape — a
     correlated MIN subquery decorrelated into an aggregate + self-join.
 
-    Scale: both aggregates and the offer⋈best join share the l_partkey
-    shuffle key (one Exchange reused); part filter prunes before the
-    dimension joins; min-unit-price equality is exact (both engines
-    compute the identical IEEE division then MIN over the same set).
-    Ties keep all winning suppliers — deterministic without a
-    tiebreak."""
+    Scale: the offer aggregate is the ONE heavy lineitem shuffle and it
+    is persisted — without the persist Catalyst duplicates the whole
+    scan+aggregate subtree under both sides of the offer⋈best self-join
+    (measured: 6 exchanges, lineitem shuffled twice; with it: the big
+    shuffle runs once and only the already-reduced offer rows
+    re-exchange on l_partkey). Part filter prunes before the dimension
+    joins; min-unit-price equality is exact (both engines compute the
+    identical IEEE division then MIN over the same set). Ties keep all
+    winning suppliers — deterministic without a tiebreak."""
     t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
     offer = (
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+        .persist()
     )
     best = offer.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
     return (
