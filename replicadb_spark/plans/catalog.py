@@ -3319,3 +3319,67 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, n_cells=8, n_probe=6, k=10, m_sub=16, ks=32, rerank=100
     )
     return _ann_recall_gate(exact, approx, 0.7)
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, d, cnt,
+             avg(cnt * 1.0) OVER w AS mu,
+             stddev_samp(cnt * 1.0) OVER w AS sd,
+             COUNT(*) OVER w AS n_hist
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, cnt,
+           round((cnt - mu) / sd, 4) AS z
+    FROM scored
+    WHERE n_hist >= 3 AND sd > 0 AND abs((cnt - mu) / sd) >= 1.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the event stream: daily counts per
+    event type scored against the trailing 7-day window (mean/stddev
+    EXCLUDING the current day); days with |z| ≥ 1.5 and ≥3 days of
+    history flag. The monitoring shape a replication operator runs over
+    ingested row counts to catch upstream breakage.
+
+    Scale: one shuffle to daily counts (map-side partial over the date
+    key), then a bounded ROWS-frame window per event_type — state is 8
+    rows per key regardless of history length. z is rounded AFTER both
+    engines compute the identical (count - mean)/stddev over the same
+    ≤7 integers, so algorithmic rounding noise (~1e-12) can't flip the
+    hash."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.avg(F.col("cnt") * 1.0).over(w).alias("mu"),
+        F.stddev_samp(F.col("cnt") * 1.0).over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return (
+        scored.where((F.col("n_hist") >= 3) & (F.col("sd") > 0) & (F.abs(z) >= 1.5))
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "cnt",
+            F.round(z, 4).alias("z"),
+        )
+    )
