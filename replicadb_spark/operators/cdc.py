@@ -153,3 +153,61 @@ def apply_diff(
         *keys, *[F.col(f"new_{c}").alias(c) for c in compare]
     )
     return survivors.unionByName(replacements)
+
+
+_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def union_with_drift(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union frames whose schemas have DRIFTED — columns added, dropped,
+    or numerically narrowed between snapshots (the schema-evolution
+    reality of a long-lived replication pipeline; the reference requires
+    identical pre-existing sink schemas, README.md:119, and fails on
+    drift).
+
+    Per column name, the output type is the widest numeric type seen
+    (tinyint<smallint<int<bigint<float<double); frames missing a column
+    contribute NULLs. Non-numeric type conflicts (e.g. string vs int)
+    raise — silent lossy coercion is how replicas corrupt.
+
+    Scale: pure projection + UnionExec — no shuffle, no driver data
+    movement; only the schemas (driver-side metadata) are inspected.
+    """
+    if not dfs:
+        raise ValueError("union_with_drift needs at least one frame")
+    widest: dict[str, str] = {}
+    order: list[str] = []
+    for df in dfs:
+        for name, t in df.dtypes:
+            if name not in widest:
+                widest[name] = t
+                order.append(name)
+                continue
+            a, b = widest[name], t
+            if a == b:
+                continue
+            if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+                widest[name] = _WIDEN_ORDER[
+                    max(_WIDEN_ORDER.index(a), _WIDEN_ORDER.index(b))
+                ]
+            else:
+                raise TypeError(
+                    f"column {name!r}: irreconcilable types {a} vs {b} "
+                    "(only numeric widening is supported)"
+                )
+    aligned = []
+    for df in dfs:
+        have = dict(df.dtypes)
+        cols = [
+            (
+                F.col(c).cast(widest[c])
+                if c in have
+                else F.lit(None).cast(widest[c])
+            ).alias(c)
+            for c in order
+        ]
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

@@ -3383,3 +3383,43 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "schema_drift_union",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+           o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR), o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (operators/cdc.union_with_drift): an old
+    snapshot (int keys, float32 prices, has o_orderstatus) unioned with
+    a new one (bigint keys, double prices, o_orderstatus dropped,
+    o_orderpriority added). Types widen per column (int→bigint,
+    float→double), missing columns null-pad — the drift a long-lived
+    replication pipeline accumulates and the reference hard-fails on
+    (it requires identical pre-existing sink schemas, README.md:119).
+
+    Scale: metadata-only alignment + two pushed-down scans + UnionExec;
+    no shuffle anywhere. The float32 round-trip is applied identically
+    in the oracle (CAST(CAST(x AS REAL) AS DOUBLE)) so values hash
+    exactly."""
+    from replicadb_spark.operators.cdc import union_with_drift
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    v_old = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    v_new = o.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return union_with_drift([v_old, v_new])

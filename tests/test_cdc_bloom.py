@@ -160,3 +160,36 @@ def test_apply_diff_roundtrip_with_nulls(spark):
     diff = snapshot_diff(old, new, ["id"], ["s"])
     rebuilt = apply_diff(old, diff, ["id"], ["s"])
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+# ---------------------------------------------------------------- drift union
+
+def test_union_with_drift_widens_and_pads(spark):
+    from replicadb_spark.operators.cdc import union_with_drift
+
+    a = spark.createDataFrame([(1, 1.5)], "id int, v float")
+    b = spark.createDataFrame([(2**40, 2.5, "x")], "id long, v double, s string")
+    out = union_with_drift([a, b])
+    assert dict(out.dtypes) == {"id": "bigint", "v": "double", "s": "string"}
+    rows = {r.id: (r.v, r.s) for r in out.collect()}
+    assert rows[1] == (1.5, None)
+    assert rows[2**40] == (2.5, "x")
+
+
+def test_union_with_drift_rejects_type_conflict(spark):
+    import pytest
+    from replicadb_spark.operators.cdc import union_with_drift
+
+    a = spark.createDataFrame([(1,)], "c int")
+    b = spark.createDataFrame([("x",)], "c string")
+    with pytest.raises(TypeError, match="irreconcilable"):
+        union_with_drift([a, b])
+
+
+def test_union_with_drift_no_shuffle(spark):
+    from replicadb_spark.operators.cdc import union_with_drift
+
+    a = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    b = spark.createDataFrame([(2,)], "id long")
+    plan = union_with_drift([a, b])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
