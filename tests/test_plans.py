@@ -165,3 +165,27 @@ def test_sliding_agg_single_shuffle_with_expand(spark):
     plan = _final_plan(spark, "events_sliding_agg").split("== Initial Plan ==")[0]
     assert "Expand" in plan  # ×2 hop-window expansion happens map-side
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q9_part_filter_pushed_and_single_fact_shuffle(spark):
+    plan = _final_plan(spark, "q9_profit_by_nation").split("== Initial Plan ==")[0]
+    # the %widget% predicate reaches the part parquet scan
+    assert "StringContains(p_name,widget)" in plan
+    # one orders⋈lineitem shuffle pair at most; dims broadcast at this SF
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_snapshot_diff_projects_before_join(spark):
+    plan = _final_plan(spark, "snapshot_diff_orders").split("== Initial Plan ==")[0]
+    # full-outer on the PK: one exchange per side, none after
+    assert "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the scan reads only the 3 needed columns (projection pushdown)
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(len(s.split(",")) <= 3 for s in schemas), schemas
+
+
+def test_bloom_prejoin_probe_stays_jvm(spark):
+    plan = _final_plan(spark, "bloom_prejoin_revenue")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
