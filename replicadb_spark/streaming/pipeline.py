@@ -300,3 +300,49 @@ def stream_file_replica(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_agg(
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    keys: list[str],
+    value_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained GROUP BY: each micro-batch reduces to
+    mergeable partials (operators/rollup.agg_partials) and merges them
+    into a parquet state table — the streaming twin of the
+    incremental_agg_update batch query, and the aggregation-side
+    counterpart of stream_incremental_upsert.
+
+    Because the partial state is associative+commutative (count/sum add,
+    min/max fold, DECIMAL sums order-independent), the maintained state
+    equals a full batch recompute after ANY micro-batch split of the
+    input — tests drive it bounded and assert exactly that.
+
+    Scale: per batch, one |batch| partial-agg shuffle + a |keys|-row
+    state merge; state size is bounded by key cardinality, never by
+    stream length.
+    """
+    from replicadb_spark.operators.rollup import agg_partials, merge_partials
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = agg_partials(batch_df, keys, value_col)
+        try:
+            current = spark.read.parquet(state_path)
+            merged = merge_partials(current, delta, keys)
+        except Exception:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        source.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -207,3 +207,50 @@ def test_stream_interval_join_matches_batch(spark, event_dir):
     # true pair, and the bulk of the batch result must be emitted
     assert got <= want
     assert len(got) >= 0.9 * len(want) and got
+
+
+def test_stream_incremental_agg_matches_batch_recompute(spark, tmp_path):
+    """Micro-batched partial-agg maintenance (maxFilesPerTrigger=1 over
+    two source files): the final state must equal a full batch GROUP BY
+    over everything — the algebraic merge is batch-split invariant."""
+    from replicadb_spark.operators.rollup import agg_partials, finalize_partials
+    from replicadb_spark.session import tables
+
+    src = tmp_path / "agg_src"
+    src.mkdir()
+    ev = tables(spark, "/root/testdata/sf0.001", ("events",))["events"].select(
+        "event_type", "value"
+    )
+    # two explicit files → two micro-batches
+    ev.where(F.col("value") < 50).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "p0")
+    )
+    ev.where(F.col("value") >= 50).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "p1")
+    )
+    schema = spark.read.parquet(str(src / "p0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "agg_state")
+    q = P.stream_incremental_agg(
+        stream, state, str(tmp_path / "agg_ck"),
+        keys=["event_type"], value_col="value",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: (r.cnt, round(r.total, 6), r.vmin, r.vmax)
+        for r in finalize_partials(
+            spark.read.parquet(state), ["event_type"]
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.cnt, round(r.total, 6), r.vmin, r.vmax)
+        for r in finalize_partials(
+            agg_partials(ev, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    }
+    assert got == want
