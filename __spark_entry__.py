@@ -59,6 +59,7 @@ _GATE_FIRST = (
     "incremental_agg_update", "table_profile_orders",
     "zorder_curve_ids", "dedup_containment", "ann_ivfpq",
     "events_anomaly_zscore", "schema_drift_union",
+    "global_rank_customers",
 )
 _GATE_LAST = (
     # rotated past the cap this round (green rows+schema+hash in BOTH
@@ -67,7 +68,7 @@ _GATE_LAST = (
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "distinct_counts_per_segment", "events_sessionize",
     "text_stats", "text_language_id", "text_quality",
-    "multimodal_features", "dedup_exact_key",
+    "multimodal_features", "dedup_exact_key", "dedup_ngram_jaccard",
     "q20_bulk_suppliers",
     "q11_value_concentration", "q15_top_supplier",
     "q10_returned_items",

@@ -143,3 +143,50 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    bucket_width: float,
+) -> DataFrame:
+    """Exact global row_number by (value, id) WITHOUT the
+    single-partition sort a bare ``Window.orderBy`` forces.
+
+    Same decomposition as global_running_sum: range-bucket by
+    ``floor(value / bucket_width)``; rank inside each bucket in
+    parallel; exclusive-prefix-sum the per-bucket counts (a window over
+    the tiny bucket-totals frame only); add the offset back via a
+    broadcast join. The only ordered single-partition step touches
+    n_buckets rows, so at 100 TB with a sane width the "global" stage
+    handles thousands of rows, not 10^11.
+
+    The (value, id) pair is a total order, so ranks are deterministic
+    and match ``row_number() OVER (ORDER BY value, id)`` exactly —
+    which is what the oracle checks. Equal-frequency binning, exact
+    percentile assignment, and deciles all derive from the rank with
+    plain arithmetic.
+
+    Pick ``bucket_width`` so no single bucket dominates (value range /
+    ~10·parallelism); heavy clustering in one bucket degrades that
+    bucket's window to the skewed case — the same caveat as any range
+    partitioning.
+    """
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long").alias("__b")
+    bucketed = df.withColumn("__b", b)
+    w_in = Window.partitionBy("__b").orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    intra = bucketed.withColumn("__ir", F.row_number().over(w_in))
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_pfx = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(w_pfx), F.lit(0)).alias("__off")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "__b")
+        .withColumn("global_rank", F.col("__off") + F.col("__ir"))
+        .drop("__b", "__ir", "__off")
+    )

@@ -3423,3 +3423,47 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     return union_with_drift([v_old, v_new])
+
+
+@register(
+    "global_rank_customers",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS global_rank,
+             COUNT(*) OVER () AS n
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal, global_rank,
+           CAST(floor((global_rank - 1) * 8.0 / n) + 1 AS BIGINT) AS octile
+    FROM ranked
+    """,
+)
+def global_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ranking + equal-frequency binning at scale
+    (operators/ordering.global_rank): every customer's exact rank by
+    (acctbal, custkey) and its octile bin, computed WITHOUT the
+    single-partition sort the oracle's bare row_number() OVER (ORDER
+    BY ...) implies — range-bucketed intra-ranks plus a prefix-summed
+    offset table (the only ordered single-partition step touches one
+    row per bucket). The octile arithmetic is identical on both sides,
+    so the hash pins the whole rank assignment row-for-row.
+
+    Scale: one bucket-keyed shuffle for the parallel intra-ranks; the
+    total-count n rides in on a broadcast 1-row aggregate."""
+    from replicadb_spark.operators.ordering import global_rank
+
+    c = _t(spark, sf_dir, "customer")["customer"].select("c_custkey", "c_acctbal")
+    ranked = global_rank(c, "c_acctbal", "c_custkey", bucket_width=500.0)
+    n = c.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "global_rank",
+            (
+                F.floor((F.col("global_rank") - 1) * 8.0 / F.col("__n")) + 1
+            ).alias("octile"),
+        )
+    )

@@ -234,3 +234,29 @@ def test_chunk_overlap_reconstructs_documents(spark):
         parts.sort()
         rebuilt = parts[0][1] + "".join(p[20:] for _, p in parts[1:])
         assert rebuilt == docs[doc_id], doc_id
+
+
+def test_global_rank_matches_window_and_avoids_global_sort(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.ordering import global_rank
+    from replicadb_spark.session import tables
+
+    c = tables(spark, "/root/testdata/sf0.001", ("customer",))["customer"].select(
+        "c_custkey", "c_acctbal"
+    )
+    got = global_rank(c, "c_acctbal", "c_custkey", bucket_width=500.0)
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    want = c.withColumn("rn", F.row_number().over(w))
+    a = {r.c_custkey: r.global_rank for r in got.collect()}
+    b = {r.c_custkey: r.rn for r in want.collect()}
+    assert a == b
+    # the big side never passes through a single-partition sort: the only
+    # non-partitioned window runs over the tiny per-bucket totals frame
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # intra ranks are partitioned by bucket
+    assert "Window [row_number()" in plan and "partitionBy" not in plan  # sanity
+    assert "Exchange SinglePartition" in plan  # the tiny offsets frame only
+    # negative balances land in negative buckets and still rank correctly
+    assert min(b.values()) == 1 and max(b.values()) == c.count()
