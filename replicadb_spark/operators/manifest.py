@@ -1,0 +1,113 @@
+"""File-skipping manifest: per-file column statistics as a DataFrame.
+
+Parquet already stores min/max per row group; what a 100 TB table needs
+is those stats OUTSIDE the files, so a planner (or a job submitting
+loop) can select the files worth scanning without opening any of them —
+the core mechanism of lakehouse table formats' data skipping. This
+operator builds that manifest with Spark itself: the file list is
+parallelized and each task reads ONLY footers (pyarrow metadata, no row
+data), so manifest cost is O(files), not O(bytes).
+
+Pairs with ``ordering.zorder_layout``: cluster first, manifest once,
+then ``prune_files`` turns a box predicate into the small file subset
+whose stats intersect it. Correctness contract: pruning never drops a
+file that could contain a matching row (stats are conservative), so
+scan(pruned) ∩ predicate == scan(all) ∩ predicate — tested.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_manifest(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """(file, n_rows, column, min_s, max_s) for every parquet part-file
+    under ``path``. min/max are stringified (heterogeneous column types
+    stack in one schema; numeric compare re-casts on use).
+
+    The directory listing is driver-side metadata (same as Spark's own
+    scan planning); footer reads are distributed over the executors.
+    """
+    import pandas as pd  # noqa: F401 (schema side)
+
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"file": [], "n_rows": [], "column": [], "min_s": [], "max_s": []}
+            for fname in pdf["file"].values:
+                md = pq.ParquetFile(fname).metadata
+                lo: dict = {}
+                hi: dict = {}
+                n_rows = md.num_rows
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        col = row.column(ci)
+                        name = col.path_in_schema
+                        if columns is not None and name not in columns:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo[name] = min(lo[name], st.min) if name in lo else st.min
+                        hi[name] = max(hi[name], st.max) if name in hi else st.max
+                for name in lo:
+                    out["file"].append(fname)
+                    out["n_rows"].append(n_rows)
+                    out["column"].append(name)
+                    out["min_s"].append(str(lo[name]))
+                    out["max_s"].append(str(hi[name]))
+            yield pd.DataFrame(out)
+
+    width = spark.sparkContext.defaultParallelism
+    return fdf.repartition(min(width, len(files))).mapInPandas(
+        read_footers,
+        schema="file string, n_rows long, column string, min_s string, max_s string",
+    )
+
+
+def prune_files(
+    manifest: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+) -> list[str]:
+    """Files whose [min, max] range on ``column`` intersects [lo, hi] —
+    the candidate set a pruned scan reads. Conservative: a file with no
+    stats row for the column is KEPT (unknown ≠ excludable).
+
+    The manifest is tiny (rows = files × columns); collecting the
+    matching file list to the driver is the same bounded metadata pull
+    every query planner does.
+    """
+    stats = manifest.where(F.col("column") == column).select(
+        "file",
+        F.col("min_s").cast("double").alias("mn"),
+        F.col("max_s").cast("double").alias("mx"),
+    )
+    all_files = {r.file for r in manifest.select("file").distinct().collect()}
+    with_stats = {r.file for r in stats.collect()}
+    hit = {
+        r.file
+        for r in stats.where((F.col("mx") >= lo) & (F.col("mn") <= hi)).collect()
+    }
+    return sorted(hit | (all_files - with_stats))

@@ -88,3 +88,57 @@ def test_zorder_preserves_rows_exactly(spark):
     assert sorted((r.x, r.y) for r in out.collect()) == sorted(
         (r.x, r.y) for r in df.collect()
     )
+
+
+def test_file_manifest_prunes_zorder_layout_losslessly(spark, tmp_path):
+    """manifest + prune_files over a z-ordered table: the pruned scan
+    returns EXACTLY the rows of the full scan under the predicate, and
+    reads fewer files."""
+    from replicadb_spark.operators.manifest import file_manifest, prune_files
+
+    grid = (
+        spark.range(128 * 128)
+        .select(
+            (F.col("id") % 128).alias("x"),
+            (F.col("id") / 128).cast("long").alias("y"),
+        )
+    )
+    z_dir = str(tmp_path / "ztab")
+    zorder_layout(grid, "x", "y", num_files=16).write.parquet(z_dir)
+
+    man = file_manifest(spark, z_dir, columns=["x", "y"])
+    lo, hi = 10, 20
+    keep = prune_files(man, "y", lo, hi)
+    import os
+    total = sum(1 for f in os.listdir(z_dir) if f.endswith(".parquet"))
+    assert 0 < len(keep) < total  # genuinely prunes
+
+    pruned_rows = {
+        (r.x, r.y)
+        for r in spark.read.parquet(*keep)
+        .where((F.col("y") >= lo) & (F.col("y") <= hi))
+        .collect()
+    }
+    full_rows = {
+        (r.x, r.y)
+        for r in spark.read.parquet(z_dir)
+        .where((F.col("y") >= lo) & (F.col("y") <= hi))
+        .collect()
+    }
+    assert pruned_rows == full_rows  # lossless
+
+
+def test_prune_files_keeps_statless_files(spark, tmp_path):
+    from replicadb_spark.operators.manifest import file_manifest, prune_files
+
+    d = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id").alias("v"), (F.col("id") * 2).alias("w")
+    ).coalesce(2).write.parquet(d)
+    man = file_manifest(spark, d)
+    # files known to the manifest but with no stats row for v (drop the
+    # v rows, keep the w rows): unknown is NOT excludable → all kept,
+    # even for a range that matches nothing
+    keep = prune_files(man.where(F.col("column") != "v"), "v", 10_000, 20_000)
+    import os
+    assert len(keep) == sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
