@@ -3467,3 +3467,65 @@ def global_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("octile"),
         )
     )
+
+
+@register(
+    "sample_weighted_mix",
+    oracle="""
+    WITH grouped AS (
+      SELECT doc_id, source,
+             CASE WHEN length(source) = 4 THEN 'head' ELSE 'tail' END AS grp
+      FROM documents
+    ),
+    cnt AS (SELECT grp, COUNT(*) AS n FROM grouped GROUP BY grp),
+    thr AS (
+      SELECT grp,
+             printf('%04x', CAST(LEAST(
+               floor(LEAST(1.0, (CASE WHEN grp = 'head' THEN 0.7 ELSE 0.3 END)
+                                 * 200.0 / n) * 65536), 65535) AS BIGINT)) AS h
+      FROM cnt
+    )
+    SELECT doc_id, source, grp
+    FROM grouped JOIN thr USING (grp)
+    WHERE substring(md5('mix-7:' || CAST(doc_id AS VARCHAR)), 1, 4) < h
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe mixing: sample each source GROUP at the rate that
+    hits a target mixture (70% 'head' sources srcN, 30% 'tail' sources
+    srcNN) within a fixed budget of 200 docs — rate_g = min(1,
+    target_g · budget / count_g), membership decided by md5(seed‖id)
+    against the rate's 16-bit hex threshold. The mixing step of a
+    training-data pipeline: reproducible across runs, engines, and
+    re-ingests (no rand()).
+
+    Scale: ONE tiny group-count aggregate broadcast back onto a pure
+    codegen filter — no shuffle of the corpus, no skew; rates adapt to
+    whatever the actual per-group volumes are at any SF. Rates capped
+    at 65535/65536 (a rate of exactly 1.0 keeps all but ~0.002%)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    grp = F.when(F.length("source") == 4, F.lit("head")).otherwise(F.lit("tail"))
+    g = d.select("doc_id", "source", grp.alias("grp"))
+    cnt = g.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    target = F.when(F.col("grp") == "head", F.lit(0.7)).otherwise(F.lit(0.3))
+    rate = F.least(F.lit(1.0), target * 200.0 / F.col("n"))
+    thr = cnt.select(
+        "grp",
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.least(F.floor(rate * 65536), F.lit(65535)).cast("bigint")
+                )
+            ),
+            4,
+            "0",
+        ).alias("h"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("mix-7:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return (
+        g.join(F.broadcast(thr), "grp")
+        .where(h < F.col("h"))
+        .select("doc_id", "source", "grp")
+    )
