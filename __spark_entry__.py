@@ -60,6 +60,7 @@ _GATE_FIRST = (
     "zorder_curve_ids", "dedup_containment", "ann_ivfpq",
     "events_anomaly_zscore", "schema_drift_union",
     "global_rank_customers", "sample_weighted_mix",
+    "skew_key_profile", "events_interval_overlap",
 )
 _GATE_LAST = (
     # rotated past the cap this round (green rows+schema+hash in BOTH
@@ -69,7 +70,7 @@ _GATE_LAST = (
     "distinct_counts_per_segment", "events_sessionize",
     "text_stats", "text_language_id", "text_quality",
     "multimodal_features", "dedup_exact_key", "dedup_ngram_jaccard",
-    "knn_bruteforce",
+    "knn_bruteforce", "emb_neardup", "asof_join_enrich",
     "q20_bulk_suppliers",
     "q11_value_concentration", "q15_top_supplier",
     "q10_returned_items",

@@ -119,3 +119,53 @@ def range_join_pairs(
             F.round(F.col("r.s") - F.col("l.s"), 6).alias("gap_s"),
         )
     )
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bucket_width: float,
+) -> DataFrame:
+    """All pairs of intervals (same key) that OVERLAP:
+    a.start <= b.end AND b.start <= a.end — the interval self-join
+    behind conflict detection, co-occurrence windows, and meeting/ad
+    collision analysis.
+
+    The naive SQL form is a per-key cross join (quadratic in the key's
+    rows). Here every interval explodes to the fixed-width buckets it
+    touches (``sequence(floor(start/w), floor(end/w))`` — pure codegen),
+    the equi-join runs on (key, bucket), and duplicate hits from
+    intervals sharing several buckets collapse with one distinct. Cost
+    is O(rows · avg_buckets_per_interval) join input instead of
+    O(rows²_per_key); pick ``bucket_width`` near the typical interval
+    length so avg_buckets stays ~2.
+
+    Returns (key, id_a, id_b) with id_a < id_b, exact-filtered on the
+    true overlap predicate, so the bucketing is invisible in the result
+    (the oracle is the plain inequality join).
+    """
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)),
+                F.floor(F.col(end_col) / F.lit(bucket_width)),
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), on=["key", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .where((F.col("l.s") <= F.col("r.e")) & (F.col("r.s") <= F.col("l.e")))
+        .select("key", F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs

@@ -47,3 +47,30 @@ def salted_join(
     )
     out = l_salted.join(s_replicated, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def key_skew_profile(df, key_col: str, top: int = 10):
+    """Top-N heaviest join/grouping keys with their share of all rows —
+    the diagnosis that decides between a plain shuffle join, AQE skew
+    splitting, and salted_join. Run it on the intended join key BEFORE
+    committing a 100 TB job to a plan.
+
+    Scale: one map-side-combined count aggregate + a TakeOrdered top-N;
+    the total count rides in as a broadcast 1-row aggregate (no second
+    scan: Spark computes both from the same shuffle output)."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__n"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top)
+    )

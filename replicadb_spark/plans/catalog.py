@@ -3529,3 +3529,78 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(h < F.col("h"))
         .select("doc_id", "source", "grp")
     )
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+    WITH c AS (
+      SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), t AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT key, cnt, round(cnt * 1.0 / n, 6) AS share
+    FROM c, t
+    ORDER BY cnt DESC, key ASC
+    LIMIT 5
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators/skew.key_skew_profile): the
+    heaviest keys and their row share — the measurement that decides
+    plain shuffle vs AQE skew split vs salted_join before a 100 TB job
+    commits to a plan.
+
+    Scale: one map-side-combined count shuffle + TakeOrdered top-N; the
+    total count is a broadcast 1-row aggregate."""
+    from replicadb_spark.operators.skew import key_skew_profile
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return key_skew_profile(d, "lang", top=5)
+
+
+@register(
+    "events_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch(ts) AS s,
+             epoch(ts) + value AS e
+      FROM events
+    )
+    SELECT l.user_id AS key, l.event_id AS id_a, r.event_id AS id_b
+    FROM iv l JOIN iv r
+      ON l.user_id = r.user_id AND l.event_id < r.event_id
+     AND l.s <= r.e AND r.s <= l.e
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (operators/relational.
+    interval_overlap_join): each event is an activity interval
+    [ts, ts + value seconds]; emit every same-user pair whose intervals
+    overlap. The oracle is the naive per-user inequality join —
+    quadratic per key — while the Spark plan buckets intervals to
+    fixed-width time slots and equi-joins on (user, slot), exact-
+    filtering afterward, so the join input is O(rows·buckets_touched)
+    at any scale. Bucketing is invisible in the result (exact-
+    equivalence gate).
+
+    Scale: the one shuffle is the (user, slot) equi-join; slot width
+    (120 s ≈ typical interval) keeps buckets/interval ~2; a viral slot
+    is bounded by slot occupancy, not user history."""
+    from replicadb_spark.operators.relational import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    # fractional epoch seconds as micros/1e6 — the identical IEEE
+    # division DuckDB's epoch() performs; unix_timestamp would TRUNCATE
+    # to whole seconds and misclassify sub-second boundary overlaps
+    # (session TZ is UTC, so the NTZ→LTZ cast under unix_micros is the
+    # identity)
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        epoch_s.alias("s"),
+        (epoch_s + F.col("value")).alias("e"),
+    )
+    return interval_overlap_join(
+        iv, "user_id", "event_id", "s", "e", bucket_width=120.0
+    ).select(F.col("key"), "id_a", "id_b")

@@ -260,3 +260,45 @@ def test_global_rank_matches_window_and_avoids_global_sort(spark):
     assert "Exchange SinglePartition" in plan  # the tiny offsets frame only
     # negative balances land in negative buckets and still rank correctly
     assert min(b.values()) == 1 and max(b.values()) == c.count()
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.relational import interval_overlap_join
+
+    rows = [
+        # key, id, start, end
+        (1, 1, 0.0, 10.0),
+        (1, 2, 5.0, 15.0),    # overlaps 1
+        (1, 3, 10.0, 20.0),   # touches 1 (boundary) and overlaps 2
+        (1, 4, 100.0, 110.0), # far away
+        (2, 5, 0.0, 10.0),    # other key: never pairs with key 1
+        (2, 6, 9.5, 9.9),     # nested inside 5
+    ]
+    df = spark.createDataFrame(rows, "key long, id long, s double, e double")
+    got = {
+        (r.key, r.id_a, r.id_b)
+        for r in interval_overlap_join(
+            df, "key", "id", "s", "e", bucket_width=7.0
+        ).collect()
+    }
+    naive = {
+        (a[0], a[1], b[1])
+        for a in rows
+        for b in rows
+        if a[0] == b[0] and a[1] < b[1] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    assert got == naive
+    assert (1, 1, 3) in got  # boundary touch counts as overlap
+    assert (1, 1, 4) not in got
+
+
+def test_key_skew_profile_orders_and_shares(spark):
+    from replicadb_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = key_skew_profile(df, "k", top=2).collect()
+    assert [(r.key, r.cnt, r.share) for r in rows] == [("a", 6, 0.6), ("b", 3, 0.3)]
