@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",
     "snapshot_diff_orders",
     "bloom_prejoin_revenue",
+    "global_rank_customers",
+    "events_interval_overlap",
+    "dedup_containment",
     "window_top_customers",
     "events_sessionize",
     "events_tumbling_agg",
