@@ -3604,3 +3604,36 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         iv, "user_id", "event_id", "s", "e", bucket_width=120.0
     ).select(F.col("key"), "id_a", "id_b")
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive
+    (prev_event → next_event) steps per user timeline — the first-order
+    Markov summary behind funnel discovery and anomaly-flow detection.
+
+    Scale: ONE shuffle on user_id serves the lag window; the transition
+    aggregate over a |types|² key space is map-side partial. Total
+    order (ts, event_id) makes the sequence — and the hash —
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
