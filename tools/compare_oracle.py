@@ -45,8 +45,14 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    first_n = None
+    if "--first" in args:
+        i = args.index("--first")
+        first_n = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
     from replicadb_spark.session import get_spark
@@ -58,6 +64,9 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if first_n is not None:
+        # emulate the driver's gate cap: only the first N queries() entries
+        qs = {k: qs[k] for k in list(qs)[:first_n]}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
