@@ -61,7 +61,7 @@ _GATE_FIRST = (
     "events_anomaly_zscore", "schema_drift_union",
     "global_rank_customers", "sample_weighted_mix",
     "skew_key_profile", "events_interval_overlap",
-    "events_transition_matrix",
+    "events_transition_matrix", "value_histogram_events",
 )
 _GATE_LAST = (
     # rotated past the cap this round (green rows+schema+hash in BOTH
@@ -72,7 +72,7 @@ _GATE_LAST = (
     "text_stats", "text_language_id", "text_quality",
     "multimodal_features", "dedup_exact_key", "dedup_ngram_jaccard",
     "knn_bruteforce", "emb_neardup", "asof_join_enrich",
-    "range_join_event_pairs",
+    "range_join_event_pairs", "q13_customer_distribution",
     "q20_bulk_suppliers",
     "q11_value_concentration", "q15_top_supplier",
     "q10_returned_items",

@@ -3637,3 +3637,38 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "value_histogram_events",
+    oracle="""
+    SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           round(MIN(value), 6) AS bin_min,
+           round(MAX(value), 6) AS bin_max
+    FROM events
+    GROUP BY bin
+    """,
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value (width 5 over the [0,100)
+    domain) with per-bin observed min/max — the distribution profile
+    that sizes range partitions, spots truncation bugs after a
+    replication hop, and feeds the bucket_width choices of
+    global_rank / interval_overlap_join.
+
+    Scale: one map-side-combined aggregate over ≤ 20 bin keys — the
+    shuffle moves one row per (task, bin). Bin ids are exact integer
+    floor division; only the observed min/max round (after identical
+    arithmetic)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 5.0).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+    )
