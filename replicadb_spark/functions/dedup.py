@@ -194,6 +194,40 @@ def deduplicate_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(w_min, on=id_col, how="left_semi")
 
 
+def _shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """(id, shingle) inverted index with the optional hot-shingle DF cap
+    applied BEFORE the single persist.
+
+    Exactly ONE frame is persisted — the final (post-cap) index that the
+    self-join reads 3× (both join sides + the sizes agg). The pre-cap
+    explode is a narrow scan+projection that the cap pass recomputes
+    (once for the DF agg, once as the anti-join probe) rather than
+    pinning a second copy of the exploded corpus in executor storage:
+    at 100 TB the exploded index is larger than the corpus itself, so
+    every avoided cache copy matters, and recomputing a codegen explode
+    is cheaper than spilling it."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode(shingles_tokens(F.col("toks"), k)).alias("shingle"))
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh.persist()
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -219,19 +253,7 @@ def jaccard_pairs(
     (no extra shuffle of the exploded index).
     Returns (id_a, id_b, jaccard).
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
-        .select("id", F.explode(shingles_tokens(F.col("toks"), k)).alias("shingle"))
-        .persist()  # read 3×: both self-join sides + the sizes agg
-    )
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti").persist()
+    sh = _shingle_index(df, id_col, text_col, k=k, max_shingle_df=max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("l")
@@ -718,19 +740,7 @@ def containment_pairs(
     (same shuffle, same optional hot-shingle DF cap bounding viral
     buckets); only the final filter arithmetic differs.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
-        .select("id", F.explode(shingles_tokens(F.col("toks"), k)).alias("shingle"))
-        .persist()
-    )
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti").persist()
+    sh = _shingle_index(df, id_col, text_col, k=k, max_shingle_df=max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("l")

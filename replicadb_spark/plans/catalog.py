@@ -3270,7 +3270,7 @@ def zorder_curve_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_containment",
-    oracle=_SHINGLE_CTE + """
+    oracle=_SHINGLE_CAPPED_CTE.format(cap="1000") + """
     SELECT id_a, id_b,
            round(i * 1.0 / za.sz, 6) AS c_ab,
            round(i * 1.0 / zb.sz, 6) AS c_ba
@@ -3286,11 +3286,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal that flags a short doc quoted inside a long one, which
     symmetric Jaccard under-scores (containment ≥ jaccard always).
 
-    Scale: the identical single inverted-index self-join (and optional
-    hot-shingle DF cap) as dedup_ngram_jaccard — only the final filter
-    arithmetic differs, so the scale profile is already established."""
+    Scale: the identical single inverted-index self-join as
+    dedup_ngram_jaccard, WITH the same max_shingle_df=1000 hot-shingle
+    cap (one viral shingle would otherwise make its join bucket
+    quadratic at corpus scale); the oracle computes sizes and
+    intersections over the same capped shingle universe, so the gate
+    stays exact. On TESTDATA max DF is 25, so the cap never binds."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    pairs = D.containment_pairs(d, "doc_id", "text", k=3, threshold=0.55)
+    pairs = D.containment_pairs(
+        d, "doc_id", "text", k=3, threshold=0.55, max_shingle_df=1000
+    )
     return pairs.select(
         "id_a", "id_b",
         F.round("containment_a_in_b", 6).alias("c_ab"),

@@ -166,6 +166,36 @@ def test_containment_catches_quoted_inclusion(spark):
     assert jac == []  # symmetric measure misses the inclusion
 
 
+def test_containment_cap_neutralizes_viral_shingle(spark):
+    # Same shape as the jaccard viral-shingle test: 12 docs share one
+    # viral 3-gram but are otherwise disjoint; 100/101 are true
+    # near-dups. Capped, the spam-doc pairs vanish and the surviving
+    # pair's containment is exact over the capped universe.
+    from replicadb_spark.functions.dedup import containment_pairs
+
+    viral = "spam spam spam"
+    rows = [(i, f"{viral} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(12)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                containment_pairs(df, "doc_id", "text", threshold=0.05).collect()}
+    assert any(a < 12 and b < 12 for a, b in uncapped)
+
+    capped_rows = containment_pairs(
+        df, "doc_id", "text", threshold=0.05, max_shingle_df=8
+    ).collect()
+    capped = {(r["id_a"], r["id_b"]) for r in capped_rows}
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    assert (100, 101) in capped
+
+    # 8 tokens → 6 shingles each, 5 shared → c = 5/6 both directions
+    vals = {(r["id_a"], r["id_b"]): (r["containment_a_in_b"], r["containment_b_in_a"])
+            for r in capped_rows}[(100, 101)]
+    assert abs(vals[0] - 5 / 6) < 1e-9 and abs(vals[1] - 5 / 6) < 1e-9
+
+
 def test_containment_superset_of_jaccard(spark):
     from replicadb_spark.functions.dedup import containment_pairs, jaccard_pairs
     from replicadb_spark.session import tables
