@@ -155,20 +155,53 @@ def apply_diff(
     return survivors.unionByName(replacements)
 
 
-_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+_INT_ORDER = ["tinyint", "smallint", "int", "bigint"]
+_FRAC_ORDER = ["float", "double"]
 
 
-def union_with_drift(dfs: Sequence[DataFrame]) -> DataFrame:
+def _widen(name: str, a: str, b: str, allow_lossy: bool) -> str:
+    """Widest LOSSLESS type for two drifted column types, or raise.
+
+    Within a family, wider wins (every narrower value is exactly
+    representable). Across families the only safe target is double —
+    which holds every float and every integer up to 2^53 exactly — so
+    int-and-narrower × fractional promotes to double, NOT to Spark's
+    numeric-precedence answer (bigint⋈float → float would corrupt
+    integers above 2^24). bigint × fractional can exceed 2^53 and is
+    refused unless ``allow_lossy=True`` opts in.
+    """
+    if a in _INT_ORDER and b in _INT_ORDER:
+        return _INT_ORDER[max(_INT_ORDER.index(a), _INT_ORDER.index(b))]
+    if a in _FRAC_ORDER and b in _FRAC_ORDER:
+        return _FRAC_ORDER[max(_FRAC_ORDER.index(a), _FRAC_ORDER.index(b))]
+    fam = {a, b}
+    if fam & set(_INT_ORDER) and fam & set(_FRAC_ORDER):
+        if "bigint" in fam and not allow_lossy:
+            raise TypeError(
+                f"column {name!r}: bigint vs {a if b == 'bigint' else b} "
+                "can lose integer precision above 2^53; pass "
+                "allow_lossy=True to widen to double anyway"
+            )
+        return "double"
+    raise TypeError(
+        f"column {name!r}: irreconcilable types {a} vs {b} "
+        "(only numeric widening is supported)"
+    )
+
+
+def union_with_drift(dfs: Sequence[DataFrame], *, allow_lossy: bool = False) -> DataFrame:
     """Union frames whose schemas have DRIFTED — columns added, dropped,
     or numerically narrowed between snapshots (the schema-evolution
     reality of a long-lived replication pipeline; the reference requires
     identical pre-existing sink schemas, README.md:119, and fails on
     drift).
 
-    Per column name, the output type is the widest numeric type seen
-    (tinyint<smallint<int<bigint<float<double); frames missing a column
-    contribute NULLs. Non-numeric type conflicts (e.g. string vs int)
-    raise — silent lossy coercion is how replicas corrupt.
+    Per column name, the output type is the widest LOSSLESS numeric
+    type seen (see ``_widen``: within-family widening, int×fractional →
+    double, bigint×fractional refused without ``allow_lossy``); frames
+    missing a column contribute NULLs. Non-numeric type conflicts
+    (e.g. string vs int) raise — silent lossy coercion is how replicas
+    corrupt.
 
     Scale: pure projection + UnionExec — no shuffle, no driver data
     movement; only the schemas (driver-side metadata) are inspected.
@@ -184,17 +217,8 @@ def union_with_drift(dfs: Sequence[DataFrame]) -> DataFrame:
                 order.append(name)
                 continue
             a, b = widest[name], t
-            if a == b:
-                continue
-            if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
-                widest[name] = _WIDEN_ORDER[
-                    max(_WIDEN_ORDER.index(a), _WIDEN_ORDER.index(b))
-                ]
-            else:
-                raise TypeError(
-                    f"column {name!r}: irreconcilable types {a} vs {b} "
-                    "(only numeric widening is supported)"
-                )
+            if a != b:
+                widest[name] = _widen(name, a, b, allow_lossy)
     aligned = []
     for df in dfs:
         have = dict(df.dtypes)

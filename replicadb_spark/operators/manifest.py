@@ -93,21 +93,32 @@ def prune_files(
 ) -> list[str]:
     """Files whose [min, max] range on ``column`` intersects [lo, hi] —
     the candidate set a pruned scan reads. Conservative: a file with no
-    stats row for the column is KEPT (unknown ≠ excludable).
+    stats row for the column is KEPT, and so is one whose stats do not
+    parse as numbers (string/bytes column stringified by the manifest) —
+    unknown ≠ excludable, the cast-to-null must never drop a file.
 
-    The manifest is tiny (rows = files × columns); collecting the
-    matching file list to the driver is the same bounded metadata pull
-    every query planner does.
+    The keep-set is computed entirely distributed (one left-join on the
+    manifest); the ONLY driver pull is the final pruned file list —
+    the bounded set a planner must hold anyway. At 10⁶ files × columns
+    nothing else reaches the driver.
     """
     stats = manifest.where(F.col("column") == column).select(
         "file",
-        F.col("min_s").cast("double").alias("mn"),
-        F.col("max_s").cast("double").alias("mx"),
+        # try_cast, not cast: under ANSI mode a non-numeric stat (string
+        # column) would throw; here it must become null → file kept
+        F.col("min_s").try_cast("double").alias("mn"),
+        F.col("max_s").try_cast("double").alias("mx"),
     )
-    all_files = {r.file for r in manifest.select("file").distinct().collect()}
-    with_stats = {r.file for r in stats.collect()}
-    hit = {
-        r.file
-        for r in stats.where((F.col("mx") >= lo) & (F.col("mn") <= hi)).collect()
-    }
-    return sorted(hit | (all_files - with_stats))
+    keep = (
+        manifest.select("file")
+        .distinct()
+        .join(stats, "file", "left")
+        .where(
+            F.col("mn").isNull()          # no stats row, or unparseable min
+            | F.col("mx").isNull()        # unparseable max
+            | ((F.col("mx") >= lo) & (F.col("mn") <= hi))
+        )
+        .select("file")
+        .distinct()
+    )
+    return sorted(r.file for r in keep.collect())

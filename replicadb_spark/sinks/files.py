@@ -111,7 +111,14 @@ def compact_files(
     if compression:
         writer = writer.option("compression", compression)
     getattr(writer, fmt)(tmp)
-    # swap only after the full write committed
-    shutil.rmtree(src)
+    # Swap only after the full write committed, via rename-aside so no
+    # crash point loses data: (1) src → src.old (table briefly absent
+    # but both copies intact), (2) tmp → src (table live on new files),
+    # (3) delete src.old. A crash between 1 and 2 leaves both dirs
+    # recoverable; rmtree-then-rename would instead leave the table
+    # path absent with the data stranded in a hidden tmp dir.
+    old = src.parent / f".{src.name}.old-{uuid.uuid4().hex[:8]}"
+    src.rename(old)
     Path(tmp).rename(src)
+    shutil.rmtree(old)
     return n_files

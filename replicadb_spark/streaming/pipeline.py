@@ -329,13 +329,24 @@ def stream_incremental_agg(
     from replicadb_spark.operators.rollup import agg_partials, merge_partials
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         delta = agg_partials(batch_df, keys, value_col)
         try:
             current = spark.read.parquet(state_path)
-            merged = merge_partials(current, delta, keys)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY a genuinely absent state path means "first batch".
+            # Any other failure (corrupt footer, FS hiccup, concurrent
+            # writer) must propagate and fail the batch so the stream
+            # retries — falling back to `delta` there would silently
+            # reset the maintained aggregate to one micro-batch.
+            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
             merged = delta
+        else:
+            merged = merge_partials(current, delta, keys)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
     writer = (

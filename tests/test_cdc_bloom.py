@@ -186,6 +186,30 @@ def test_union_with_drift_rejects_type_conflict(spark):
         union_with_drift([a, b])
 
 
+def test_union_with_drift_int_x_fractional_promotes_double(spark):
+    # Spark's own precedence would pick float for int⋈float, corrupting
+    # integers above 2^24; the lossless target is double (int32 ⊂ f64).
+    from replicadb_spark.operators.cdc import union_with_drift
+
+    a = spark.createDataFrame([(2**30 + 1,)], "v int")
+    b = spark.createDataFrame([(0.5,)], "v float")
+    out = union_with_drift([a, b])
+    assert dict(out.dtypes) == {"v": "double"}
+    assert sorted(r.v for r in out.collect()) == [0.5, float(2**30 + 1)]
+
+
+def test_union_with_drift_bigint_x_fractional_refused_without_opt_in(spark):
+    import pytest
+    from replicadb_spark.operators.cdc import union_with_drift
+
+    a = spark.createDataFrame([(2**60,)], "v long")
+    b = spark.createDataFrame([(0.5,)], "v double")
+    with pytest.raises(TypeError, match="2\\^53"):
+        union_with_drift([a, b])
+    out = union_with_drift([a, b], allow_lossy=True)
+    assert dict(out.dtypes) == {"v": "double"}
+
+
 def test_union_with_drift_no_shuffle(spark):
     from replicadb_spark.operators.cdc import union_with_drift
 

@@ -254,3 +254,30 @@ def test_stream_incremental_agg_matches_batch_recompute(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_incremental_agg_fails_on_corrupt_state(spark, tmp_path):
+    """A corrupt (non-empty, unreadable) state table must FAIL the
+    micro-batch so the stream retries — not silently reset the
+    maintained aggregate to the current batch's delta."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    src = tmp_path / "bad_src"
+    src.mkdir()
+    spark.createDataFrame([("a", 1.0)], "event_type string, value double") \
+        .coalesce(1).write.parquet(str(src / "p0"))
+    state = tmp_path / "bad_state"
+    state.mkdir()
+    (state / "part-00000-garbage.parquet").write_bytes(b"this is not parquet")
+
+    schema = spark.read.parquet(str(src / "p0")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = P.stream_incremental_agg(
+        stream, str(state), str(tmp_path / "bad_ck"),
+        keys=["event_type"], value_col="value",
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    # state was not clobbered by the failing batch
+    assert (state / "part-00000-garbage.parquet").read_bytes() == b"this is not parquet"

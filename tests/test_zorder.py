@@ -142,3 +142,21 @@ def test_prune_files_keeps_statless_files(spark, tmp_path):
     keep = prune_files(man.where(F.col("column") != "v"), "v", 10_000, 20_000)
     import os
     assert len(keep) == sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def test_prune_files_keeps_non_numeric_stats(spark, tmp_path):
+    """A string column's min/max stringify but don't cast to double —
+    the file has a stats row yet an unknown numeric range. Conservative
+    contract: it must be KEPT, not silently dropped by null compares."""
+    from replicadb_spark.operators.manifest import file_manifest, prune_files
+
+    d = str(tmp_path / "s")
+    spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(50)], "id long, label string"
+    ).coalesce(2).write.parquet(d)
+    man = file_manifest(spark, d)
+    # sanity: the label stats exist but are non-numeric
+    assert man.where(F.col("column") == "label").count() > 0
+    keep = prune_files(man, "label", 0, 1)
+    import os
+    assert len(keep) == sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
