@@ -6,11 +6,13 @@ This is the closest in-container analog of the reference's
 Testcontainers matrix (SURVEY §5.1): seed a source table over JDBC, run
 the engine's modes, assert sink contents.
 
-A second live dialect is container-blocked: the only embedded-engine
-jars on this Spark classpath are Derby's (no H2/HSQLDB anywhere on the
-filesystem), so the pg/mysql/oracle/sqlserver MERGE templates stay
-covered at the SQL-text level (tests/test_dialects.py) while Derby
-exercises the SQL:2003 template end-to-end.
+A second live JDBC dialect is container-blocked: the only
+embedded-engine jars on this Spark classpath are Derby's (no H2/HSQLDB
+anywhere on the filesystem). The SQLite dialect IS exercised against a
+real engine via the stdlib sqlite3 module (tests/test_sqlite_live.py —
+staging CTAS, ON CONFLICT upsert, truncate, atomic swap), so pg/mysql/
+oracle/sqlserver are the dialects that remain text-asserted only
+(tests/test_dialects.py).
 """
 
 import pytest
