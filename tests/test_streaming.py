@@ -209,6 +209,69 @@ def test_stream_interval_join_matches_batch(spark, event_dir):
     assert len(got) >= 0.9 * len(want) and got
 
 
+def test_stream_interval_join_exact_batch_equivalence(spark, tmp_path):
+    """Strict streaming↔batch equivalence for the interval join: all
+    real data lands in micro-batch 1 (pairs emit eagerly, no cross-batch
+    eviction possible) and a far-future sentinel file forms batch 2,
+    advancing the watermark past every real row so any
+    emission-at-watermark regression would surface as missing pairs.
+    Result must EQUAL the batch interval join — no subset slack."""
+    import datetime as dt
+
+    from replicadb_spark.session import tables
+
+    src = tmp_path / "ivj_src"
+    src.mkdir()
+    ev = (
+        tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .where(F.col("event_type").isin("click", "purchase"))
+    )
+    ev.coalesce(1).write.parquet(str(src / "p0"))
+    schema = spark.read.parquet(str(src / "p0")).schema
+
+    far = ev.agg(F.max("ts")).collect()[0][0]
+    t_click = far + dt.timedelta(days=30)
+    t_buy = t_click - dt.timedelta(hours=1)  # r_ts < l_ts → never pairs
+    spark.createDataFrame(
+        [(-1, t_click, -100, "click"), (-1, t_buy, -101, "purchase")], schema
+    ).coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = _run_to_memory(
+        spark,
+        P.stream_interval_join(
+            stream.where(F.col("event_type") == "click"),
+            stream.where(F.col("event_type") == "purchase"),
+            max_gap="10 minutes",
+        ),
+        "t_ivjoin_exact",
+    )
+
+    real = spark.read.parquet(str(src / "p0"))
+    bc = real.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    bp = real.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("rk"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    want = {
+        (r["k"], r["l_id"], r["r_id"])
+        for r in bc.join(
+            bp,
+            (F.col("k") == F.col("rk"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes")),
+        ).select("k", "l_id", "r_id").collect()
+    }
+    got = {(r["k"], r["l_id"], r["r_id"]) for r in out.collect() if r["k"] != -1}
+    assert got == want and got
+
+
 def test_stream_incremental_agg_matches_batch_recompute(spark, tmp_path):
     """Micro-batched partial-agg maintenance (maxFilesPerTrigger=1 over
     two source files): the final state must equal a full batch GROUP BY
