@@ -172,10 +172,16 @@ def parse_properties(text: str) -> ReplicaJob:
     )
 
 
-def parse_args(argv: list[str]) -> ReplicaJob:
-    """CLI parity with cli/ToolOptions.java:68-316."""
+VERSION = "0.15.1-spark"  # parity target: reference v0.15.1
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """The CLI surface, one flag per reference option
+    (cli/ToolOptions.java:68-316; short forms h/j/v at 301-308).
+    Exposed so the parity test can enumerate it against the reference."""
     p = argparse.ArgumentParser(prog="replicadb-spark")
     p.add_argument("--options-file")
+    p.add_argument("--version", action="version", version=f"%(prog)s {VERSION}")
     p.add_argument("--mode", default=None, choices=VALID_MODES)
     p.add_argument("-j", "--jobs", type=int, default=None)
     p.add_argument("--fetch-size", type=int, default=None)
@@ -197,10 +203,19 @@ def parse_args(argv: list[str]) -> ReplicaJob:
     p.add_argument("--sink-columns")
     p.add_argument("--sink-file-format")
     p.add_argument("--sink-staging-table")
+    p.add_argument("--sink-staging-table-alias")
     p.add_argument("--sink-staging-schema")
     p.add_argument("--sink-disable-truncate", action="store_true", default=None)
-    p.add_argument("--verbose", action="store_true", default=None)
-    ns = p.parse_args(argv)
+    p.add_argument("--sink-disable-escape", action="store_true", default=None)
+    p.add_argument("--sink-disable-index", action="store_true", default=None)
+    p.add_argument("--sink-analyze", action="store_true", default=None)
+    p.add_argument("-v", "--verbose", action="store_true", default=None)
+    return p
+
+
+def parse_args(argv: list[str]) -> ReplicaJob:
+    """CLI parity with cli/ToolOptions.java:68-316."""
+    ns = build_arg_parser().parse_args(argv)
 
     if ns.options_file:
         with open(ns.options_file) as fh:
@@ -221,7 +236,11 @@ def parse_args(argv: list[str]) -> ReplicaJob:
         "sink_password": "sink_password", "sink_table": "sink_table",
         "sink_columns": "sink_columns", "sink_file_format": "sink_file_format",
         "sink_staging_table": "sink_staging_table",
+        "sink_staging_table_alias": "sink_staging_table_alias",
         "sink_staging_schema": "sink_staging_schema",
+        "sink_disable_escape": "sink_disable_escape",
+        "sink_disable_index": "sink_disable_index",
+        "sink_analyze": "sink_analyze",
         "verbose": "verbose", "quoted_identifiers": "quoted_identifiers",
     }
     for arg_name, field_name in mapping.items():
