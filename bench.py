@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "emb_neardup",
     "emb_dim_profile",
     "multimodal_features",
+    "tfidf_top_terms",
+    "unigram_prob_score",
+    "docs_novelty_ratio",
+    "events_top_paths",
+    "integrity_check_orders",
 ]
 
 

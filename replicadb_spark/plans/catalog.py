@@ -3677,3 +3677,367 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("bin_max"),
         )
     )
+
+
+# =========================================================================
+# Round-4 additions: corpus statistics, integrity, planning, sketch gates
+# =========================================================================
+
+_TOKENS_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    )
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_TOKENS_CTE + """
+    , tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, term, tf.tf * n_docs / df.df AS score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf.tf * n_docs / df.df DESC, term
+             ) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, rn, round(score, 6) AS score
+    FROM scored WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by raw-ratio tf-idf
+    (tf · N/df — the log-free variant so both engines compute the
+    identical exact bigint/bigint division): the standard keyword /
+    topic-drift profile of a training corpus.
+
+    Scale: one (doc,term) hash-agg shuffle for tf (map-side combined),
+    one |vocab|-row agg for df, a term-keyed join of two already-reduced
+    frames (AQE picks broadcast when vocab is small), and a per-doc
+    top-3 window whose partition is the ≤ |doc vocab| scored terms —
+    never the corpus. Ties break on term, so ranks are total."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    # persist the reduced (doc,term) frame: df_ and the join both read
+    # it — without this Catalyst duplicates the explode+agg subtree
+    # under each consumer (the q2_min_cost_supplier lesson)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "rn", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "unigram_prob_score",
+    oracle=_TOKENS_CTE + """
+    , tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), cf AS (
+      SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT SUM(tf) AS total FROM tf
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_toks,
+           round(CAST(SUM(tf * cf.cf) AS BIGINT) * 1000000.0
+                 / (CAST(SUM(tf) AS BIGINT) * ANY_VALUE(total)), 6)
+             AS score
+    FROM tf JOIN cf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency fluency score per document: the mean corpus
+    frequency of the doc's token instances, scaled to per-million
+    (Σ tf·cf · 1e6 / (n_toks · T)). The log-free cousin of LM-perplexity
+    quality filtering — rare-token/gibberish docs score low, stopword
+    soup scores high; pipelines cut both tails. All-integer arithmetic
+    until one final division, so the oracle matches bit-for-bit.
+
+    Scale: the (doc,term) tf agg is the one corpus-sized shuffle; cf
+    and the 1-row total derive from the already-reduced tf frame; the
+    term-keyed join never touches raw text again."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    # persist: cf, tot, and the join all read the reduced tf frame —
+    # unpersisted, the explode+agg subtree would run three times
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = tf.agg(F.sum("tf").alias("total"))
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.round(
+                F.sum(F.col("tf") * F.col("cf")) * 1000000.0
+                / (F.sum("tf") * F.first("total")),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+@register(
+    "docs_novelty_ratio",
+    oracle=_SHINGLE_CTE + """
+    , first_seen AS (
+      SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           round(SUM(CASE WHEN first_id = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM sh JOIN first_seen USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def docs_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles that no lower-id document contains — the corpus-growth
+    curve behind deduped-token counting ("how much NEW text does each
+    increment add?"), the aggregate twin of the pairwise dedup ops.
+
+    Scale: the same inverted shingle index as the jaccard family but
+    NO self-join — one min-agg on shingle, one shingle-keyed join back,
+    one per-doc agg. Linear in index size at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    # two-step projection: shingles_tokens requires a materialized token
+    # attribute (inline word_tokens re-evaluates per lambda element —
+    # see functions/dedup.shingles_tokens docstring)
+    sh = (
+        d.select("doc_id", D.word_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(D.shingles_tokens(F.col("toks"), 3)).alias("s"),
+        )
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_id"))
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("first_id") == F.col("doc_id")).cast("long"))
+                * 1.0 / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n
+    FROM paths
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 whole-journey event-type paths: each user's full ordered
+    event sequence collapsed to a '>'-joined path string, counted
+    across users — the sequence-mining shape behind funnel discovery
+    and behavioral clustering (events_funnel checks ONE known path;
+    this surfaces the paths worth checking).
+
+    Scale: one shuffle to user_id (collect_list state = that user's
+    events, bounded by per-user activity), array_sort on (ts, event_id,
+    type) structs for a total in-group order, one path-keyed count agg
+    with map-side partials, TakeOrdered(20) — no global sort."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "integrity_check_orders",
+    oracle="""
+    SELECT 'childless_order' AS chk, COUNT(*) AS n
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'dup_order_pk', COUNT(*) FROM (
+      SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'null_lineitem_fk', COUNT(*) FROM lineitem WHERE l_orderkey IS NULL
+    UNION ALL
+    SELECT 'orphan_lineitem', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ORDER BY chk
+    """,
+)
+def integrity_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-replication referential-integrity report over the
+    orders⇄lineitem pair: orphaned children, childless parents,
+    duplicated PKs, null FKs — the validation a replication operator
+    runs after an incremental cycle (the reference leaves this to the
+    user; SURVEY §2.3 M3 only guarantees PK upsert).
+
+    Scale: two key-only anti-joins (project-then-join, both sides
+    reduced to their join keys first) + one PK-count agg + one null
+    filter; every branch is a key-column scan, no payload moves. The
+    four 1-row aggregates union driver-free."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o_keys = t["orders"].select("o_orderkey")
+    l_keys = t["lineitem"].select("l_orderkey")
+
+    def one(chk: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(chk).alias("chk"), "n"
+        )
+
+    childless = one("childless_order",
+                    o_keys.join(l_keys, o_keys.o_orderkey == l_keys.l_orderkey,
+                                "left_anti"))
+    dup_pk = one("dup_order_pk",
+                 o_keys.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+                 .where(F.col("c") > 1))
+    null_fk = one("null_lineitem_fk", l_keys.where(F.col("l_orderkey").isNull()))
+    orphan = one("orphan_lineitem",
+                 l_keys.join(o_keys, l_keys.l_orderkey == o_keys.o_orderkey,
+                             "left_anti"))
+    return (
+        childless.unionByName(dup_pk).unionByName(null_fk).unionByName(orphan)
+        .orderBy("chk")
+    )
+
+
+@register(
+    "range_split_points",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ), n AS (SELECT COUNT(*) AS c FROM orders)
+    SELECT i AS octile, round(v, 6) AS split_value
+    FROM range(1, 8) t(i) CROSS JOIN n
+    JOIN ranked ON rn = CAST(floor(i * c / 8.0) AS BIGINT)
+    ORDER BY octile
+    """,
+)
+def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT range-partition split points: the 7 octile boundaries of
+    orders.o_totalprice — the planner step before a range-partitioned
+    write / zorder_layout / global binning (Spark's own repartitionByRange
+    samples; a replication engine wants deterministic, reproducible
+    bounds).
+
+    Scale: rides ordering.global_rank (range-bucket + tiny prefix
+    table — NO single-partition sort of the data); the rank targets
+    come from a broadcast 1-row count, and only 7 rows survive the
+    final filter. The oracle's bare row_number() is the semantics
+    being matched, not the plan."""
+    from replicadb_spark.operators.ordering import global_rank
+
+    o = _t(spark, sf_dir, "orders")["orders"].select("o_orderkey", "o_totalprice")
+    ranked = global_rank(o, "o_totalprice", "o_orderkey", bucket_width=10_000.0)
+    n = o.agg(F.count(F.lit(1)).alias("c"))
+    targets = (
+        spark.range(1, 8).select(F.col("id").alias("octile"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "octile",
+            F.floor(F.col("octile") * F.col("c") / 8.0).cast("long").alias("target"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), F.col("global_rank") == F.col("target")
+        )
+        .select("octile", F.round("o_totalprice", 6).alias("split_value"))
+        .orderBy("octile")
+    )
+
+
+@register(
+    "heavy_hitters_gate",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM events),
+    hh AS (
+      SELECT event_type, COUNT(*) AS cnt
+      FROM events GROUP BY event_type
+      HAVING COUNT(*) * 16 > (SELECT total FROM n)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hh, TRUE AS sketch_ok FROM hh
+    """,
+)
+def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries HEAVY-HITTER GATE (operators/heavy_hitters): the
+    merged 64-counter sketch's candidate set must contain every
+    event_type with true frequency > N/16 (the mergeable-summaries
+    guarantee covers any f > N/65, so N/16 hitters can never be
+    missed — sketch_ok flips false and fails the value hash if the
+    implementation breaks that bound).
+
+    Scale: the sketch shuffle is ≤ partitions×64 rows regardless of key
+    cardinality — the point of the sketch vs the exact groupBy the
+    oracle runs (affordable here; not at 10^9 keys)."""
+    from replicadb_spark.operators.heavy_hitters import heavy_hitter_candidates
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    n = ev.agg(F.count(F.lit(1)).alias("total"))
+    exact_hh = (
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cnt") * 16 > F.col("total"))
+        .select(F.col("event_type").alias("key"))
+    )
+    cands = heavy_hitter_candidates(ev, "event_type", k=64).select("key")
+    missed = exact_hh.join(cands, "key", "left_anti")
+    return (
+        exact_hh.agg(F.count(F.lit(1)).alias("n_hh"))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_miss")))
+        .select("n_hh", (F.col("n_miss") == 0).alias("sketch_ok"))
+    )
