@@ -131,6 +131,10 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        # queries that persist() intermediates (shingle index, tf frame,
+        # q2 offer) would otherwise accrete executor storage across the
+        # ~100-query run — mirror bench.py's per-query cache hygiene
+        spark.catalog.clearCache()
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
