@@ -272,3 +272,56 @@ def test_snapshot_diff_apply_roundtrip(spark, old, new):
         old_df, snapshot_diff(old_df, new_df, ["id"], ["v"]), ["id"], ["v"]
     )
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new))
+
+
+# ---------------------------------------------------------------- round 4
+
+NUMERIC_TYPES = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+@given(
+    a=st.sampled_from(NUMERIC_TYPES),
+    b=st.sampled_from(NUMERIC_TYPES),
+)
+def test_widen_is_commutative_and_absorbing(a, b):
+    """union_with_drift's type widening: symmetric, idempotent on its
+    own result, and never narrowing (the widened type re-widened with
+    either input returns itself)."""
+    from replicadb_spark.operators.cdc import _widen
+
+    def widen(x, y):
+        try:
+            return _widen("c", x, y, allow_lossy=True)
+        except TypeError:
+            return None
+
+    w = widen(a, b)
+    assert w == widen(b, a)
+    if w is not None:
+        assert widen(w, a) == w and widen(w, b) == w
+        # lossless-by-construction: int-family × frac-family → double only
+        fam_int = {"tinyint", "smallint", "int", "bigint"}
+        if (a in fam_int) != (b in fam_int):
+            assert w == "double"
+
+
+@given(
+    counts=st.dictionaries(
+        st.integers(0, 500), st.integers(1, 10_000), min_size=0, max_size=300
+    ),
+    k=st.integers(1, 64),
+)
+def test_mg_reduce_invariants(counts, k):
+    """Misra-Gries prune: ≤ len(counts) survivors, every estimate
+    under-estimates its input by the same pivot, and any key whose
+    count exceeds total/(k+1) survives."""
+    from replicadb_spark.operators.heavy_hitters import _mg_reduce
+
+    total = sum(counts.values())
+    red = _mg_reduce(dict(counts), k)
+    assert set(red) <= set(counts)
+    for key, est in red.items():
+        assert 0 < est <= counts[key]
+    for key, c in counts.items():
+        if c > total / (k + 1):
+            assert key in red, (key, c, total, k)

@@ -209,6 +209,53 @@ def test_stream_interval_join_matches_batch(spark, event_dir):
     assert len(got) >= 0.9 * len(want) and got
 
 
+def test_stream_sessionize_exact_batch_equivalence(spark, tmp_path):
+    """Strict streaming↔batch equivalence for session_window: real data
+    in micro-batch 1, a far-future sentinel in batch 2 pushes the
+    watermark past every real session's close, so ALL real sessions
+    must emit and equal the batch session_window result exactly."""
+    import datetime as dt
+
+    from replicadb_spark.session import tables
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ev = tables(spark, "/root/testdata/sf0.001", ("events",))["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.coalesce(1).write.parquet(str(src / "p0"))
+    schema = spark.read.parquet(str(src / "p0")).schema
+
+    far = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=30)
+    spark.createDataFrame([(-1, far, -100, "click")], schema).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = _run_to_memory(
+        spark, P.stream_sessionize(stream, gap="30 minutes"), "t_sess_exact"
+    )
+    batch = (
+        spark.read.parquet(str(src / "p0"))
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("s"), F.col("sw.end").alias("e"), "n")
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+        if r["user_id"] != -1
+    }
+    want = {(r["user_id"], str(r["s"]), str(r["e"]), r["n"]) for r in batch.collect()}
+    assert got == want and got
+
+
 def test_stream_interval_join_exact_batch_equivalence(spark, tmp_path):
     """Strict streaming↔batch equivalence for the interval join: all
     real data lands in micro-batch 1 (pairs emit eagerly, no cross-batch
