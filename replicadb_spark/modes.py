@@ -165,8 +165,14 @@ def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
         write_jdbc(df, job, mode="overwrite", truncate=job.sink_truncate)
         return
 
+    # staging name = <sink table or user alias> + repdbNN; the alias
+    # exists for engines whose identifier length limit the combined
+    # name would exceed (ConnManager.java:157-162)
+    base = job.sink_staging_table_alias or (
+        job.sink_table.rsplit(".", 1)[-1] if job.sink_table else None
+    )
     staging = job.sink_staging_table or dialects.staging_table_name(
-        hash(job.sink_table) & 0xFFFF, job.sink_staging_schema
+        hash(job.sink_table) & 0xFFFF, job.sink_staging_schema, base
     )
     auto_staging = job.sink_staging_table is None
     run = lambda sqls, txn=False: execute_sql(  # noqa: E731

@@ -64,10 +64,17 @@ def hash_partition_predicates(dialect: str, n: int, split_by: str | None = None)
 
 # --- staging DDL (M4) ------------------------------------------------------
 
-def staging_table_name(seed: int, schema: str | None = None) -> str:
-    """``repdb<NN>`` random staging name (ConnManager.java:144-167), but
-    seeded per-job instead of the reference's process-global static."""
-    name = f"repdb{seed % 100:02d}"
+def staging_table_name(
+    seed: int, schema: str | None = None, base: str | None = None
+) -> str:
+    """``<base>repdb<NN>`` random staging name (ConnManager.java:144-167),
+    seeded per-job instead of the reference's process-global static.
+
+    ``base`` is the sink table's unqualified name — or the user's
+    ``sink-staging-table-alias``, which exists because table + suffix
+    can exceed an engine's identifier length limit
+    (ConnManager.java:157-162)."""
+    name = f"{base or ''}repdb{seed % 100:02d}"
     return f"{schema}.{name}" if schema else name
 
 

@@ -62,6 +62,9 @@ def test_staging_name_is_repdbNN():
     # ConnManager.java:144-167 format
     assert staging_table_name(7).startswith("repdb")
     assert staging_table_name(7, "stg") == f"stg.{staging_table_name(7)}"
+    # reference parity: random name is <sink-or-alias> + repdbNN
+    assert staging_table_name(7, base="t_sink") == f"t_sinkrepdb{7 % 100:02d}"
+    assert staging_table_name(7, "stg", "als") == f"stg.alsrepdb{7 % 100:02d}"
 
 
 def test_truncate_fallback_sqlite():
