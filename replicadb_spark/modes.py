@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from replicadb_spark import types as tp
 from replicadb_spark.options import ReplicaJob
 from replicadb_spark.sql import dialects
 
@@ -184,8 +185,18 @@ def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
     try:
         _bulk_append(spark, job, df, staging)
         cols = job.sink_column_list or df.columns
+        # T12: quote column/PK names in generated SQL when asked — the
+        # reference wraps metadata-sourced names in double quotes
+        # (ConnManager.java:195-207, SqlManager.java:325-345); table
+        # names stay unquoted like the reference's escapeTableName
+        quote = tp.quote_identifier if job.quoted_identifiers else (lambda c: c)
         if job.mode == "complete-atomic":
-            run(dialects.atomic_swap_sql(dialect, job.sink_table, staging, cols), txn=True)
+            run(
+                dialects.atomic_swap_sql(
+                    dialect, job.sink_table, staging, [quote(c) for c in cols]
+                ),
+                txn=True,
+            )
         else:  # incremental
             pks = sink_primary_keys(spark, job)
             if not pks:
@@ -196,7 +207,10 @@ def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
             # (the reference's case-insensitive retry, SqlManager.java:282-318)
             colmap = {c.lower(): c for c in cols}
             pks = [colmap.get(p.lower(), p) for p in pks]
-            spec = dialects.MergeSpec(job.sink_table, staging, cols, pks)
+            spec = dialects.MergeSpec(
+                job.sink_table, staging,
+                [quote(c) for c in cols], [quote(p) for p in pks],
+            )
             run([dialects.merge_sql(dialect, spec)])
     finally:
         if auto_staging:

@@ -137,6 +137,35 @@ def test_parquet_to_jdbc_incremental_merge(spark, tmp_path):
     assert names == {"T_SINK"}
 
 
+def test_incremental_merge_quoted_identifiers(spark, tmp_path):
+    """T12 live: sink columns are QUOTED lower-case names, one of them a
+    reserved word ("order") — the generated MERGE can only succeed when
+    quoted_identifiers wraps column/PK names (unquoted they'd fold to
+    upper-case and the reserved word would be a syntax error)."""
+    url = _derby_url(tmp_path, "snkq")
+    execute_sql(spark, url, [
+        'CREATE TABLE t_q ("id" INT PRIMARY KEY, "order" VARCHAR(16))',
+        """INSERT INTO t_q VALUES (1, 'old')""",
+    ])
+    src = str(tmp_path / "inq")
+    spark.createDataFrame(
+        [(1, "upd"), (2, "ins")], "id int, order string"
+    ).write.parquet(src)
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="parquet",
+        sink_connect=url, sink_table="t_q", mode="incremental",
+        quoted_identifiers=True,
+    )
+    assert sink_primary_keys(spark, job) == ["id"]
+    run(spark, job)
+    got = {
+        r["id"]: r["order"]
+        for r in spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "t_q").load().collect()
+    }
+    assert got == {1: "upd", 2: "ins"}
+
+
 def test_jdbc_source_where_and_columns_pushdown(spark, tmp_path):
     url = _derby_url(tmp_path, "src3")
     _seed_source(spark, url, 100)
