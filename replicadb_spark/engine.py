@@ -82,6 +82,18 @@ def apply_row_filters(df: DataFrame, job: ReplicaJob) -> DataFrame:
 def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
     """Sink dispatch + mode orchestration (≈ preSinkTasks / insertData /
     postSinkTasks lifecycle, ConnManager.java:247-259)."""
+    sink_cols = job.sink_column_list
+    if sink_cols:
+        # sink.columns names the SINK's insert columns, mapped to the
+        # source frame positionally (the reference builds
+        # INSERT INTO sink(<sink.columns>) with source values in order,
+        # SqlManager insert loop + getAllSinkColumns)
+        if len(sink_cols) != len(df.columns):
+            raise ValueError(
+                f"sink.columns lists {len(sink_cols)} columns but the "
+                f"source produces {len(df.columns)}"
+            )
+        df = df.toDF(*sink_cols)
     kind, scheme = registry.classify(job.sink_connect)
     if kind == "jdbc":
         from replicadb_spark.modes import run_jdbc_mode

@@ -153,7 +153,14 @@ def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
 
     dialect = dialects.dialect_from_url(job.sink_connect)
     if job.mode == "complete":
-        if dialect == "postgresql" and job.sink_truncate:
+        if not job.sink_truncate:
+            # sink-disable-truncate (SqlManager.java:494-496): keep the
+            # existing rows and APPEND. Spark's overwrite-without-
+            # truncate would DROP and recreate the table — data and DDL
+            # loss the reference's semantics never allow.
+            _bulk_append(spark, job, df, job.sink_table)
+            return
+        if dialect == "postgresql":
             # reference M1 on postgres: TRUNCATE, then COPY into the sink
             # table itself (PostgresqlManager.java:60-63)
             execute_sql(
@@ -163,7 +170,7 @@ def run_jdbc_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
             )
             _bulk_append(spark, job, df, job.sink_table)
             return
-        write_jdbc(df, job, mode="overwrite", truncate=job.sink_truncate)
+        write_jdbc(df, job, mode="overwrite", truncate=True)
         return
 
     # staging name = <sink table or user alias> + repdbNN; the alias

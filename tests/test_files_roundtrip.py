@@ -161,3 +161,38 @@ def test_engine_partitioned_sink_params(spark, tmp_path):
     run(spark, job)
     assert sorted(d for d in os.listdir(out) if d.startswith("pt=")) == ["pt=a", "pt=b"]
     assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_sink_columns_rename_positionally(spark, tmp_path):
+    """sink.columns maps source columns to SINK column names in order
+    (the reference's INSERT INTO sink(<sink.columns>) semantics)."""
+    src = tmp_path / "sc.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    out = tmp_path / "sc_out"
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="csv",
+        sink_connect=f"file://{out}", sink_file_format="parquet",
+        sink_columns="sink_id,sink_name", mode="complete",
+        source_params={"header": "true"},
+    )
+    from replicadb_spark.engine import run
+    run(spark, job)
+    got = spark.read.parquet(str(out))
+    assert got.columns == ["sink_id", "sink_name"]
+    assert got.count() == 2
+
+
+def test_sink_columns_arity_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    src = tmp_path / "sc2.csv"
+    src.write_text("a,b\n1,x\n")
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="csv",
+        sink_connect=f"file://{tmp_path}/sc2_out", sink_file_format="parquet",
+        sink_columns="only_one", mode="complete",
+        source_params={"header": "true"},
+    )
+    from replicadb_spark.engine import run
+    with pytest.raises(ValueError, match="sink.columns"):
+        run(spark, job)

@@ -137,6 +137,30 @@ def test_parquet_to_jdbc_incremental_merge(spark, tmp_path):
     assert names == {"T_SINK"}
 
 
+def test_complete_disable_truncate_appends(spark, tmp_path):
+    """--sink-disable-truncate on complete mode: existing rows SURVIVE
+    and the load appends (SqlManager.java:494-496) — Spark's drop-and-
+    recreate overwrite would silently destroy them."""
+    url = _derby_url(tmp_path, "snkdt")
+    execute_sql(spark, url, [
+        "CREATE TABLE t_sink (id INT, name VARCHAR(64))",
+        "INSERT INTO t_sink VALUES (999, 'preexisting')",
+    ])
+    src = str(tmp_path / "in_dt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    ).write.parquet(src)
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="parquet",
+        sink_connect=url, sink_table="t_sink", mode="complete",
+        sink_truncate=False,
+    )
+    run(spark, job)
+    got = spark.read.format("jdbc").option("url", url).option("dbtable", "t_sink").load()
+    assert got.count() == 3
+    assert got.where(F.col("ID") == 999).count() == 1  # survived
+
+
 def test_incremental_merge_quoted_identifiers(spark, tmp_path):
     """T12 live: sink columns are QUOTED lower-case names, one of them a
     reserved word ("order") — the generated MERGE can only succeed when
