@@ -40,7 +40,11 @@ def read_source(spark: SparkSession, job: ReplicaJob) -> DataFrame:
         path = registry.file_path(job.source_connect)
         kwargs = {}
         if fmt == "csv":
-            kwargs["dialect"] = job.source_params.get("csv.format", "DEFAULT")
+            from replicadb_spark.sources.files import csv_options_from_format_params
+
+            kwargs["dialect"] = job.source_params.get(
+                "csv.format", job.source_params.get("format", "DEFAULT")
+            )
             cols = job.source_column_list
             types_ = job.source_params.get("columns.types")
             if types_:
@@ -48,6 +52,8 @@ def read_source(spark: SparkSession, job: ReplicaJob) -> DataFrame:
                 kwargs["column_types"] = [t.strip() for t in types_.split(",")]
             elif cols:
                 kwargs["columns"] = cols
+            # reference format.* grammar, then direct spark-option spellings
+            kwargs.update(csv_options_from_format_params(job.source_params))
             for opt in ("sep", "quote", "escape", "header", "nullValue"):
                 if opt in job.source_params:
                     kwargs[opt] = job.source_params[opt]
@@ -124,6 +130,16 @@ def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
         mrpf = job.sink_params.get("max.records.per.file", "")
         if mrpf:
             write_opts["max_records_per_file"] = int(mrpf)
+        if fmt == "csv":
+            # sink-side CSV format dialect/knobs (the reference reads the
+            # same format.* grammar from the SINK connection params,
+            # CsvFileManager.java:44-47)
+            from replicadb_spark.sources.files import csv_options_from_format_params
+
+            csv_opts = csv_options_from_format_params(job.sink_params)
+            if "header" in csv_opts:
+                write_opts["header"] = csv_opts.pop("header").lower() == "true"
+            write_opts.update(csv_opts)
         run_file_mode(
             spark, job, df, path=path, fmt=fmt, pk_columns=pks or None, **write_opts
         )

@@ -33,6 +33,44 @@ CSV_DIALECTS: dict[str, dict[str, str]] = {
 }
 
 
+# The reference's CSV format property grammar (CsvFileManager.java:50-201):
+# `format` names a preset, `format.<knob>` overrides one knob. Mapped onto
+# spark csv reader/writer options; quoteMode=ALL maps to the writer's
+# quoteAll (the only mode Spark exposes; the others are Commons-CSV
+# quoting strategies Spark's writer decides internally).
+_FORMAT_KEY_MAP = {
+    "format.delimiter": "sep",
+    "format.quote": "quote",
+    "format.escape": "escape",
+    "format.nullString": "nullValue",
+    "format.recordSeparator": "lineSep",
+    "format.firstRecordAsHeader": "header",
+}
+
+
+def csv_options_from_format_params(params: dict) -> dict:
+    """``{source|sink}.connect.parameter.format*`` → spark csv options.
+
+    Returns a dict that may include the preset's base options (when
+    ``format`` names one of CSV_DIALECTS) overlaid with per-knob
+    ``format.*`` overrides — exactly the reference's precedence
+    (preset first, then individual withX() calls)."""
+    opts: dict = {}
+    preset = params.get("format")
+    if preset:
+        opts.update(CSV_DIALECTS.get(preset.upper(), CSV_DIALECTS["DEFAULT"]))
+    for ref_key, spark_key in _FORMAT_KEY_MAP.items():
+        if ref_key in params:
+            opts[spark_key] = str(params[ref_key])
+    if str(params.get("format.quoteMode", "")).upper().strip() == "ALL":
+        opts["quoteAll"] = "true"
+    if "format.ignoreSurroundingSpaces" in params:
+        v = str(params["format.ignoreSurroundingSpaces"])
+        opts["ignoreLeadingWhiteSpace"] = v
+        opts["ignoreTrailingWhiteSpace"] = v
+    return opts
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -196,3 +196,46 @@ def test_sink_columns_arity_mismatch_raises(spark, tmp_path):
     from replicadb_spark.engine import run
     with pytest.raises(ValueError, match="sink.columns"):
         run(spark, job)
+
+
+def test_reference_format_grammar_source_and_sink(spark, tmp_path):
+    """The reference's format / format.delimiter / format.nullString /
+    format.firstRecordAsHeader connection-parameter grammar works on
+    both sides (CsvFileManager.java:44-201)."""
+    src = tmp_path / "fmt_src.csv"
+    src.write_text("id|name\n1|alpha\n2|\\N\n")
+    out = tmp_path / "fmt_out"
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="csv",
+        sink_connect=f"file://{out}", sink_file_format="csv",
+        mode="complete",
+        source_params={
+            "format.delimiter": "|",
+            "format.nullString": "\\N",
+            "format.firstRecordAsHeader": "true",
+        },
+        sink_params={
+            "format.delimiter": ";",
+            "format.nullString": "<NULL>",
+            "format.firstRecordAsHeader": "false",
+        },
+    )
+    run(spark, job)
+    import glob
+    lines = sorted(
+        ln
+        for f in glob.glob(f"{out}/part-*")
+        for ln in open(f).read().splitlines()
+    )
+    assert lines == ["1;alpha", "2;<NULL>"]  # re-delimited, null re-encoded, no header
+
+
+def test_format_preset_with_override(spark, tmp_path):
+    from replicadb_spark.sources.files import csv_options_from_format_params
+
+    opts = csv_options_from_format_params(
+        {"format": "MYSQL", "format.delimiter": ","}
+    )
+    assert opts["sep"] == ","            # override wins
+    assert opts["nullValue"] == "\\N"    # preset base survives
+    assert opts["escape"] == "\\"
