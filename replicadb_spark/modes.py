@@ -252,20 +252,28 @@ def run_file_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame, *,
     # `path` directly races the overwrite against lazy/recomputed reads
     # (cache eviction mid-write would recompute from the half-overwritten
     # input → data loss). Instead the merge is fully materialized at a
-    # sibling temp path first, then swapped in; a crash at any point
-    # leaves at least one complete copy on disk (the original, or —
-    # between delete and rename — the durable temp, recoverable by hand).
-    # Hadoop FileSystem rename is atomic on HDFS/local; on object stores
-    # (s3a) it degrades to copy+delete, which still never corrupts the
-    # source because the temp write completed before the original is
-    # touched.
+    # sibling temp path first, then swapped in via rename-aside (the
+    # same dance as sinks.files.compact_files): (1) path → .old (both
+    # copies intact), (2) tmp → path (new data live), (3) delete .old.
+    # A crash at ANY point leaves at least one complete copy on disk
+    # under a discoverable name — never a half-deleted table. Hadoop
+    # FileSystem rename is atomic on HDFS/local; on object stores (s3a)
+    # it degrades to copy+delete, which still never corrupts the source
+    # because the temp write completed before the original is touched.
     merged = upsert_dataframe(existing, df, pk_columns)
     tmp = path.rstrip("/") + ".__replicadb_tmp__"
     write_file(merged, tmp, fmt, mode="overwrite", **write_opts)
     jvm = spark._sc._jvm  # noqa: SLF001
     dst = jvm.org.apache.hadoop.fs.Path(path)
     src = jvm.org.apache.hadoop.fs.Path(tmp)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__replicadb_old__")
     fs = dst.getFileSystem(spark._sc._jsc.hadoopConfiguration())  # noqa: SLF001
-    fs.delete(dst, True)
+    fs.delete(old, True)  # stale leftover from a prior crash
+    if not fs.rename(dst, old):
+        raise IOError(f"rename {path} aside failed; merged data is intact at {tmp}")
     if not fs.rename(src, dst):
-        raise IOError(f"rename {tmp} -> {path} failed; merged data is intact at {tmp}")
+        raise IOError(
+            f"rename {tmp} -> {path} failed; original is intact at {old}, "
+            f"merged data at {tmp}"
+        )
+    fs.delete(old, True)

@@ -239,3 +239,22 @@ def test_format_preset_with_override(spark, tmp_path):
     assert opts["sep"] == ","            # override wins
     assert opts["nullValue"] == "\\N"    # preset base survives
     assert opts["escape"] == "\\"
+
+
+def test_incremental_swap_leaves_no_side_dirs(spark, tmp_path):
+    import os
+
+    out = tmp_path / "swap_pq"
+    write_file(spark.createDataFrame([(1, "old")], ["id", "v"]), str(out), "parquet")
+    src = tmp_path / "swap_delta.csv"
+    src.write_text("id,v\n1,new\n")
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="csv",
+        sink_connect=f"file://{out}", sink_file_format="parquet",
+        source_params={"header": "true"}, sink_params={"pk.columns": "id"},
+        mode="incremental",
+    )
+    run(spark, job)
+    assert {r["v"] for r in spark.read.parquet(str(out)).collect()} == {"new"}
+    leftovers = [d for d in os.listdir(tmp_path) if "__replicadb_" in d]
+    assert leftovers == []
