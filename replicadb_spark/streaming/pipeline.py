@@ -183,6 +183,8 @@ def stream_incremental_upsert(
     from replicadb_spark.modes import upsert_dataframe
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         # newest row per PK within the batch, then merge over the snapshot
         deduped = upsert_dataframe(
@@ -190,9 +192,17 @@ def stream_incremental_upsert(
         )
         try:
             current = spark.read.parquet(sink_path)
-            merged = upsert_dataframe(current, deduped, pk_columns, order_column=order_column)
-        except Exception:
+        except AnalysisException as e:
+            # only a genuinely missing snapshot means "first batch" —
+            # same contract as stream_incremental_agg.merge_batch: any
+            # other failure must fail the batch, not silently reset the
+            # snapshot to this batch's rows
+            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
             merged = deduped
+        else:
+            merged = upsert_dataframe(current, deduped, pk_columns, order_column=order_column)
         # localCheckpoint cuts the lineage so the overwrite does not read
         # the files it is replacing
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(sink_path)
@@ -353,6 +363,59 @@ def stream_incremental_agg(
         source.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_neardup_vs_corpus(
+    source: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-duplicate screening of an ingest stream against a
+    STATIC corpus: each micro-batch runs the bipartite banded-LSH
+    pipeline (functions/dedup.minhash_dedup_pairs_bipartite — corpus ×
+    batch buckets only, never corpus × corpus) and appends the verified
+    (corpus_id, incoming_id, jaccard) pairs to a parquet result table.
+    The streaming form of the ``dedup_incremental_batch`` catalog query,
+    and the shape a production pipeline runs as new shards land.
+
+    Determinism contract (tested): because each batch's pairs depend
+    only on (corpus, that batch's rows), the union of per-batch outputs
+    equals ONE bipartite run over all streamed rows — micro-batch
+    boundaries cannot change the result.
+
+    Scale: per batch, cost is O(|batch|·bands) plus matched buckets;
+    the corpus side's sketch recomputes per batch here — at 100 TB the
+    corpus bucket index is precomputed once to a table and this
+    function's corpus arg is that staged index's source rows.
+    """
+    from replicadb_spark.functions.dedup import minhash_dedup_pairs_bipartite
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs = minhash_dedup_pairs_bipartite(
+            corpus, batch_df, id_col, text_col,
+            k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        pairs.write.mode("append").parquet(out_path)
+
+    writer = (
+        source.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -391,3 +391,45 @@ def test_stream_incremental_agg_fails_on_corrupt_state(spark, tmp_path):
         q.awaitTermination(120)
     # state was not clobbered by the failing batch
     assert (state / "part-00000-garbage.parquet").read_bytes() == b"this is not parquet"
+
+
+def test_stream_neardup_vs_corpus_batch_invariant(spark, tmp_path):
+    """Micro-batch boundaries cannot change the near-dup result: the
+    union of per-batch bipartite pairs equals one bipartite run over
+    all streamed rows."""
+    from replicadb_spark.functions.dedup import minhash_dedup_pairs_bipartite
+    from replicadb_spark.session import tables
+
+    docs = tables(spark, "/root/testdata/sf0.001", ("documents",))["documents"]
+    corpus = docs.where(F.col("doc_id") < 250)
+    incoming = docs.where(F.col("doc_id") >= 250)
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    incoming.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "p0"))
+    incoming.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "p1"))
+    schema = spark.read.parquet(str(src / "p0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "nd_out")
+    q = P.stream_neardup_vs_corpus(
+        stream, corpus, out, str(tmp_path / "nd_ck"), threshold=0.5
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in minhash_dedup_pairs_bipartite(
+            corpus, incoming, "doc_id", "text",
+            k=3, num_hashes=128, bands=64, threshold=0.5,
+        ).collect()
+    }
+    assert got == want and got
