@@ -240,7 +240,18 @@ def run_file_mode(spark: SparkSession, job: ReplicaJob, df: DataFrame, *,
     # incremental
     try:
         existing = spark.read.format(fmt).load(path) if fmt != "csv" else None
-    except Exception:
+    except Exception as e:
+        # only a genuinely absent sink means "first run" (→ plain
+        # append). An unreadable/corrupt sink must FAIL the job: falling
+        # back to append would silently skip the PK merge and land
+        # duplicate keys (same contract as the streaming state readers).
+        from pyspark.errors import AnalysisException
+
+        cls = e.getErrorClass() if isinstance(e, AnalysisException) and hasattr(
+            e, "getErrorClass"
+        ) else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
         existing = None
     if existing is None:
         write_file(df, path, fmt, mode="append", **write_opts)

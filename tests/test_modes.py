@@ -65,3 +65,26 @@ def test_incremental_file_mode_temp_swap(spark, tmp_path):
     run_file_mode(spark, _Job(), delta2, path=path, fmt="parquet", pk_columns=["id"])
     got2 = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got2 == {(1, "a"), (2, "B"), (3, "C"), (4, "d")}
+
+
+def test_file_incremental_fails_on_corrupt_sink(spark, tmp_path):
+    """An unreadable sink must fail the job, not silently append past
+    the PK merge (duplicate keys)."""
+    import pytest
+
+    from replicadb_spark.modes import run_file_mode
+    from replicadb_spark.options import ReplicaJob
+
+    sink = tmp_path / "corrupt_sink"
+    sink.mkdir()
+    (sink / "part-00000.parquet").write_bytes(b"not parquet at all")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    job = ReplicaJob(
+        source_connect="file:///dev/null", sink_connect=f"file://{sink}",
+        mode="incremental",
+    )
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        run_file_mode(spark, job, df, path=str(sink), fmt="parquet",
+                      pk_columns=["id"])
+    # the corrupt evidence was not clobbered
+    assert (sink / "part-00000.parquet").read_bytes() == b"not parquet at all"
