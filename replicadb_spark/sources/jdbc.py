@@ -56,6 +56,23 @@ def build_select(job: ReplicaJob) -> str:
     return f"({sql}) replicadb_t"
 
 
+def reader_properties(job: ReplicaJob, dialect: str) -> dict[str, str]:
+    """Connection properties for the predicates-based read path — must
+    carry everything _base_reader sets as options, notably the dialect
+    sessionInitStatement: oracle's hash scan (S2) ALWAYS takes this
+    path, and the reference runs its ALTER SESSIONs on every task
+    connection (OracleManager.java:83-99)."""
+    props = {"fetchsize": str(job.fetch_size)}
+    if job.source_user:
+        props["user"] = job.source_user
+    if job.source_password:
+        props["password"] = job.source_password
+    if dialect in SESSION_INIT:
+        props["sessionInitStatement"] = SESSION_INIT[dialect]
+    props.update({k: str(v) for k, v in job.source_params.items()})
+    return props
+
+
 def _base_reader(spark: SparkSession, job: ReplicaJob) -> DataFrameReader:
     reader = (
         spark.read.format("jdbc")
@@ -107,12 +124,7 @@ def read_jdbc(spark: SparkSession, job: ReplicaJob) -> DataFrame:
         return reader.load()
     predicates = hash_partition_predicates(dialect, job.jobs, job.source_split_by)
     where = f" AND ({job.source_where})" if (job.source_where and job.source_query) else ""
-    props = {"fetchsize": str(job.fetch_size)}
-    if job.source_user:
-        props["user"] = job.source_user
-    if job.source_password:
-        props["password"] = job.source_password
-    props.update({k: str(v) for k, v in job.source_params.items()})
+    props = reader_properties(job, dialect)
     return spark.read.jdbc(
         url=job.source_connect,
         table=dbtable,

@@ -30,3 +30,22 @@ def test_oracle_session_init_matches_reference():
     init = SESSION_INIT["oracle"]
     assert "_serial_direct_read" in init
     assert "recyclebin=OFF" in init
+
+
+def test_predicates_path_carries_session_init():
+    """Oracle's hash scan (S2) goes through spark.read.jdbc(predicates=,
+    properties=) — the ALTER SESSIONs must ride those properties, not
+    just the option-based single-scan reader."""
+    from replicadb_spark.options import ReplicaJob
+    from replicadb_spark.sources.jdbc import reader_properties
+
+    job = ReplicaJob(
+        source_connect="jdbc:oracle:thin:@db:1521/s",
+        sink_connect="file:///tmp/x", source_table="t", jobs=4,
+        source_user="u", source_password="p",
+    )
+    props = reader_properties(job, "oracle")
+    assert props["sessionInitStatement"] == SESSION_INIT["oracle"]
+    assert props["fetchsize"] == "5000" and props["user"] == "u"
+    # non-oracle dialects add nothing
+    assert "sessionInitStatement" not in reader_properties(job, "postgresql")
