@@ -72,6 +72,14 @@ _GATE_FIRST = (
     "median_balance_by_nation", "window_top_customers", "events_tumbling_agg",
 )
 _GATE_LAST = (
+    # late-round-4 additions: the first-50 window was already fully
+    # booked with r02-due rotations when these landed, so their first
+    # driver row comes in r5 — until then correctness evidence is the
+    # local gate replica (tools/compare_oracle.py, same compare) plus
+    # unit/plan tests
+    "basket_jaccard_customers", "copurchase_triangles",
+    "user_entropy_profile", "daily_trend_regression",
+    "timeseries_gapfill", "interval_coalesce_user", "fuzzy_name_match",
     # rotated past the cap this round: all green (rows+schema+hash) in
     # r03, unchanged since; operators additionally pinned by unit/plan
     # tests; due back in the first 50 next round

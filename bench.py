@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "docs_novelty_ratio",
     "events_top_paths",
     "integrity_check_orders",
+    "basket_jaccard_customers",
+    "copurchase_triangles",
+    "fuzzy_name_match",
+    "interval_coalesce_user",
+    "timeseries_gapfill",
 ]
 
 

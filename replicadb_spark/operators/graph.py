@@ -70,3 +70,67 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Total triangle count of the undirected simple graph given as an
+    edge list (duplicates/self-loops/direction ignored). Returns ONE
+    row (n_vertices, n_edges, n_triangles).
+
+    Degree-ordered orientation (the classic MapReduce triangle
+    algorithm, Suri & Vassilvitskii WWW'11): orient every edge from
+    the lower-(degree, id) endpoint to the higher one, then join each
+    oriented wedge (u→v, u→w) against the oriented edge (v→w). Every
+    triangle is counted exactly once, and the wedge fan-out per vertex
+    is its OUT-degree, which orientation bounds by O(sqrt(m)) on any
+    graph (a vertex of out-degree d has d neighbors of degree ≥ its
+    own) — so the wedge set is O(m^1.5) worst-case instead of the
+    Σ deg² blow-up a hub vertex causes in the unoriented form. Two
+    shuffles: wedge groupBy-join on u, closing equi-join on (v, w).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    ).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.w") < F.col("e2.w"))
+        .select(F.col("e1.w").alias("x"), F.col("e2.w").alias("y"))
+    )
+    closing = oriented.select(
+        F.least("u", "w").alias("x"), F.greatest("u", "w").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = und.agg(
+        F.count(F.lit(1)).alias("n_edges")
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
+    return counts.crossJoin(tri).select("n_vertices", "n_edges", "n_triangles")

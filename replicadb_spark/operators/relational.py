@@ -169,3 +169,51 @@ def interval_overlap_join(
         .distinct()
     )
     return pairs
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    islands (the union of the key's intervals): one row per island with
+    (key, island, island_start, island_end, n_intervals). ``island``
+    numbers islands 1..k per key in time order — the gaps-and-islands
+    pattern behind uptime stitching, session merging, and contiguous-
+    coverage audits.
+
+    Plan: ONE shuffle on key serves both windows — a running
+    ``max(end)`` over preceding rows marks island breaks (a row starts
+    a new island iff its start exceeds every earlier end), a running
+    sum of break flags numbers the islands, and a hash aggregate on
+    (key, island) collapses them. No self-join: the naive
+    overlap-join-then-cluster formulation is quadratic per key AND
+    needs connected components; the two-window form is linear and
+    exact for interval union because overlap is transitive along the
+    time-sorted order. Ties sort by id so the hash is deterministic.
+    """
+    w_order = Window.partitionBy("key").orderBy("s", "id")
+    prev_max = (
+        F.max("e").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    ).withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("key", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -1,0 +1,158 @@
+"""Similarity joins over non-text set/string data: Jaccard set-similarity
+between (id, item) baskets, and edit-distance-1 string matching via
+deletion-neighborhood signatures (FastSS).
+
+The reference engine has no joins at all (SURVEY.md §2.7); these extend
+the training-data surface (functions/dedup.py applies the same inverted-
+index idea to text shingles) to relational entity data: "customers with
+similar purchase baskets" powers recommendation/segment audits, and
+edit-distance-1 blocking is the classic entity-resolution primitive for
+typo-tolerant key matching.
+
+100 TB shapes:
+
+- ``set_jaccard_pairs``: inverted index on the item — pair generation is
+  an equi-join on item, O(sum_item df_item²) not O(n²). A viral item
+  (one item held by millions of ids) makes its bucket quadratic, so the
+  ``max_item_df`` cap drops items above the document-frequency cap from
+  the similarity universe BEFORE pairing — the same hot-shingle cap
+  functions/dedup.py:jaccard_pairs applies, and like there the capped
+  universe is the documented metric contract (basket sizes are computed
+  on the capped universe too, so Jaccard stays a true Jaccard of the
+  capped sets).
+- ``edit1_pairs``: every string emits its ≤ len+1 deletion variants
+  (delete one char, plus the identity); two strings within edit
+  distance 1 (substitution, insertion, or deletion) necessarily share a
+  variant (FastSS, Bocek et al. 2007), so candidates come from ONE
+  equi-join on the variant hash and the exact ``F.levenshtein`` verify
+  (JVM codegen) removes false positives. No O(n²) compare; hot variants
+  are bounded by alphabet × string length, and a ``max_sig_df`` cap
+  guards pathological corpora (e.g. millions of identical strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def set_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    *,
+    threshold: float,
+    max_item_df: int | None = None,
+) -> DataFrame:
+    """Pairs of ids whose item sets have Jaccard >= threshold.
+
+    Input may contain duplicate (id, item) rows; sets are DISTINCT
+    items. Returns (id_a, id_b, inter, jaccard) with id_a < id_b,
+    jaccard rounded to 6 decimals for stable cross-engine hashing.
+
+    Plan: distinct → optional df-cap anti-join → inverted-index
+    self-join on item → per-pair intersection count → join the two
+    (capped) set sizes back. Three shuffles total (distinct, pair
+    groupBy, size join), every one on bounded keys.
+    """
+    pairs_src = df.select(
+        F.col(id_col).alias("id"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_item_df is not None:
+        hot = (
+            pairs_src.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_item_df)
+            .select("item")
+        )
+        pairs_src = pairs_src.join(hot, "item", "left_anti")
+    pairs_src = pairs_src.persist()
+    sizes = pairs_src.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs_src.alias("a")
+        .join(pairs_src.alias("b"), "item")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+    return out
+
+
+def edit1_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_sig_df: int | None = None,
+) -> DataFrame:
+    """Pairs of rows whose strings are within Levenshtein distance 1
+    (and not byte-identical). Returns (id_a, id_b, dist) with
+    id_a < id_b, dist ∈ {0 is excluded, 1}; identical strings under
+    distinct ids are reported with dist 0? No — strings equal ⇒
+    dist 0 pairs are EXCLUDED (exact-dup detection is dedup_exact_key's
+    job); this operator finds near-misses only.
+
+    Signatures: for a string s, D(s) = {s} ∪ {s with char i removed}.
+    ed(a,b) ≤ 1 ⟹ D(a) ∩ D(b) ≠ ∅ (substitution: drop the differing
+    position from both; insertion/deletion: drop the extra char from
+    the longer side and match the shorter's identity). The converse
+    has false positives (two deletions landing on the same string), so
+    every candidate is verified with the built-in ``levenshtein``.
+
+    One shuffle (the signature equi-join); signature strings are hashed
+    to 64-bit with xxhash64 so shuffle rows stay narrow even for long
+    inputs — hash collisions only ever ADD candidates, which the exact
+    verify then rejects.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    n = F.length("s")
+    deletes = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(F.col("s"), F.lit(1), (i - 1).cast("int")),
+                F.col("s").substr((i + 1).cast("int"), n),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = F.array_union(F.array(F.col("s")), deletes)
+    sigs = base.select(
+        "id", "s", F.explode(variants).alias("variant")
+    ).select("id", "s", F.xxhash64("variant").alias("sig"))
+    if max_sig_df is not None:
+        hot = (
+            sigs.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_sig_df)
+            .select("sig")
+        )
+        sigs = sigs.join(hot, "sig", "left_anti")
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), "sig")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.where(F.col("sa") != F.col("sb"))
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1,0 +1,142 @@
+"""Distributed statistical profiles: per-group Shannon entropy,
+closed-form per-group OLS trend lines, and calendar gap-filling with
+last-observation-carried-forward.
+
+All three are pure DataFrame compositions — no UDFs, fully inside
+whole-stage codegen — because each reduces to sums/windows:
+
+- ``entropy_by_key``: H = log(T) - Σ n·log(n) / T over the category
+  counts. Two hash aggregates (key×category, then key), both map-side
+  partial; no windows, no collect.
+- ``groupwise_ols``: slope/intercept/r² from the five classic sums
+  (Σx, Σy, Σxy, Σx², Σy²) — ONE aggregate per group, map-side partial,
+  the textbook closed form; never materializes per-point residuals.
+- ``calendar_gapfill``: per-key date spine via ``sequence(min_day,
+  max_day)`` + explode, left-join of observed days, zero-fill counts
+  and carry values forward with a ``last(ignorenulls)`` window. The
+  spine explode is bounded by each key's day span (not the corpus
+  size), and the window rides the same key partitioning the join used.
+
+The reference engine computes no statistics (it is a replicator —
+SURVEY.md §1); these belong to the training-data/quality surface, next
+to table_profile/value_histogram in plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def entropy_by_key(
+    df: DataFrame,
+    key_col: str,
+    category_col: str,
+    *,
+    base2: bool = True,
+) -> DataFrame:
+    """Shannon entropy of the category distribution within each key:
+    (key, n_events, n_categories, entropy). Entropy is in bits when
+    ``base2`` (default), nats otherwise, rounded to 6 decimals for
+    stable cross-engine hashing.
+    """
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), F.col(category_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    log_base = F.log(2.0, F.col("t").cast("double")) if base2 else F.log("t")
+    per_key = counts.groupBy("key").agg(
+        F.sum("n").alias("t"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(
+            F.col("n").cast("double")
+            * (F.log2("n") if base2 else F.log(F.col("n").cast("double")))
+        ).alias("sum_nlogn"),
+    )
+    return per_key.select(
+        F.col("key"),
+        F.col("t").alias("n_events"),
+        "n_categories",
+        F.round(log_base - F.col("sum_nlogn") / F.col("t"), 6).alias("entropy"),
+    )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key simple linear regression y = slope·x + intercept via the
+    closed-form sums: (key, n_points, slope, intercept, r2), floats
+    rounded to 6 decimals. Degenerate keys (single point or zero x
+    variance) return null slope/intercept/r2 — the same contract as
+    SQL's regr_slope.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    s = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    cov_n = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx_n = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary_n = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = F.when(varx_n > 0, cov_n / varx_n)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when(
+        (varx_n > 0) & (vary_n > 0), (cov_n * cov_n) / (varx_n * vary_n)
+    )
+    return s.select(
+        "key",
+        "n_points",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def calendar_gapfill(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify a per-key daily series: one row per (key, day) for every
+    day in the key's [min_day, max_day] span, with ``n`` = observed row
+    count that day (0 on gap days) and ``filled`` = the day's mean
+    value carried forward from the last observed day (null before the
+    first observation — which cannot happen here since the spine starts
+    at an observed day). Rounded to 6 decimals.
+
+    Scale: the spine is generated per key (``sequence`` over the key's
+    own span), so a 10-year key costs 3 653 rows regardless of corpus
+    size; the LOCF window and the observed-day join share one hash
+    partitioning on key.
+    """
+    day = F.col(day_col).cast("date")
+    observed = df.groupBy(F.col(key_col).alias("key"), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col(value_col).cast("double")).alias("day_avg"),
+    )
+    spine = (
+        observed.groupBy("key")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("key", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    dense = spine.join(observed, ["key", "day"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "key",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.last("day_avg", ignorenulls=True).over(w), 6).alias("filled"),
+    )

@@ -4041,3 +4041,285 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_miss")))
         .select("n_hh", (F.col("n_miss") == 0).alias("sketch_ok"))
     )
+
+
+@register(
+    "basket_jaccard_customers",
+    oracle="""
+    WITH basket0 AS (
+      SELECT DISTINCT o.o_custkey AS id, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), hot AS (
+      SELECT item FROM basket0 GROUP BY item HAVING COUNT(*) > 500
+    ), basket AS (
+      SELECT * FROM basket0 WHERE item NOT IN (SELECT item FROM hot)
+    ), sz AS (
+      SELECT id, COUNT(*) AS n FROM basket GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM basket a JOIN basket b ON a.item = b.item AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.id = inter.id_a
+    JOIN sz sb ON sb.id = inter.id_b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.08
+    """,
+)
+def basket_jaccard_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join on relational baskets
+    (operators/setsim.set_jaccard_pairs): customer pairs whose
+    purchased-part sets have Jaccard >= 0.08 — the
+    customers-like-yours primitive, the same inverted-index shape as
+    text shingle dedup but over entity/item pairs.
+
+    Scale: pair generation is the equi-join on part, O(Σ df²) not
+    O(customers²); the max_item_df=500 cap drops viral parts from the
+    similarity universe BEFORE pairing (non-binding at sf0.01 where max
+    df is 49, but the capped universe IS the metric contract — the
+    oracle applies the identical cap). Jaccard uses capped-set sizes,
+    so it stays a true Jaccard of the compared sets."""
+    from replicadb_spark.operators.setsim import set_jaccard_pairs
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    basket = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("id"), F.col("l_partkey").alias("item"))
+    )
+    return set_jaccard_pairs(
+        basket, "id", "item", threshold=0.08, max_item_df=500
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), verts AS (
+      SELECT u AS x FROM e UNION SELECT v FROM e
+    )
+    SELECT (SELECT COUNT(*) FROM verts) AS n_vertices,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+              FROM e e1 JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (edge = two parts
+    in the same order) via degree-ordered orientation
+    (operators/graph.triangle_count) — the clustering-coefficient /
+    community-density primitive.
+
+    Scale: the oracle's naive triple join explodes by Σ deg² on hub
+    vertices; orientation bounds wedge fan-out by out-degree ≤
+    O(sqrt(m)), giving the O(m^1.5) MapReduce-classic plan. The edge
+    list itself comes from a per-order self-join bounded by order size
+    (~7 items), not corpus size."""
+    from replicadb_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return triangle_count(edges, src="src", dst="dst")
+
+
+@register(
+    "user_entropy_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id AS key,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_categories,
+           round(log2(CAST(SUM(n) AS DOUBLE))
+                 - SUM(n * log2(CAST(n AS DOUBLE))) / SUM(n), 6) AS entropy
+    FROM c GROUP BY user_id
+    """,
+)
+def user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type distribution
+    (operators/stats.entropy_by_key) — the behavioral-diversity score
+    behind bot detection (near-zero entropy = single-action
+    automation) and engagement segmentation.
+
+    Scale: two map-side-partial hash aggregates (user×type, then
+    user); no windows, no collect — pure codegen all the way."""
+    from replicadb_spark.operators.stats import entropy_by_key
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    return entropy_by_key(ev, "user_id", "event_type", base2=True)
+
+
+@register(
+    "daily_trend_regression",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type AS key,
+           COUNT(*) AS n_points,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2
+    FROM d GROUP BY event_type
+    """,
+)
+def daily_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend line over daily volumes
+    (operators/stats.groupwise_ols): slope/intercept/r² of count-vs-day
+    — the drift detector behind "is this source growing or dying".
+
+    Determinism: x is days since a FIXED epoch (2024-01-01), keeping
+    the closed-form sums small and exactly representable (x ≤ ~31,
+    integer y), so the classic-sums form here and DuckDB's regr_*
+    agree to far beyond the 6-dp round despite different summation
+    orders. Scale: one daily pre-aggregate then ONE map-side-partial
+    aggregate per key; no per-point residual pass."""
+    from replicadb_spark.operators.stats import groupwise_ols
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return groupwise_ols(daily, "event_type", "x", "y")
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS key, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, AVG(value) AS day_avg
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT key, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY key
+    ), spine AS (
+      SELECT key,
+             CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), dense AS (
+      SELECT s.key, s.day, COALESCE(o.n, 0) AS n, o.day_avg
+      FROM spine s LEFT JOIN obs o ON o.key = s.key AND o.day = s.day
+    )
+    SELECT key, CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+           round(last_value(day_avg IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+    FROM dense
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification with LOCF (operators/stats.
+    calendar_gapfill): one row per (user, day) across each user's
+    observed span, zero-filled counts and the last observed daily mean
+    value carried forward — the resample step every time-series
+    feature pipeline needs before windowed models.
+
+    Scale: the date spine is generated PER KEY from its own min/max
+    (explode of sequence — bounded by span, not corpus), and the LOCF
+    window rides the same hash partitioning as the spine join. Dates
+    ship as strings (engine-native date hashing differs)."""
+    from replicadb_spark.operators.stats import calendar_gapfill
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = calendar_gapfill(ev, "user_id", "ts", "value")
+    return out.select(
+        "key", F.col("day").cast("string").alias("day"), "n", "filled"
+    )
+
+
+@register(
+    "interval_coalesce_user",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch(ts) AS s, epoch(ts) + value AS e
+      FROM events
+    ), o AS (
+      SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ), flag AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+             AS brk FROM o
+    ), isl AS (
+      SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS island FROM flag
+    )
+    SELECT user_id AS key, island,
+           MIN(s) AS island_start, MAX(e) AS island_end,
+           COUNT(*) AS n_intervals
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def interval_coalesce_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (operators/relational.interval_coalesce):
+    merge each user's overlapping activity intervals [ts, ts+value s]
+    into maximal islands — uptime stitching / true-activity coverage,
+    the complement of the pair-emitting interval_overlap join.
+
+    Scale: NO self-join — a running max(end) + running break-count
+    (both over ONE shuffle on user_id) implements the gaps-and-islands
+    reduction linearly per key; the oracle runs the identical two-
+    window form, so this is an exact-equivalence gate. Epoch seconds
+    via unix_micros/1e6 — the same IEEE division DuckDB's epoch()
+    performs (events_interval_overlap precedent)."""
+    from replicadb_spark.operators.relational import interval_coalesce
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    iv = ev.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        epoch_s.alias("s"),
+        (epoch_s + F.col("value")).alias("e"),
+    )
+    return interval_coalesce(iv, "user_id", "event_id", "s", "e")
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(1 AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_name <> b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity self-join on customer names
+    (operators/setsim.edit1_pairs) — the typo-tolerant entity-
+    resolution primitive (FastSS deletion-neighborhood blocking).
+
+    Scale: the oracle is the O(n²) compare every naive matcher runs;
+    the Spark side emits ≤ len+1 deletion signatures per row (hashed
+    to 64-bit so shuffle rows stay narrow), equi-joins on the
+    signature, and exact-verifies candidates with the JVM built-in
+    levenshtein — O(n · len) index size, no quadratic pass, and an
+    exact-equivalence gate because verification removes every blocking
+    false positive."""
+    from replicadb_spark.operators.setsim import edit1_pairs
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return edit1_pairs(c, "c_custkey", "c_name").withColumn(
+        "dist", F.col("dist").cast("int")
+    )

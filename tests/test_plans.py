@@ -245,3 +245,56 @@ def test_heavy_hitters_sketch_shuffle_is_summary_sized(spark):
     # exchange after it moves (key, est) summary rows, never raw events
     assert "ArrowEvalPython" not in plan  # mapInPandas shows as MapInPandas
     assert "MapInPandas" in plan
+
+
+def test_basket_jaccard_equijoin_not_cartesian(spark):
+    plan = _plan(spark, "basket_jaccard_customers")
+    # pair generation must be the inverted-index equi-join on item —
+    # never an all-pairs product — and the intersection count must
+    # partial-aggregate before its exchange
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_triangle_wedge_join_is_equijoin(spark):
+    plan = _plan(spark, "copurchase_triangles")
+    # the only nested-loop joins are the bounded 1-row aggregate
+    # crossJoins; wedge building and closure must both be equi-joins
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocks_on_hashed_signature(spark):
+    plan = _plan(spark, "fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    # signatures shuffle as 64-bit hashes, not variant strings
+    assert "xxhash64" in plan
+    # exact verify stays JVM-side (codegen levenshtein), no Python eval
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_coalesce_single_key_shuffle_no_self_join(spark):
+    plan = _plan(spark, "interval_coalesce_user")
+    # gaps-and-islands form: windows + aggregate only — no join at all
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # one exchange feeds both windows (same key partitioning); the only
+    # other exchange moves the already-aggregated island rows
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_gapfill_spine_is_generated_not_joined_from_calendar(spark):
+    plan = _plan(spark, "timeseries_gapfill")
+    # per-key date spine comes from explode(sequence(...)) — Generate —
+    # not from a cartesian with a materialized calendar table
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_entropy_and_ols_fully_codegen_partial_agg(spark):
+    for name in ("user_entropy_profile", "daily_trend_regression"):
+        plan = _final_plan(spark, name)
+        assert "HashAggregate" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "WholeStageCodegen" in plan or "*(" in plan

@@ -1,0 +1,147 @@
+"""Unit tests for the round-4 similarity/stats/graph/interval operators:
+set_jaccard_pairs, edit1_pairs, entropy_by_key, groupwise_ols,
+calendar_gapfill, interval_coalesce, triangle_count.
+
+Hand-computable fixtures pin exact semantics; the sf0.01 oracle gate
+(plans/catalog.py) covers the at-scale shapes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from replicadb_spark.operators.graph import triangle_count
+from replicadb_spark.operators.relational import interval_coalesce
+from replicadb_spark.operators.setsim import edit1_pairs, set_jaccard_pairs
+from replicadb_spark.operators.stats import (
+    calendar_gapfill,
+    entropy_by_key,
+    groupwise_ols,
+)
+
+
+def test_set_jaccard_exact_values(spark):
+    rows = [(1, i) for i in (10, 11, 12)] + [(2, i) for i in (10, 11, 13)] + [
+        (3, 99)
+    ]
+    df = spark.createDataFrame(rows, "id int, item int")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in set_jaccard_pairs(df, "id", "item", threshold=0.0).collect()
+    }
+    # |{10,11,12} ∩ {10,11,13}| = 2, union = 4 → 0.5; id 3 shares nothing
+    assert got == {(1, 2): (2, 0.5)}
+
+
+def test_set_jaccard_duplicates_do_not_inflate(spark):
+    rows = [(1, 10), (1, 10), (1, 10), (2, 10)]
+    df = spark.createDataFrame(rows, "id int, item int")
+    [r] = set_jaccard_pairs(df, "id", "item", threshold=0.0).collect()
+    assert (r.inter, r.jaccard) == (1, 1.0)
+
+
+def test_set_jaccard_hot_item_cap_drops_viral_item(spark):
+    # item 7 is held by everyone (viral); with the cap it leaves the
+    # universe, making ids 1/2 identical singletons {5} and id 3 empty
+    rows = [(1, 7), (2, 7), (3, 7), (4, 7), (1, 5), (2, 5)]
+    df = spark.createDataFrame(rows, "id int, item int")
+    capped = set_jaccard_pairs(df, "id", "item", threshold=0.9, max_item_df=3)
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(1, 2)}
+
+
+def test_edit1_substitution_insertion_deletion(spark):
+    rows = [(1, "karin"), (2, "karen"), (3, "karen!"), (4, "aren"), (5, "zzzz")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {(r.id_a, r.id_b) for r in edit1_pairs(df, "id", "s").collect()}
+    # karin~karen (sub), karen~karen! (insert), karen~aren (delete),
+    # karin~aren is distance 2, zzzz matches nothing
+    assert got == {(1, 2), (2, 3), (2, 4)}
+
+
+def test_edit1_excludes_identical_strings(spark):
+    df = spark.createDataFrame([(1, "same"), (2, "same")], "id int, s string")
+    assert edit1_pairs(df, "id", "s").count() == 0
+
+
+def test_entropy_uniform_and_degenerate(spark):
+    rows = [("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"), ("v", "x"), ("v", "x")]
+    df = spark.createDataFrame(rows, "k string, c string")
+    got = {r.key: r for r in entropy_by_key(df, "k", "c").collect()}
+    assert got["u"].entropy == 2.0  # uniform over 4 → log2(4)
+    assert got["v"].entropy == 0.0  # single category
+    assert got["u"].n_events == 4 and got["u"].n_categories == 4
+
+
+def test_groupwise_ols_exact_line_and_degenerate(spark):
+    # y = 3x + 1 exactly → slope 3, intercept 1, r² 1
+    pts = [("g", float(x), 3.0 * x + 1) for x in range(5)] + [("one", 9.0, 9.0)]
+    df = spark.createDataFrame(pts, "k string, x double, y double")
+    got = {r.key: r for r in groupwise_ols(df, "k", "x", "y").collect()}
+    assert (got["g"].slope, got["g"].intercept, got["g"].r2) == (3.0, 1.0, 1.0)
+    assert got["one"].slope is None and got["one"].r2 is None
+
+
+def test_calendar_gapfill_zero_fills_and_carries(spark):
+    rows = [
+        ("u", "2024-01-01", 10.0),
+        ("u", "2024-01-01", 20.0),
+        ("u", "2024-01-04", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, d string, v double")
+    out = {
+        str(r.day): (r.n, r.filled)
+        for r in calendar_gapfill(df, "k", "d", "v").collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 15.0),
+        "2024-01-02": (0, 15.0),  # gap day: zero count, LOCF value
+        "2024-01-03": (0, 15.0),
+        "2024-01-04": (1, 7.0),
+    }
+
+
+def test_interval_coalesce_merges_touching_and_splits_gaps(spark):
+    rows = [
+        ("u", 1, 0.0, 10.0),
+        ("u", 2, 5.0, 12.0),   # overlaps island 1
+        ("u", 3, 12.0, 15.0),  # touches end exactly → same island
+        ("u", 4, 20.0, 25.0),  # gap → new island
+        ("w", 5, 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, s double, e double")
+    got = {
+        (r.key, r.island): (r.island_start, r.island_end, r.n_intervals)
+        for r in interval_coalesce(df, "k", "id", "s", "e").collect()
+    }
+    assert got == {
+        ("u", 1): (0.0, 15.0, 3),
+        ("u", 2): (20.0, 25.0, 1),
+        ("w", 1): (0.0, 1.0, 1),
+    }
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; plus a pendant edge and a duplicate/reversed
+    # edge that must not change anything
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(3, 9), (1, 0), (2, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    [r] = triangle_count(df).collect()
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+
+def test_triangle_count_hub_star_has_none(spark):
+    star = [(0, i) for i in range(1, 30)]
+    df = spark.createDataFrame(star, "src int, dst int")
+    [r] = triangle_count(df).collect()
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (30, 29, 0)
+
+
+def test_entropy_matches_math_log(spark):
+    rows = [("k", "a")] * 3 + [("k", "b")] * 1
+    df = spark.createDataFrame(rows, "k string, c string")
+    [r] = entropy_by_key(df, "k", "c").collect()
+    expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(r.entropy - round(expect, 6)) < 1e-9
