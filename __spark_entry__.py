@@ -80,6 +80,7 @@ _GATE_LAST = (
     "basket_jaccard_customers", "copurchase_triangles",
     "user_entropy_profile", "daily_trend_regression",
     "timeseries_gapfill", "interval_coalesce_user", "fuzzy_name_match",
+    "pagerank_copurchase", "bm25_keyword_search",
     # rotated past the cap this round: all green (rows+schema+hash) in
     # r03, unchanged since; operators additionally pinned by unit/plan
     # tests; due back in the first 50 next round

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "fuzzy_name_match",
     "interval_coalesce_user",
     "timeseries_gapfill",
+    "pagerank_copurchase",
+    "bm25_keyword_search",
 ]
 
 

@@ -138,21 +138,18 @@ def edit1_pairs(
             .select("sig")
         )
         sigs = sigs.join(hot, "sig", "left_anti")
+    # verify BEFORE deduplicating: levenshtein is vectorized codegen, so
+    # scoring every candidate occurrence is cheaper than shuffling the
+    # candidate strings through a wide distinct — after the filter the
+    # distinct moves only (id_a, id_b, dist) integer rows
     cand = (
         sigs.alias("a")
         .join(sigs.alias("b"), "sig")
-        .where(F.col("a.id") < F.col("b.id"))
+        .where((F.col("a.id") < F.col("b.id")) & (F.col("a.s") != F.col("b.s")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
+            F.levenshtein("a.s", "b.s").alias("dist"),
         )
-        .distinct()
     )
-    return (
-        cand.where(F.col("sa") != F.col("sb"))
-        .withColumn("dist", F.levenshtein("sa", "sb"))
-        .where(F.col("dist") <= 1)
-        .select("id_a", "id_b", "dist")
-    )
+    return cand.where(F.col("dist") <= 1).distinct()

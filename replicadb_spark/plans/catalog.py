@@ -4323,3 +4323,158 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(c, "c_custkey", "c_name").withColumn(
         "dist", F.col("dist").cast("int")
     )
+
+
+@register(
+    "pagerank_copurchase",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), outs AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+      SELECT u, COUNT(*) AS deg FROM outs GROUP BY u
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    r1 AS (
+      SELECT o.v AS u,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.rank / d.deg) AS rank
+      FROM outs o JOIN r0 r ON r.u = o.u JOIN deg d ON d.u = o.u
+      GROUP BY o.v
+    ),
+    r2 AS (
+      SELECT o.v AS u,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.rank / d.deg) AS rank
+      FROM outs o JOIN r1 r ON r.u = o.u JOIN deg d ON d.u = o.u
+      GROUP BY o.v
+    ),
+    r3 AS (
+      SELECT o.v AS u,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.rank / d.deg) AS rank
+      FROM outs o JOIN r2 r ON r.u = o.u JOIN deg d ON d.u = o.u
+      GROUP BY o.v
+    )
+    SELECT u AS vertex,
+           round(rank * (SELECT n FROM nn), 6) AS rel_rank
+    FROM r3
+    ORDER BY rel_rank DESC, vertex
+    LIMIT 20
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank centrality of the co-purchase graph
+    after exactly 3 power iterations (operators/graph.pagerank) — the
+    influence/centrality primitive, here demonstrating the iterative-
+    algorithm family with a fully SQL-checkable gate: the oracle
+    unrolls the SAME 3 iterations as chained CTEs, so this is exact
+    equivalence, not a recall gate.
+
+    Determinism: fixed iteration count (no epsilon race), undirected
+    edges (no dangling mass), rel_rank = rank·N rounded to 6 dp so the
+    ~1e-13 cross-engine summation jitter is invisible, and a total
+    (rel_rank, vertex) order on the top-20 cutoff.
+
+    Scale: per iteration ONE shuffle (groupBy destination vertex);
+    lineage reset via localCheckpoint per round keeps plan depth
+    constant — same loop shape as connected_components."""
+    from replicadb_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    n = ranks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranks.crossJoin(F.broadcast(n))
+        .select(
+            "vertex", F.round(F.col("rank") * F.col("n"), 6).alias("rel_rank")
+        )
+        .orderBy(F.col("rel_rank").desc(), "vertex")
+        .limit(20)
+    )
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=_TOKENS_CTE + """
+    , dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ('hash', 'join', 'scan')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the fixed keyword query {hash, join, scan}
+    under Okapi BM25 (k1=1.2, b=0.75) — the classic lexical ranking
+    behind corpus search/retrieval audits, complementing tfidf_top_terms
+    (per-doc keywords) with query-time scoring.
+
+    Scale: the corpus-wide explode is filtered to the QUERY TERMS
+    before the tf aggregate shuffles (a 3-term query shuffles ~3 rows
+    per matching doc, not the corpus token stream); document length
+    comes from size(regexp_extract_all(...)) — pure codegen, ZERO
+    shuffle; avgdl/N/df are 1-row-or-tiny broadcast aggregates. Both
+    engines sum 3 bounded per-term contributions and rank on the
+    ROUNDED score with a doc_id tiebreak, so float jitter can't flip
+    the cutoff."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    query_terms = ("hash", "join", "scan")
+    k1, b = 1.2, 0.75
+    toks_arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    dl = d.select("doc_id", F.size(toks_arr).alias("dl")).where(F.col("dl") > 0)
+    stats = dl.agg(
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks_arr).alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -298,3 +298,26 @@ def test_entropy_and_ols_fully_codegen_partial_agg(spark):
         assert "HashAggregate" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_bm25_filters_query_terms_before_tf_shuffle(spark):
+    plan = _plan(spark, "bm25_keyword_search")
+    # the explode output must be filtered to the 3 query terms BEFORE
+    # the tf aggregate shuffles — the Filter sits under the first
+    # HashAggregate, and no Python eval anywhere
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row stats
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    gen = plan.index("Generate explode")
+    filt = [m.start() for m in re.finditer(r"Filter .*term", plan)]
+    assert any(f < gen for f in filt), "term filter must sit above explode output"
+
+
+def test_pagerank_iteration_plans_stay_constant_depth(spark):
+    # lineage is reset per iteration (localCheckpoint), so the FINAL
+    # plan contains scans of checkpointed RDDs, not 3 nested join trees
+    plan = _plan(spark, "pagerank_copurchase")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("SortMergeJoin") <= 2

@@ -145,3 +145,43 @@ def test_entropy_matches_math_log(spark):
     [r] = entropy_by_key(df, "k", "c").collect()
     expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert abs(r.entropy - round(expect, 6)) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from replicadb_spark.operators.graph import pagerank
+
+    # path graph 0-1-2-3 plus a triangle 3-4-5-3 (undirected)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.vertex: r.rank for r in pagerank(df, iterations=3).collect()}
+
+    n = 6
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = 0.15 / n + 0.85 * (adj.T @ (r / deg))
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    # normalization is preserved: total mass stays 1 (no dangling loss)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_strategies_agree(spark):
+    from replicadb_spark.operators.graph import triangle_count
+
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    a = triangle_count(df, strategy="broadcast_adj").first()
+    b = triangle_count(df, strategy="wedge_shuffle").first()
+    assert (a.n_vertices, a.n_edges, a.n_triangles) == (
+        b.n_vertices, b.n_edges, b.n_triangles,
+    )
+    assert a.n_triangles > 0
