@@ -81,6 +81,7 @@ _GATE_LAST = (
     "user_entropy_profile", "daily_trend_regression",
     "timeseries_gapfill", "interval_coalesce_user", "fuzzy_name_match",
     "pagerank_copurchase", "bm25_keyword_search",
+    "quantile_sketch_gate", "hard_negative_mining", "langid_confusion",
     # rotated past the cap this round: all green (rows+schema+hash) in
     # r03, unchanged since; operators additionally pinned by unit/plan
     # tests; due back in the first 50 next round

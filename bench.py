@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "timeseries_gapfill",
     "pagerank_copurchase",
     "bm25_keyword_search",
+    "quantile_sketch_gate",
+    "hard_negative_mining",
 ]
 
 

@@ -40,6 +40,8 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    label_col: str | None = None,
+    exclude_same_label: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine.
 
@@ -51,21 +53,33 @@ def knn_bruteforce(
     """
     import pandas as pd
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    if exclude_same_label and label_col is None:
+        raise ValueError("exclude_same_label requires label_col")
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")]
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")]
+    if exclude_same_label:
+        q_cols.append(F.col(label_col).alias("q_label"))
+        c_cols.append(F.col(label_col).alias("c_label"))
+    q = queries.select(*q_cols)
+    c = corpus.select(*c_cols)
     # a narrow input (single parquet file → one partition) would score
     # the whole cross product on one core; fan out to cluster width
     # (no-op when the corpus is already wider)
     width = c.sparkSession.sparkContext.defaultParallelism
     if c.rdd.getNumPartitions() < width:
         c = c.repartition(width)
+    candidates = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if exclude_same_label:
+        # hard-negative mining: rank only candidates whose label differs
+        # from the query's — the label filter runs BEFORE scoring, so
+        # same-label vectors cost neither the dot product nor shuffle
+        candidates = candidates.where(
+            ~F.col("c_label").eqNullSafe(F.col("q_label"))
+        )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        candidates
         .select(
             "query_id",
             "neighbor_id",

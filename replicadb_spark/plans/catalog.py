@@ -4478,3 +4478,122 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "quantile_sketch_gate",
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS q, TRUE AS bound_ok
+    FROM (VALUES (0.25), (0.5), (0.9)) t(q)
+    """,
+)
+def quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) QUANTILE-SKETCH GATE (operators/quantiles): the
+    p25/p50/p90 of events.value estimated from a k=4096 deterministic
+    hash sample must each land within 3% TRUE RANK ERROR of the exact
+    quantile — bound_ok flips false (failing the value hash) if the
+    sample construction or the estimator breaks the O(1/sqrt(k)) bound.
+    Companion gate to heavy_hitters_gate: ranks and frequent items are
+    the two classic mergeable summaries.
+
+    Scale: the sample is TakeOrderedAndProject on hash rank (partial
+    per-partition top-k, ≤ k·partitions rows to the driver — the full
+    column is never shuffled or sorted); the rank check is ONE
+    broadcast of 3 estimate rows against a map-side-combined count
+    aggregate. The exact-percentile alternative the sketch replaces
+    needs a global sort at 10^9 rows."""
+    from replicadb_spark.operators.quantiles import bottomk_sample, quantile_estimates
+
+    ev = _t(spark, sf_dir, "events")["events"].select("event_id", "value")
+    sample = bottomk_sample(ev, "event_id", k=4096, keep=["value"])
+    ests = quantile_estimates(sample, "value", quantiles=[0.25, 0.5, 0.9])
+    checked = (
+        ev.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est")
+        .agg(
+            (F.sum(F.when(F.col("value") <= F.col("est"), 1).otherwise(0))
+             / F.count(F.lit(1))).alias("cdf")
+        )
+    )
+    return checked.select(
+        "q", (F.abs(F.col("cdf") - F.col("q")) <= 0.03).alias("bound_ok")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 5
+    ), pairs AS (
+      SELECT q.qid, e.vec_id AS nid, q.qv, e.embedding AS ev
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.qid AND e.label IS DISTINCT FROM q.ql
+    ), expl AS (
+      SELECT qid, nid, CAST(unnest(qv) AS DOUBLE) AS qx,
+             CAST(unnest(ev) AS DOUBLE) AS nx
+      FROM pairs
+    ), scored AS (
+      SELECT qid, nid,
+             SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))) AS s
+      FROM expl GROUP BY qid, nid
+    ), ranked AS (
+      SELECT qid AS query_id, nid AS neighbor_id, s,
+             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(s, 4) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: for each query vector the top-3
+    most similar vectors with a DIFFERENT label — the hard negatives a
+    contrastive/embedding trainer needs next to its positives
+    (functions/similarity.knn_bruteforce with exclude_same_label).
+
+    Scale: identical to knn_bruteforce — queries broadcast, corpus
+    never shuffles, per-partition partial top-k before the ranking
+    window — and the label filter runs BEFORE scoring, so same-label
+    vectors cost neither the dot product nor shuffle rows."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = S.knn_bruteforce(
+        e,
+        e.where(F.col("vec_id") < 5),
+        k=3,
+        label_col="label",
+        exclude_same_label=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@register(
+    "langid_confusion",
+    oracle="WITH preds AS (" + _LANG_ORACLE + """
+    )
+    SELECT lang AS actual, lang_pred AS predicted, COUNT(*) AS n
+    FROM preds GROUP BY 1, 2
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram/stopword language classifier
+    against the corpus's labeled lang column — the eval primitive that
+    turns text_language_id's per-doc predictions into the
+    quality-tracking summary a pipeline dashboards (per-language
+    precision/recall derive from these cells).
+
+    Scale: one codegen projection (the classifier is pure string ops)
+    feeding a map-side-partial aggregate over a |langs|² key space —
+    no joins, no windows."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select(
+            F.col("lang").alias("actual"),
+            X.language_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -321,3 +321,19 @@ def test_pagerank_iteration_plans_stay_constant_depth(spark):
     plan = _plan(spark, "pagerank_copurchase")
     assert "Scan ExistingRDD" in plan
     assert plan.count("SortMergeJoin") <= 2
+
+
+def test_quantile_sketch_sample_is_takeordered_no_full_sort(spark):
+    plan = _plan(spark, "quantile_sketch_gate")
+    # bottom-k on hash rank must be partial top-k, never a global Sort
+    # of the data followed by Limit
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_label_filter_precedes_scoring(spark):
+    plan = _plan(spark, "hard_negative_mining")
+    # same-label candidates are dropped by a JVM filter before the
+    # pandas partial-top-k reducer sees anything
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan

@@ -185,3 +185,48 @@ def test_triangle_strategies_agree(spark):
         b.n_vertices, b.n_edges, b.n_triangles,
     )
     assert a.n_triangles > 0
+
+
+def test_bottomk_sample_deterministic_and_sized(spark):
+    from replicadb_spark.operators.quantiles import bottomk_sample
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("value")
+    )
+    a = bottomk_sample(df, "id", k=256, keep=["value"]).collect()
+    b = bottomk_sample(df, "id", k=256, keep=["value"]).collect()
+    assert len(a) == 256
+    assert sorted(r["__rk"] for r in a) == sorted(r["__rk"] for r in b)
+
+
+def test_bottomk_quantile_estimates_within_rank_bound(spark):
+    from replicadb_spark.operators.quantiles import (
+        bottomk_sample,
+        quantile_estimates,
+    )
+
+    # values 0..9999 uniformly: true quantile q is ~10000q; the k=1024
+    # sketch must land within 5% rank error (theory: ~1.5/sqrt(k)≈4.7%)
+    df = spark.range(10000).select("id", F.col("id").cast("double").alias("value"))
+    s = bottomk_sample(df, "id", k=1024, keep=["value"])
+    ests = {r.q: r.est for r in
+            quantile_estimates(s, "value", quantiles=[0.25, 0.5, 0.9]).collect()}
+    for q, est in ests.items():
+        assert abs(est / 10000.0 - q) <= 0.05, (q, est)
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from replicadb_spark.functions.similarity import knn_bruteforce
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.1], "a"),   # same label: nearest but must be excluded
+        (2, [0.9, 0.2], "b"),
+        (3, [0.0, 1.0], "b"),
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    out = knn_bruteforce(
+        e, e.where(F.col("vec_id") == 0), k=2,
+        label_col="label", exclude_same_label=True,
+    ).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
