@@ -75,15 +75,15 @@ def set_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # threshold on the RAW ratio (the rounded column is output-only) so
+    # a value that rounds up across the threshold can't diverge from an
+    # exact-arithmetic oracle
+    raw = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "inter", "jaccard")
+        .where(raw >= threshold)
+        .select("id_a", "id_b", "inter", F.round(raw, 6).alias("jaccard"))
     )
     return out
 
