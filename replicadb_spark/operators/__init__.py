@@ -1,6 +1,10 @@
 from replicadb_spark.operators.bloom import bloom_build, bloom_prejoin, bloom_probe
 from replicadb_spark.operators.cdc import apply_diff, scd2_intervals, snapshot_diff
-from replicadb_spark.operators.graph import connected_components, triangle_count
+from replicadb_spark.operators.graph import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
 from replicadb_spark.operators.relational import (
     asof_join,
     interval_coalesce,
@@ -26,6 +30,7 @@ __all__ = [
     "entropy_by_key",
     "groupwise_ols",
     "interval_coalesce",
+    "pagerank",
     "range_join_pairs",
     "salted_join",
     "scd2_intervals",

@@ -156,7 +156,12 @@ def triangle_count(
                     F.array_intersect("nbrs", F.coalesce("nbrs_w", empty))
                 ).alias("t")
             )
-            .agg(F.sum("t").cast("long").alias("n_triangles"))
+            .agg(
+                # sum over zero rows is NULL; the wedge path's count
+                # yields 0 — coalesce so the strategies agree on an
+                # empty/triangle-free graph
+                F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
+            )
         )
     else:
         wedges = (
@@ -184,6 +189,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over the UNDIRECTED simple graph of ``edges`` after a
     fixed number of power iterations from the uniform start: (vertex,
@@ -198,8 +204,13 @@ def pagerank(
     shuffle (the groupBy on the destination vertex); contributions are
     computed by joining current ranks to the out-edge list, which
     reuses the same hash partitioning on the vertex id.
-    ``localCheckpoint`` truncates lineage each round (the
-    connected_components pattern above) so plan depth stays constant.
+
+    Lineage control: a short loop stays fully LAZY (one job computes
+    the whole nested-join DAG — cheaper than an eager materialization
+    per round, measured 13s → ~7s on the sf0.1 co-purchase bench);
+    every ``checkpoint_every`` rounds the ranks localCheckpoint so a
+    long-horizon run keeps constant plan depth (the
+    connected_components pattern above).
     """
     und = (
         edges.select(
@@ -212,32 +223,27 @@ def pagerank(
     out = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    n_row = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        deg.crossJoin(F.broadcast(n_row))
-        .select("u", (F.lit(1.0) / F.col("n")).alias("rank"))
-        .localCheckpoint(eager=True)
-    )
-    # (out-edge, out-degree) is re-read every iteration — persist it so
-    # the join runs once, not once per iteration
+    deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # N as ONE bounded driver count (the triangle_count precedent) —
+    # a broadcast-1-row-join alternative re-runs the whole edge-build
+    # subtree per broadcast materialization, once per iteration
+    n = deg.count()
+    ranks = deg.select("u", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    # (out-edge, out-degree) is read every iteration — persist it so
+    # the edge-build subtree computes once within the final job
     linked = out.join(deg, "u").persist()
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             linked.join(ranks, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
         )
-        ranks = (
-            contrib.crossJoin(F.broadcast(n_row))
-            .select(
-                "u",
-                (
-                    (1.0 - damping) / F.col("n") + damping * F.col("mass")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = contrib.select(
+            "u",
+            (F.lit((1.0 - damping) / n) + damping * F.col("mass")).alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("vertex"), "rank")

@@ -57,14 +57,23 @@ def quantile_estimates(
     """(q, est) per requested quantile from a bottom-k ``sample``:
     est = the ceil(q·k)-th smallest value. The window here is global
     but runs over the k-row sample only — bounded by construction, the
-    same justification as the ≤ks-row PQ codebook collect."""
+    same justification as the ≤ks-row PQ codebook collect.
+
+    Null values are excluded from the ranking (they carry no rank
+    information; Spark's asc ordering would otherwise place them at the
+    lowest ranks and corrupt every estimate), and the persist keeps the
+    full-input TakeOrdered job from running once for the count and
+    again for the join."""
     import math
 
-    n = sample.count()
+    cleaned = (
+        sample.select(F.col(value_col).alias("v"), "__rk")
+        .where(F.col("v").isNotNull())
+        .persist()
+    )
+    n = cleaned.count()
     w = Window.orderBy(F.col("v").asc(), F.col("__rk").asc())
-    ranked = sample.select(
-        F.col(value_col).alias("v"), "__rk"
-    ).withColumn("rn", F.row_number().over(w))
+    ranked = cleaned.withColumn("rn", F.row_number().over(w))
     qs = sample.sparkSession.createDataFrame(
         [(float(q), max(1, math.ceil(q * n))) for q in quantiles],
         "q double, target int",

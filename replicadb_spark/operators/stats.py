@@ -88,9 +88,11 @@ def groupwise_ols(
     vary_n = F.col("syy") - F.col("sy") * F.col("sy") / n
     slope = F.when(varx_n > 0, cov_n / varx_n)
     intercept = (F.col("sy") - slope * F.col("sx")) / n
+    # regr_r2 contract (verified on DuckDB): constant y with varying x
+    # is a perfect horizontal fit → 1.0; constant x → null like slope
     r2 = F.when(
         (varx_n > 0) & (vary_n > 0), (cov_n * cov_n) / (varx_n * vary_n)
-    )
+    ).when((varx_n > 0) & (vary_n <= 0), F.lit(1.0))
     return s.select(
         "key",
         "n_points",

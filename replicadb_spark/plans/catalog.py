@@ -4388,12 +4388,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
-    ranks = pagerank(edges, iterations=3, damping=0.85)
-    n = ranks.agg(F.count(F.lit(1)).alias("n"))
+    # persist the final ranks: the vertex count (for the rank·N
+    # normalization) and the top-20 selection both consume them, and an
+    # unpersisted count would re-run the whole iteration DAG
+    ranks = pagerank(edges, iterations=3, damping=0.85).persist()
+    n = ranks.count()
     return (
-        ranks.crossJoin(F.broadcast(n))
-        .select(
-            "vertex", F.round(F.col("rank") * F.col("n"), 6).alias("rel_rank")
+        ranks.select(
+            "vertex", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rel_rank")
         )
         .orderBy(F.col("rel_rank").desc(), "vertex")
         .limit(20)
@@ -4450,7 +4452,13 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_terms = ("hash", "join", "scan")
     k1, b = 1.2, 0.75
     toks_arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-    dl = d.select("doc_id", F.size(toks_arr).alias("dl")).where(F.col("dl") > 0)
+    # dl feeds both the avgdl aggregate and the scored join — persist so
+    # the corpus tokenization scan runs once (the tf persist's sibling)
+    dl = (
+        d.select("doc_id", F.size(toks_arr).alias("dl"))
+        .where(F.col("dl") > 0)
+        .persist()
+    )
     stats = dl.agg(
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),

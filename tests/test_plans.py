@@ -315,12 +315,14 @@ def test_bm25_filters_query_terms_before_tf_shuffle(spark):
     assert any(f < gen for f in filt), "term filter must sit above explode output"
 
 
-def test_pagerank_iteration_plans_stay_constant_depth(spark):
-    # lineage is reset per iteration (localCheckpoint), so the FINAL
-    # plan contains scans of checkpointed RDDs, not 3 nested join trees
+def test_pagerank_short_loop_is_lazy_equijoins(spark):
+    # a 3-iteration run stays one lazy DAG (no per-round checkpoint
+    # jobs); every rank propagation is an equi-join + hash aggregate,
+    # and the only nested-loop joins are the broadcast 1-row N
     plan = _plan(spark, "pagerank_copurchase")
-    assert "Scan ExistingRDD" in plan
-    assert plan.count("SortMergeJoin") <= 2
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" not in plan  # no checkpoint below the cadence
+    assert plan.count("HashAggregate") >= 6  # partial+final per iteration
 
 
 def test_quantile_sketch_sample_is_takeordered_no_full_sort(spark):

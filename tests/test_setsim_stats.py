@@ -230,3 +230,64 @@ def test_hard_negatives_exclude_same_label(spark):
         label_col="label", exclude_same_label=True,
     ).collect()
     assert [r.neighbor_id for r in out] == [2, 3]
+
+
+def test_pagerank_checkpoint_cadence_preserves_values(spark):
+    import numpy as np
+
+    from replicadb_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.vertex: r.rank
+        for r in pagerank(df, iterations=6, checkpoint_every=2).collect()
+    }
+    n = 6
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        r = 0.15 / n + 0.85 * (adj.T @ (r / deg))
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12
+
+
+def test_groupwise_ols_constant_y_matches_regr_r2(spark):
+    from replicadb_spark.operators.stats import groupwise_ols
+
+    pts = [("flat", 1.0, 5.0), ("flat", 2.0, 5.0), ("flat", 3.0, 5.0)]
+    df = spark.createDataFrame(pts, "k string, x double, y double")
+    [r] = groupwise_ols(df, "k", "x", "y").collect()
+    # DuckDB/Postgres regr_* contract: horizontal line is a perfect fit
+    assert (r.slope, r.intercept, r.r2) == (0.0, 5.0, 1.0)
+
+
+def test_triangle_strategies_agree_on_triangle_free_graph(spark):
+    from replicadb_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    a = triangle_count(df, strategy="broadcast_adj").first()
+    b = triangle_count(df, strategy="wedge_shuffle").first()
+    assert a.n_triangles == b.n_triangles == 0
+
+
+def test_quantile_estimates_ignore_nulls(spark):
+    from replicadb_spark.operators.quantiles import (
+        bottomk_sample,
+        quantile_estimates,
+    )
+
+    df = spark.range(1000).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("value"),
+    )
+    s = bottomk_sample(df, "id", k=512, keep=["value"])
+    ests = {r.q: r.est for r in
+            quantile_estimates(s, "value", quantiles=[0.5]).collect()}
+    assert ests[0.5] is not None
+    assert abs(ests[0.5] / 1000.0 - 0.5) <= 0.1
