@@ -420,3 +420,133 @@ def stream_neardup_vs_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bottomk_sample(
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    id_col: str,
+    keep: list[str],
+    k: int,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained bottom-k (KMV) sample: each micro-batch's
+    k smallest xxhash64(id) rows merge with the persisted sample and
+    re-prune to k — the streaming twin of operators/quantiles.
+    bottomk_sample, maintaining an always-current uniform sample (and
+    thus quantile sketch) over an unbounded stream.
+
+    Because the rank is a FIXED hash of the row id, bottom-k is exactly
+    mergeable: bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)), so
+    the maintained state is bit-identical to a batch bottom-k over
+    everything streamed so far, under ANY micro-batch split — the test
+    asserts exactly that.
+
+    Scale: per batch one TakeOrdered partial top-k over the batch plus
+    a merge of ≤ 2k rows; state size is k rows forever.
+    """
+    from replicadb_spark.operators.quantiles import bottomk_sample
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        delta = bottomk_sample(batch_df, id_col, k=k, keep=keep)
+        try:
+            current = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
+            merged = delta
+        else:
+            merged = current.unionByName(delta).orderBy("__rk").limit(k)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        source.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_heavy_hitters(
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    key_col: str,
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained Misra-Gries heavy-hitter summary: each
+    micro-batch's MG summary merges with the persisted ≤ k-counter
+    state (counter-wise sum, then the tail-bound re-prune) — the
+    streaming twin of operators/heavy_hitters.heavy_hitter_candidates.
+
+    Mergeable-summaries guarantee (Agarwal et al., PODS 2012) survives
+    arbitrary merge trees: after any micro-batch split the state still
+    contains EVERY key with true stream frequency > N_total/(k+1),
+    with estimates under-reporting by ≤ N_total/(k+1). The state is
+    never exact and never meant to be — the test pins the superset
+    guarantee, not equality.
+
+    Scale: per batch a ≤ partitions×k-row shuffle; state is ≤ k rows
+    regardless of stream length or key cardinality.
+    """
+    from replicadb_spark.operators.heavy_hitters import mg_summaries
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        delta = (
+            mg_summaries(batch_df, key_col, k=k)
+            .groupBy("key")
+            .agg(F.sum("est").alias("est"))
+        )
+        try:
+            current = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
+            merged = delta
+        else:
+            merged = (
+                current.unionByName(delta).groupBy("key").agg(F.sum("est").alias("est"))
+            )
+        # MG prune back to ≤ k counters: subtract the (k+1)-th largest
+        # est from all, drop non-positive — uniform subtraction keeps
+        # the under-estimate bound additive across merges
+        kth = (
+            merged.select(F.col("est").alias("e"))
+            .orderBy(F.col("e").desc())
+            .limit(k + 1)
+            .agg(F.min("e").alias("pivot"), F.count(F.lit(1)).alias("n"))
+        )
+        pruned = (
+            merged.crossJoin(F.broadcast(kth))
+            .where((F.col("n") <= k) | (F.col("est") > F.col("pivot")))
+            .select(
+                "key",
+                F.when(F.col("n") <= k, F.col("est"))
+                .otherwise(F.col("est") - F.col("pivot"))
+                .alias("est"),
+            )
+        )
+        pruned.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        source.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -433,3 +433,86 @@ def test_stream_neardup_vs_corpus_batch_invariant(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_bottomk_equals_batch_bottomk(spark, tmp_path):
+    """The maintained KMV sample after streaming in 3 micro-batches is
+    BIT-IDENTICAL to one batch bottom-k over all rows — the exact
+    mergeability of hash-ranked bottom-k under any batch split."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "bk_src"
+    src.mkdir()
+    for i, lo in enumerate((0, 400, 800)):
+        tbl = pa.table({
+            "event_id": pa.array(range(lo, lo + 400), pa.int64()),
+            "value": pa.array([float(x % 83) for x in range(lo, lo + 400)]),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    from replicadb_spark.operators.quantiles import bottomk_sample
+    from replicadb_spark.streaming import pipeline as P
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    state = str(tmp_path / "bk_state")
+    q = P.stream_bottomk_sample(
+        stream, state, str(tmp_path / "bk_ckpt"),
+        id_col="event_id", keep=["value"], k=128,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["__rk"], r["value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    full = spark.read.parquet(str(src))
+    batch = {
+        (r["__rk"], r["value"])
+        for r in bottomk_sample(full, "event_id", k=128, keep=["value"]).collect()
+    }
+    assert streamed == batch and len(streamed) == 128
+
+
+def test_stream_heavy_hitters_superset_guarantee(spark, tmp_path):
+    """After streaming 3 micro-batches, the ≤k-counter state must still
+    contain EVERY key with true frequency > N/(k+1) (mergeable-
+    summaries bound) — here a planted hot key at ~30% of the stream."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    for i in range(3):
+        keys = ["hot"] * 150 + [f"cold_{i}_{j}" for j in range(350)]
+        tbl = pa.table({"k": pa.array(keys, pa.string())})
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    from replicadb_spark.streaming import pipeline as P
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    state = str(tmp_path / "hh_state")
+    q = P.stream_heavy_hitters(
+        stream, state, str(tmp_path / "hh_ckpt"), key_col="k", k=16,
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(state).collect()
+    assert len(rows) <= 16
+    ests = {r["key"]: r["est"] for r in rows}
+    # hot: true 450 of N=1500 > N/17 ≈ 88 → must survive, and its
+    # estimate under-reports by at most N/(k+1)
+    assert "hot" in ests
+    assert 450 - 1500 / 17 <= ests["hot"] <= 450
