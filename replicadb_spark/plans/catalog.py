@@ -4605,3 +4605,128 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "pca_embeddings_gate",
+    oracle="""
+    SELECT CAST(8 AS INT) AS m,
+           TRUE AS trace_preserved, TRUE AS orthonormal,
+           TRUE AS projection_variance_matches
+    """,
+)
+def pca_embeddings_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA GATE (functions/decomposition): top-8 components
+    of the 64-dim embedding corpus, checked on three numerical
+    invariants that fail the value hash if the distributed pipeline is
+    wrong anywhere:
+
+    - trace_preserved: Σ all eigenvalues equals the covariance trace
+      (the partials merge lost or double-counted nothing);
+    - orthonormal: VᵀV = I within 1e-8 (the decomposition is a real
+      eigenbasis, not a corrupted matrix);
+    - projection_variance_matches: the DISTRIBUTED projected corpus's
+      per-component variance equals the corresponding eigenvalue
+      within 1e-6 relative — the end-to-end check that the mapInPandas
+      projection actually implements the algebra.
+
+    Like the ANN recall gates, the decomposition itself is not
+    SQL-expressible but its correctness contract is a hash-checkable
+    constant row. Scale: covariance via one Arrow pass emitting d×d
+    partials per partition (bounded driver merge, the codebook-collect
+    precedent); projection streams with ZERO shuffle."""
+    import numpy as np
+
+    from replicadb_spark.functions.decomposition import (
+        covariance_stats,
+        pca_components,
+        pca_project,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    n, mean, cov = covariance_stats(e, "embedding")
+    comps, vals = pca_components(cov, 8)
+    trace_ok = bool(abs(vals.sum() - np.trace(cov)) <= 1e-8 * max(np.trace(cov), 1.0))
+    ortho_ok = bool(np.abs(comps.T @ comps - np.eye(8)).max() <= 1e-8)
+    proj = pca_project(e, "embedding", id_col="vec_id", m=8)
+    var_rows = (
+        proj.select(F.posexplode("proj").alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            (F.sum(F.col("x") * F.col("x")) / n
+             - F.pow(F.sum("x") / n, F.lit(2.0))).alias("var")
+        )
+        .collect()
+    )
+    got = {r["j"]: r["var"] for r in var_rows}
+    var_ok = all(
+        abs(got[j] - vals[j]) <= 1e-6 * max(vals[j], 1e-12) for j in range(8)
+    )
+    return spark.range(1).select(
+        F.lit(8).cast("int").alias("m"),
+        F.lit(trace_ok).alias("trace_preserved"),
+        F.lit(ortho_ok).alias("orthonormal"),
+        F.lit(var_ok).alias("projection_variance_matches"),
+    )
+
+
+@register(
+    "chi2_type_hour",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS t, EXTRACT(hour FROM ts) AS h, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT t, SUM(o) AS row_tot FROM obs GROUP BY t),
+    ct AS (SELECT h, SUM(o) AS col_tot FROM obs GROUP BY h),
+    n AS (SELECT SUM(o) AS total FROM obs),
+    cells AS (
+      SELECT obs.t, obs.h, obs.o,
+             rt.row_tot * ct.col_tot * 1.0 / n.total AS e
+      FROM obs JOIN rt USING (t) JOIN ct USING (h) CROSS JOIN n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * ((SELECT COUNT(*) FROM ct) - 1) AS dof,
+           round(SUM((o - e) * (o - e) / e), 6) AS chi2
+    FROM cells
+    """,
+)
+def chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for event_type ×
+    hour-of-day — the drift/independence test a pipeline runs to ask
+    "does behavior depend on time of day?" (compare the statistic to
+    the chi-square critical value for the emitted dof).
+
+    Determinism: observed and marginal counts are exact integers; the
+    only float work is |cells| ≤ |types|·24 per-cell terms summed once
+    on each engine — 1e-13-relative jitter against a 6-dp round.
+    Scale: one (type, hour) hash aggregate (map-side partial) then
+    arithmetic on ≤ 120 rows; marginals broadcast."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    obs = ev.groupBy(
+        F.col("event_type").alias("t"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("o")).persist()
+    rt = obs.groupBy("t").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("h").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "h")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e", F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("total")
+        )
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"))
+    )
+    stat = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+    )
+    return stat.crossJoin(F.broadcast(dof)).select("n_cells", "dof", "chi2")

@@ -291,3 +291,64 @@ def test_quantile_estimates_ignore_nulls(spark):
             quantile_estimates(s, "value", quantiles=[0.5]).collect()}
     assert ests[0.5] is not None
     assert abs(ests[0.5] / 1000.0 - 0.5) <= 0.1
+
+
+def test_pca_recovers_planted_low_rank_structure(spark):
+    import numpy as np
+
+    from replicadb_spark.functions.decomposition import (
+        covariance_stats,
+        pca_components,
+        pca_project,
+    )
+
+    # 300 points exactly in a 2-D plane of 6-D space: eigenvalues 3..k
+    # must vanish and the 2-D projection must preserve all variance
+    rng = np.random.RandomState(11)
+    basis = np.linalg.qr(rng.randn(6, 2))[0]
+    coords = rng.randn(300, 2) * np.array([3.0, 1.0])
+    pts = coords @ basis.T + 5.0
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    n, mean, cov = covariance_stats(df, "embedding")
+    assert n == 300
+    assert np.abs(mean - pts.mean(axis=0)).max() < 1e-9
+    comps, vals = pca_components(cov, 2)
+    assert vals[0] > vals[1] > 1e-6
+    assert abs(vals[2:].sum()) < 1e-9          # rank-2 exactly
+    assert abs(vals.sum() - np.trace(cov)) < 1e-9
+
+    proj = {r.id: np.asarray(r.proj) for r in
+            pca_project(df, "embedding", id_col="vec_id", m=2).collect()}
+    p = np.stack([proj[i] for i in range(300)])
+    # projection is an isometry of the centered data restricted to the
+    # plane: pairwise distances survive
+    c = pts - pts.mean(axis=0)
+    for a, b in ((0, 1), (5, 17), (100, 250)):
+        d_orig = np.linalg.norm(c[a] - c[b])
+        d_proj = np.linalg.norm(p[a] - p[b])
+        assert abs(d_orig - d_proj) < 1e-9
+
+
+def test_chi2_zero_for_exactly_independent_table(spark):
+    from replicadb_spark.operators import stats as _  # noqa: F401  (module import sanity)
+
+    # counts exactly proportional across rows → chi2 must be 0
+    rows = (
+        [("a", 0)] * 20 + [("a", 1)] * 10
+        + [("b", 0)] * 40 + [("b", 1)] * 20
+    )
+    df = spark.createDataFrame(rows, "t string, h int")
+    obs = df.groupBy("t", "h").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("t").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("h").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(rt, "t").join(ct, "h").crossJoin(n)
+        .withColumn("e", F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("total"))
+    )
+    [r] = cells.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2")
+    ).collect()
+    assert abs(r.chi2) < 1e-12
