@@ -82,7 +82,7 @@ _GATE_LAST = (
     "timeseries_gapfill", "interval_coalesce_user", "fuzzy_name_match",
     "pagerank_copurchase", "bm25_keyword_search",
     "quantile_sketch_gate", "hard_negative_mining", "langid_confusion",
-    "pca_embeddings_gate", "chi2_type_hour",
+    "pca_embeddings_gate", "chi2_type_hour", "kfold_split_gate",
     # rotated past the cap this round: all green (rows+schema+hash) in
     # r03, unchanged since; operators additionally pinned by unit/plan
     # tests; due back in the first 50 next round

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "bm25_keyword_search",
     "quantile_sketch_gate",
     "hard_negative_mining",
+    "pca_embeddings_gate",
+    "chi2_type_hour",
 ]
 
 

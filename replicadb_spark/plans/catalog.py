@@ -4730,3 +4730,44 @@ def chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
     )
     return stat.crossJoin(F.broadcast(dof)).select("n_cells", "dof", "chi2")
+
+
+@register(
+    "kfold_split_gate",
+    oracle="""
+    SELECT CAST(f AS INT) AS fold, TRUE AS leakage_free, TRUE AS covered
+    FROM (VALUES (0), (1), (2), (3), (4)) t(f)
+    """,
+)
+def kfold_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-WISE k-fold split gate: every event is assigned fold =
+    pmod(xxhash64(user_id), 5) — hashing the GROUP key, not the row id,
+    is the leakage-prevention contract (all of a user's events land in
+    ONE fold, so train/validation never share a user). The gate emits
+    one row per fold with two hash-checked invariants:
+
+    - leakage_free: no user appears in two folds (max folds-per-user
+      == 1 — fails if anyone 'improves' the assignment to row-hash);
+    - covered: the fold is non-empty (the hash actually spreads).
+
+    Deterministic: xxhash64 is fixed, so assignments are reproducible
+    across runs/clusters — the property a dataset split must have.
+    Scale: one projection + two map-side-partial aggregates; the
+    per-user fold-count check shuffles |users| rows, not |events|."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    assigned = ev.select(
+        "user_id", F.pmod(F.xxhash64("user_id"), F.lit(5)).cast("int").alias("fold")
+    )
+    per_user = assigned.groupBy("user_id").agg(
+        F.countDistinct("fold").alias("nf"), F.first("fold").alias("fold")
+    )
+    leak = per_user.agg(F.max("nf").alias("max_nf"))
+    per_fold = per_user.groupBy("fold").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        per_fold.crossJoin(F.broadcast(leak))
+        .select(
+            "fold",
+            (F.col("max_nf") == 1).alias("leakage_free"),
+            (F.col("n_users") > 0).alias("covered"),
+        )
+    )

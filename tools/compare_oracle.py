@@ -5,7 +5,7 @@ to oracle_sql() via DuckDB: row count, column names, and an
 order-insensitive value hash (rows sorted by their string form, columns
 sorted by name). Exit code 1 on any mismatch.
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+Usage: python tools/compare_oracle.py [--first N] [--json OUT] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -51,6 +51,11 @@ def main() -> int:
         i = args.index("--first")
         first_n = int(args[i + 1])
         del args[i : i + 2]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -68,6 +73,7 @@ def main() -> int:
         # emulate the driver's gate cap: only the first N queries() entries
         qs = {k: qs[k] for k in list(qs)[:first_n]}
     failures = []
+    results: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,9 +84,15 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"[:500]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {"rows_match": True, "schema_match": True,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None}
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -89,6 +101,9 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": f"oracle: {e}"[:500]}
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         problems = []
@@ -126,6 +141,14 @@ def main() -> int:
                 print(f"      spark-only: {x}")
             for x in list(oset - sset)[:3]:
                 print(f"      oracle-only: {x}")
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": value_hash(srows, scols) == value_hash(orows, ocols),
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
@@ -136,6 +159,12 @@ def main() -> int:
         # ~100-query run — mirror bench.py's per-query cache hygiene
         spark.catalog.clearCache()
     spark.stop()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_path}")
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
