@@ -55,6 +55,10 @@ def covariance_stats(df: DataFrame, vec_col: str) -> tuple[int, "object", "objec
         .mapInPandas(partials, schema="n long, s array<double>, ss array<double>")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"covariance_stats: no rows with a non-empty {vec_col!r} column"
+        )
     n = sum(r["n"] for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     d = s.shape[0]
@@ -87,16 +91,25 @@ def pca_project(
     *,
     id_col: str,
     m: int,
+    mean=None,
+    components=None,
 ) -> DataFrame:
     """(id, proj array<double>[m]) — mean-centered projection onto the
     top-m principal components. One partials pass + one projection pass
     over the corpus; zero shuffles; the (d×m) component matrix rides
-    the closure broadcast."""
+    the closure broadcast. Pass precomputed ``mean``/``components``
+    (from covariance_stats + pca_components) to skip the partials pass
+    — a caller that already decomposed should not pay a second full
+    corpus scan."""
     import numpy as np
     import pandas as pd
 
-    _, mean, cov = covariance_stats(df, vec_col)
-    comps, _ = pca_components(cov, m)
+    if (mean is None) != (components is None):
+        raise ValueError("pass both mean and components, or neither")
+    if mean is None:
+        _, mean, cov = covariance_stats(df, vec_col)
+        components, _ = pca_components(cov, m)
+    comps = components[:, :m]
 
     def project(batches):
         for pdf in batches:

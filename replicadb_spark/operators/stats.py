@@ -102,6 +102,58 @@ def groupwise_ols(
     )
 
 
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square independence statistic for the two
+    categorical columns: ONE row (n_cells, dof, chi2) with chi2 rounded
+    to 6 decimals.
+
+    The statistic runs over the DENSE |a|×|b| grid — an observed-cells-
+    only sum silently drops the (0-e)²/e contribution of every empty
+    cell and understates dependence (a perfectly dependent 2×2 would
+    score 10 instead of N=20). The grid is the cross join of the two
+    marginal tables: bounded by category cardinalities, never by rows.
+
+    Observed and marginal counts are exact integers; expected counts
+    are computed as ``row_tot * 1.0 * col_tot / total`` — the widening
+    multiply runs in DOUBLE, never long×long, so popular margins cannot
+    overflow int64 at corpus scale. One (a, b) hash aggregate (map-side
+    partial) feeds everything; marginals broadcast; the float sum runs
+    over |a|·|b| cells.
+    """
+    obs = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o")).persist()
+    rt = obs.groupBy("a").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("b").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("total"))
+    grid = rt.crossJoin(ct)
+    cells = (
+        grid.join(obs, ["a", "b"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e", F.col("row_tot") * 1.0 * F.col("col_tot") / F.col("total")
+        )
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"))
+    )
+    stat = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+    )
+    return stat.crossJoin(F.broadcast(dof)).select("n_cells", "dof", "chi2")
+
+
 def calendar_gapfill(
     df: DataFrame,
     key_col: str,

@@ -4648,7 +4648,9 @@ def pca_embeddings_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps, vals = pca_components(cov, 8)
     trace_ok = bool(abs(vals.sum() - np.trace(cov)) <= 1e-8 * max(np.trace(cov), 1.0))
     ortho_ok = bool(np.abs(comps.T @ comps - np.eye(8)).max() <= 1e-8)
-    proj = pca_project(e, "embedding", id_col="vec_id", m=8)
+    proj = pca_project(
+        e, "embedding", id_col="vec_id", m=8, mean=mean, components=comps
+    )
     var_rows = (
         proj.select(F.posexplode("proj").alias("j", "x"))
         .groupBy("j")
@@ -4680,9 +4682,11 @@ def pca_embeddings_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT h, SUM(o) AS col_tot FROM obs GROUP BY h),
     n AS (SELECT SUM(o) AS total FROM obs),
     cells AS (
-      SELECT obs.t, obs.h, obs.o,
-             rt.row_tot * ct.col_tot * 1.0 / n.total AS e
-      FROM obs JOIN rt USING (t) JOIN ct USING (h) CROSS JOIN n
+      SELECT rt.t, ct.h, COALESCE(obs.o, 0) AS o,
+             rt.row_tot * 1.0 * ct.col_tot / n.total AS e
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.t = rt.t AND obs.h = ct.h
+      CROSS JOIN n
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
            CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
@@ -4702,34 +4706,12 @@ def chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each engine — 1e-13-relative jitter against a 6-dp round.
     Scale: one (type, hour) hash aggregate (map-side partial) then
     arithmetic on ≤ 120 rows; marginals broadcast."""
+    from replicadb_spark.operators.stats import chi2_independence
+
     ev = _t(spark, sf_dir, "events")["events"]
-    obs = ev.groupBy(
-        F.col("event_type").alias("t"), F.hour("ts").alias("h")
-    ).agg(F.count(F.lit(1)).alias("o")).persist()
-    rt = obs.groupBy("t").agg(F.sum("o").alias("row_tot"))
-    ct = obs.groupBy("h").agg(F.sum("o").alias("col_tot"))
-    n = obs.agg(F.sum("o").alias("total"))
-    cells = (
-        obs.join(F.broadcast(rt), "t")
-        .join(F.broadcast(ct), "h")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "e", F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("total")
-        )
+    return chi2_independence(
+        ev.select(F.col("event_type").alias("t"), F.hour("ts").alias("h")), "t", "h"
     )
-    dof = (
-        rt.agg(F.count(F.lit(1)).alias("nr"))
-        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
-        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"))
-    )
-    stat = cells.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.round(
-            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
-            6,
-        ).alias("chi2"),
-    )
-    return stat.crossJoin(F.broadcast(dof)).select("n_cells", "dof", "chi2")
 
 
 @register(
@@ -4758,9 +4740,12 @@ def kfold_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ev.select(
         "user_id", F.pmod(F.xxhash64("user_id"), F.lit(5)).cast("int").alias("fold")
     )
+    # per_user feeds both the leakage check and the per-fold counts —
+    # persist so the events scan + user groupBy run once (the chi2 obs
+    # precedent)
     per_user = assigned.groupBy("user_id").agg(
         F.countDistinct("fold").alias("nf"), F.first("fold").alias("fold")
-    )
+    ).persist()
     leak = per_user.agg(F.max("nf").alias("max_nf"))
     per_fold = per_user.groupBy("fold").agg(F.count(F.lit(1)).alias("n_users"))
     return (

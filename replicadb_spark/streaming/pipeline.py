@@ -462,7 +462,16 @@ def stream_bottomk_sample(
                 raise
             merged = delta
         else:
-            merged = current.unionByName(delta).orderBy("__rk").limit(k)
+            # dropDuplicates makes the merge SET-semantic: an
+            # at-least-once foreachBatch replay re-contributes identical
+            # rows, which collapse instead of double-occupying sample
+            # slots — the batch is idempotent for free
+            merged = (
+                current.unionByName(delta)
+                .dropDuplicates()
+                .orderBy("__rk")
+                .limit(k)
+            )
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
     writer = (
@@ -518,8 +527,18 @@ def stream_heavy_hitters(
                 raise
             merged = delta
         else:
+            # replay guard: counters are NOT set-semantic (a re-applied
+            # batch double-counts and breaks the est ≤ truth bound), so
+            # the state carries the last applied batch_id and an
+            # at-least-once replay becomes a no-op
+            applied = current.agg(F.max("last_batch")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return
             merged = (
-                current.unionByName(delta).groupBy("key").agg(F.sum("est").alias("est"))
+                current.drop("last_batch")
+                .unionByName(delta)
+                .groupBy("key")
+                .agg(F.sum("est").alias("est"))
             )
         # MG prune back to ≤ k counters: subtract the (k+1)-th largest
         # est from all, drop non-positive — uniform subtraction keeps
@@ -538,6 +557,7 @@ def stream_heavy_hitters(
                 F.when(F.col("n") <= k, F.col("est"))
                 .otherwise(F.col("est") - F.col("pivot"))
                 .alias("est"),
+                F.lit(batch_id).cast("long").alias("last_batch"),
             )
         )
         pruned.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)

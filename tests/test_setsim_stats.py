@@ -332,7 +332,7 @@ def test_pca_recovers_planted_low_rank_structure(spark):
 
 
 def test_chi2_zero_for_exactly_independent_table(spark):
-    from replicadb_spark.operators import stats as _  # noqa: F401  (module import sanity)
+    from replicadb_spark.operators.stats import chi2_independence
 
     # counts exactly proportional across rows → chi2 must be 0
     rows = (
@@ -340,15 +340,15 @@ def test_chi2_zero_for_exactly_independent_table(spark):
         + [("b", 0)] * 40 + [("b", 1)] * 20
     )
     df = spark.createDataFrame(rows, "t string, h int")
-    obs = df.groupBy("t", "h").agg(F.count(F.lit(1)).alias("o"))
-    rt = obs.groupBy("t").agg(F.sum("o").alias("row_tot"))
-    ct = obs.groupBy("h").agg(F.sum("o").alias("col_tot"))
-    n = obs.agg(F.sum("o").alias("total"))
-    cells = (
-        obs.join(rt, "t").join(ct, "h").crossJoin(n)
-        .withColumn("e", F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("total"))
-    )
-    [r] = cells.agg(
-        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2")
-    ).collect()
-    assert abs(r.chi2) < 1e-12
+    [r] = chi2_independence(df, "t", "h").collect()
+    assert (r.n_cells, r.dof, r.chi2) == (4, 1, 0.0)
+
+
+def test_chi2_known_value_dependent_table(spark):
+    from replicadb_spark.operators.stats import chi2_independence
+
+    # classic 2x2: perfectly dependent 10/0 // 0/10 → chi2 = N = 20
+    rows = [("a", 0)] * 10 + [("b", 1)] * 10
+    df = spark.createDataFrame(rows, "t string, h int")
+    [r] = chi2_independence(df, "t", "h").collect()
+    assert (r.n_cells, r.dof, r.chi2) == (4, 1, 20.0)  # dense grid incl. empty cells
