@@ -83,6 +83,7 @@ _GATE_LAST = (
     "pagerank_copurchase", "bm25_keyword_search",
     "quantile_sketch_gate", "hard_negative_mining", "langid_confusion",
     "pca_embeddings_gate", "chi2_type_hour", "kfold_split_gate",
+    "bigram_logprob_score", "mad_outliers_by_type",
     # rotated past the cap this round: all green (rows+schema+hash) in
     # r03, unchanged since; operators additionally pinned by unit/plan
     # tests; due back in the first 50 next round

@@ -223,3 +223,53 @@ def redact_pii(text: Column) -> dict[str, Column]:
         "n_longnum": n_longnum,
         "n_num": n_num,
     }
+
+
+def bigram_logprob(df, id_col: str, text_col: str):
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram language model: (id, n_bigrams,
+    avg_logprob). The classic LM-fluency filter — anomalously low
+    scores flag gibberish/boilerplate; the unigram variant is
+    unigram_prob_score in the catalog.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), avg of ln P over the
+    doc's bigrams, rounded to 6 dp for cross-engine hashing.
+
+    Plan: tokens via posexplode (codegen), bigrams via ONE lead()
+    window on (doc, pos) — no positional self-join — then two
+    map-side-partial count aggregates for the model, a broadcast |V|
+    count, and a model join back keyed on the bigram. The token frame
+    persists once (window + vocab + model all read it).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "term"),
+    ).persist()
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("term").over(w))
+        .where(F.col("w2").isNotNull())
+        .select("id", F.col("term").alias("w1"), "w2")
+    ).persist()
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = toks.agg(F.countDistinct("term").alias("vocab"))
+    return (
+        # bc and uc scale with the corpus vocabulary — no forced
+        # broadcast; AQE promotes them when they fit (the 1-row vocab
+        # count always broadcasts)
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -194,3 +194,47 @@ def calendar_gapfill(
         F.coalesce("n", F.lit(0)).alias("n"),
         F.round(F.last("day_avg", ignorenulls=True).over(w), 6).alias("filled"),
     )
+
+
+def mad_outlier_profile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust per-key outlier profile via median/MAD: (key, med, mad,
+    n_outliers) where an outlier is |x - med| > z · 1.4826 · mad (the
+    modified z-score rule; 1.4826 scales MAD to σ under normality).
+    Unlike mean/stddev z-scores (events_anomaly_zscore), the median/MAD
+    pair is unmoved by the outliers it hunts.
+
+    EXACT grouped medians (Spark's sort-based ``median``) so the result
+    hash-matches an exact oracle; at 10^12-row scale swap both medians
+    for ``percentile_approx`` — the rule is unchanged, the quantile
+    estimator is. Three passes over the projected (key, value) frame
+    (median → MAD → count), which persists once.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("x")
+    ).persist()
+    med = base.groupBy("key").agg(F.median("x").alias("med"))
+    mad = (
+        base.join(F.broadcast(med), "key")
+        .groupBy("key")
+        .agg(F.median(F.abs(F.col("x") - F.col("med"))).alias("mad"))
+    )
+    stats = med.join(mad, "key")
+    return (
+        base.join(F.broadcast(stats), "key")
+        .groupBy("key")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("x") - F.col("med")) > z * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -4756,3 +4756,81 @@ def kfold_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_users") > 0).alias("covered"),
         )
     )
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=r"""
+    WITH arr AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS ord
+      FROM arr
+    ), big AS (
+      SELECT doc_id, term AS w1,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM toks
+    ), big2 AS (
+      SELECT * FROM big WHERE w2 IS NOT NULL
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big2 GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1
+    ), v AS (SELECT COUNT(DISTINCT term) AS vocab FROM toks)
+    SELECT big2.doc_id AS id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab))), 6) AS avg_logprob
+    FROM big2 JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY big2.doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM (functions/text.bigram_logprob) — the
+    second-order fluency filter next to unigram_prob_score; gibberish
+    and shuffled text score far below fluent docs even when their
+    unigram mix is normal.
+
+    Scale: bigrams come from ONE lead() window on (doc, pos) — never a
+    positional self-join; the model is two map-side-partial counts; the
+    model join is keyed on the bigram (AQE broadcasts when the vocab is
+    small). Both engines average the identical ln() terms; 6-dp round."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return X.bigram_logprob(d, "doc_id", "text")
+
+
+@register(
+    "mad_outliers_by_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT m.event_type AS key, round(med.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           (SELECT COUNT(*) FROM events e
+             WHERE e.event_type = m.event_type
+               AND abs(e.value - med.med) > 3.5 * 1.4826 * m.mad)
+             AS n_outliers
+    FROM mad m JOIN med USING (event_type)
+    """,
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type via median/MAD modified
+    z-scores (operators/stats.mad_outlier_profile, z=3.5) — the
+    contamination-resistant sibling of events_anomaly_zscore: the
+    median/MAD pair is unmoved by the very outliers it counts, where
+    mean/stddev get dragged toward them.
+
+    Determinism: both engines compute the identical exact interpolated
+    medians over identical value sets, so the derived cutoffs — and
+    therefore every strict-inequality comparison — agree bit-for-bit.
+    Scale note in the operator docstring: swap the exact medians for
+    percentile_approx at 10^12 rows; the rule is estimator-agnostic."""
+    from replicadb_spark.operators.stats import mad_outlier_profile
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    return mad_outlier_profile(ev, "event_type", "value", z=3.5)

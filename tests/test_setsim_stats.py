@@ -352,3 +352,29 @@ def test_chi2_known_value_dependent_table(spark):
     df = spark.createDataFrame(rows, "t string, h int")
     [r] = chi2_independence(df, "t", "h").collect()
     assert (r.n_cells, r.dof, r.chi2) == (4, 1, 20.0)  # dense grid incl. empty cells
+
+
+def test_mad_outliers_hand_computed(spark):
+    from replicadb_spark.operators.stats import mad_outlier_profile
+
+    # values 1..9 plus a wild 1000: med=5.5, MAD=median(|x-5.5|)=
+    # median(4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5)=2.5,
+    # cutoff 3.5*1.4826*2.5≈12.97 → only 1000 is an outlier
+    rows = [("k", float(v)) for v in list(range(1, 10)) + [1000]]
+    df = spark.createDataFrame(rows, "t string, v double")
+    [r] = mad_outlier_profile(df, "t", "v").collect()
+    assert (r.med, r.mad, r.n_outliers) == (5.5, 2.5, 1)
+
+
+def test_bigram_logprob_prefers_repeated_bigrams(spark):
+    from replicadb_spark.functions.text import bigram_logprob
+
+    rows = [
+        (1, "a b a b a b a b"),   # one dominant bigram pattern
+        (2, "a q b z a p b r"),   # same unigrams, unseen-once bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert got[1].n_bigrams == 7 and got[2].n_bigrams == 7
+    # the fluent (repetitive) doc must score strictly higher
+    assert got[1].avg_logprob > got[2].avg_logprob
