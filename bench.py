@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "hard_negative_mining",
     "pca_embeddings_gate",
     "chi2_type_hour",
+    "bigram_logprob_score",
+    "mad_outliers_by_type",
 ]
 
 

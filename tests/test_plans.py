@@ -339,3 +339,18 @@ def test_hard_negative_label_filter_precedes_scoring(spark):
     # pandas partial-top-k reducer sees anything
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_uses_lead_window_not_positional_self_join(spark):
+    plan = _plan(spark, "bigram_logprob_score")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # tokens explode once; bigram formation must NOT be a second
+    # Generate feeding a positional equi-join
+    assert plan.count("Generate explode") <= 1 or plan.count("Generate posexplode") <= 1
+
+
+def test_mad_medians_are_grouped_aggregates(spark):
+    plan = _plan(spark, "mad_outliers_by_type")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
