@@ -233,13 +233,22 @@ def bigram_logprob(df, id_col: str, text_col: str):
     unigram_prob_score in the catalog.
 
     P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), avg of ln P over the
-    doc's bigrams, rounded to 6 dp for cross-engine hashing.
+    doc's bigrams, rounded to 4 dp. The per-doc mean of ~10²
+    double ln() terms is summation-order dependent at the ~1e-13
+    level and the two engines sum in different orders, so the round
+    must leave margin: at 4 dp a doc flakes only if its exact mean
+    sits within ~1e-13 of a 5e-5 boundary (~1e-9 per doc) — the same
+    calculus the catalog's other float scores use, with 100x more
+    headroom than 6 dp.
 
     Plan: tokens via posexplode (codegen), bigrams via ONE lead()
     window on (doc, pos) — no positional self-join — then two
     map-side-partial count aggregates for the model, a broadcast |V|
     count, and a model join back keyed on the bigram. The token frame
-    persists once (window + vocab + model all read it).
+    and the reduced bigram-count model persist once each (two
+    consumers each); the corpus-sized bigram stream itself is never
+    cached — recomputing the lead window from cached tokens is one
+    narrow pass.
     """
     from pyspark.sql import Window
 
@@ -254,8 +263,8 @@ def bigram_logprob(df, id_col: str, text_col: str):
         toks.withColumn("w2", F.lead("term").over(w))
         .where(F.col("w2").isNotNull())
         .select("id", F.col("term").alias("w1"), "w2")
-    ).persist()
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = toks.agg(F.countDistinct("term").alias("vocab"))
     return (
@@ -269,7 +278,7 @@ def bigram_logprob(df, id_col: str, text_col: str):
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
-                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))), 6
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))), 4
             ).alias("avg_logprob"),
         )
     )

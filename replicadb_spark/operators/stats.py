@@ -209,32 +209,45 @@ def mad_outlier_profile(
     Unlike mean/stddev z-scores (events_anomaly_zscore), the median/MAD
     pair is unmoved by the outliers it hunts.
 
+    Degenerate-spread fallback (Iglewicz-Hoaglin): when more than half
+    of a key's values equal its median, MAD is 0 and the naive cutoff
+    flags EVERY non-median value; the rule then falls back to the mean
+    absolute deviation with its normal-consistency constant
+    (|x - med| > z · 1.253314 · meanAD). All-constant keys have
+    meanAD 0 too and flag nothing.
+
     EXACT grouped medians (Spark's sort-based ``median``) so the result
-    hash-matches an exact oracle; at 10^12-row scale swap both medians
-    for ``percentile_approx`` — the rule is unchanged, the quantile
-    estimator is. Three passes over the projected (key, value) frame
-    (median → MAD → count), which persists once.
+    hash-matches an exact oracle; at 10^12-row scale swap them for
+    ``percentile_approx`` — the rule is unchanged, the quantile
+    estimator is. The projected (key, value) frame and the per-key
+    median table persist once each (each feeds two consumers); the
+    per-key joins carry no broadcast hint — key cardinality is the
+    caller's business and AQE promotes small sides itself.
     """
     base = df.select(
         F.col(key_col).alias("key"), F.col(value_col).alias("x")
     ).persist()
-    med = base.groupBy("key").agg(F.median("x").alias("med"))
-    mad = (
-        base.join(F.broadcast(med), "key")
+    med = base.groupBy("key").agg(F.median("x").alias("med")).persist()
+    spread = (
+        base.join(med, "key")
         .groupBy("key")
-        .agg(F.median(F.abs(F.col("x") - F.col("med"))).alias("mad"))
+        .agg(
+            F.median(F.abs(F.col("x") - F.col("med"))).alias("mad"),
+            F.avg(F.abs(F.col("x") - F.col("med"))).alias("meanad"),
+        )
     )
-    stats = med.join(mad, "key")
+    stats = med.join(spread, "key")
+    cutoff = F.when(
+        F.col("mad") > 0, z * 1.4826 * F.col("mad")
+    ).otherwise(z * 1.253314 * F.col("meanad"))
     return (
-        base.join(F.broadcast(stats), "key")
+        base.join(stats, "key")
         .groupBy("key")
         .agg(
             F.round(F.first("med"), 6).alias("med"),
             F.round(F.first("mad"), 6).alias("mad"),
             F.sum(
-                F.when(
-                    F.abs(F.col("x") - F.col("med")) > z * 1.4826 * F.col("mad"), 1
-                ).otherwise(0)
+                F.when(F.abs(F.col("x") - F.col("med")) > cutoff, 1).otherwise(0)
             ).alias("n_outliers"),
         )
     )

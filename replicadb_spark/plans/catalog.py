@@ -4780,7 +4780,7 @@ def kfold_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), v AS (SELECT COUNT(DISTINCT term) AS vocab FROM toks)
     SELECT big2.doc_id AS id,
            COUNT(*) AS n_bigrams,
-           round(AVG(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab))), 6) AS avg_logprob
+           round(AVG(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab))), 4) AS avg_logprob
     FROM big2 JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
     GROUP BY big2.doc_id
     """,
@@ -4805,17 +4805,20 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH med AS (
       SELECT event_type, median(value) AS med FROM events GROUP BY 1
-    ), mad AS (
-      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+    ), spread AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
+             avg(abs(e.value - m.med)) AS meanad
       FROM events e JOIN med m USING (event_type) GROUP BY 1
     )
-    SELECT m.event_type AS key, round(med.med, 6) AS med,
-           round(m.mad, 6) AS mad,
+    SELECT s.event_type AS key, round(med.med, 6) AS med,
+           round(s.mad, 6) AS mad,
            (SELECT COUNT(*) FROM events e
-             WHERE e.event_type = m.event_type
-               AND abs(e.value - med.med) > 3.5 * 1.4826 * m.mad)
+             WHERE e.event_type = s.event_type
+               AND abs(e.value - med.med) >
+                   CASE WHEN s.mad > 0 THEN 3.5 * 1.4826 * s.mad
+                        ELSE 3.5 * 1.253314 * s.meanad END)
              AS n_outliers
-    FROM mad m JOIN med USING (event_type)
+    FROM spread s JOIN med USING (event_type)
     """,
 )
 def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:

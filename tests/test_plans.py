@@ -343,14 +343,18 @@ def test_hard_negative_label_filter_precedes_scoring(spark):
 
 def test_bigram_uses_lead_window_not_positional_self_join(spark):
     plan = _plan(spark, "bigram_logprob_score")
+    # bigram formation must be the lead() window — if it regresses to a
+    # positional self-join the lead call vanishes from the plan
+    assert "lead(" in plan
     assert "Window" in plan
     assert "CartesianProduct" not in plan
-    # tokens explode once; bigram formation must NOT be a second
-    # Generate feeding a positional equi-join
-    assert plan.count("Generate explode") <= 1 or plan.count("Generate posexplode") <= 1
 
 
 def test_mad_medians_are_grouped_aggregates(spark):
     plan = _plan(spark, "mad_outliers_by_type")
+    # both spread statistics must be real grouped median aggregates —
+    # not a window/collect rewrite (Spark prints median as
+    # percentile(x, 0.5, ...) in the physical plan)
+    assert plan.count("percentile(") >= 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
