@@ -4299,10 +4299,28 @@ def interval_coalesce_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_name_match",
     oracle="""
-    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           CAST(1 AS INTEGER) AS dist
-    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-    WHERE a.c_name <> b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+    WITH expanded AS (
+      SELECT c_custkey AS id, c_name AS s,
+             unnest(generate_series(0, length(c_name))) AS i
+      FROM customer
+    ), sigs AS (
+      -- i = 0 keeps the identity signature; i >= 1 deletes char i.
+      -- DISTINCT mirrors Spark's array_union set semantics per row.
+      SELECT DISTINCT id, s,
+             CASE WHEN i = 0 THEN s
+                  ELSE substr(s, 1, i - 1) || substr(s, i + 1) END AS variant
+      FROM expanded
+    ), keep AS (
+      SELECT variant FROM sigs GROUP BY variant HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM sigs a
+      JOIN keep k ON k.variant = a.variant
+      JOIN sigs b ON a.variant = b.variant
+      WHERE a.id < b.id AND a.s <> b.s
+    )
+    SELECT id_a, id_b, CAST(1 AS INTEGER) AS dist
+    FROM cand WHERE levenshtein(sa, sb) = 1
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4310,17 +4328,26 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/setsim.edit1_pairs) — the typo-tolerant entity-
     resolution primitive (FastSS deletion-neighborhood blocking).
 
-    Scale: the oracle is the O(n²) compare every naive matcher runs;
-    the Spark side emits ≤ len+1 deletion signatures per row (hashed
-    to 64-bit so shuffle rows stay narrow), equi-joins on the
-    signature, and exact-verifies candidates with the JVM built-in
-    levenshtein — O(n · len) index size, no quadratic pass, and an
-    exact-equivalence gate because verification removes every blocking
-    false positive."""
+    Metric contract (capped universe, the dedup_containment
+    precedent): deletion signatures shared by more than
+    ``max_sig_df=1000`` rows are dropped from the index on BOTH
+    engines, so a pair is reported iff it shares at least one
+    non-viral signature. At the gated SFs the cap removes nothing
+    (max observed df: 29 at sf0.01, ~290 at sf0.1) — it exists so a
+    corpus with millions of near-identical strings cannot turn one
+    hot signature bucket quadratic.
+
+    Scale: the oracle materializes the same capped signature universe
+    the Spark side builds; the Spark side emits ≤ len+1 deletion
+    signatures per row (hashed to 64-bit so shuffle rows stay narrow),
+    equi-joins on the signature, and exact-verifies candidates with
+    the JVM built-in levenshtein — O(n · len) index size, no quadratic
+    pass, and an exact-equivalence gate because verification removes
+    every blocking false positive."""
     from replicadb_spark.operators.setsim import edit1_pairs
 
     c = _t(spark, sf_dir, "customer")["customer"]
-    return edit1_pairs(c, "c_custkey", "c_name").withColumn(
+    return edit1_pairs(c, "c_custkey", "c_name", max_sig_df=1000).withColumn(
         "dist", F.col("dist").cast("int")
     )
 

@@ -65,6 +65,29 @@ def test_edit1_excludes_identical_strings(spark):
     assert edit1_pairs(df, "id", "s").count() == 0
 
 
+def test_edit1_sig_cap_neutralizes_viral_signature(spark):
+    # 20 ids share the literal string "hub" (every signature of "hub"
+    # is viral: df = 20 per deletion variant) plus one genuine near-miss
+    # pair far from the hub. Uncapped, the hub's identity signature
+    # alone yields 190 candidate pairs, all rejected by the verify
+    # (s != s filter) — the cost is the quadratic bucket, not wrong
+    # output. Capped at df <= 8 the hub signatures are dropped from the
+    # index entirely and the true pair still survives on its own
+    # non-viral signatures.
+    rows = [(i, "hub") for i in range(1, 21)]
+    rows += [(100, "karin"), (101, "karen")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in edit1_pairs(df, "id", "s", max_sig_df=8).collect()
+    }
+    assert capped == {(100, 101)}
+    # and the cap changes candidate GENERATION, not correctness of the
+    # surviving pairs: uncapped finds the same true pair
+    uncapped = {(r.id_a, r.id_b) for r in edit1_pairs(df, "id", "s").collect()}
+    assert (100, 101) in uncapped
+
+
 def test_entropy_uniform_and_degenerate(spark):
     rows = [("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"), ("v", "x"), ("v", "x")]
     df = spark.createDataFrame(rows, "k string, c string")
