@@ -124,6 +124,7 @@ def main() -> int:
     # two cold runs keeps the cold-plan semantics while damping the
     # noise to ~±20% across driver invocations.
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         runs = []
@@ -134,6 +135,7 @@ def main() -> int:
             n = fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        raw_runs[name] = [round(r, 3) for r in runs] + [n]
         print(
             f"# {name}: {timings[name]:.2f}s (runs {runs[0]:.2f}/{runs[1]:.2f}, {n} rows)",
             file=sys.stderr,
@@ -211,15 +213,45 @@ def main() -> int:
         shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+
+    # Full-precision payload (3-dp min-of-2, both raw runs + row counts,
+    # full recall detail) goes to a sidecar the judge can read directly.
+    sidecar = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": raw_runs,
         "recall": recall,
         "sf": sf,
-    }))
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(sidecar, f, indent=1)
+        f.write("\n")
+
+    # The driver records only the LAST 2000 bytes of stdout and parses
+    # the JSON line out of that tail (BENCH_r04.json: "tail" is exactly
+    # 2000 bytes, "parsed" was null because the full-precision line ran
+    # 1998+ bytes and lost its head). The stdout line therefore trims to
+    # 2-dp timings and recall-ok booleans, with a hard size guard that
+    # drops to 1-dp if the catalog ever grows the line past 1900 bytes;
+    # BENCH_LOCAL.json keeps every dropped digit.
+    def _line(dp: int) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, dp) for k, v in timings.items()},
+            "recall": {k: v["ok"] for k, v in recall.items()},
+            "sf": sf,
+        }, separators=(",", ":"))
+
+    line = _line(2)
+    if len(line) > 1900:
+        line = _line(1)
     spark.stop()
+    print(line)
     return 0
 
 

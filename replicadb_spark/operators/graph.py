@@ -107,6 +107,13 @@ def triangle_count(
     """
     if strategy not in ("auto", "broadcast_adj", "wedge_shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    # every persisted internal goes on this list and is unpersisted in
+    # the finally below — a long-lived session composing graph ops must
+    # not accumulate cached edge frames. The ONE row the operator
+    # returns is collected inside the guarded region (while the caches
+    # are still warm) and re-created as a fresh local DataFrame, so
+    # after the call NOTHING of this function remains cached.
+    cached: list[DataFrame] = []
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -116,27 +123,44 @@ def triangle_count(
         .distinct()
         .persist()
     )
-    m = und.count()  # one action: feeds n_edges AND the strategy pick
-    if strategy == "auto":
-        strategy = "broadcast_adj" if m <= broadcast_edge_limit else "wedge_shuffle"
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionByName(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .persist()
-    )
-    ranked = (
-        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = ranked.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-    ).persist()
+    cached.append(und)
+    try:
+        m = und.count()  # one action: feeds n_edges AND the strategy pick
+        if strategy == "auto":
+            strategy = (
+                "broadcast_adj" if m <= broadcast_edge_limit else "wedge_shuffle"
+            )
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .unionByName(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
+        )
+        cached.append(deg)
+        ranked = (
+            und.join(
+                deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a"
+            )
+            .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        )
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        ).persist()
+        cached.append(oriented)
+        return _triangle_result(und.sparkSession, m, deg, oriented, strategy)
+    finally:
+        for f in cached:
+            f.unpersist()
+
+
+def _triangle_result(
+    spark, m: int, deg: DataFrame, oriented: DataFrame, strategy: str
+) -> DataFrame:
     if strategy == "broadcast_adj":
         adj = oriented.groupBy("u").agg(F.collect_list("w").alias("nbrs"))
         empty = F.array().cast(dict(adj.dtypes)["nbrs"])
@@ -179,7 +203,13 @@ def triangle_count(
     counts = deg.agg(F.count(F.lit(1)).alias("n_vertices")).withColumn(
         "n_edges", F.lit(m).cast("long")
     )
-    return counts.crossJoin(tri).select("n_vertices", "n_edges", "n_triangles")
+    out = counts.crossJoin(tri).select("n_vertices", "n_edges", "n_triangles")
+    # the result is exactly ONE bounded row — collect it while the
+    # internal caches are live and hand back a local frame, so the
+    # caller's later actions never recompute the (now-unpersisted)
+    # edge pipeline and no cached RDD outlives the call
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def pagerank(
@@ -211,7 +241,54 @@ def pagerank(
     every ``checkpoint_every`` rounds the ranks localCheckpoint so a
     long-horizon run keeps constant plan depth (the
     connected_components pattern above).
+
+    Cache hygiene: the internal (out-edge, out-degree) frames are
+    persisted only for the duration of the call — the final ranks are
+    materialized ONCE via an eager ``localCheckpoint`` (still fully
+    distributed, one block per partition) and every internal cache is
+    unpersisted in a ``finally``, so composing graph operators in a
+    long-lived session accumulates nothing. The returned frame owns
+    its checkpoint blocks (size = one (vertex, rank) row per vertex)
+    and is released when the caller drops it.
     """
+    cached: list[DataFrame] = []
+    try:
+        ranks = build_pagerank_plan(
+            edges,
+            cached,
+            src=src,
+            dst=dst,
+            iterations=iterations,
+            damping=damping,
+            checkpoint_every=checkpoint_every,
+        )
+        # materialize while the internal caches are warm (one job,
+        # linked computed once and read from cache per iteration), then
+        # release them — later caller actions read the checkpoint blocks
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        for f in cached:
+            f.unpersist()
+
+
+def build_pagerank_plan(
+    edges: DataFrame,
+    cached: list,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """The LAZY (vertex, rank) plan behind :func:`pagerank`: every
+    frame it persists is appended to ``cached`` and the CALLER owns
+    unpersisting them after materializing the result. ``pagerank`` is
+    the safe wrapper (eager checkpoint + finally-unpersist); this
+    builder exists so plan tests can pin the iteration DAG shape and
+    so advanced callers can compose the lazy plan further.
+
+    Runs ONE driver action (the vertex count feeding N)."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -225,7 +302,9 @@ def pagerank(
         .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .persist()
     )
+    cached.append(out)
     deg = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    cached.append(deg)
     # N as ONE bounded driver count (the triangle_count precedent) —
     # a broadcast-1-row-join alternative re-runs the whole edge-build
     # subtree per broadcast materialization, once per iteration
@@ -234,6 +313,7 @@ def pagerank(
     # (out-edge, out-degree) is read every iteration — persist it so
     # the edge-build subtree computes once within the final job
     linked = out.join(deg, "u").persist()
+    cached.append(linked)
     for i in range(iterations):
         contrib = (
             linked.join(ranks, "u")

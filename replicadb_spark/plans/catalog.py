@@ -4415,10 +4415,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
-    # persist the final ranks: the vertex count (for the rank·N
-    # normalization) and the top-20 selection both consume them, and an
-    # unpersisted count would re-run the whole iteration DAG
-    ranks = pagerank(edges, iterations=3, damping=0.85).persist()
+    # pagerank() returns an eagerly-checkpointed frame (its internals
+    # unpersist on exit), so the vertex count (for the rank·N
+    # normalization) and the top-20 selection both read the checkpoint
+    # blocks — no extra persist, no iteration-DAG re-run
+    ranks = pagerank(edges, iterations=3, damping=0.85)
     n = ranks.count()
     return (
         ranks.select(

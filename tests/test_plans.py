@@ -316,10 +316,27 @@ def test_bm25_filters_query_terms_before_tf_shuffle(spark):
 
 
 def test_pagerank_short_loop_is_lazy_equijoins(spark):
-    # a 3-iteration run stays one lazy DAG (no per-round checkpoint
-    # jobs); every rank propagation is an equi-join + hash aggregate,
-    # and the only nested-loop joins are the broadcast 1-row N
-    plan = _plan(spark, "pagerank_copurchase")
+    # a 3-iteration run stays one lazy DAG below the checkpoint cadence
+    # (pagerank() itself adds ONE eager checkpoint at the boundary so
+    # its internals can unpersist — pin the lazy builder underneath);
+    # every rank propagation is an equi-join + hash aggregate
+    from replicadb_spark.operators.graph import build_pagerank_plan
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(li.alias("a")["l_partkey"].isNotNull())
+        .selectExpr("a.l_partkey as src", "b.l_partkey as dst")
+        .where("src < dst")
+    )
+    cached = []
+    try:
+        ranks = build_pagerank_plan(edges, cached, iterations=3)
+        plan = ranks._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for f in cached:
+            f.unpersist()
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" not in plan  # no checkpoint below the cadence
     assert plan.count("HashAggregate") >= 6  # partial+final per iteration

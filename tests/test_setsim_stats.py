@@ -288,6 +288,35 @@ def test_groupwise_ols_constant_y_matches_regr_r2(spark):
     assert (r.slope, r.intercept, r.r2) == (0.0, 5.0, 1.0)
 
 
+def _persistent_rdd_ids(spark):
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def test_graph_ops_leave_no_lingering_cache(spark):
+    # composing graph operators in a long-lived session must not
+    # accumulate cached edge frames (r4 verdict): triangle_count leaves
+    # NOTHING cached (its one-row result is re-created locally);
+    # pagerank's only surviving blocks are the returned ranks
+    # checkpoint, released with the frame
+    from replicadb_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    before = _persistent_rdd_ids(spark)
+
+    tri = triangle_count(edges)
+    assert tri.collect()[0].n_triangles == 1
+    after_tri = _persistent_rdd_ids(spark) - before
+    assert after_tri == set(), f"triangle_count leaked cached RDDs: {after_tri}"
+
+    ranks = pagerank(edges, iterations=2)
+    assert ranks.count() == 4
+    leaked = _persistent_rdd_ids(spark) - before
+    # at most the returned frame's own localCheckpoint blocks survive
+    assert len(leaked) <= 1, f"pagerank leaked internal caches: {leaked}"
+
+
 def test_triangle_strategies_agree_on_triangle_free_graph(spark):
     from replicadb_spark.operators.graph import triangle_count
 
