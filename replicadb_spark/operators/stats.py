@@ -202,6 +202,8 @@ def mad_outlier_profile(
     value_col: str,
     *,
     z: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Robust per-key outlier profile via median/MAD: (key, med, mad,
     n_outliers) where an outlier is |x - med| > z · 1.4826 · mad (the
@@ -216,23 +218,33 @@ def mad_outlier_profile(
     (|x - med| > z · 1.253314 · meanAD). All-constant keys have
     meanAD 0 too and flag nothing.
 
-    EXACT grouped medians (Spark's sort-based ``median``) so the result
-    hash-matches an exact oracle; at 10^12-row scale swap them for
-    ``percentile_approx`` — the rule is unchanged, the quantile
-    estimator is. The projected (key, value) frame and the per-key
-    median table persist once each (each feeds two consumers); the
-    per-key joins carry no broadcast hint — key cardinality is the
-    caller's business and AQE promotes small sides itself.
+    Estimator choice: ``approx=False`` (default) uses EXACT grouped
+    medians (Spark's sort-based ``median``) so the result hash-matches
+    an exact oracle. ``approx=True`` swaps BOTH medians for the
+    ``percentile_approx`` KLL-family sketch (rank error ≤ 1/accuracy,
+    fixed memory, map-side mergeable) — the 10^12-row path, since the
+    exact median buffers every value per group. The outlier rule is
+    identical under either estimator; mad_approx_gate in the catalog
+    holds the two within tolerance at the gated scale factors. The
+    projected (key, value) frame and the per-key median table persist
+    once each (each feeds two consumers); the per-key joins carry no
+    broadcast hint — key cardinality is the caller's business and AQE
+    promotes small sides itself.
     """
+    def _median(col):
+        if approx:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+        return F.median(col)
+
     base = df.select(
         F.col(key_col).alias("key"), F.col(value_col).alias("x")
     ).persist()
-    med = base.groupBy("key").agg(F.median("x").alias("med")).persist()
+    med = base.groupBy("key").agg(_median(F.col("x")).alias("med")).persist()
     spread = (
         base.join(med, "key")
         .groupBy("key")
         .agg(
-            F.median(F.abs(F.col("x") - F.col("med"))).alias("mad"),
+            _median(F.abs(F.col("x") - F.col("med"))).alias("mad"),
             F.avg(F.abs(F.col("x") - F.col("med"))).alias("meanad"),
         )
     )

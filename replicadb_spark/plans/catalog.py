@@ -4865,3 +4865,76 @@ def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")["events"]
     return mad_outlier_profile(ev, "event_type", "value", z=3.5)
+
+
+@register(
+    "mad_approx_gate",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), spread AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
+             avg(abs(e.value - m.med)) AS meanad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT s.event_type AS key, round(med.med, 6) AS med,
+           round(s.mad, 6) AS mad,
+           (SELECT COUNT(*) FROM events e
+             WHERE e.event_type = s.event_type
+               AND abs(e.value - med.med) >
+                   CASE WHEN s.mad > 0 THEN 3.5 * 1.4826 * s.mad
+                        ELSE 3.5 * 1.253314 * s.meanad END)
+             AS n_outliers,
+           TRUE AS med_ok, TRUE AS mad_ok, TRUE AS outliers_ok
+    FROM spread s JOIN med USING (event_type)
+    ORDER BY key
+    """,
+)
+def mad_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx_percentile_gate pattern applied to the robust outlier
+    profile: the EXACT median/MAD profile is value-hashed against the
+    oracle, and the ``approx=True`` (percentile_approx, KLL-family
+    sketch) profile must agree within tolerance — medians within 2%
+    relative, MAD within 5%, outlier counts within max(2, 5%) — or the
+    booleans flip and fail the hash. This PROVES the documented
+    10^12-row estimator swap, instead of just promising it.
+
+    Scale: the sketch path is the one that survives — fixed-size
+    mergeable state per key vs the exact median's full per-group
+    buffer; the exact columns exist only to gate the sketch."""
+    from replicadb_spark.operators.stats import mad_outlier_profile
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    exact = mad_outlier_profile(ev, "event_type", "value", z=3.5)
+    apx = mad_outlier_profile(
+        ev, "event_type", "value", z=3.5, approx=True
+    ).select(
+        "key",
+        F.col("med").alias("a_med"),
+        F.col("mad").alias("a_mad"),
+        F.col("n_outliers").alias("a_n"),
+    )
+    return (
+        exact.join(apx, "key")
+        .select(
+            "key",
+            "med",
+            "mad",
+            "n_outliers",
+            (
+                F.abs(F.col("a_med") - F.col("med"))
+                / F.greatest(F.abs(F.col("med")), F.lit(1.0))
+                <= 0.02
+            ).alias("med_ok"),
+            (
+                F.abs(F.col("a_mad") - F.col("mad"))
+                / F.greatest(F.abs(F.col("mad")), F.lit(1.0))
+                <= 0.05
+            ).alias("mad_ok"),
+            (
+                F.abs(F.col("a_n") - F.col("n_outliers")).cast("double")
+                <= F.greatest(F.lit(2.0), F.col("n_outliers") * 0.05)
+            ).alias("outliers_ok"),
+        )
+        .orderBy("key")
+    )

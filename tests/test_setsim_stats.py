@@ -418,6 +418,21 @@ def test_mad_outliers_hand_computed(spark):
     assert (r.med, r.mad, r.n_outliers) == (5.5, 2.5, 1)
 
 
+def test_mad_approx_estimator_matches_exact_rule(spark):
+    from replicadb_spark.operators.stats import mad_outlier_profile
+
+    # the sketch path (percentile_approx) returns an OBSERVED value, so
+    # on an odd-count key the exact interpolated median is that same
+    # observed value and the whole profile agrees exactly; the outlier
+    # decision rule is estimator-agnostic either way
+    rows = [("k", float(v)) for v in list(range(1, 10)) + [1000, 2000]]
+    df = spark.createDataFrame(rows, "t string, v double")
+    [ex] = mad_outlier_profile(df, "t", "v").collect()
+    [ap] = mad_outlier_profile(df, "t", "v", approx=True).collect()
+    assert (ex.med, ex.mad, ex.n_outliers) == (6.0, 3.0, 2)
+    assert (ap.med, ap.mad, ap.n_outliers) == (ex.med, ex.mad, ex.n_outliers)
+
+
 def test_bigram_logprob_prefers_repeated_bigrams(spark):
     from replicadb_spark.functions.text import bigram_logprob
 
