@@ -2433,6 +2433,47 @@ def shard_pack_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_pack_tokens",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               e'\\'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s\\']+|\\s+'))
+               AS INTEGER) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS running_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_tokens) // 2048 AS BIGINT) AS shard
+    FROM tc
+    """,
+)
+def shard_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing — shard_pack_chars with the cost
+    column swapped from raw chars to the BPE-ish pre-tokenizer count
+    (functions/text.bpe_token_count). This is the packing real training
+    pipelines run: archives are sized by TOKENS (what the model
+    consumes per step), not bytes, so a shard of dense prose and a
+    shard of whitespace-heavy code cost the model the same.
+
+    Scale: identical shape to shard_pack_chars — the token count is a
+    pure codegen projection (regexp_extract_all + size, no Python), and
+    the running total is the range-bucketed prefix sum whose only
+    SinglePartition exchange sees n/4096 bucket rows."""
+    from replicadb_spark.functions.text import bpe_token_count
+    from replicadb_spark.operators.ordering import pack_shards
+
+    d = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_shards(
+        d, "doc_id", "n_tokens", budget=2048, running_col="running_tokens"
+    ).select("doc_id", "n_tokens", "running_tokens", "shard")
+
+
+@register(
     "sample_stratified_hash",
     oracle="""
     SELECT doc_id, lang, n_chars

@@ -237,6 +237,29 @@ def test_range_split_points_no_data_global_sort(spark):
         assert "o_totalprice" not in m and "octile" in m, m
 
 
+def test_shard_pack_tokens_codegen_count_no_data_convergence(spark):
+    plan = _plan(spark, "shard_pack_tokens")
+    # the BPE-ish token count must stay a JVM codegen projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "regexp_extract_all" in plan
+    # the running total is the range-bucketed prefix sum: document rows
+    # must never converge to one partition — every SinglePartition
+    # exchange must sit under the bucket-totals window (its nearby plan
+    # text references the __btot/__bucket machinery, never raw text)
+    idx = 0
+    found = 0
+    while True:
+        idx = plan.find("Exchange SinglePartition", idx + 1)
+        if idx < 0:
+            break
+        found += 1
+        ctx = plan[max(0, idx - 600): idx + 600]
+        assert "__btot" in ctx or "__bucket" in ctx, ctx
+        assert "text" not in ctx.split("ReadSchema")[0] or "__b" in ctx
+    assert found >= 1  # the prefix-sum stage exists
+    assert "CartesianProduct" not in plan
+
+
 def test_heavy_hitters_sketch_shuffle_is_summary_sized(spark):
     # pre-execution plan: after execution AQE's empty-relation
     # propagation prunes the whole sketch subtree here (missed = 0 rows)
