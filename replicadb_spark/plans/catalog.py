@@ -4581,7 +4581,16 @@ def quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs a global sort at 10^9 rows."""
     from replicadb_spark.operators.quantiles import bottomk_sample, quantile_estimates
 
-    ev = _t(spark, sf_dir, "events")["events"].select("event_id", "value")
+    # the CDF denominator must cover the same population the estimator
+    # samples: quantile_estimates drops null values, so null-valued
+    # rows are excluded here too (benign on events at the gated SFs
+    # where value is non-null, but a null-bearing column would bias
+    # the 3% bound check low without this filter)
+    ev = (
+        _t(spark, sf_dir, "events")["events"]
+        .select("event_id", "value")
+        .where(F.col("value").isNotNull())
+    )
     sample = bottomk_sample(ev, "event_id", k=4096, keep=["value"])
     ests = quantile_estimates(sample, "value", quantiles=[0.25, 0.5, 0.9])
     checked = (
@@ -4864,7 +4873,9 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigrams come from ONE lead() window on (doc, pos) — never a
     positional self-join; the model is two map-side-partial counts; the
     model join is keyed on the bigram (AQE broadcasts when the vocab is
-    small). Both engines average the identical ln() terms; 6-dp round."""
+    small). Both engines average the identical ln() terms; 4-dp round
+    (functions/text.bigram_logprob's margin analysis — a tighter round
+    would sit inside cross-engine float-summation jitter)."""
     d = _t(spark, sf_dir, "documents")["documents"]
     return X.bigram_logprob(d, "doc_id", "text")
 

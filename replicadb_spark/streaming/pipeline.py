@@ -444,6 +444,20 @@ def stream_bottomk_sample(
     everything streamed so far, under ANY micro-batch split — the test
     asserts exactly that.
 
+    PRECONDITION for the bit-identical claim: ``id_col`` values are
+    unique across the stream. The merge is set-semantic (identical
+    (keep, rank) rows collapse — that is what makes an at-least-once
+    replay idempotent), while a batch bottom-k lets duplicate ids
+    occupy one sample slot each; deduplicating batch-side instead
+    would force a full-data shuffle where the sample is built with a
+    shuffle-free partial top-k. Duplicate ids are a caller data error
+    under either engine.
+
+    Stale-state guard: batch 0 of a (re)created checkpoint OVERWRITES
+    any surviving state file — a state parquet that outlives its
+    checkpoint belongs to a dead lineage and must not leak into the
+    new stream's sample.
+
     Scale: per batch one TakeOrdered partial top-k over the batch plus
     a merge of ≤ 2k rows; state size is k rows forever.
     """
@@ -454,6 +468,14 @@ def stream_bottomk_sample(
 
         spark = batch_df.sparkSession
         delta = bottomk_sample(batch_df, id_col, k=k, keep=keep)
+        if batch_id == 0:
+            # fresh lineage: state before batch 0 is empty by
+            # definition, so this both resets stale state from a dead
+            # checkpoint AND stays idempotent under a batch-0 replay
+            delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_path
+            )
+            return
         try:
             current = spark.read.parquet(state_path)
         except AnalysisException as e:
@@ -505,6 +527,13 @@ def stream_heavy_hitters(
     never exact and never meant to be — the test pins the superset
     guarantee, not equality.
 
+    Stale-state guard: batch 0 of a (re)created checkpoint OVERWRITES
+    any surviving state file (a state parquet that outlives its
+    checkpoint belongs to a dead lineage; its restarting batch ids
+    would otherwise make the replay guard no-op every batch forever);
+    batches > 0 carry the last applied batch id so at-least-once
+    replays of the SAME lineage are exact no-ops.
+
     Scale: per batch a ≤ partitions×k-row shuffle; state is ≤ k rows
     regardless of stream length or key cardinality.
     """
@@ -519,27 +548,39 @@ def stream_heavy_hitters(
             .groupBy("key")
             .agg(F.sum("est").alias("est"))
         )
-        try:
-            current = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
+        if batch_id == 0:
+            # fresh lineage: state before batch 0 is empty by
+            # definition. Without this wipe, a state parquet surviving
+            # from a DEAD checkpoint (batch ids restart at 0) would
+            # make the `applied >= batch_id` replay guard silently
+            # no-op every batch forever — permanently stale state with
+            # no error. Resetting on batch 0 is also exactly right for
+            # an at-least-once REPLAY of batch 0 (pre-batch state was
+            # empty either way).
             merged = delta
         else:
-            # replay guard: counters are NOT set-semantic (a re-applied
-            # batch double-counts and breaks the est ≤ truth bound), so
-            # the state carries the last applied batch_id and an
-            # at-least-once replay becomes a no-op
-            applied = current.agg(F.max("last_batch")).first()[0]
-            if applied is not None and applied >= batch_id:
-                return
-            merged = (
-                current.drop("last_batch")
-                .unionByName(delta)
-                .groupBy("key")
-                .agg(F.sum("est").alias("est"))
-            )
+            try:
+                current = spark.read.parquet(state_path)
+            except AnalysisException as e:
+                cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+                if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                    raise
+                merged = delta
+            else:
+                # replay guard: counters are NOT set-semantic (a
+                # re-applied batch double-counts and breaks the
+                # est ≤ truth bound), so the state carries the last
+                # applied batch_id and an at-least-once replay becomes
+                # a no-op
+                applied = current.agg(F.max("last_batch")).first()[0]
+                if applied is not None and applied >= batch_id:
+                    return
+                merged = (
+                    current.drop("last_batch")
+                    .unionByName(delta)
+                    .groupBy("key")
+                    .agg(F.sum("est").alias("est"))
+                )
         # MG prune back to ≤ k counters: subtract the (k+1)-th largest
         # est from all, drop non-positive — uniform subtraction keeps
         # the under-estimate bound additive across merges

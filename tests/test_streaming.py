@@ -480,6 +480,62 @@ def test_stream_bottomk_equals_batch_bottomk(spark, tmp_path):
     assert streamed == batch and len(streamed) == 128
 
 
+def test_stream_sketches_reset_stale_state_from_dead_checkpoint(spark, tmp_path):
+    """A state parquet that SURVIVES while its checkpoint is recreated
+    belongs to a dead lineage: the new lineage's batch ids restart at 0,
+    so without the batch-0 wipe the heavy-hitter replay guard
+    (applied >= batch_id) would silently no-op every batch forever and
+    the bottom-k merge would blend two unrelated streams' samples."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "stale_src"
+    src.mkdir()
+    for i in range(2):
+        tbl = pa.table({
+            "event_id": pa.array(range(i * 100, i * 100 + 100), pa.int64()),
+            "k": pa.array(["hot"] * 60 + [f"c{i}{j}" for j in range(40)]),
+            "value": pa.array([float(j) for j in range(100)]),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    # plant stale state claiming a far-future last_batch and a ghost key
+    hh_state = str(tmp_path / "stale_hh_state")
+    spark.createDataFrame(
+        [("ghost", 10**9, 999)], "key string, est long, last_batch long"
+    ).write.parquet(hh_state)
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    q = P.stream_heavy_hitters(
+        stream, hh_state, str(tmp_path / "stale_hh_ckpt"), key_col="k", k=8,
+    )
+    q.awaitTermination(120)
+    ests = {r["key"]: r["est"] for r in spark.read.parquet(hh_state).collect()}
+    assert "ghost" not in ests        # dead-lineage state was wiped
+    assert ests.get("hot", 0) >= 120 - 200 / 9  # both batches applied
+
+    # bottom-k: alien sample rows from the dead lineage must not blend in
+    bk_state = str(tmp_path / "stale_bk_state")
+    spark.createDataFrame(
+        [(float(-1), -(10**17))], "value double, __rk long"
+    ).write.parquet(bk_state)
+    stream2 = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    q2 = P.stream_bottomk_sample(
+        stream2, bk_state, str(tmp_path / "stale_bk_ckpt"),
+        id_col="event_id", keep=["value"], k=64,
+    )
+    q2.awaitTermination(120)
+    vals = {r["value"] for r in spark.read.parquet(bk_state).collect()}
+    assert -1.0 not in vals
+
+
 def test_stream_heavy_hitters_superset_guarantee(spark, tmp_path):
     """After streaming 3 micro-batches, the ≤k-counter state must still
     contain EVERY key with true frequency > N/(k+1) (mergeable-
