@@ -611,3 +611,100 @@ def stream_heavy_hitters(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_outlier_profile(
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    k_per_key: int = 1024,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained PER-KEY bottom-k (KMV) value sample —
+    the state behind a streaming robust median/MAD outlier profile
+    (read it back with :func:`outlier_profile_from_state`), completing
+    the robust-stats surface's streaming twin next to the global
+    bottom-k and Misra-Gries states.
+
+    Each micro-batch keeps the ``k_per_key`` smallest
+    ``xxhash64(id)``-ranked (value, rank) rows per key and set-merges
+    them with the persisted per-key sample. Same contracts as
+    stream_bottomk_sample: exactly mergeable under any batch split
+    (so with ``k_per_key`` ≥ a key's stream count the sample IS the
+    key's full value multiset and the profile is bit-identical to
+    batch mad_outlier_profile — the test pins that), idempotent under
+    at-least-once replay via set-semantic merge (ids must be unique),
+    and batch 0 of a fresh checkpoint lineage wipes dead-lineage
+    state.
+
+    Scale: per batch ONE shuffle on the key (the per-key top-k
+    window over batch ∪ state); state is ≤ k_per_key rows per key
+    forever, so the downstream profile reads a bounded sample instead
+    of the unbounded stream.
+    """
+    from pyspark.sql import Window
+
+    def _prune(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("key").orderBy("__rk")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k_per_key)
+            .drop("__rn")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        delta = _prune(
+            batch_df.select(
+                F.col(key_col).alias("key"),
+                F.xxhash64(F.col(id_col)).alias("__rk"),
+                F.col(value_col).alias("value"),
+            )
+        )
+        if batch_id == 0:
+            # fresh lineage: wipe dead-checkpoint state (idempotent
+            # under a batch-0 replay — pre-batch state is empty)
+            delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_path
+            )
+            return
+        try:
+            current = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
+            merged = delta
+        else:
+            merged = _prune(current.unionByName(delta).dropDuplicates())
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        source.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def outlier_profile_from_state(
+    spark: SparkSession, state_path: str, *, z: float = 3.5
+) -> DataFrame:
+    """(key, med, mad, n_outliers) from a :func:`stream_outlier_profile`
+    state directory — operators/stats.mad_outlier_profile applied to
+    the maintained per-key sample. n_outliers counts SAMPLE rows
+    beyond the cutoff; scale to the stream with the key's true count
+    if an absolute rate is needed (the sample is uniform per key)."""
+    from replicadb_spark.operators.stats import mad_outlier_profile
+
+    return mad_outlier_profile(
+        spark.read.parquet(state_path), "key", "value", z=z
+    )

@@ -536,6 +536,60 @@ def test_stream_sketches_reset_stale_state_from_dead_checkpoint(spark, tmp_path)
     assert -1.0 not in vals
 
 
+def test_stream_outlier_profile_equals_batch_mad(spark, tmp_path):
+    """Per-key KMV sample state streamed in 3 micro-batches, with
+    k_per_key covering every key's full count: the profile read off the
+    state must be BIT-IDENTICAL to batch mad_outlier_profile over all
+    rows (exact mergeability); with a small k the sample median must
+    still land near the true one."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.stats import mad_outlier_profile
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "op_src"
+    src.mkdir()
+    for i, lo in enumerate((0, 400, 800)):
+        ids = list(range(lo, lo + 400))
+        tbl = pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "k": pa.array(["a" if x % 2 else "b" for x in ids]),
+            # mostly small values with planted spikes
+            "value": pa.array(
+                [float(x % 37) if x % 97 else 5000.0 for x in ids]
+            ),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    state = str(tmp_path / "op_state")
+    q = P.stream_outlier_profile(
+        stream, state, str(tmp_path / "op_ckpt"),
+        key_col="k", id_col="event_id", value_col="value", k_per_key=2048,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["key"]: (r["med"], r["mad"], r["n_outliers"])
+        for r in P.outlier_profile_from_state(spark, state).collect()
+    }
+    full = spark.read.parquet(str(src))
+    batch = {
+        r["key"]: (r["med"], r["mad"], r["n_outliers"])
+        for r in mad_outlier_profile(full, "k", "value").collect()
+    }
+    assert streamed == batch and set(streamed) == {"a", "b"}
+    # the spikes actually registered as outliers
+    assert all(v[2] > 0 for v in streamed.values())
+
+
 def test_stream_heavy_hitters_superset_guarantee(spark, tmp_path):
     """After streaming 3 micro-batches, the ≤k-counter state must still
     contain EVERY key with true frequency > N/(k+1) (mergeable-
