@@ -155,6 +155,48 @@ def apply_diff(
     return survivors.unionByName(replacements)
 
 
+def apply_changelog(
+    snapshot: DataFrame,
+    log: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Apply an ORDERED insert/update/delete changelog to a snapshot —
+    the Debezium-shaped consumer the reference's incremental mode
+    approximates with full-row upserts (SURVEY §2.3 M3 ships rows and
+    MERGEs; it cannot express deletes, ConnManager has no delete path).
+    ``log`` carries the key columns, ``op_col`` ∈ {insert, update,
+    delete}, ``order_col`` (the change sequence — LSN, binlog pos,
+    ingest ts) and the full new payload on non-delete rows.
+
+    Semantics: per key, ONLY the latest op (max ``order_col``) decides.
+    delete drops the key; insert/update UPSERTS the payload (an update
+    whose key is absent from the snapshot inserts — MERGE semantics, so
+    a delete followed by a later update resurrects the key). Ties on
+    (key, order) are a data error (row_number breaks them
+    arbitrarily); real logs have unique sequence numbers.
+
+    Scale: one window shuffle on the key over the LOG (compaction —
+    O(changes), not O(snapshot)) + the one co-partitioned
+    anti-join/union pair of apply_diff. The snapshot is never
+    windowed."""
+    keys = list(keys)
+    payload = [c for c in log.columns if c not in (*keys, op_col, order_col)]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    last = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", order_col)
+    )
+    survivors = snapshot.select(*keys, *payload).join(
+        last.select(*keys), on=keys, how="left_anti"
+    )
+    upserts = last.where(F.col(op_col) != "delete").select(*keys, *payload)
+    return survivors.unionByName(upserts)
+
+
 _INT_ORDER = ["tinyint", "smallint", "int", "bigint"]
 _FRAC_ORDER = ["float", "double"]
 

@@ -2963,6 +2963,98 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), log AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+             'update' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             'delete', 2
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 200.0, 'update', 3
+      FROM orders WHERE o_orderkey % 35 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'insert', 4
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), last AS (
+      SELECT * FROM (
+        SELECT log.*,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+    FROM snap s LEFT JOIN last l USING (o_orderkey)
+    WHERE l.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM last WHERE op <> 'delete'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered insert/update/delete changelog applied to a snapshot
+    (operators/cdc.apply_changelog) — the Debezium-shaped consumer the
+    reference's incremental MERGE mode approximates without deletes.
+    The log is carved deterministically from orders: seq 1 updates
+    every 5th key (+100), seq 2 DELETES every 7th (overriding the
+    update on multiples of 35), seq 3 re-updates every 35th (+200 —
+    resurrecting just-deleted keys, the MERGE-upsert edge), seq 4
+    inserts brand-new keys from every 13th.
+
+    Scale: the compaction window shuffles only the LOG (O(changes));
+    the snapshot sees one co-partitioned anti-join + union — never a
+    window, never a full rewrite of untouched rows' lineage."""
+    from replicadb_spark.operators.cdc import apply_changelog
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    snap = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    base = ["o_orderkey", "o_custkey", "o_totalprice"]
+    upd1 = (
+        o.where(k % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        )
+        .withColumns({"op": F.lit("update"), "seq": F.lit(1)})
+    )
+    del2 = (
+        o.where(k % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+        )
+        .withColumns({"op": F.lit("delete"), "seq": F.lit(2)})
+    )
+    upd3 = (
+        o.where(k % 35 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + 200.0).alias("o_totalprice"),
+        )
+        .withColumns({"op": F.lit("update"), "seq": F.lit(3)})
+    )
+    ins4 = (
+        o.where(k % 13 == 0)
+        .select(
+            (k + 10_000_000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+        )
+        .withColumns({"op": F.lit("insert"), "seq": F.lit(4)})
+    )
+    log = upd1.unionByName(del2).unionByName(upd3).unionByName(ins4)
+    return apply_changelog(snap, log, ["o_orderkey"]).select(*base)
+
+
+@register(
     "scd2_user_history",
     oracle="""
     WITH marked AS (

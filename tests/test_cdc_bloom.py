@@ -217,3 +217,38 @@ def test_union_with_drift_no_shuffle(spark):
     b = spark.createDataFrame([(2,)], "id long")
     plan = union_with_drift([a, b])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_apply_changelog_last_wins_delete_and_resurrection(spark):
+    from replicadb_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            # key 1: update then delete → gone
+            (1, "a2", "update", 1),
+            (1, None, "delete", 2),
+            # key 2: delete then later update → resurrected with new value
+            (2, None, "delete", 1),
+            (2, "b3", "update", 3),
+            # key 4: update on a key absent from the snapshot → upserts
+            (4, "d", "update", 1),
+            # key 5: plain insert
+            (5, "e", "insert", 1),
+        ],
+        "id int, v string, op string, seq int",
+    )
+    got = {(r.id, r.v) for r in apply_changelog(snap, log, ["id"]).collect()}
+    assert got == {(2, "b3"), (3, "c"), (4, "d"), (5, "e")}
+
+
+def test_apply_changelog_empty_log_is_identity(spark):
+    from replicadb_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame([(1, "a")], "id int, v string")
+    log = spark.createDataFrame([], "id int, v string, op string, seq int")
+    assert [(r.id, r.v) for r in apply_changelog(snap, log, ["id"]).collect()] == [
+        (1, "a")
+    ]
