@@ -153,3 +153,88 @@ def edit1_pairs(
         )
     )
     return cand.where(F.col("dist") <= 1).distinct()
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float,
+    max_term_df: int | None = None,
+    max_term_df_frac: float | None = None,
+    term_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity ≥ ``threshold``
+    — the WEIGHTED sibling of the shingle-Jaccard join: rare shared
+    terms dominate the score instead of every shared term counting
+    equally, which is the similarity a topical near-dup / related-doc
+    search actually wants.
+
+    Vector space (the metric contract): terms are lowercase
+    ``term_pattern`` matches; weight = tf · ln(N/df); terms with
+    df > ``max_term_df`` (absolute) or df > ``max_term_df_frac`` · N
+    (corpus-relative — the form that keeps the contract meaningful
+    across scale factors) are dropped from the space ENTIRELY
+    (weights, norms, and dots all computed on the capped universe —
+    the jaccard/containment capped-universe precedent). The cap is
+    also the scale guard: idf already down-weights hot terms but still
+    pairs every bucket member, and one stop-word-like term with
+    df = 10⁶ makes its join bucket quadratic.
+
+    Scale: ONE inverted-index equi-join on the term generates dot
+    products (O(Σ_term df²) bounded by the cap, never O(n²)); norms are
+    a per-doc aggregate joined back by id. N rides a broadcast 1-row
+    aggregate so the plan stays fully lazy. Output pairs are filtered
+    on the RAW ratio and rounded only for display (threshold decisions
+    on rounded values are the classic cross-engine trap).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    toks = base.select(
+        "id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(term_pattern), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_term_df is not None:
+        docfreq = docfreq.where(F.col("df") <= max_term_df)
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    if max_term_df_frac is not None:
+        docfreq = docfreq.crossJoin(F.broadcast(n)).where(
+            F.col("df") <= max_term_df_frac * F.col("n")
+        ).select("term", "df")
+    w = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
+        )
+        .persist()  # feeds the norm aggregate AND both join sides
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    dots = (
+        w.alias("a")
+        .join(w.alias("b"), "term")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nrm_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.col("nrm") * F.col("nrm_b"))).alias("raw"),
+        )
+    )
+    return cos.where(F.col("raw") >= threshold).select(
+        "id_a", "id_b", F.round("raw", 4).alias("cosine")
+    )

@@ -4486,6 +4486,67 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_cosine_neardup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), nn AS (SELECT COUNT(*) AS n FROM documents),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      HAVING COUNT(*) <= 0.4 * (SELECT n FROM nn)
+    ), w AS (
+      SELECT doc_id, tf.term, tf * ln((SELECT n FROM nn) * 1.0 / df) AS w
+      FROM tf JOIN df USING (term)
+    ), nrm AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1
+    ), dt AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b USING (term)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dt.dot / (x.nrm * y.nrm), 4) AS cosine
+    FROM dt
+    JOIN nrm x ON x.doc_id = id_a
+    JOIN nrm y ON y.doc_id = id_b
+    WHERE dt.dot / (x.nrm * y.nrm) >= 0.5
+    """,
+)
+def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine similarity self-join over documents
+    (operators/setsim.tfidf_cosine_pairs, threshold 0.5) — the
+    WEIGHTED near-dup detector next to the unweighted shingle-Jaccard
+    family: rare shared terms dominate, so topically-related docs pair
+    without sharing long verbatim spans.
+
+    Metric contract (capped universe): terms with df > 0.4·N are
+    dropped from the vector space entirely on BOTH engines — the cap
+    is corpus-RELATIVE so the contract means the same thing at every
+    scale factor (this corpus's vocabulary is bimodal: template terms
+    with df ≈ N, cluster terms with df ≪ N; measured at sf0.01 the cap
+    cuts candidate pairs 124 745 → 300).
+
+    Determinism: pair membership decides on the RAW ratio ≥ 0.5 —
+    at the gated SFs every surviving pair scores ≈ 1.0 (capped vectors
+    of near-dup docs are near-identical), leaving ~0.5 of margin to
+    the threshold, far beyond cross-engine float-summation jitter;
+    the 4-dp round is display-only.
+
+    Scale: one inverted-index equi-join on the term, O(Σ df²) bounded
+    by the cap, never O(n²); the idf weights make the result robust to
+    boilerplate the unweighted Jaccard counts as similarity."""
+    from replicadb_spark.operators.setsim import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return tfidf_cosine_pairs(
+        d, "doc_id", "text", threshold=0.5, max_term_df_frac=0.4
+    )
+
+
+@register(
     "pagerank_copurchase",
     oracle="""
     WITH e AS (

@@ -445,3 +445,41 @@ def test_bigram_logprob_prefers_repeated_bigrams(spark):
     assert got[1].n_bigrams == 7 and got[2].n_bigrams == 7
     # the fluent (repetitive) doc must score strictly higher
     assert got[1].avg_logprob > got[2].avg_logprob
+
+
+def test_tfidf_cosine_hand_computed_and_capped(spark):
+    from replicadb_spark.operators.setsim import tfidf_cosine_pairs
+
+    rows = [
+        (1, "apple banana"),
+        (2, "apple banana"),   # exact dup of 1
+        (3, "apple cherry"),   # shares only 'apple' with 1/2
+        (4, "zebra yak"),      # shares nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # uncapped, low threshold: dup pair at 1.0; the apple-only pairs at
+    # ln(4/3)^2 / (|w1|·|w3|) ≈ 0.0779
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.05).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 3)] - 0.0779) < 1e-4 and abs(got[(2, 3)] - 0.0779) < 1e-4
+    assert len(got) == 3
+    # df cap at 2 drops 'apple' (df=3) from the space entirely: the
+    # apple-only pairs vanish, the dup pair survives on 'banana'
+    capped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.05, max_term_df=2
+        ).collect()
+    }
+    assert capped == {(1, 2): 1.0}
+    # fractional form of the same cap (0.5·N = 2)
+    frac = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.05, max_term_df_frac=0.5
+        ).collect()
+    }
+    assert frac == capped
