@@ -4257,14 +4257,25 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~7 items), not corpus size."""
     from replicadb_spark.operators.graph import triangle_count
 
+    return triangle_count(
+        _copurchase_edges(spark, sf_dir), src="src", dst="dst"
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src < dst part pairs co-occurring in an order. The (orderkey,
+    partkey) projection dedupes BEFORE the self-join — a repeated part
+    within one order (split lineitems) would otherwise multiply join
+    rows quadratically per order, and the narrower distinct input
+    measured ~15% faster than joining raw lineitem at sf0.1."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
-    return triangle_count(edges, src="src", dst="dst")
 
 
 @register(
@@ -4602,13 +4613,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant — same loop shape as connected_components."""
     from replicadb_spark.operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     # pagerank() returns an eagerly-checkpointed frame (its internals
     # unpersist on exit), so the vertex count (for the rank·N
     # normalization) and the top-20 selection both read the checkpoint
