@@ -78,7 +78,8 @@ _GATE_LAST = (
     # booked per ROUND4.md arithmetic); local-replica + unit evidence
     # until their first driver row in r6
     "mad_approx_gate", "shard_pack_tokens", "cdc_apply_changelog",
-    "tfidf_cosine_neardup",
+    "tfidf_cosine_neardup", "corpus_mix_report",
+    "source_token_budget_sample",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "chi2_type_hour",
     "bigram_logprob_score",
     "mad_outliers_by_type",
+    "mad_approx_gate",
+    "shard_pack_tokens",
+    "cdc_apply_changelog",
+    "tfidf_cosine_neardup",
 ]
 
 

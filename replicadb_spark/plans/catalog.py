@@ -625,7 +625,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", X.language_id(F.col("text")).alias("lang_pred"))
 
 
-_QUALITY_ORACLE = r"""
+# ends with a `qual` CTE holding the UNROUNDED per-doc quality so
+# downstream aggregates (corpus_mix_report) can average raw values —
+# averaging 6-dp-rounded scores would quantize the mean onto exact
+# decimal rounding boundaries and make the final round engine-unstable
+_QUALITY_CTE = r"""
     WITH base AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS DOUBLE) AS ntok,
@@ -643,10 +647,15 @@ _QUALITY_ORACLE = r"""
                        BETWEEN 3.0 AND 10.0
                   THEN 1.0 ELSE 0.5 END AS mtl_term
       FROM base
+    ), qual AS (
+      SELECT doc_id,
+             (len_term + stop_term + punct_term + mtl_term) / 4.0 AS quality
+      FROM terms
     )
-    SELECT doc_id,
-           round((len_term + stop_term + punct_term + mtl_term) / 4.0, 6) AS quality
-    FROM terms
+"""
+
+_QUALITY_ORACLE = _QUALITY_CTE + """
+    SELECT doc_id, round(quality, 6) AS quality FROM qual
 """
 
 
@@ -2471,6 +2480,114 @@ def shard_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(
         d, "doc_id", "n_tokens", budget=2048, running_col="running_tokens"
     ).select("doc_id", "n_tokens", "running_tokens", "shard")
+
+
+@register(
+    "corpus_mix_report",
+    oracle=_QUALITY_CTE + """
+    , tok AS (
+      SELECT doc_id, source, lang,
+             CAST(len(regexp_extract_all(lower(text),
+               e'\\'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s\\']+|\\s+'))
+               AS INTEGER) AS n_tokens
+      FROM documents
+    ), agg AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             AVG(q.quality) AS mq
+      FROM tok JOIN qual q USING (doc_id) GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM agg)
+    SELECT source, lang, n_docs, tokens,
+           round(tokens * 1.0 / (SELECT t FROM tot), 6) AS token_share,
+           round(mq, 6) AS mean_quality
+    FROM agg
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture card every training run starts from: per
+    (source, lang) — document count, total BPE-ish tokens, share of
+    the corpus token budget, and mean quality score. This is the table
+    a pipeline reads to set sampling weights (and the one a model card
+    publishes).
+
+    Determinism: the mean averages UNROUNDED per-doc quality scores
+    (averaging rounded scores would quantize the mean onto exact
+    decimal rounding boundaries — engine-unstable); token_share
+    divides two exact integers, so both engines produce the identical
+    IEEE double before the 6-dp round.
+
+    Scale: one map-side-partial aggregate over a pure codegen
+    projection, then a broadcast 1-row total — no shuffle carries
+    text."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    per_doc = d.select(
+        "source",
+        "lang",
+        X.bpe_token_count(F.col("text")).alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    agg = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.avg("quality").alias("mq"),
+    )
+    tot = agg.agg(F.sum("tokens").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("t"), 6).alias("token_share"),
+        F.round("mq", 6).alias("mean_quality"),
+    )
+
+
+@register(
+    "source_token_budget_sample",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text),
+               e'\\'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s\\']+|\\s+'))
+               AS INTEGER) AS n_tokens
+      FROM documents
+    ), run AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, running_tokens
+    FROM run WHERE running_tokens - n_tokens < 800
+    """,
+)
+def source_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped per-source intake: keep each source's documents
+    (deterministic doc_id order) until its token budget is spent — the
+    greedy prefix rule of pack_shards applied per source, which is how
+    a pipeline caps any one domain's contribution to the mixture
+    (pair with corpus_mix_report, which MEASURES the mixture this
+    produces). A doc is kept iff its running total STARTS under the
+    budget, so the boundary doc may overshoot — the same documented
+    greedy contract as shard packing.
+
+    Scale: ONE hash shuffle on source + a partition-local running sum;
+    no global ordering, no driver state. Skewed sources cost their own
+    partition only, and the budget bounds what survives downstream."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id", "source", X.bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = tok.withColumn("running_tokens", F.sum("n_tokens").over(w))
+    return run.where(
+        F.col("running_tokens") - F.col("n_tokens") < 800
+    ).select("doc_id", "source", "n_tokens", "running_tokens")
 
 
 @register(
