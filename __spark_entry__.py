@@ -79,7 +79,7 @@ _GATE_LAST = (
     # until their first driver row in r6
     "mad_approx_gate", "shard_pack_tokens", "cdc_apply_changelog",
     "tfidf_cosine_neardup", "corpus_mix_report",
-    "source_token_budget_sample",
+    "source_token_budget_sample", "label_centroid_cosine",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

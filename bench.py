@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "shard_pack_tokens",
     "cdc_apply_changelog",
     "tfidf_cosine_neardup",
+    "corpus_mix_report",
+    "label_centroid_cosine",
 ]
 
 

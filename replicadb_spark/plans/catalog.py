@@ -2864,6 +2864,101 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroid_cosine",
+    oracle="""
+    WITH x AS (
+      SELECT label, UNNEST(generate_series(1, len(embedding))) AS dim,
+             embedding
+      FROM embeddings
+    ), v AS (
+      SELECT label, dim,
+             CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS sv
+      FROM x
+    ), cent AS (
+      SELECT label, dim,
+             CAST(SUM(sv) AS BIGINT) / 1000000.0 / COUNT(*) AS c
+      FROM v GROUP BY 1, 2
+    ), nrm AS (
+      SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY 1
+    ), cnt AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+    ), dt AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS d
+      FROM cent a JOIN cent b USING (dim)
+      WHERE a.label < b.label GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+           round(dt.d / (x.nrm * y.nrm), 4) AS cosine
+    FROM dt
+    JOIN nrm x ON x.label = label_a
+    JOIN nrm y ON y.label = label_b
+    JOIN cnt ca ON ca.label = label_a
+    JOIN cnt cb ON cb.label = label_b
+    """,
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    labeled-data audit that flags confusable classes before training
+    (two labels whose centroids nearly coincide are either mislabeled
+    or genuinely inseparable; pair with langid_confusion, its
+    classifier-output twin).
+
+    Determinism: centroid components are means of values QUANTIZED to
+    1e-6 (exact int64 sums, order-free — the emb_dim_profile
+    precedent), so both engines hold bit-identical centroid doubles
+    before the 64-term cosine sums, and the 4-dp round absorbs those
+    sums' order jitter.
+
+    Scale: posexplode multiplies rows ×dims map-side but partial
+    aggregation collapses to labels×dims rows before the one shuffle;
+    everything after runs on a labels×dims frame (640 rows here) — the
+    raw vectors are touched exactly once."""
+    em = _t(spark, sf_dir, "embeddings")["embeddings"]
+    v = em.select("label", F.posexplode("embedding").alias("pos", "fval")).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("fval").cast("double") * 1000000, 0).cast("long").alias("sv"),
+    )
+    cent = v.groupBy("label", "dim").agg(
+        (F.sum("sv").cast("double") / 1000000.0 / F.count(F.lit(1))).alias("c")
+    )
+    nrm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    cnt = em.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    dt = (
+        cent.alias("a")
+        .join(cent.alias("b"), "dim")
+        .where(F.col("a.label") < F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("d"))
+    )
+    return (
+        dt.join(nrm.withColumnRenamed("label", "label_a"), "label_a")
+        .join(
+            nrm.select(F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b")),
+            "label_b",
+        )
+        .join(
+            cnt.select(F.col("label").alias("label_a"), F.col("n").alias("n_a")),
+            "label_a",
+        )
+        .join(
+            cnt.select(F.col("label").alias("label_b"), F.col("n").alias("n_b")),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(F.col("d") / (F.col("nrm") * F.col("nrm_b")), 4).alias("cosine"),
+        )
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH v AS (
