@@ -80,6 +80,9 @@ _GATE_LAST = (
     "mad_approx_gate", "shard_pack_tokens", "cdc_apply_changelog",
     "tfidf_cosine_neardup", "corpus_mix_report",
     "source_token_budget_sample", "label_centroid_cosine",
+    "vocab_growth_by_source", "twap_by_user",
+    "equidepth_histogram_value", "winsorized_stats_by_type",
+    "source_overlap_matrix",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "tfidf_cosine_neardup",
     "corpus_mix_report",
     "label_centroid_cosine",
+    "source_token_budget_sample",
+    "vocab_growth_by_source",
+    "twap_by_user",
+    "winsorized_stats_by_type",
+    "source_overlap_matrix",
 ]
 
 

@@ -5360,3 +5360,255 @@ def mad_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# =========================================================================
+# Round-5 continuation: corpus statistics + robust windows/aggregates
+# =========================================================================
+
+@register(
+    "vocab_growth_by_source",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ), c AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT)                          AS n_tokens,
+           CAST(COUNT(*) AS BIGINT)                          AS vocab,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6)     AS ttr
+    FROM c GROUP BY source
+    """,
+)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile (Heaps'-law intake stats): token
+    volume, distinct vocabulary, hapax-legomena count, and type-token
+    ratio — the standard corpus-diversity card a training-data pipeline
+    prints per source before mixing.
+
+    Scale: explode → two-level aggregate. The (source, tok) count is ONE
+    hash shuffle with map-side partial aggregation (token soup collapses
+    ~300x per task before moving); the per-source rollup then moves only
+    |vocab| rows. No windows, no driver state. ttr is an exact
+    int/int double division, identical in both engines."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    per_tok = (
+        d.select("source", F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_tok.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax"),
+        F.round(F.count("*").cast("double") / F.sum("cnt"), 6).alias("ttr"),
+    )
+
+
+@register(
+    "twap_by_user",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           round(CAST(SUM(CAST(value * dur_us AS DECIMAL(28,6))) AS DOUBLE)
+             / SUM(dur_us), 6)                            AS twap,
+           CAST(SUM(dur_us) AS BIGINT)                    AS span_us,
+           CAST(COUNT(*) AS BIGINT)                       AS n_segments
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY user_id HAVING SUM(dur_us) > 0
+    """,
+)
+def twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value is held
+    until the user's next event (step interpolation), so the mean is
+    weighted by holding duration, not by event count — the standard
+    TWAP/telemetry-duty-cycle aggregate.
+
+    Determinism: durations are MICROSECOND-exact integers
+    (unix_micros / epoch_us — the ts column carries sub-second
+    precision, so whole-second truncation would skew every weight);
+    value*dur_us is a per-row double product (identical IEEE in both
+    engines), summed through DECIMAL(28,6) so partial-aggregate order
+    can't change the total; the final divide is one double op.
+    Scale: ONE shuffle for the lead() window (partitioned by user, no
+    global sort) + one hash aggregate on the same key — AQE coalesces
+    both to the same partitioning. Single-event users drop out via the
+    null lead, matching the HAVING guard."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.withColumn(
+            "dur_us",
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+        )
+        .where(F.col("dur_us").isNotNull())
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("value") * F.col("dur_us"))).cast("double")
+                / F.sum("dur_us"),
+                6,
+            ).alias("twap"),
+            F.sum("dur_us").alias("span_us"),
+            F.count("*").alias("n_segments"),
+        )
+        .where(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "equidepth_histogram_value",
+    oracle="""
+    WITH b AS (
+      SELECT value, ntile(8) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def equidepth_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of events.value: 8 buckets of equal row
+    count with their [lo, hi] bounds — the histogram an optimizer or a
+    drift monitor wants when the distribution is skewed (equi-width
+    buckets collapse onto the mode; value_histogram_events covers that
+    shape).
+
+    Determinism: ntile over a TOTAL order (value, event_id) assigns the
+    standard first-(n mod k)-buckets-get-one-extra split identically in
+    both engines. Scale: the oracle's global-order ntile is pinned here
+    at gate scale; the operator note is that at 10^12 rows the same
+    bucket bounds come from range_split_points (sampled range
+    partitioner, already in the catalog) without a single-partition
+    window — the rule (equal-mass bounds) is estimator-agnostic, the
+    exact variant is what a SQL engine can replay."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.select("value", "event_id")
+        .withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "winsorized_stats_by_type",
+    oracle="""
+    WITH cut AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(CAST(SUM(CAST(
+               least(greatest(e.value, c.lo), c.hi) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6)                       AS wins_mean,
+           round(c.lo, 6)                         AS lo,
+           round(c.hi, 6)                         AS hi,
+           CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(COUNT(*) AS BIGINT)               AS n
+    FROM events e JOIN cut c USING (event_type)
+    GROUP BY e.event_type, c.lo, c.hi
+    """,
+)
+def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values at the exact
+    interpolated p05/p95 before averaging — the robust central estimate
+    that, unlike trimming, keeps n constant (pairs with the MAD profile
+    as the two standard robust summaries).
+
+    Determinism: both engines derive identical cutoffs from identical
+    value sets (exact interpolated percentile), the per-row clip is
+    pure double min/max, and the mean goes through the DECIMAL sum.
+    Scale: two passes over events — one percentile aggregate, one clip
+    aggregate — joined on the low-cardinality type key (broadcast); the
+    documented 10^12-row swap is percentile_approx for the cutoffs,
+    proven by the mad_approx_gate precedent."""
+    e = _t(spark, sf_dir, "events")["events"]
+    cut = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = e.join(F.broadcast(cut), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.sum(_dec(F.col("wv"))).cast("double") / F.count("*"), 6).alias(
+            "wins_mean"
+        ),
+        F.round(F.first("lo"), 6).alias("lo"),
+        F.round(F.first("hi"), 6).alias("hi"),
+        F.sum(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0)
+        ).alias("n_clipped"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=r"""
+    WITH d AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x != '')[1:8], ' ')) AS h
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_prefixes
+    FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix on 8-token document PREFIX
+    fingerprints: for every source pair, how many distinct leading
+    shingles appear in both — the boilerplate/provenance card that
+    decides which sources to dedupe against each other before mixing
+    (pairs with corpus_mix_report; full-text md5 overlap is the
+    degenerate case and is empty on this corpus, so the gate pins the
+    prefix variant that actually discriminates).
+
+    Scale: documents reduce to 128-bit digests FIRST (distinct on
+    (source, md5(prefix)) — one shuffle on the digest), so the
+    self-join moves hashes, never documents, and each join bucket is
+    bounded by the number of sources carrying that digest (≤ |sources|,
+    20 here) — structurally immune to the viral-shingle blowup the
+    jaccard family caps. A genuinely viral prefix ("lorem ipsum…")
+    still only yields |sources|² pairs per digest, bounded by the
+    squared source count, not the corpus."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    dd = d.select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(X.tokens(F.lower(F.trim(F.col("text")))), 1, 8))
+        ).alias("h"),
+    ).distinct()
+    a = dd.select(F.col("source").alias("source_a"), "h")
+    b = dd.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_prefixes"))
+    )

@@ -398,3 +398,38 @@ def test_mad_medians_are_grouped_aggregates(spark):
     assert plan.count("percentile(") >= 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_growth_two_level_partial_agg(spark):
+    """The (source, tok) count and the per-source rollup are both
+    partial-aggregated (map-side combine collapses the token soup
+    before the shuffle); no window operator anywhere."""
+    plan = _final_plan(spark, "vocab_growth_by_source")
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "Window" not in plan
+
+
+def test_twap_window_is_keyed_not_global(spark):
+    """The lead() window must be partitioned by user_id — a global
+    single-partition window here would serialize the corpus."""
+    plan = _plan(spark, "twap_by_user")
+    assert "Window" in plan
+    assert "partitionBy=[user_id" in plan.replace(" ", "") or \
+        "[user_id" in plan.split("Window", 1)[1].splitlines()[0]
+
+
+def test_winsorized_cutoffs_broadcast_back(spark):
+    """The per-type p05/p95 cutoff table joins back via broadcast —
+    events never shuffle for the join (only for the two aggregates)."""
+    plan = _plan(spark, "winsorized_stats_by_type")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_joins_digests_not_text(spark):
+    """The self-join key is the md5 digest — the text column must not
+    survive into the join (the scan may read it to hash it, but the
+    join itself moves 32-byte digests)."""
+    plan = _plan(spark, "source_overlap_matrix")
+    joined = plan.split("Join", 1)[1].splitlines()[0]
+    assert "h" in joined and "text" not in joined
