@@ -82,7 +82,7 @@ _GATE_LAST = (
     "source_token_budget_sample", "label_centroid_cosine",
     "vocab_growth_by_source", "twap_by_user",
     "equidepth_histogram_value", "winsorized_stats_by_type",
-    "source_overlap_matrix",
+    "source_overlap_matrix", "chunk_dedup_rebuild", "semantic_dedup_gate",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "twap_by_user",
     "winsorized_stats_by_type",
     "source_overlap_matrix",
+    "chunk_dedup_rebuild",
+    "semantic_dedup_gate",
 ]
 
 

@@ -762,3 +762,122 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cluster the corpus with the shared deterministic coarse quantizer
+    (similarity.coarse_centroids — hash-picked representatives,
+    optional Lloyd refinement), then WITHIN each cell keep the greedy
+    min-id maximal independent set of the cosine-threshold graph —
+    every removed vector has a kept neighbor with a smaller id at
+    cosine ≥ threshold, and no two kept vectors in a cell are that
+    similar.
+
+    Returns DataFrame(id, cell, kept boolean) — a full assignment, so
+    callers can either filter kept rows (dedup) or audit the removed
+    ones (the gate does both).
+
+    Scale: the SemDeDup contract is that pairwise work happens only
+    inside cells — choose n_cells ∝ corpus size so cells stay at the
+    ~10k-vector scale and the per-cell Gram work is bounded; the
+    cluster step is a broadcast join (corpus never shuffles to assign)
+    plus ONE shuffle to group by cell. The greedy scan is O(|cell| ·
+    |kept|) vectorized rows — strictly less than the Gram matrix the
+    verification pass builds anyway. Deterministic: cells, processing
+    order (ascending id), and tie handling are all hash/id-based, no
+    RNG.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from replicadb_spark.functions.similarity import assign_cells, coarse_centroids
+
+    cents = coarse_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        lloyd_iters=lloyd_iters,
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+        .join(
+            assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col, top=1),
+            "__vid",
+        )
+    )
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__vid").reset_index(drop=True)
+        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0.0] = 1.0  # zero vectors are similar to nothing
+        M = M / nrm[:, None]
+        kept_rows: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            if kept_rows and (M[kept_rows] @ M[i] >= threshold).any():
+                continue
+            kept_rows.append(i)
+            kept[i] = True
+        return pd.DataFrame(
+            {"id": pdf["__vid"], "cell": pdf["cell"], "kept": kept}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        greedy, schema="id long, cell int, kept boolean"
+    )
+
+
+def semantic_cell_pairs(
+    corpus: DataFrame,
+    assignment: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All within-cell cosine pairs at or above threshold, computed by a
+    straight per-cell Gram matrix — deliberately a DIFFERENT code path
+    from semantic_dedup's greedy scan so the gate's invariant check is
+    independent of the thing it checks. ``assignment`` is any
+    DataFrame(id, cell); returns (id_a < id_b, cell, sim).
+
+    Scale: same bounded-cell contract as semantic_dedup — the Gram
+    matrix is |cell|², which the SemDeDup design keeps at the ~10k
+    scale by growing n_cells with the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    joined = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).join(assignment.select("id", "cell"), "id")
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        M = M / nrm[:, None]
+        S = M @ M.T
+        a, b = np.triu_indices(len(pdf), k=1)
+        hit = S[a, b] >= threshold
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[a[hit]],
+                "id_b": ids[b[hit]],
+                "cell": pdf["cell"].iloc[0],
+                "sim": S[a[hit], b[hit]],
+            }
+        )
+
+    return joined.groupBy("cell").applyInPandas(
+        pairs, schema="id_a long, id_b long, cell int, sim double"
+    )

@@ -30,7 +30,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; zero-norm vectors score 0 against everything
+    (try_divide → null → coalesce) instead of raising under ANSI mode —
+    identical to the unguarded division whenever both norms are
+    positive, so gated results are unchanged."""
+    return F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
 
 
 def knn_bruteforce(
@@ -260,6 +264,106 @@ def ann_lsh(
     )
 
 
+def coarse_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """Deterministic coarse quantizer shared by ann_ivf / ann_ivf_pq /
+    semantic_dedup: one hash-picked representative vector per cell
+    (member with the smallest xxhash64(id), ties by min id via the
+    struct-min), optionally refined by ``lloyd_iters`` textbook
+    distributed k-means steps (broadcast-assign, ONE shuffle per step
+    to average members, id-sorted fold for bit-deterministic means,
+    empty cells keep their previous centroid).
+
+    Returns DataFrame(cell int, cent_vec array) — tiny, meant to be
+    broadcast by callers. ONE map-side-combined hash aggregate; no
+    count(), no global sort, no single-partition exchange."""
+    import numpy as np
+    import pandas as pd
+
+    centroids = (
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).cast("int").alias("cell"),
+            F.struct(
+                F.xxhash64(F.col(id_col), F.lit(1)).alias("__h"),
+                F.col(id_col).alias("__cid"),
+                F.col(vec_col).alias("__cv"),
+            ).alias("__pick"),
+        )
+        .groupBy("cell")
+        .agg(F.min("__pick").alias("__pick"))
+        .select("cell", F.col("__pick.__cv").alias("cent_vec"))
+    )
+
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    w_cell = Window.partitionBy("__vid").orderBy(
+        F.col("__cscore").desc(), F.col("cell").asc()
+    )
+
+    def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__vid")  # fixed fold order → deterministic mean
+        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {"cell": [pdf["cell"].iloc[0]], "mean_vec": [(M.sum(axis=0) / len(M))]}
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = (
+            corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                "__vid", "__v", "cell",
+                cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore"),
+            )
+            .withColumn("__r", F.row_number().over(w_cell))
+            .where(F.col("__r") == 1)
+            .select("cell", "__vid", "__v")
+        )
+        means = assigned.groupBy("cell").applyInPandas(
+            _cell_mean, schema=f"cell int, mean_vec {vec_t}"
+        )
+        centroids = (
+            centroids.join(means, "cell", "left")
+            .select("cell", F.coalesce("mean_vec", "cent_vec").alias("cent_vec"))
+        )
+    return centroids
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top: int = 1,
+) -> DataFrame:
+    """Nearest-cell assignment against a broadcast centroid table:
+    returns DataFrame(__vid, cell) with each vector's ``top`` closest
+    cells by cosine (ties to the lower cell id). The corpus partition
+    never shuffles — it streams through the broadcast join; the only
+    exchange is the tiny per-vector top-k window keyed by __vid."""
+    w_cell = Window.partitionBy("__vid").orderBy(
+        F.col("__cscore").desc(), F.col("cell").asc()
+    )
+    scored = (
+        df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "__vid", "cell", cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore")
+        )
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w_cell))
+        .where(F.col("__r") <= top)
+        .select("__vid", "cell")
+    )
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -296,70 +400,17 @@ def ann_ivf(
     regardless of shuffle arrival order. Empty cells keep their previous
     centroid (standard drop-in k-means behavior via left join).
     """
-    import numpy as np
-    import pandas as pd
-
-    w_cell = Window.partitionBy("__vid").orderBy(
-        F.col("__cscore").desc(), F.col("cell").asc()
+    centroids = coarse_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        lloyd_iters=lloyd_iters,
     )
-
-    centroids = (
-        corpus.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).cast("int").alias("cell"),
-            F.struct(
-                F.xxhash64(F.col(id_col), F.lit(1)).alias("__h"),
-                F.col(id_col).alias("__cid"),
-                F.col(vec_col).alias("__cv"),
-            ).alias("__pick"),
-        )
-        .groupBy("cell")
-        .agg(F.min("__pick").alias("__pick"))
-        .select("cell", F.col("__pick.__cv").alias("cent_vec"))
+    c_assign = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col, top=1)
+    q_probe = assign_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col, top=n_probe
     )
-
-    vec_t = corpus.schema[vec_col].dataType.simpleString()
-
-    def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("__vid")  # fixed fold order → deterministic mean
-        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
-        return pd.DataFrame(
-            {"cell": [pdf["cell"].iloc[0]], "mean_vec": [(M.sum(axis=0) / len(M))]}
-        )
-
-    for _ in range(lloyd_iters):
-        assigned = (
-            corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-            .crossJoin(F.broadcast(centroids))
-            .select(
-                "__vid", "__v", "cell",
-                cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore"),
-            )
-            .withColumn("__r", F.row_number().over(w_cell))
-            .where(F.col("__r") == 1)
-            .select("cell", "__vid", "__v")
-        )
-        means = assigned.groupBy("cell").applyInPandas(
-            _cell_mean, schema=f"cell int, mean_vec {vec_t}"
-        )
-        centroids = (
-            centroids.join(means, "cell", "left")
-            .select("cell", F.coalesce("mean_vec", "cent_vec").alias("cent_vec"))
-        )
-
-    def assign(df: DataFrame, idc: str, vc: str, top: int) -> DataFrame:
-        scored = df.select(F.col(idc).alias("__vid"), F.col(vc).alias("__v")).crossJoin(
-            F.broadcast(centroids)
-        ).select(
-            "__vid", "cell", cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore")
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w_cell))
-            .where(F.col("__r") <= top)
-            .select("__vid", "cell")
-        )
-
-    c_assign = assign(corpus, id_col, vec_col, 1)
-    q_probe = assign(queries, id_col, vec_col, n_probe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -648,38 +699,13 @@ def ann_ivf_pq(
 
     vec_t = corpus.schema[vec_col].dataType.simpleString()
 
-    # --- coarse centroids (identical construction to ann_ivf) ---------
-    centroids = (
-        corpus.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).cast("int").alias("cell"),
-            F.struct(
-                F.xxhash64(F.col(id_col), F.lit(1)).alias("__h"),
-                F.col(id_col).alias("__cid"),
-                F.col(vec_col).alias("__cv"),
-            ).alias("__pick"),
-        )
-        .groupBy("cell")
-        .agg(F.min("__pick").alias("__pick"))
-        .select("cell", F.col("__pick.__cv").alias("cent_vec"))
-    )
-
-    w_cell = Window.partitionBy("__vid").orderBy(
-        F.col("__cscore").desc(), F.col("cell").asc()
+    # --- coarse centroids (the shared quantizer, same as ann_ivf) -----
+    centroids = coarse_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
     )
 
     def assign(df: DataFrame, top: int) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-            .crossJoin(F.broadcast(centroids))
-            .select(
-                "__vid", "cell", cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore")
-            )
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w_cell))
-            .where(F.col("__r") <= top)
-            .select("__vid", "cell")
-        )
+        return assign_cells(df, centroids, id_col=id_col, vec_col=vec_col, top=top)
 
     # --- codebook: ks hash-sampled vectors, constant size -------------
     sample = (

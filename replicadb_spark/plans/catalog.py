@@ -5612,3 +5612,169 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_prefixes"))
     )
+
+
+@register(
+    "chunk_dedup_rebuild",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, UNNEST(generate_series(0,
+               CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS chunk_idx, t
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(t[chunk_idx*16 + 1 : chunk_idx*16 + 16], ' ') AS chunk
+      FROM ch
+    ), firsts AS (
+      SELECT chunk, MIN(doc_id * 100000 + chunk_idx) AS first_key
+      FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.first_key = c.doc_id*100000 + c.chunk_idx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_idx)
+                      FILTER (WHERE f.first_key = c.doc_id*100000 + c.chunk_idx),
+                    '') AS rebuilt_text
+    FROM chunks c JOIN firsts f ON c.chunk = f.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: segment every document into
+    non-overlapping 16-token chunks, keep only the globally FIRST
+    occurrence of each chunk (lexicographic (doc_id, chunk_idx)), and
+    rebuild each document from its surviving chunks — the standard
+    paragraph-level dedup that strips boilerplate shared across pages
+    while keeping the unique remainder (exact-doc dedup misses it,
+    near-dup dedup deletes whole docs).
+
+    Scale: chunking is a per-row explode (no shuffle); the
+    first-occurrence table is ONE map-side-combined aggregate keyed by
+    the chunk (min of an encoded (doc,idx) key — no window, no sort);
+    the keep-join is one-to-many with exactly ONE build row per chunk
+    value, so a viral boilerplate chunk fans out linearly, never
+    quadratically. Rebuild is one aggregate back on doc_id
+    (array_sort of (idx, chunk) structs — per-doc data, bounded).
+    The encoded key assumes < 100000 chunks/doc — 1.6 M tokens/doc;
+    widen the multiplier for book-length corpora."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("t"))
+    chunks = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size("t") / F.lit(16.0)) - 1).cast("long"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("t"), (F.col("chunk_idx") * 16 + 1).cast("int"), F.lit(16)),
+            ).alias("chunk"),
+        )
+    )
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("first_key")
+    )
+    flagged = chunks.join(firsts, "chunk").withColumn(
+        "keep",
+        F.col("first_key") == F.col("doc_id") * 100000 + F.col("chunk_idx"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("rebuilt_text"),
+    )
+
+
+@register(
+    "semantic_dedup_gate",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n,
+           TRUE AS partition_ok,
+           TRUE AS survivors_independent,
+           TRUE AS removed_covered,
+           TRUE AS removed_any
+    """,
+)
+def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup GATE (functions/dedup.semantic_dedup): semantic dedup of
+    the embedding corpus at cosine ≥ 0.30 (this synthetic corpus is
+    near-orthogonal — max pairwise cosine ≈ 0.51 — so the gate pins the
+    threshold where the semantics actually engage; real text corpora
+    run 0.9+), checked on the invariants
+    that define the algorithm — hashed against the oracle so any
+    violation fails the gate:
+
+    - partition_ok: every vector got exactly one (cell, kept) verdict;
+    - survivors_independent: NO within-cell pair of KEPT vectors at
+      cosine ≥ threshold (the dedup actually deduped) — verified
+      against semantic_cell_pairs, a separate Gram-matrix code path;
+    - removed_covered: every REMOVED vector has a KEPT neighbor with a
+      SMALLER id at cosine ≥ threshold (nothing was dropped without a
+      surviving representative — the greedy min-id contract);
+    - removed_any: the threshold actually bites on this corpus (the
+      gate isn't vacuously green).
+
+    Like the PCA/recall gates, the clustering itself is not
+    SQL-expressible (hash-picked centroids), but the correctness
+    contract is a hash-checkable constant row. Scale notes live on the
+    operator: per-cell work only, n_cells grows with the corpus."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    verdict = D.semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.30
+    ).persist()
+    pairs = D.semantic_cell_pairs(
+        e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
+    )
+
+    n_total = e.count()
+    n_verdicts = verdict.count()
+    distinct_ids = verdict.select("id").distinct().count()
+    partition_ok = n_verdicts == n_total and distinct_ids == n_total
+
+    kept = verdict.where("kept").select("id")
+    removed = verdict.where("NOT kept").select("id")
+    n_removed = removed.count()
+
+    both_kept = (
+        pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
+        .join(kept.withColumnRenamed("id", "id_b"), "id_b")
+        .count()
+    )
+    covered = (
+        pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
+        .join(removed.withColumnRenamed("id", "id_b"), "id_b")
+        .select("id_b")
+        .distinct()
+        .count()
+    )
+    verdict.unpersist()
+    return spark.range(1).select(
+        F.lit(n_total).cast("long").alias("n"),
+        F.lit(bool(partition_ok)).alias("partition_ok"),
+        F.lit(bool(both_kept == 0)).alias("survivors_independent"),
+        F.lit(bool(covered == n_removed)).alias("removed_covered"),
+        F.lit(bool(n_removed > 0)).alias("removed_any"),
+    )

@@ -207,3 +207,70 @@ def test_containment_superset_of_jaccard(spark):
     cont = {(r.id_a, r.id_b) for r in
             containment_pairs(d, "doc_id", "text", k=3, threshold=thr).collect()}
     assert jac <= cont  # c(a→b) ≥ jaccard(a,b) for every pair
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Three near-identical copies of direction A, two of direction B,
+    one orthogonal singleton; n_cells=1 so grouping is purely by
+    similarity. Greedy min-id must keep exactly the smallest id of each
+    duplicate group and the singleton."""
+    import math
+
+    from replicadb_spark.functions.dedup import semantic_dedup
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [math.cos(0.05), math.sin(0.05), 0.0, 0.0]   # cos ≈ 0.9988
+    b = [0.0, 1.0, 0.0, 0.0]
+    b2 = [0.0, math.cos(0.05), math.sin(0.05), 0.0]
+    c = [0.0, 0.0, 0.0, 1.0]
+    rows = [(10, a), (11, a2), (12, a), (20, b), (21, b2), (30, c)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_cells=1, threshold=0.99
+    )
+    kept = {r["id"] for r in out.collect() if r["kept"]}
+    assert kept == {10, 20, 30}
+
+
+def test_semantic_dedup_zero_vectors_survive(spark):
+    """Zero-norm vectors are similar to nothing — all kept, no crash."""
+    from replicadb_spark.functions.dedup import semantic_dedup
+
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_cells=1, threshold=0.5
+    )
+    assert all(r["kept"] for r in out.collect())
+
+
+def test_semantic_cell_pairs_matches_exact(spark):
+    """The verification path's within-cell pairs equal the exact
+    brute-force pairs when every vector is in one cell."""
+    import itertools
+
+    import numpy as np
+
+    from replicadb_spark.functions.dedup import semantic_cell_pairs
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(20)], "id long, cell int"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_cell_pairs(
+            df, assign, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = M @ M.T
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(20), 2)
+        if S[i, j] >= 0.3
+    }
+    assert got == want and len(want) > 0
