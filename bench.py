@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "chunk_dedup_rebuild",
     "semantic_dedup_gate",
+    "emb_int8_quant_gate",
+    "kmv_setops_gate",
 ]
 
 

@@ -83,3 +83,65 @@ def quantile_estimates(
         .join(ranked, F.col("rn") == F.col("target"))
         .select("q", F.col("v").alias("est"))
     )
+
+
+def kmv_distinct_sketch(df: DataFrame, key_col, *, k: int) -> DataFrame:
+    """Bottom-k DISTINCT hash ranks of ``key_col`` — the KMV distinct-
+    count sketch (Bar-Yossef et al.), the set-cardinality companion to
+    bottomk_sample's rank sketch.
+
+    Plan: per-partition Arrow pre-prune keeps at most k candidate ranks
+    per batch (dedup + nsmallest), so the global distinct+TakeOrdered
+    that follows runs over ≤ k·batches rows — the full key column is
+    hashed in place but never shuffled. Deterministic: ranks are
+    xxhash64, no RNG.
+    """
+    import pandas as pd
+
+    hashed = df.select(F.xxhash64(F.col(key_col)).alias("__rk"))
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf.drop_duplicates("__rk").nsmallest(k, "__rk")
+
+    pruned = hashed.mapInPandas(prune, schema="__rk long")
+    return pruned.distinct().orderBy("__rk").limit(k)
+
+
+_U64 = float(2**64)
+
+
+def _kmv_estimate(ranks: "list[int]", k: int) -> float:
+    """Cardinality from a bottom-k rank list: exact when the sketch is
+    unsaturated (|ranks| < k — it IS the distinct set), else the
+    classic (k-1)/U_(k) with ranks mapped from int64 to (0,1)."""
+    if len(ranks) < k:
+        return float(len(ranks))
+    u_k = (max(ranks) + 2.0**63) / _U64
+    if u_k <= 0.0:
+        return float(len(ranks))
+    return (k - 1) / u_k
+
+
+def kmv_set_estimates(
+    ranks_a: "list[int]", ranks_b: "list[int]", k: int
+) -> "dict[str, float]":
+    """Distinct-count, union, and intersection estimates from two KMV
+    sketches (driver-side — sketches are ≤ k rows by construction, the
+    codebook-collect precedent). Union = bottom-k of the merged rank
+    set (the defining mergeability of KMV); intersection = ρ·|union|
+    with ρ the fraction of the merged bottom-k present in BOTH input
+    sketches (the standard KMV Jaccard estimator)."""
+    sa, sb = set(ranks_a), set(ranks_b)
+    merged = sorted(sa | sb)[:k]
+    est_union = _kmv_estimate(merged, k)
+    in_both = sum(1 for h in merged if h in sa and h in sb)
+    rho = in_both / len(merged) if merged else 0.0
+    return {
+        "est_a": _kmv_estimate(sorted(ranks_a), k),
+        "est_b": _kmv_estimate(sorted(ranks_b), k),
+        "est_union": est_union,
+        "est_intersect": rho * est_union,
+        "jaccard": rho,
+    }

@@ -5778,3 +5778,172 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(covered == n_removed)).alias("removed_covered"),
         F.lit(bool(n_removed > 0)).alias("removed_any"),
     )
+
+
+@register(
+    "emb_int8_quant_gate",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n,
+           CAST(64 AS INT) AS d,
+           TRUE AS err_bounded, TRUE AS cosine_preserved
+    """,
+)
+def emb_int8_quant_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization GATE (functions/quantization): encode
+    the 64-dim corpus to per-dimension affine int8 codes, decode, and
+    check the two contracts that make the 4x-smaller representation
+    usable —
+
+    - err_bounded: every reconstructed coordinate is within
+      step_d/2 (+1e-9) of the original, step_d = (hi_d - lo_d)/254 —
+      the defining bound of round-to-nearest affine quantization; any
+      off-by-one in the code arithmetic breaks it;
+    - cosine_preserved: min over the corpus of cos(x, x̂) ≥ 0.999 —
+      the end-to-end signal that quantized vectors still rank
+      neighbors (the reason a 100 TB store keeps codes, not floats).
+
+    Scale: params are one Arrow partial-aggregate pass (d rows to the
+    driver, the PQ-codebook precedent); encode/decode/check are
+    zero-shuffle Arrow passes; the only shuffle is the id join of
+    original and reconstruction, and the gate reduces everything to
+    one row."""
+    import numpy as np
+    import pandas as pd
+
+    from replicadb_spark.functions import quantization as Q
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    params = Q.quant_params(e, "embedding")
+    codes = Q.quantize_int8(e, "vec_id", "embedding", params)
+    recon = Q.dequantize_int8(codes, params)
+
+    step = np.array([max(hi - lo, 0.0) / 254.0 for lo, hi in params])
+    bound = step / 2.0 + 1e-9
+
+    joined = e.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("__orig")
+    ).join(recon, "id")
+
+    def check(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["__orig"].tolist(), dtype=np.float64)
+            R = np.array(pdf["recon"].tolist(), dtype=np.float64)
+            err_ok = (np.abs(A - R) <= bound).all(axis=1)
+            na = np.linalg.norm(A, axis=1)
+            nr = np.linalg.norm(R, axis=1)
+            denom = np.where((na == 0) | (nr == 0), 1.0, na * nr)
+            cos = np.where(
+                (na == 0) | (nr == 0), 1.0, (A * R).sum(axis=1) / denom
+            )
+            yield pd.DataFrame({"err_ok": err_ok, "cos": cos})
+
+    agg = (
+        joined.mapInPandas(check, schema="err_ok boolean, cos double")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("err_ok").alias("all_err_ok"),
+            F.min("cos").alias("min_cos"),
+        )
+        .collect()[0]
+    )
+    return spark.range(1).select(
+        F.lit(agg["n"]).cast("long").alias("n"),
+        F.lit(len(params)).cast("int").alias("d"),
+        F.lit(bool(agg["all_err_ok"])).alias("err_bounded"),
+        F.lit(bool(agg["min_cos"] >= 0.999)).alias("cosine_preserved"),
+    )
+
+
+@register(
+    "kmv_setops_gate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+               WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+               WHERE event_type = 'view')
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT) AS exact_union,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                AS BIGINT) AS exact_intersect,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS intersect_ok
+    """,
+)
+def kmv_setops_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation GATE (operators/quantiles.kmv_distinct_sketch):
+    the two sets are the distinct (user, day) activity keys of the
+    'click' and 'view' event streams; the sketches (k=1024) must
+    estimate each cardinality, the union, and the intersection within
+    1σ-scaled bounds of the EXACT values — which both engines compute
+    and hash-check, so the exact columns carry real teeth and the
+    booleans pin the estimator.
+
+    Bounds: KMV relative error is ~1/sqrt(k-2) ≈ 3.1% at k=1024; the
+    gate allows 4σ (12.5%) for the three cardinalities and 25% (+20
+    absolute) for the intersection, whose ρ·|union| estimator compounds
+    both errors.
+
+    Scale: sketches are mergeable bottom-k sets — per-partition Arrow
+    pre-prune, ≤ k·batches rows ever move, estimates combine
+    driver-side from ≤ k ranks each (codebook-collect precedent). The
+    exact side's one-shot distinct/union/intersect exists only to gate
+    the sketch — at 10^12 keys you'd ship ONLY the sketches."""
+    from replicadb_spark.operators.quantiles import (
+        kmv_distinct_sketch,
+        kmv_set_estimates,
+    )
+
+    e = _t(spark, sf_dir, "events")["events"]
+    key = F.concat_ws(
+        "|", F.col("user_id"), F.col("ts").cast("date").cast("string")
+    )
+    ab = {}
+    for name, typ in (("a", "click"), ("b", "view")):
+        s = e.where(F.col("event_type") == typ).select(key.alias("k"))
+        ab[name] = [
+            r["__rk"] for r in kmv_distinct_sketch(s, "k", k=1024).collect()
+        ]
+    est = kmv_set_estimates(ab["a"], ab["b"], 1024)
+
+    exact = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.col("user_id").alias("u"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .distinct()
+        .groupBy("u", "d")
+        .agg(F.collect_set("event_type").alias("types"))
+        .agg(
+            F.sum(F.array_contains("types", "click").cast("long")).alias("na"),
+            F.sum(F.array_contains("types", "view").cast("long")).alias("nb"),
+            F.count("*").alias("nu"),
+            F.sum(
+                (
+                    F.array_contains("types", "click")
+                    & F.array_contains("types", "view")
+                ).cast("long")
+            ).alias("ni"),
+        )
+        .collect()[0]
+    )
+
+    def ok(est_v: float, exact_v: int, rel: float, abs_pad: float = 0.0) -> bool:
+        return abs(est_v - exact_v) <= max(rel * max(exact_v, 1), abs_pad)
+
+    return spark.range(1).select(
+        F.lit(exact["na"]).cast("long").alias("exact_a"),
+        F.lit(exact["nb"]).cast("long").alias("exact_b"),
+        F.lit(exact["nu"]).cast("long").alias("exact_union"),
+        F.lit(exact["ni"]).cast("long").alias("exact_intersect"),
+        F.lit(ok(est["est_a"], exact["na"], 0.125)).alias("a_ok"),
+        F.lit(ok(est["est_b"], exact["nb"], 0.125)).alias("b_ok"),
+        F.lit(ok(est["est_union"], exact["nu"], 0.125)).alias("union_ok"),
+        F.lit(ok(est["est_intersect"], exact["ni"], 0.25, 20.0)).alias(
+            "intersect_ok"
+        ),
+    )

@@ -74,3 +74,57 @@ def test_summaries_bounded_per_partition(spark):
         .collect()
     )
     assert all(r["rows"] <= 32 for r in per_part)
+
+
+def test_int8_quant_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from replicadb_spark.functions import quantization as Q
+
+    rng = np.random.RandomState(3)
+    V = rng.randn(200, 6) * np.array([1, 10, 0.1, 5, 2, 1])
+    V[:, 5] = 7.25  # constant dimension
+    rows = [(i, [float(x) for x in V[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = Q.quant_params(df, "embedding")
+    assert len(params) == 6
+    assert params[5] == (7.25, 7.25)
+    recon = Q.dequantize_int8(
+        Q.quantize_int8(df, "vec_id", "embedding", params), params
+    )
+    got = {r["id"]: r["recon"] for r in recon.collect()}
+    step = np.array([max(hi - lo, 0.0) / 254.0 for lo, hi in params])
+    for i in range(200):
+        err = np.abs(np.array(got[i]) - V[i])
+        assert (err <= step / 2 + 1e-9).all()
+    assert all(abs(got[i][5] - 7.25) < 1e-12 for i in range(200))
+
+
+def test_kmv_exact_when_unsaturated(spark):
+    from replicadb_spark.operators.quantiles import (
+        _kmv_estimate,
+        kmv_distinct_sketch,
+    )
+
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], "k long")
+    ranks = [r["__rk"] for r in kmv_distinct_sketch(df, "k", k=256).collect()]
+    assert len(ranks) == 37
+    assert _kmv_estimate(sorted(ranks), 256) == 37.0
+
+
+def test_kmv_estimate_and_merge_accuracy(spark):
+    from replicadb_spark.operators.quantiles import (
+        kmv_distinct_sketch,
+        kmv_set_estimates,
+    )
+
+    # A = 0..5999, B = 4000..9999 → |A|=6000 |B|=6000 |A∪B|=10000 |A∩B|=2000
+    a = spark.createDataFrame([(i,) for i in range(6000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(4000, 10000)], "k long")
+    ra = [r["__rk"] for r in kmv_distinct_sketch(a, "k", k=512).collect()]
+    rb = [r["__rk"] for r in kmv_distinct_sketch(b, "k", k=512).collect()]
+    est = kmv_set_estimates(ra, rb, 512)
+    assert abs(est["est_a"] - 6000) <= 0.15 * 6000
+    assert abs(est["est_b"] - 6000) <= 0.15 * 6000
+    assert abs(est["est_union"] - 10000) <= 0.15 * 10000
+    assert abs(est["est_intersect"] - 2000) <= 0.30 * 2000
