@@ -83,7 +83,8 @@ _GATE_LAST = (
     "vocab_growth_by_source", "twap_by_user",
     "equidepth_histogram_value", "winsorized_stats_by_type",
     "source_overlap_matrix", "chunk_dedup_rebuild", "semantic_dedup_gate",
-    "emb_int8_quant_gate", "kmv_setops_gate",
+    "emb_int8_quant_gate", "kmv_setops_gate", "psi_value_drift",
+    "curriculum_interleave", "emb_whiten_gate",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

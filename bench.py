@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "semantic_dedup_gate",
     "emb_int8_quant_gate",
     "kmv_setops_gate",
+    "psi_value_drift",
+    "curriculum_interleave",
+    "emb_whiten_gate",
 ]
 
 

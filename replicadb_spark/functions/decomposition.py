@@ -124,3 +124,46 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         project, schema=f"id {id_t}, proj array<double>"
     )
+
+
+def whiten_project(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    id_col: str,
+    m: int,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """(id, white array<double>[m]) — PCA-whitening: mean-center,
+    project onto the top-m components, and scale each coordinate by
+    1/sqrt(eigenvalue), so the output has identity covariance — the
+    standard preprocessing before cosine/Euclidean retrieval when
+    dimensions carry wildly different variances (and the contract the
+    emb_whiten_gate checks).
+
+    Same execution shape as pca_project: one bounded d×d partials pass
+    for the decomposition, then a zero-shuffle Arrow projection with
+    the scaled (d×m) matrix riding the closure. Eigenvalues below
+    ``eps`` are clamped (degenerate directions stay finite, scaled to
+    ~zero variance rather than exploding)."""
+    import numpy as np
+    import pandas as pd
+
+    _, mean, cov = covariance_stats(df, vec_col)
+    comps, vals = pca_components(cov, m)
+    scale = 1.0 / np.sqrt(np.maximum(vals[:m], eps))
+    W = comps[:, :m] * scale[None, :]
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()) - mean
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "white": list((x @ W).tolist())}
+            )
+
+    id_t = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"id {id_t}, white array<double>"
+    )

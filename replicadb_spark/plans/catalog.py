@@ -5947,3 +5947,194 @@ def kmv_setops_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intersect_ok"
         ),
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+         cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+         bounds AS (
+           SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+                   quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+                   quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+                   quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+                   quantile_cont(value, 0.9)] AS bs
+           FROM ref
+         ),
+         rb AS (SELECT len(list_filter(bs, b -> value > b)) + 1 AS bucket
+                FROM ref CROSS JOIN bounds),
+         cb AS (SELECT len(list_filter(bs, b -> value > b)) + 1 AS bucket
+                FROM cur CROSS JOIN bounds),
+         p1 AS (SELECT bucket, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM rb) AS p
+                FROM rb GROUP BY bucket),
+         p2 AS (SELECT bucket, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM cb) AS p
+                FROM cb GROUP BY bucket),
+         g AS (SELECT UNNEST(generate_series(1, 10)) AS bucket)
+    SELECT g.bucket,
+           round(coalesce(p1.p, 0), 6) AS p_ref,
+           round(coalesce(p2.p, 0), 6) AS p_cur,
+           round((greatest(coalesce(p2.p, 0), 1e-6)
+                   - greatest(coalesce(p1.p, 0), 1e-6))
+                 * ln(greatest(coalesce(p2.p, 0), 1e-6)
+                      / greatest(coalesce(p1.p, 0), 1e-6)), 6) AS psi_term
+    FROM g LEFT JOIN p1 ON g.bucket = p1.bucket
+           LEFT JOIN p2 ON g.bucket = p2.bucket
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month: decile bounds come from the REFERENCE period (exact
+    interpolated percentiles), both periods are bucketed against them,
+    and each bucket contributes (p_cur − p_ref)·ln(p_cur/p_ref) with
+    the standard 1e-6 clamp — the drift monitor every production model
+    runs on its feature stream (PSI > 0.2 ≈ retrain).
+
+    Determinism: identical exact decile bounds in both engines, strict
+    ``>`` bucketing, proportions are exact int/int divisions, and the
+    single ln() per bucket is rounded at 6 dp after identical-operand
+    arithmetic (the bigram-LM margin precedent). Scale: two filtered
+    aggregate passes (the decile buffer per period, then a 10-key
+    bucket count via one broadcast of the 1-row bounds) — no window, no
+    join of the periods; swap percentile_approx in at 10^12 rows (the
+    mad_approx_gate-proven trade)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    ref = e.where(F.col("ts") < split)
+    cur = e.where(F.col("ts") >= split)
+    bounds = ref.agg(
+        F.percentile("value", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])).alias(
+            "bs"
+        )
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(
+                (
+                    F.size(F.filter("bs", lambda b: F.col("value") > b)) + 1
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+            .withColumn("p", F.col("c") / F.sum("c").over(Window.partitionBy()))
+        )
+
+    grid = spark.range(1, 11).select(F.col("id").cast("long").alias("bucket"))
+    p1 = bucketed(ref).select("bucket", F.col("p").alias("p_ref0"))
+    p2 = bucketed(cur).select("bucket", F.col("p").alias("p_cur0"))
+    j = (
+        grid.join(p1, "bucket", "left")
+        .join(p2, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("p_ref0", F.lit(0.0)).alias("pr"),
+            F.coalesce("p_cur0", F.lit(0.0)).alias("pc"),
+        )
+    )
+    cr = F.greatest(F.col("pr"), F.lit(1e-6))
+    cc = F.greatest(F.col("pc"), F.lit(1e-6))
+    return j.select(
+        "bucket",
+        F.round("pr", 6).alias("p_ref"),
+        F.round("pc", 6).alias("p_cur"),
+        F.round((cc - cr) * F.log(cc / cr), 6).alias("psi_term"),
+    )
+
+
+@register(
+    "curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ), src AS (
+      SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS src_idx,
+             (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source, r.rk AS rank_in_source,
+           CAST((r.rk - 1) * s.n_src + s.src_idx AS BIGINT) AS global_pos
+    FROM ranked r JOIN src s USING (source)
+    """,
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/training-order schedule: rank documents within each
+    source (longest-first, id tiebreak — swap in any score column) and
+    interleave the sources round-robin via the closed form
+    pos = (rank−1)·|sources| + source_index, so consecutive training
+    positions cycle through sources instead of clumping — the standard
+    shard-writer ordering that keeps every mixture ratio locally true.
+
+    Scale: ONE keyed window shuffle (rank within source — no global
+    sort anywhere); the source index table is |sources| rows, built
+    from a distinct + tiny window and broadcast back. global_pos is
+    arithmetic, not a sort — a writer range-partitions on it
+    (range_split_points) to emit ordered shards without ever totally
+    ordering the corpus."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rank_in_source")
+    )
+    srcs = d.select("source").distinct()
+    n_src = srcs.count()  # |sources| — bounded driver scalar
+    src_idx = srcs.select(
+        "source",
+        (F.dense_rank().over(Window.orderBy("source")) - 1).alias("src_idx"),
+    )
+    return (
+        ranked.join(F.broadcast(src_idx), "source")
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            (
+                (F.col("rank_in_source") - 1) * n_src + F.col("src_idx")
+            ).cast("long").alias("global_pos"),
+        )
+    )
+
+
+@register(
+    "emb_whiten_gate",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n,
+           CAST(8 AS INT) AS m,
+           TRUE AS mean_is_zero, TRUE AS cov_is_identity
+    """,
+)
+def emb_whiten_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening GATE (functions/decomposition.whiten_project):
+    whiten the corpus to its top-8 components and re-run the SAME
+    distributed covariance pass over the output — the whitened stream
+    must have per-coordinate mean ≈ 0 (|mean| ≤ 1e-6 — float64 partial-sum residue at O(1)-scaled coordinates) and covariance ≈
+    identity (max |Σ − I| ≤ 1e-6), which is the definition of
+    whitening and fails if the projection, the eigen-scaling, or the
+    partials merge is wrong anywhere.
+
+    The decomposition isn't SQL-expressible; the contract is a
+    hash-checkable constant row (pca_embeddings_gate precedent).
+    Scale: two bounded d×d partial passes + one zero-shuffle Arrow
+    projection — nothing ever shuffles."""
+    import numpy as np
+
+    from replicadb_spark.functions.decomposition import (
+        covariance_stats,
+        whiten_project,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    white = whiten_project(e, "embedding", id_col="vec_id", m=8)
+    n, mean, cov = covariance_stats(white, "white")
+    mean_ok = bool(np.abs(mean).max() <= 1e-6)
+    cov_ok = bool(np.abs(cov - np.eye(8)).max() <= 1e-6)
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(8).cast("int").alias("m"),
+        F.lit(mean_ok).alias("mean_is_zero"),
+        F.lit(cov_ok).alias("cov_is_identity"),
+    )

@@ -708,3 +708,67 @@ def outlier_profile_from_state(
     return mad_outlier_profile(
         spark.read.parquet(state_path), "key", "value", z=z
     )
+
+
+def stream_kmv_distinct(
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    key_col: str,
+    k: int,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained KMV distinct-count sketch: each
+    micro-batch's bottom-k DISTINCT hash ranks merge with the persisted
+    sketch and re-prune to k — the streaming twin of operators/
+    quantiles.kmv_distinct_sketch, answering "how many distinct keys so
+    far" (and set-overlap questions via kmv_set_estimates) over an
+    unbounded stream in k rows of state.
+
+    Unlike stream_bottomk_sample, duplicate keys are FINE here — the
+    sketch is a set of hashes, so the distinct-union merge makes both
+    re-delivered batches (at-least-once replay) and genuinely repeated
+    keys collapse into the same rank: the state is bit-identical to a
+    batch kmv_distinct_sketch over everything streamed so far, under
+    ANY split. Same batch-0 stale-state overwrite guard as the other
+    sketch twins.
+
+    Scale: per batch one Arrow pre-prune + distinct over ≤ k·batches
+    candidate rows, then a ≤ 2k merge; state is k rows forever."""
+    from replicadb_spark.operators.quantiles import kmv_distinct_sketch
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        delta = kmv_distinct_sketch(batch_df, key_col, k=k)
+        if batch_id == 0:
+            delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_path
+            )
+            return
+        try:
+            current = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
+            merged = delta
+        else:
+            merged = (
+                current.unionByName(delta)
+                .distinct()
+                .orderBy("__rk")
+                .limit(k)
+            )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        source.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

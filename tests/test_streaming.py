@@ -626,3 +626,50 @@ def test_stream_heavy_hitters_superset_guarantee(spark, tmp_path):
     # estimate under-reports by at most N/(k+1)
     assert "hot" in ests
     assert 450 - 1500 / 17 <= ests["hot"] <= 450
+
+
+def test_stream_kmv_equals_batch_kmv_with_duplicates(spark, tmp_path):
+    """The maintained KMV distinct sketch after 3 micro-batches — with
+    keys REPEATED across batches — is bit-identical to one batch
+    kmv_distinct_sketch over all rows: the distinct-union merge makes
+    both replays and genuine duplicates collapse."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    # overlapping key ranges: 0..599, 300..899, 600..1199
+    for i, lo in enumerate((0, 300, 600)):
+        tbl = pa.table({
+            "user_id": pa.array([x for x in range(lo, lo + 600)], pa.int64()),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    from replicadb_spark.operators.quantiles import (
+        _kmv_estimate,
+        kmv_distinct_sketch,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    state = str(tmp_path / "kmv_state")
+    q = P.stream_kmv_distinct(
+        stream, state, str(tmp_path / "kmv_ckpt"), key_col="user_id", k=256,
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(r["__rk"] for r in spark.read.parquet(state).collect())
+    full = spark.read.parquet(str(src))
+    batch = sorted(
+        r["__rk"] for r in kmv_distinct_sketch(full, "user_id", k=256).collect()
+    )
+    assert streamed == batch and len(streamed) == 256
+    # 1200 true distinct keys; k=256 → ~6% σ, assert a loose 25% band
+    est = _kmv_estimate(streamed, 256)
+    assert abs(est - 1200) <= 300
