@@ -84,7 +84,8 @@ _GATE_LAST = (
     "equidepth_histogram_value", "winsorized_stats_by_type",
     "source_overlap_matrix", "chunk_dedup_rebuild", "semantic_dedup_gate",
     "emb_int8_quant_gate", "kmv_setops_gate", "psi_value_drift",
-    "curriculum_interleave", "emb_whiten_gate",
+    "curriculum_interleave", "emb_whiten_gate", "knn_label_mrr",
+    "scd2_point_in_time_join", "sample_cap_per_user",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

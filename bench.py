@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "psi_value_drift",
     "curriculum_interleave",
     "emb_whiten_gate",
+    "knn_label_mrr",
+    "scd2_point_in_time_join",
+    "sample_cap_per_user",
 ]
 
 

@@ -6138,3 +6138,226 @@ def emb_whiten_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(mean_ok).alias("mean_is_zero"),
         F.lit(cov_ok).alias("cov_is_identity"),
     )
+
+
+@register(
+    "knn_label_mrr",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 50
+    ), pairs AS (
+      SELECT q.qid, q.ql, e.vec_id AS nid, e.label AS nl, q.qv, e.embedding AS ev
+      FROM q, embeddings e WHERE e.vec_id <> q.qid
+    ), expl AS (
+      SELECT qid, ql, nid, nl,
+             CAST(unnest(qv) AS DOUBLE) AS qx, CAST(unnest(ev) AS DOUBLE) AS nx
+      FROM pairs
+    ), scored AS (
+      SELECT qid, ql, nid, nl,
+             SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))) AS s
+      FROM expl GROUP BY qid, ql, nid, nl
+    ), ranked AS (
+      SELECT qid, ql, nl,
+             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+      FROM scored
+    ), top AS (SELECT * FROM ranked WHERE rank <= 10),
+    rel_tot AS (
+      SELECT q.qid, COUNT(*) AS n_rel
+      FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.qid
+      GROUP BY q.qid
+    )
+    SELECT t.qid AS query_id,
+           CAST(MIN(t.ql) AS INT) AS label,
+           round(coalesce(MAX(CASE WHEN t.nl = t.ql THEN 1.0 / t.rank END), 0),
+                 6) AS rr,
+           round(SUM(CASE WHEN t.nl = t.ql THEN 1 ELSE 0 END)
+                 * 1.0 / least(10, MIN(r.n_rel)), 6) AS recall_at_10
+    FROM top t JOIN rel_tot r ON r.qid = t.qid
+    GROUP BY t.qid
+    """,
+)
+def knn_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over the embedding corpus: for each
+    of 50 query vectors, exact cosine top-10, with SAME-LABEL corpus
+    vectors as the relevance set — reciprocal rank of the first
+    relevant hit and recall@10, the two numbers every embedding-model
+    eval reports (qrels here are the label column; swap in a judgment
+    table for real evals).
+
+    Scale: rides knn_bruteforce's plan (broadcast queries, corpus
+    never shuffles, partial top-k) — the eval adds only a broadcast
+    label-count table (|labels| rows) and a 10-row-per-query aggregate.
+    rr uses MAX of 1/rank over relevant hits ≡ 1/first-relevant-rank;
+    recall normalizes by min(10, |relevant|), both exact int-derived
+    doubles rounded at 6 dp."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.where(F.col("vec_id") < 50)
+    top = S.knn_bruteforce(e, q, k=10).join(
+        F.broadcast(
+            q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        ),
+        "query_id",
+    ).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+        "neighbor_id",
+    )
+    n_rel = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(
+            e.groupBy("label").agg(F.count("*").alias("n_label")).withColumnRenamed(
+                "label", "ql"
+            ),
+            "ql",
+        )
+        # relevant corpus size excludes the query itself (same label)
+        .select("query_id", (F.col("n_label") - 1).alias("n_rel"))
+    )
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.min("ql").cast("int").alias("label"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("nl") == F.col("ql"), 1.0 / F.col("rank"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rr"),
+            F.sum((F.col("nl") == F.col("ql")).cast("long")).alias("n_hit"),
+        )
+        .join(F.broadcast(n_rel), "query_id")
+        .select(
+            "query_id",
+            "label",
+            "rr",
+            F.round(
+                F.col("n_hit") / F.least(F.lit(10), F.col("n_rel")), 6
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ), marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN row_number() OVER w = 1
+                       OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS opens
+      FROM dim
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), versions AS (
+      SELECT user_id, event_type AS activity, ts,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM marked WHERE opens = 1
+    ), v AS (SELECT user_id, activity, ts FROM versions WHERE rn = 1),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts_s, v.activity
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against an SCD2 dimension — the
+    warehouse workhorse scd2_user_history only builds: the dimension is
+    each user's non-purchase activity history (a version opens whenever
+    the activity type changes, same-timestamp versions collapse to the
+    last writer), and every purchase event is enriched with the
+    activity version that was CURRENT at purchase time (null when the
+    purchase precedes any activity).
+
+    Plan: the PIT join is the existing asof_join operator — tag both
+    sides, union, ONE keyed window carries the latest version forward,
+    filter back to probe rows. One shuffle on user_id total for the
+    join; the version derivation shares the same key. The oracle is
+    DuckDB's native ASOF LEFT JOIN — two independent engines, two
+    independent join algorithms, one hash."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        e.where(F.col("event_type") != "purchase")
+        .withColumn(
+            "opens",
+            (F.row_number().over(w) == 1)
+            | ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)),
+        )
+    )
+    w_ts = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    versions = (
+        marked.where("opens")
+        .withColumn("rn", F.row_number().over(w_ts))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("activity"), "ts")
+    )
+    probe = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    from replicadb_spark.operators import asof_join
+
+    return asof_join(
+        probe,
+        versions,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["activity"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        "activity",
+    )
+
+
+@register(
+    "sample_cap_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5('cap:' || CAST(event_id AS VARCHAR)), event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_user
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(n_user AS BIGINT) AS n_user
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_cap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key contribution cap: keep at most 20 events per user,
+    chosen by a portable seeded-md5 rank — the standard fairness /
+    privacy downsample that stops heavy users from dominating a
+    training mix (the per-group twin of sample_stratified_hash's
+    Bernoulli row sample; the md5 rank makes the pick uniform AND
+    engine-reproducible, where rand() would be neither).
+
+    Scale: ONE keyed window shuffle (rank within user — no global
+    sort); the cap is a filter on the rank, so output is ≤ 20·|users|
+    rows. The n_user column rides the same exchange (count window over
+    the same key), documenting how much each user was cut."""
+    e = _t(spark, sf_dir, "events")["events"]
+    h = F.md5(F.concat(F.lit("cap:"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("user_id").orderBy(h, "event_id")
+    wc = Window.partitionBy("user_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_user"),
+        )
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
