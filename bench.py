@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "knn_label_mrr",
     "scd2_point_in_time_join",
     "sample_cap_per_user",
+    "time_multigrain_rollup",
+    "purchase_attribution",
+    "kmv_rollup_gate",
 ]
 
 

@@ -6361,3 +6361,227 @@ def sample_cap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@register(
+    "time_multigrain_rollup",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)   AS day_s,
+           CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR)  AS week_s,
+           CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR) AS month_s,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), event_type),
+      (date_trunc('week', ts), event_type),
+      (date_trunc('month', ts), event_type)
+    )
+    """,
+)
+def time_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup in ONE logical aggregate: daily,
+    weekly (ISO Monday), and monthly sums per event type via GROUPING
+    SETS — the pre-aggregation a dashboard layer materializes so every
+    zoom level reads a summary, not the fact table. Each output row
+    carries exactly one non-null grain column (the grouping-sets
+    signature both engines produce natively).
+
+    Scale: Spark expands grouping sets map-side (each input row feeds
+    its 3 grain groups before the shuffle — partial aggregation still
+    applies), so one pass and ONE shuffle of ≤ 3·|groups| summary rows
+    replaces three separate scans. DECIMAL sums keep the money totals
+    order-independent."""
+    e = _t(spark, sf_dir, "events")["events"]
+    day = F.date_trunc("day", F.col("ts")).alias("__day")
+    week = F.date_trunc("week", F.col("ts")).alias("__week")
+    month = F.date_trunc("month", F.col("ts")).alias("__month")
+    g = e.select(day, week, month, "event_type", "value").groupingSets(
+        [["__day", "event_type"], ["__week", "event_type"], ["__month", "event_type"]],
+        "__day", "__week", "__month", "event_type",
+    )
+    return g.agg(
+        F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        F.count("*").alias("n"),
+    ).select(
+        F.col("__day").cast("string").alias("day_s"),
+        F.col("__week").cast("string").alias("week_s"),
+        F.col("__month").cast("string").alias("month_s"),
+        "event_type",
+        "sum_value",
+        "n",
+    )
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), joined AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s,
+           CASE WHEN click_ts >= ts - INTERVAL 7 DAY THEN click_id END
+             AS attributed_click_id,
+           CASE WHEN click_ts >= ts - INTERVAL 7 DAY
+                THEN epoch_us(ts) - epoch_us(click_ts) END AS lag_us
+    FROM joined
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click within a 7-day lookback (null = organic) plus the
+    click-to-purchase lag — the conversion-funnel join every ads/
+    growth pipeline runs.
+
+    Plan: the existing asof_join operator carries BOTH the click id and
+    its timestamp in one pass (one union + one keyed window = ONE
+    shuffle on user_id); the lookback is a post-filter on the carried
+    timestamp, so expired clicks null out without a second join. Lag is
+    microsecond-exact (the twap_by_user precision rule). Oracle =
+    DuckDB's native ASOF LEFT JOIN + the same window guard."""
+    e = _t(spark, sf_dir, "events")["events"]
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    from replicadb_spark.operators import asof_join
+
+    joined = asof_join(
+        p,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_id", "click_ts"],
+    )
+    in_window = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.when(in_window, F.col("click_id")).alias("attributed_click_id"),
+        F.when(
+            in_window,
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp")),
+        ).alias("lag_us"),
+    )
+
+
+@register(
+    "kmv_rollup_gate",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type,
+             CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR) AS week_s,
+             COUNT(DISTINCT user_id) AS exact_week
+      FROM events GROUP BY 1, 2
+    ), ty AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_type
+      FROM events GROUP BY 1
+    )
+    SELECT w.event_type, w.week_s,
+           CAST(w.exact_week AS BIGINT) AS exact_week,
+           CAST(t.exact_type AS BIGINT) AS exact_type,
+           TRUE AS week_ok, TRUE AS type_ok
+    FROM wk w JOIN ty t USING (event_type)
+    """,
+)
+def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION gate — the property that makes sketches
+    the 100 TB answer to distinct counting: build ONE KMV sketch per
+    (event_type, week) from the data, then roll the weekly sketches up
+    to per-type sketches by MERGING SUMMARIES ONLY (union of rank
+    sets, re-prune to k) — the fact table is scanned once, every
+    coarser grain comes free. Each row checks both estimates against
+    the exact distinct counts (hash-pinned for both engines): weekly
+    within 12.5% (4σ at k=1024), per-type within 12.5%.
+
+    Scale: the per-group sketch build is ONE shuffle of ≤ k rows per
+    group (Arrow pre-prune first); the rollup merge touches sketches,
+    never data. At 10^12 rows you materialize the weekly sketch table
+    and answer month/quarter/year/any-slice distincts from it."""
+    import pandas as pd
+
+    from replicadb_spark.operators.quantiles import _kmv_estimate
+
+    k = 1024
+    e = _t(spark, sf_dir, "events")["events"]
+    keyed = e.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("string").alias("week_s"),
+        F.xxhash64(F.col("user_id")).alias("__rk"),
+    )
+    # per-(type, week) bottom-k distinct ranks: dedupe then rank-window
+    # (groups are few here; the Arrow pre-prune variant is
+    # kmv_distinct_sketch — this grouped build shares its semantics)
+    wnd = Window.partitionBy("event_type", "week_s").orderBy("__rk")
+    sketches = (
+        keyed.distinct()
+        .withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type", "week_s")
+        .agg(F.sort_array(F.collect_list("__rk")).alias("ranks"))
+        .collect()  # ≤ k ranks × |groups| — bounded summary, not data
+    )
+    week_est = {
+        (r["event_type"], r["week_s"]): _kmv_estimate(list(r["ranks"]), k)
+        for r in sketches
+    }
+    type_ranks: dict[str, set] = {}
+    for r in sketches:
+        type_ranks.setdefault(r["event_type"], set()).update(r["ranks"])
+    type_est = {
+        t: _kmv_estimate(sorted(rk)[:k], k) for t, rk in type_ranks.items()
+    }
+
+    exact = (
+        e.select(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).cast("string").alias("week_s"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("event_type", "week_s")
+        .agg(F.count("*").alias("exact_week"))
+        .collect()
+    )
+    exact_type = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+
+    rows = []
+    for r in exact:
+        key = (r["event_type"], r["week_s"])
+        ew, et = r["exact_week"], exact_type[r["event_type"]]
+        rows.append(
+            (
+                r["event_type"],
+                r["week_s"],
+                ew,
+                et,
+                abs(week_est[key] - ew) <= 0.125 * max(ew, 1),
+                abs(type_est[r["event_type"]] - et) <= 0.125 * max(et, 1),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, week_s string, exact_week long, exact_type long,"
+        " week_ok boolean, type_ok boolean",
+    )

@@ -433,3 +433,19 @@ def test_source_overlap_joins_digests_not_text(spark):
     plan = _plan(spark, "source_overlap_matrix")
     joined = plan.split("Join", 1)[1].splitlines()[0]
     assert "h" in joined and "text" not in joined
+
+
+def test_multigrain_rollup_expands_once(spark):
+    """GROUPING SETS compiles to an Expand feeding one aggregate — not
+    a Union of three per-grain scans of the fact table."""
+    plan = _final_plan(spark, "time_multigrain_rollup")
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """The as-of attribution join is the union+window plan: exactly one
+    keyed Window, no SortMergeJoin of clicks against purchases."""
+    plan = _plan(spark, "purchase_attribution")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 1
