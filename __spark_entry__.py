@@ -87,6 +87,7 @@ _GATE_LAST = (
     "curriculum_interleave", "emb_whiten_gate", "knn_label_mrr",
     "scd2_point_in_time_join", "sample_cap_per_user",
     "time_multigrain_rollup", "purchase_attribution", "kmv_rollup_gate",
+    "customer_rfm_segments", "revenue_pareto_cut", "rolling_wau",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

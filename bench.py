@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "time_multigrain_rollup",
     "purchase_attribution",
     "kmv_rollup_gate",
+    "customer_rfm_segments",
+    "revenue_pareto_cut",
+    "rolling_wau",
 ]
 
 

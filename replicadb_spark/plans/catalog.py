@@ -6585,3 +6585,173 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, week_s string, exact_week long, exact_type long,"
         " week_ok boolean, type_ok boolean",
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           CAST(last_order AS VARCHAR) AS last_order_s,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(monetary AS DOUBLE) AS monetary,
+           ntile(5) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+           ntile(5) OVER (ORDER BY freq DESC, custkey)       AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, custkey)   AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order date), frequency
+    (order count), monetary (lifetime spend), each quintile-scored 1
+    (best) to 5 — the classic CRM segmentation card.
+
+    Determinism: every ntile rides a TOTAL order (metric desc, custkey)
+    and the spend is a DECIMAL sum. Scale: one hash aggregate on
+    custkey; the three quintile windows are global at gate scale and
+    pinned by the oracle — at 10^9 customers the same scores come from
+    range_split_points quantile bounds per metric (the
+    equidepth_histogram_value trade, documented there), since a
+    quintile label needs only the 4 cut values, not a global sort."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    base = t.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("monetary_dec"),
+    )
+    return base.select(
+        "custkey",
+        F.col("last_order").cast("string").alias("last_order_s"),
+        "freq",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_order").desc(), "custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), "custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_dec").desc(), "custkey"))
+        .alias("m_score"),
+    )
+
+
+@register(
+    "revenue_pareto_cut",
+    oracle="""
+    WITH pr AS (
+      SELECT n_name, l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+               AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT n_name, rev,
+             SUM(rev) OVER (PARTITION BY n_name
+                            ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER (PARTITION BY n_name) AS tot,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY rev DESC, l_partkey) AS rk
+      FROM pr
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS parts_total,
+           CAST(MIN(CASE WHEN 5 * cum >= 4 * tot THEN rk END) AS BIGINT)
+             AS parts_to_80,
+           round(CAST(MIN(CASE WHEN 5 * cum >= 4 * tot THEN rk END) AS DOUBLE)
+                 / COUNT(*), 6) AS concentration
+    FROM ranked GROUP BY n_name
+    """,
+)
+def revenue_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per supplier nation: how many parts (ranked
+    by revenue) cover 80% of that nation's revenue, and what fraction
+    of the catalog that is — the 80/20 concentration card that tells a
+    planner whether a nation's business is head-heavy or long-tail.
+
+    Determinism: revenue is a DECIMAL sum and the 80% test is pure
+    decimal integer arithmetic (5·cum ≥ 4·tot — no float threshold to
+    disagree on); ranks ride a total (rev desc, partkey) order.
+    Scale: one aggregate to (nation, part) grain, then a KEYED window
+    per nation — cumulative sums never cross nations, so the exchange
+    is a 25-way hash, not a global sort."""
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    pr = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev")
+        )
+    )
+    w_ord = Window.partitionBy("n_name").orderBy(F.col("rev").desc(), "l_partkey")
+    ranked = pr.select(
+        "n_name",
+        "rev",
+        F.sum("rev").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy("n_name")).alias("tot"),
+        F.row_number().over(w_ord).alias("rk"),
+    )
+    hit = F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rk"))
+    return ranked.groupBy("n_name").agg(
+        F.count("*").alias("parts_total"),
+        F.min(hit).cast("long").alias("parts_to_80"),
+        F.round(F.min(hit).cast("double") / F.count("*"), 6).alias("concentration"),
+    )
+
+
+@register(
+    "rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), b AS (SELECT MAX(d) AS hi FROM ud),
+    x AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(d AS TIMESTAMP),
+                          CAST(least(d + 6, (SELECT hi FROM b)) AS TIMESTAMP),
+                          INTERVAL 1 DAY)) AS DATE) AS wd
+      FROM ud
+    )
+    SELECT CAST(wd AS VARCHAR) AS day_s,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM x GROUP BY wd
+    """,
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the sliding-DISTINCT
+    aggregate that fixed windows can't partial-merge (a user active on
+    3 days must count once per covered day, once each).
+
+    Plan: the scalable CONTRIBUTION shape — reduce to distinct
+    (user, day) first (one shuffle, massive collapse), then each
+    activity day fans out to the ≤ 7 report days it supports (narrow
+    explode, no inequality join, no per-day rescan), then one
+    distinct-count per report day. An interval/range join producing
+    the same result would shuffle the fact table per day of history;
+    this moves ≤ 7·|user-days| skinny rows total. The trailing window
+    is clipped at the corpus max day (one-row driver scalar)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    hi = ud.agg(F.max("d")).collect()[0][0]  # 1-row action, documented
+    x = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(d, least(date_add(d, 6), date'{hi}'), interval 1 day)")
+        ).alias("wd"),
+    )
+    return x.groupBy(F.col("wd").cast("string").alias("day_s")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
