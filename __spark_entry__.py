@@ -88,6 +88,7 @@ _GATE_LAST = (
     "scd2_point_in_time_join", "sample_cap_per_user",
     "time_multigrain_rollup", "purchase_attribution", "kmv_rollup_gate",
     "customer_rfm_segments", "revenue_pareto_cut", "rolling_wau",
+    "attribution_linear_credit", "returns_rate_wilson_ci",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

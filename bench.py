@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "customer_rfm_segments",
     "revenue_pareto_cut",
     "rolling_wau",
+    "attribution_linear_credit",
+    "returns_rate_wilson_ci",
 ]
 
 

@@ -6755,3 +6755,135 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy(F.col("wd").cast("string").alias("day_s")).agg(
         F.countDistinct("user_id").alias("wau")
     )
+
+
+@register(
+    "attribution_linear_credit",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS cts FROM events
+      WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT p.purchase_id, c.click_id
+      FROM p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY
+    ), weighted AS (
+      SELECT click_id,
+             1.0 / COUNT(*) OVER (PARTITION BY purchase_id) AS w
+      FROM pairs
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS total_credit
+    FROM weighted GROUP BY click_id
+    """,
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click in the 7-day window
+    before a purchase shares that conversion equally (1/n credit), and
+    each click accumulates credit across all purchases it assisted —
+    the fairer sibling of purchase_attribution's last-touch rule.
+
+    Plan: a per-user interval join (clicks × purchases constrained to
+    the 7-day band) — the join key is user_id, so pair blowup is
+    bounded by per-user activity, not the corpus; the 1/n weight is a
+    COUNT window on the purchase key riding the same exchange. Credit
+    sums run at DECIMAL(28,12) (1/n is a repeating decimal — 12 digits
+    before the 6-dp output round keeps both engines' partial-sum
+    order irrelevant). At 100 TB the band filter belongs in the join
+    condition (as here), never a post-filter on a full cross join."""
+    e = _t(spark, sf_dir, "events")["events"]
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    pairs = p.join(
+        clicks,
+        (p["user_id"] == clicks["user_id"])
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("purchase_id", "click_id")
+    w = 1.0 / F.count("*").over(Window.partitionBy("purchase_id"))
+    weighted = pairs.select("click_id", w.alias("w"))
+    return weighted.groupBy("click_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("total_credit"),
+    )
+
+
+@register(
+    "returns_rate_wilson_ci",
+    oracle="""
+    WITH base AS (
+      SELECT n_name,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r,
+             COUNT(*) AS n
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name, CAST(r AS BIGINT) AS returns, CAST(n AS BIGINT) AS n,
+           round(r * 1.0 / n, 6) AS p_hat,
+           round((r * 1.0 / n + 1.9599639845400545 * 1.9599639845400545 / (2 * n)
+                  - 1.9599639845400545
+                    * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n) / n
+                           + 1.9599639845400545 * 1.9599639845400545 / (4.0 * n * n)))
+                 / (1 + 1.9599639845400545 * 1.9599639845400545 / n), 6) AS ci_lo,
+           round((r * 1.0 / n + 1.9599639845400545 * 1.9599639845400545 / (2 * n)
+                  + 1.9599639845400545
+                    * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n) / n
+                           + 1.9599639845400545 * 1.9599639845400545 / (4.0 * n * n)))
+                 / (1 + 1.9599639845400545 * 1.9599639845400545 / n), 6) AS ci_hi
+    FROM base
+    """,
+)
+def returns_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate per supplier nation with a 95% WILSON score interval
+    — the binomial CI that behaves at extreme proportions and small n,
+    which the naive Wald interval does not; the standard uncertainty
+    band on any rate metric dashboard.
+
+    Determinism: r and n are exact integers from one aggregate; the
+    interval is closed-form double arithmetic over identical operands
+    (z is pinned to the IEEE double of Φ⁻¹(0.975)) with a 6-dp output
+    round. Scale: one hash aggregate over the join (dimension tables
+    broadcast) — the CI math is free."""
+    z = 1.9599639845400545
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    base = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("returns"),
+            F.count("*").alias("n"),
+        )
+    )
+    p = F.col("returns") * 1.0 / F.col("n")
+    nn = F.col("n")
+    center = p + z * z / (2 * nn)
+    margin = z * F.sqrt(p * (1 - p) / nn + z * z / (4.0 * nn * nn))
+    denom = 1 + z * z / nn
+    return base.select(
+        "n_name",
+        "returns",
+        "n",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - margin) / denom, 6).alias("ci_lo"),
+        F.round((center + margin) / denom, 6).alias("ci_hi"),
+    )
