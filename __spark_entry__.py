@@ -89,6 +89,7 @@ _GATE_LAST = (
     "time_multigrain_rollup", "purchase_attribution", "kmv_rollup_gate",
     "customer_rfm_segments", "revenue_pareto_cut", "rolling_wau",
     "attribution_linear_credit", "returns_rate_wilson_ci",
+    "dq_rules_orders", "join_strategy_advisor", "dow_seasonality_events",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "rolling_wau",
     "attribution_linear_credit",
     "returns_rate_wilson_ci",
+    "dq_rules_orders",
+    "join_strategy_advisor",
+    "dow_seasonality_events",
 ]
 
 

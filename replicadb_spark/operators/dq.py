@@ -1,0 +1,102 @@
+"""Declarative data-quality verification (Deequ-style mini rules engine).
+
+A rule set compiles into ONE aggregate pass over the table — every
+completeness / range / set-membership / pattern rule becomes a
+conditional-count column in the same Aggregate node, so checking 20
+rules costs one scan, not 20 (uniqueness adds one distinct-count on its
+key, the only extra exchange). The report is a tidy (rule, metric,
+threshold, passed) frame a pipeline can gate a load on — the
+replication engine's answer to the reference's post-load row-count
+checks, generalized to column-level constraints.
+
+Scale: conditional counts partial-aggregate map-side; the single output
+row is O(|rules|) wide. Uniqueness uses count vs approx/count distinct
+on the key only (narrow shuffle). No UDFs, no collect of data rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One check: ``metric`` is the fraction of rows satisfying
+    ``predicate`` (null predicate rows count as failing); ``min_ratio``
+    is the pass threshold (1.0 = every row)."""
+
+    name: str
+    predicate: Column
+    min_ratio: float = 1.0
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(f"range({col})", F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def in_set(col: str, values) -> Rule:
+    return Rule(f"in_set({col})", F.col(col).isin(*values))
+
+
+def matches(col: str, pattern: str, min_ratio: float = 1.0) -> Rule:
+    return Rule(f"matches({col})", F.col(col).rlike(pattern), min_ratio)
+
+
+def satisfies(name: str, predicate: Column, min_ratio: float = 1.0) -> Rule:
+    return Rule(name, predicate, min_ratio)
+
+
+@dataclass(frozen=True)
+class UniqueRule:
+    """Key-uniqueness check — the one rule that needs its own (narrow,
+    key-only) aggregate: metric = distinct(key) / count(*)."""
+
+    cols: tuple
+    min_ratio: float = 1.0
+    name: str = field(default="", compare=False)
+
+    def label(self) -> str:
+        return self.name or f"unique({','.join(self.cols)})"
+
+
+def unique(*cols: str, min_ratio: float = 1.0) -> UniqueRule:
+    return UniqueRule(tuple(cols), min_ratio)
+
+
+def run_checks(df: DataFrame, rules: list) -> DataFrame:
+    """Evaluate all rules; returns (rule string, metric double 6dp,
+    threshold double, passed boolean), one row per rule, ordered by
+    rule name for deterministic output."""
+    spark = df.sparkSession
+    row_rules = [r for r in rules if isinstance(r, Rule)]
+    uniq_rules = [r for r in rules if isinstance(r, UniqueRule)]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(row_rules):
+        aggs.append(
+            F.sum(F.when(r.predicate, 1).otherwise(0)).alias(f"__c{i}")
+        )
+    base = df.agg(*aggs).collect()[0]  # one row, O(|rules|) wide
+    n = base["__n"]
+
+    rows = []
+    for i, r in enumerate(row_rules):
+        metric = (base[f"__c{i}"] / n) if n else 1.0
+        rows.append((r.name, round(metric, 6), r.min_ratio, metric >= r.min_ratio))
+    for r in uniq_rules:
+        dn = df.select(*r.cols).distinct().count()
+        metric = (dn / n) if n else 1.0
+        rows.append(
+            (r.label(), round(metric, 6), r.min_ratio, metric >= r.min_ratio)
+        )
+    rows.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        rows, "rule string, metric double, threshold double, passed boolean"
+    )

@@ -6887,3 +6887,185 @@ def returns_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("ci_lo"),
         F.round((center + margin) / denom, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "dq_rules_orders",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders),
+    m AS (
+      SELECT
+        SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS c_nn,
+        SUM(CASE WHEN o_totalprice > 0 AND o_totalprice <= 600000
+                 THEN 1 ELSE 0 END) AS c_rng,
+        SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS c_st,
+        SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 1 ELSE 0 END) AS c_pr,
+        SUM(CASE WHEN o_orderdate >= DATE '1992-01-01'
+                      AND o_orderdate < DATE '1999-01-01'
+                 THEN 1 ELSE 0 END) AS c_dt
+      FROM orders
+    ), u AS (SELECT COUNT(DISTINCT o_orderkey) AS du FROM orders)
+    SELECT rule, round(metric, 6) AS metric,
+           CAST(threshold AS DOUBLE) AS threshold,
+           metric >= threshold AS passed
+    FROM (
+      SELECT 'in_set(o_orderstatus)' AS rule, m.c_st * 1.0 / n.n AS metric,
+             1.0 AS threshold FROM m, n
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', m.c_pr * 1.0 / n.n, 1.0 FROM m, n
+      UNION ALL
+      SELECT 'not_null(o_custkey)', m.c_nn * 1.0 / n.n, 1.0 FROM m, n
+      UNION ALL
+      SELECT 'orderdate_in_era', m.c_dt * 1.0 / n.n, 0.99 FROM m, n
+      UNION ALL
+      SELECT 'range(o_totalprice)', m.c_rng * 1.0 / n.n, 1.0 FROM m, n
+      UNION ALL
+      SELECT 'unique(o_orderkey)', u.du * 1.0 / n.n, 1.0 FROM u, n
+    ) ORDER BY rule
+    """,
+)
+def dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification (operators/dq — the
+    Deequ-style mini rules engine): six constraints on orders —
+    completeness, value range, status domain, priority pattern, an
+    era-window ratio rule at 99%, and primary-key uniqueness — compiled
+    into ONE aggregate pass plus one key-only distinct count.
+
+    Scale: every row rule is a conditional count in the same Aggregate
+    node (map-side partials; adding rules adds columns, not scans);
+    uniqueness shuffles only the 8-byte key. The report is the
+    load-gate a replication job checks before swapping staging into
+    the sink table (the reference's row-count check, generalized)."""
+    from replicadb_spark.operators import dq
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    rules = [
+        dq.not_null("o_custkey"),
+        dq.satisfies(
+            "range(o_totalprice)",
+            F.col("o_totalprice").between(F.lit(0).cast("double"), F.lit(600000.0))
+            & (F.col("o_totalprice") > 0),
+        ),
+        dq.in_set("o_orderstatus", ["O", "F", "P"]),
+        dq.matches("o_orderpriority", "^[1-5]-"),
+        dq.satisfies(
+            "orderdate_in_era",
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date")),
+            min_ratio=0.99,
+        ),
+        dq.unique("o_orderkey"),
+    ]
+    return dq.run_checks(o, rules)
+
+
+@register(
+    "join_strategy_advisor",
+    oracle="""
+    WITH l AS (SELECT COUNT(*) AS n FROM lineitem),
+         o AS (SELECT COUNT(*) AS n FROM orders),
+         k AS (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+         s AS (SELECT MAX(c) AS mx, AVG(c) AS av, COUNT(*) AS nk FROM k)
+    SELECT o.n AS build_rows, l.n AS probe_rows,
+           CAST(s.nk AS BIGINT) AS distinct_keys,
+           CAST(s.mx AS BIGINT) AS max_key_rows,
+           round(s.mx / s.av, 6) AS skew_factor,
+           CASE WHEN o.n <= 1000000 THEN 'broadcast'
+                WHEN s.mx / s.av > 10.0 THEN 'salted'
+                ELSE 'shuffle' END AS strategy
+    FROM l, o, s
+    """,
+)
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-planning card for orders⋈lineitem: side cardinalities, the
+    probe side's key-frequency skew (max/avg rows per key), and the
+    strategy a planner should pick — broadcast when the build side fits
+    the 1M-row budget, salted when one key dominates (>10× average),
+    plain shuffle otherwise. The thresholds are the same decision
+    procedure operators/skew.key_skew_profile documents; this surfaces
+    it as a one-row advisory a pipeline can log before running the
+    join it describes.
+
+    Scale: three independent aggregates (two counts + one two-level
+    key-frequency profile with map-side partials) — the card costs a
+    scan per side, never a join. skew_factor is an exact bigint/avg
+    double division rounded at 6 dp."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    l_n = t["lineitem"].count()
+    o_n = t["orders"].count()
+    prof = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.max("c").alias("mx"),
+            F.avg("c").alias("av"),
+            F.count("*").alias("nk"),
+        )
+        .collect()[0]
+    )
+    skew = prof["mx"] / prof["av"]
+    strategy = (
+        "broadcast" if o_n <= 1_000_000 else ("salted" if skew > 10.0 else "shuffle")
+    )
+    return spark.range(1).select(
+        F.lit(o_n).cast("long").alias("build_rows"),
+        F.lit(l_n).cast("long").alias("probe_rows"),
+        F.lit(prof["nk"]).cast("long").alias("distinct_keys"),
+        F.lit(prof["mx"]).cast("long").alias("max_key_rows"),
+        F.round(F.lit(skew), 6).alias("skew_factor"),
+        F.lit(strategy).alias("strategy"),
+    )
+
+
+@register(
+    "dow_seasonality_events",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS gmean
+      FROM events
+    )
+    SELECT isodow(ts) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_value,
+           round((CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(*)) / g.gmean, 6) AS seasonal_index
+    FROM events, g
+    GROUP BY isodow(ts), g.gmean
+    """,
+)
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile: mean event value per ISO weekday
+    (1 = Monday) and its ratio to the global mean — the seasonal-index
+    card behind any weekly-pattern dashboard or forecast baseline
+    (q6_forecast_revenue's seasonality-aware sibling).
+
+    Determinism: ISO weekday numbering pinned on both engines (Spark's
+    Sunday-first dayofweek is re-based); means ride DECIMAL sums; the
+    index is a division of two identically-derived doubles, rounded at
+    6 dp. Scale: one 7-key aggregate plus a 1-row global aggregate
+    broadcast back — two scans, no shuffle beyond the 7 keys."""
+    e = _t(spark, sf_dir, "events")["events"]
+    iso = (F.dayofweek("ts") + 5) % 7 + 1
+    g = e.agg(
+        (F.sum(_dec(F.col("value"))).cast("double") / F.count("*")).alias("gmean")
+    )
+    return (
+        e.groupBy(iso.alias("dow"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_dec(F.col("value"))).cast("double") / F.count("*")).alias(
+                "__mean"
+            ),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "dow",
+            "n",
+            F.round("__mean", 6).alias("mean_value"),
+            F.round(F.col("__mean") / F.col("gmean"), 6).alias("seasonal_index"),
+        )
+    )

@@ -302,3 +302,45 @@ def test_key_skew_profile_orders_and_shares(spark):
     )
     rows = key_skew_profile(df, "k", top=2).collect()
     assert [(r.key, r.cnt, r.share) for r in rows] == [("a", 6, 0.6), ("b", 3, 0.3)]
+
+
+def test_dq_rules_engine_pass_fail_and_nulls(spark):
+    """Null predicate rows fail their rule; unique() detects dup keys;
+    thresholds separate pass from fail."""
+    from replicadb_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, None), (2, 20.0, "b"), (4, None, "c")],
+        "id long, v double, s string",
+    )
+    report = dq.run_checks(
+        df,
+        [
+            dq.not_null("s"),                       # 3/4
+            dq.in_range("v", 0, 100),               # 2/4 (null + negative fail)
+            dq.unique("id"),                        # 3 distinct / 4
+            dq.satisfies("v_mostly_pos", F.col("v") > 0, min_ratio=0.5),  # 2/4 ≥ .5
+        ],
+    )
+    got = {r["rule"]: (r["metric"], r["passed"]) for r in report.collect()}
+    assert got["not_null(s)"] == (0.75, False)
+    assert got["range(v)"] == (0.5, False)
+    assert got["unique(id)"] == (0.75, False)
+    assert got["v_mostly_pos"] == (0.5, True)
+
+
+def test_dq_rules_single_aggregate_plan(spark):
+    """All row rules compile into ONE aggregate over one scan (the
+    Deequ property): no joins, no per-rule scans."""
+    from replicadb_spark.operators import dq
+    from replicadb_spark.session import tables
+
+    o = tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
+    rules = [dq.not_null("o_custkey"), dq.in_set("o_orderstatus", ["O", "F", "P"])]
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(r.predicate, 1).otherwise(0)).alias(f"__c{i}")
+        for i, r in enumerate(rules)
+    ]
+    plan = o.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
+    assert "Join" not in plan
