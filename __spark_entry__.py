@@ -90,6 +90,7 @@ _GATE_LAST = (
     "customer_rfm_segments", "revenue_pareto_cut", "rolling_wau",
     "attribution_linear_credit", "returns_rate_wilson_ci",
     "dq_rules_orders", "join_strategy_advisor", "dow_seasonality_events",
+    "user_feature_hash", "copurchase_degree_profile",
     # r03-green queries that did not fit the r5 window — each carries
     # independent per-round evidence (bench-measured recall for the 4
     # sketch queries, self-checking bound rows for the approx gates,

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "dq_rules_orders",
     "join_strategy_advisor",
     "dow_seasonality_events",
+    "user_feature_hash",
+    "copurchase_degree_profile",
 ]
 
 

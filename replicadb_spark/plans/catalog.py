@@ -7069,3 +7069,106 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__mean") / F.col("gmean"), 6).alias("seasonal_index"),
         )
     )
+
+
+@register(
+    "user_feature_hash",
+    oracle=r"""
+    WITH feats AS (
+      SELECT user_id, f FROM (
+        SELECT user_id,
+               UNNEST(['type=' || event_type,
+                       'hour=' || CAST(EXTRACT(hour FROM ts) AS VARCHAR)]) AS f
+        FROM events
+      )
+    ), hashed AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ascii(c) AS BIGINT) FOR c IN string_split(f, '')]),
+               (acc, c) -> (acc * 31 + c) % 1000000007
+             ) AS h
+      FROM feats
+    )
+    SELECT user_id, CAST(h % 16 AS INT) AS bucket,
+           CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+             AS weight
+    FROM hashed
+    GROUP BY user_id, h % 16
+    HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    """,
+)
+def user_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: each event contributes two
+    categorical features (type, hour-of-day) hashed into a 16-bucket
+    signed feature space per user — the fixed-width, vocabulary-free
+    encoding (Weinberger et al.) that feeds linear models at any
+    cardinality. The SIGN hash (next bit of the same hash value)
+    unbiases collisions, the defining trick; zero-weight buckets
+    (exact cancellation) drop out.
+
+    Determinism: the bucket and sign come from the repo's portable
+    31-fold poly hash (the fingerprint precedent), so the oracle
+    replays them bit-for-bit. Scale: explode ×2, ONE map-side-combined
+    aggregate on (user, bucket) — no vocabulary table, no join, which
+    is the entire point of feature hashing."""
+    from replicadb_spark.functions.dedup import poly_hash
+
+    e = _t(spark, sf_dir, "events")["events"]
+    feats = e.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("type="), F.col("event_type")),
+                F.concat(F.lit("hour="), F.hour("ts").cast("string")),
+            )
+        ).alias("f"),
+    )
+    hashed = feats.select("user_id", poly_hash(F.col("f")).alias("h"))
+    sign = F.when((F.col("h") / 16).cast("long") % 2 == 0, 1).otherwise(-1)
+    return (
+        hashed.select(
+            "user_id", (F.col("h") % 16).cast("int").alias("bucket"), sign.alias("s")
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("s").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+@register(
+    "copurchase_degree_profile",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), und AS (
+      SELECT DISTINCT src AS v, dst AS w FROM e
+      UNION SELECT DISTINCT dst, src FROM e
+    ), deg AS (SELECT v, COUNT(*) AS d FROM und GROUP BY v)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many parts
+    have each neighbor count — the first diagnostic before any graph
+    algorithm (a heavy-tailed profile says "orient by degree, expect
+    hub blowup"; it is WHY triangle_count degree-orders and pagerank
+    checkpoints). Shares _copurchase_edges with the triangle/pagerank
+    queries, so bench's shared-build economics apply.
+
+    Scale: distinct undirected edges → per-node count → per-degree
+    count: three map-side-partial hash aggregates, each strictly
+    smaller than the last; no windows, nothing driver-side."""
+    edges = _copurchase_edges(spark, sf_dir).distinct()
+    und = edges.selectExpr("src AS v", "dst AS w").unionByName(
+        edges.selectExpr("dst AS v", "src AS w")
+    )
+    deg = und.groupBy("v").agg(F.count("*").alias("d"))
+    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )

@@ -449,3 +449,29 @@ def test_attribution_single_user_shuffle(spark):
     plan = _plan(spark, "purchase_attribution")
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") == 1
+
+
+def test_rolling_wau_contribution_explode_no_range_join(spark):
+    """Sliding-distinct via contribution explode: a Generate (explode)
+    feeds the per-day distinct — no inequality join anywhere."""
+    plan = _plan(spark, "rolling_wau")
+    assert "Generate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_linear_attribution_is_equijoin_with_band_filter(spark):
+    """The 7-day interval join keys on user_id (hash/merge equijoin);
+    the time band is a join-condition filter, never a nested-loop
+    cartesian."""
+    plan = _plan(spark, "attribution_linear_credit")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_windows_are_keyed_by_nation(spark):
+    """Cumulative share windows partition by n_name — no global-order
+    window over the part grain."""
+    plan = _plan(spark, "revenue_pareto_cut")
+    seg = plan.split("Window", 1)[1]
+    assert "n_name" in seg.splitlines()[0]
