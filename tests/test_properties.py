@@ -325,3 +325,77 @@ def test_mg_reduce_invariants(counts, k):
     for key, c in counts.items():
         if c > total / (k + 1):
             assert key in red, (key, c, total, k)
+
+
+# ---------------------------------------------------------------------------
+# KMV estimator (pure, fast, many examples)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.sets(st.integers(min_value=-(2**62), max_value=2**62), max_size=300),
+    st.integers(min_value=8, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_estimate_exact_when_unsaturated_and_positive(ranks, k):
+    from replicadb_spark.operators.quantiles import _kmv_estimate
+
+    bottom = sorted(ranks)[:k]
+    est = _kmv_estimate(bottom, k)
+    assert est >= 0.0
+    if len(ranks) < k:
+        # sketch IS the distinct set
+        assert est == float(len(ranks))
+
+
+@given(
+    st.sets(st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1, max_size=400),
+    st.sets(st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1, max_size=400),
+    st.integers(min_value=16, max_value=128),
+)
+@settings(max_examples=100, deadline=None)
+def test_kmv_set_estimates_merge_properties(a, b, k):
+    """Union estimate from the two sketches equals the estimate of the
+    directly-merged sketch (KMV mergeability), intersection never
+    exceeds the union, and jaccard stays in [0, 1]."""
+    from replicadb_spark.operators.quantiles import (
+        _kmv_estimate,
+        kmv_set_estimates,
+    )
+
+    sa, sb = sorted(a)[:k], sorted(b)[:k]
+    est = kmv_set_estimates(sa, sb, k)
+    direct_union = _kmv_estimate(sorted(set(sa) | set(sb))[:k], k)
+    assert est["est_union"] == direct_union
+    assert 0.0 <= est["jaccard"] <= 1.0
+    assert est["est_intersect"] <= est["est_union"] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization arithmetic (pure kernel logic via numpy)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=2, max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_int8_code_arithmetic_bound(xs):
+    """round((x-lo)/step)-127 always lands in [-127, 127] and decodes
+    within step/2 — the invariant emb_int8_quant_gate checks end-to-end
+    on Spark, pinned here on the bare arithmetic for every profile
+    hypothesis can dream up (one dimension, corpus = the list)."""
+    import numpy as np
+
+    v = np.array(xs, dtype=np.float64)
+    lo, hi = v.min(), v.max()
+    step = max(hi - lo, 0.0) / 254.0
+    if step == 0.0:
+        return  # constant dim: codes are 0, recon == lo, exact
+    code = np.rint((v - lo) / step) - 127
+    assert code.min() >= -127 and code.max() <= 127
+    recon = (code + 127.0) * step + lo
+    assert (np.abs(recon - v) <= step / 2 + 1e-9 * max(abs(lo), abs(hi), 1.0)).all()
