@@ -673,3 +673,54 @@ def test_stream_kmv_equals_batch_kmv_with_duplicates(spark, tmp_path):
     # 1200 true distinct keys; k=256 → ~6% σ, assert a loose 25% band
     est = _kmv_estimate(streamed, 256)
     assert abs(est - 1200) <= 300
+
+
+def test_stream_psi_matches_batch_psi(spark, tmp_path):
+    """The maintained per-bucket histogram after 3 micro-batches yields
+    the SAME PSI as one batch pass over all rows with the same fixed
+    reference bounds — exact count mergeability."""
+    import math
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    vals = [float((x * 37) % 100) for x in range(900)]
+    for i in range(3):
+        tbl = pa.table({"value": pa.array(vals[i * 300:(i + 1) * 300])})
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    from replicadb_spark.streaming import pipeline as P
+
+    bounds = [20.0, 40.0, 60.0, 80.0]
+    ref_props = {1: 0.3, 2: 0.2, 3: 0.2, 4: 0.2, 5: 0.1}
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    state = str(tmp_path / "psi_state")
+    q = P.stream_psi_drift(
+        stream, state, str(tmp_path / "psi_ckpt"),
+        value_col="value", bounds=bounds,
+    )
+    q.awaitTermination(120)
+
+    streamed_psi = P.psi_from_state(spark, state, ref_props, len(bounds) + 1)
+
+    # batch reference: same bucketing over all 900 values in python
+    counts = {}
+    for v in vals:
+        b = sum(1 for x in bounds if v > x) + 1
+        counts[b] = counts.get(b, 0) + 1
+    total = sum(counts.values())
+    batch_psi = 0.0
+    for b in range(1, len(bounds) + 2):
+        pc = max(counts.get(b, 0) / total, 1e-6)
+        pr = max(ref_props.get(b, 0.0), 1e-6)
+        batch_psi += (pc - pr) * math.log(pc / pr)
+    assert abs(streamed_psi - batch_psi) < 1e-12
+    assert streamed_psi > 0.0  # the planted distribution does drift
