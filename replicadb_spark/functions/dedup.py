@@ -794,24 +794,50 @@ def semantic_dedup(
     |kept|) vectorized rows — strictly less than the Gram matrix the
     verification pass builds anyway. Deterministic: cells, processing
     order (ascending id), and tie handling are all hash/id-based, no
-    RNG.
+    RNG; cell ties go to the lowest cell id (first maximal column of
+    the score matrix).
     """
     import numpy as np
     import pandas as pd
 
-    from replicadb_spark.functions.similarity import assign_cells, coarse_centroids
+    from replicadb_spark.functions.similarity import coarse_centroids
 
     cents = coarse_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         lloyd_iters=lloyd_iters,
     )
-    assigned = (
-        corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-        .join(
-            assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col, top=1),
-            "__vid",
-        )
-    )
+    # The centroid table is bounded (n_cells rows — the codebook-collect
+    # precedent), so nearest-cell assignment is a ZERO-shuffle Arrow
+    # argmax with the centroid matrix riding the closure: the corpus
+    # shuffles exactly once in this whole operator (the per-cell
+    # groupBy below). Ties go to the lower cell id, matching
+    # assign_cells' (score desc, cell asc) order bit-for-bit: argmax
+    # on an epsilon-free score matrix returns the FIRST maximal column,
+    # and columns are ordered by cell id.
+    crows = cents.orderBy("cell").collect()
+    cell_ids = np.array([r["cell"] for r in crows])
+    C = np.array([r["cent_vec"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+
+    def assign_local(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            S = (M / mn[:, None]) @ Cn.T  # (rows, n_cells) cosine
+            best = cell_ids[S.argmax(axis=1)]
+            yield pd.DataFrame(
+                {"__vid": pdf["__vid"], "cell": best, "__v": pdf["__v"]}
+            )
+
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    assigned = corpus.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).mapInPandas(assign_local, schema=f"__vid long, cell int, __v {vec_t}")
 
     def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("__vid").reset_index(drop=True)
