@@ -341,17 +341,15 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top: int = 1,
-    carry_vec: bool = False,
 ) -> DataFrame:
     """Nearest-cell assignment against a broadcast centroid table:
-    returns DataFrame(__vid, cell) — plus the vector itself as ``__v``
-    when ``carry_vec`` — with each vector's ``top`` closest cells by
-    cosine (ties to the lower cell id). The corpus partition never
-    shuffles — it streams through the broadcast join; the only
-    exchange is the per-vector top-k window keyed by __vid.
-    ``carry_vec`` rides the vector through that one exchange, saving
-    callers that need (id, vec, cell) a second full join-shuffle back
-    onto the corpus."""
+    returns DataFrame(__vid, cell) with each vector's ``top`` closest
+    cells by cosine (ties to the lower cell id). The corpus partition
+    never shuffles — it streams through the broadcast join; the only
+    exchange is the tiny per-vector top-k window keyed by __vid.
+    (Callers needing top=1 over a BOUNDED centroid table and the
+    vector alongside should prefer the collected-argmax kernel shape —
+    see dedup.semantic_dedup — which has zero exchanges.)"""
     w_cell = Window.partitionBy("__vid").orderBy(
         F.col("__cscore").desc(), F.col("cell").asc()
     )
@@ -359,17 +357,13 @@ def assign_cells(
         df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
         .crossJoin(F.broadcast(centroids))
         .select(
-            "__vid",
-            "__v",
-            "cell",
-            cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore"),
+            "__vid", "cell", cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore")
         )
     )
-    out_cols = ["__vid", "cell"] + (["__v"] if carry_vec else [])
     return (
         scored.withColumn("__r", F.row_number().over(w_cell))
         .where(F.col("__r") <= top)
-        .select(*out_cols)
+        .select("__vid", "cell")
     )
 
 

@@ -229,3 +229,71 @@ def test_ann_ivfpq_rejects_indivisible_dim(spark):
     q = e.where(F.col("vec_id") < 2)
     with pytest.raises(ValueError, match="not divisible"):
         S.ann_ivf_pq(e, q, m_sub=7).count()
+
+
+def test_whiten_project_planted_anisotropy(spark):
+    """Plant data with wildly different per-direction variances; the
+    whitened output must have ~zero mean and ~identity covariance —
+    and the transform must actually use the eigenstructure (a plain
+    scale of raw axes would fail on the rotated plant)."""
+    import numpy as np
+
+    from replicadb_spark.functions.decomposition import (
+        covariance_stats,
+        whiten_project,
+    )
+
+    rng = np.random.RandomState(11)
+    # anisotropic then rotated: axes of variance are NOT the raw dims
+    base = rng.randn(400, 3) * np.array([10.0, 1.0, 0.1])
+    theta = 0.7
+    R = np.array([
+        [np.cos(theta), -np.sin(theta), 0.0],
+        [np.sin(theta), np.cos(theta), 0.0],
+        [0.0, 0.0, 1.0],
+    ])
+    V = base @ R.T + np.array([5.0, -3.0, 0.5])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    white = whiten_project(df, "embedding", id_col="vec_id", m=3)
+    n, mean, cov = covariance_stats(white, "white")
+    assert n == 400
+    assert np.abs(mean).max() < 1e-6
+    assert np.abs(cov - np.eye(3)).max() < 1e-6
+
+
+def test_semantic_dedup_with_lloyd_refinement(spark):
+    """Invariants hold with Lloyd-refined centroids too: no kept pair
+    within a cell above threshold, every removed vector has a smaller-id
+    kept neighbor in its cell."""
+    import numpy as np
+
+    from replicadb_spark.functions.dedup import (
+        semantic_cell_pairs,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(30, 6)
+    # plant duplicates: rows 30..44 are near-copies of rows 0..14
+    dups = base[:15] + rng.randn(15, 6) * 1e-3
+    V = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(45)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_cells=4,
+        threshold=0.999, lloyd_iters=2,
+    ).collect()
+    assert len(out) == 45 and len({r["id"] for r in out}) == 45
+    kept = {r["id"] for r in out if r["kept"]}
+    removed = {r["id"] for r in out if not r["kept"]}
+    assert removed, "planted near-copies must dedupe"
+    assign = spark.createDataFrame(
+        [(r["id"], r["cell"]) for r in out], "id long, cell int"
+    )
+    pairs = semantic_cell_pairs(
+        df, assign, id_col="vec_id", vec_col="embedding", threshold=0.999
+    ).collect()
+    assert not any(p.id_a in kept and p.id_b in kept for p in pairs)
+    covered = {p.id_b for p in pairs if p.id_a in kept}
+    assert removed <= covered
