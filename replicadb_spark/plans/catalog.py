@@ -5623,11 +5623,13 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), ch AS (
       SELECT doc_id, UNNEST(generate_series(0,
-               CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS chunk_idx, t
+               greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1) - 1))
+               AS chunk_idx, t
       FROM toks
     ), chunks AS (
       SELECT doc_id, chunk_idx,
-             array_to_string(t[chunk_idx*16 + 1 : chunk_idx*16 + 16], ' ') AS chunk
+             coalesce(array_to_string(t[chunk_idx*16 + 1 : chunk_idx*16 + 16],
+                                      ' '), '') AS chunk
       FROM ch
     ), firsts AS (
       SELECT chunk, MIN(doc_id * 100000 + chunk_idx) AS first_key
@@ -5668,10 +5670,20 @@ def chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             "doc_id",
             "t",
+            # greatest(…, 1): an empty/whitespace doc still yields ONE
+            # (empty) chunk — without the floor, Spark's sequence(0, -1)
+            # counts DOWN (the shingles_tokens guard precedent) while
+            # DuckDB's generate_series returns empty, and the engines
+            # diverge
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    (F.ceil(F.size("t") / F.lit(16.0)) - 1).cast("long"),
+                    (
+                        F.greatest(
+                            F.ceil(F.size("t") / F.lit(16.0)), F.lit(1)
+                        )
+                        - 1
+                    ).cast("long"),
                 )
             ).alias("chunk_idx"),
         )

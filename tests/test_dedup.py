@@ -274,3 +274,44 @@ def test_semantic_cell_pairs_matches_exact(spark):
         if S[i, j] >= 0.3
     }
     assert got == want and len(want) > 0
+
+
+def test_chunk_dedup_spark_duckdb_agree_on_empty_docs(spark):
+    """Empty/whitespace documents must not diverge between the engines:
+    Spark's sequence() counts DOWN for a negative stop (phantom chunks)
+    while DuckDB's generate_series returns empty — the catalog query
+    floors the chunk count at 1 on both sides. Verified end-to-end by
+    running the gated query on a corpus WITH empty docs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma", "", "   ", "alpha beta gamma delta"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [16, 0, 3, 22],
+    }
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table(rows), os.path.join(d, "documents.parquet"))
+
+    sdf = E.queries()["chunk_dedup_rebuild"](spark, d).orderBy("doc_id")
+    got = [(r["doc_id"], r["n_chunks"], r["n_kept"], r["rebuilt_text"])
+           for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = con.execute(
+        E.oracle_sql()["chunk_dedup_rebuild"] + " ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    # empty docs: exactly one empty chunk each, second one deduped away
+    by_id = {g[0]: g for g in got}
+    assert by_id[2][1] == 1 and by_id[3][1] == 1
+    assert by_id[2][2] + by_id[3][2] == 1  # one keeps the empty chunk
