@@ -6758,6 +6758,8 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")["events"]
     ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
     hi = ud.agg(F.max("d")).collect()[0][0]  # 1-row action, documented
+    if hi is None:  # empty input: agree with the oracle's empty result
+        return spark.createDataFrame([], "day_s string, wau long")
     x = ud.select(
         "user_id",
         F.explode(
