@@ -5757,32 +5757,34 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict = D.semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.30
     ).persist()
-    pairs = D.semantic_cell_pairs(
-        e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
-    )
+    try:
+        pairs = D.semantic_cell_pairs(
+            e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
+        )
 
-    n_total = e.count()
-    n_verdicts = verdict.count()
-    distinct_ids = verdict.select("id").distinct().count()
-    partition_ok = n_verdicts == n_total and distinct_ids == n_total
+        n_total = e.count()
+        n_verdicts = verdict.count()
+        distinct_ids = verdict.select("id").distinct().count()
+        partition_ok = n_verdicts == n_total and distinct_ids == n_total
 
-    kept = verdict.where("kept").select("id")
-    removed = verdict.where("NOT kept").select("id")
-    n_removed = removed.count()
+        kept = verdict.where("kept").select("id")
+        removed = verdict.where("NOT kept").select("id")
+        n_removed = removed.count()
 
-    both_kept = (
-        pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
-        .join(kept.withColumnRenamed("id", "id_b"), "id_b")
-        .count()
-    )
-    covered = (
-        pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
-        .join(removed.withColumnRenamed("id", "id_b"), "id_b")
-        .select("id_b")
-        .distinct()
-        .count()
-    )
-    verdict.unpersist()
+        both_kept = (
+            pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
+            .join(kept.withColumnRenamed("id", "id_b"), "id_b")
+            .count()
+        )
+        covered = (
+            pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
+            .join(removed.withColumnRenamed("id", "id_b"), "id_b")
+            .select("id_b")
+            .distinct()
+            .count()
+        )
+    finally:
+        verdict.unpersist()
     return spark.range(1).select(
         F.lit(n_total).cast("long").alias("n"),
         F.lit(bool(partition_ok)).alias("partition_ok"),
