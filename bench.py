@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "vocab_growth_by_source",
     "twap_by_user",
     "winsorized_stats_by_type",
+    "equidepth_histogram_value",
     "source_overlap_matrix",
     "chunk_dedup_rebuild",
     "semantic_dedup_gate",

@@ -814,7 +814,12 @@ def semantic_dedup(
     # assign_cells' (score desc, cell asc) order bit-for-bit: argmax
     # on an epsilon-free score matrix returns the FIRST maximal column,
     # and columns are ordered by cell id.
+    id_t = dict(corpus.dtypes)[id_col]
     crows = cents.orderBy("cell").collect()
+    if not crows:  # empty corpus → empty verdict, same schema
+        return corpus.sparkSession.createDataFrame(
+            [], f"id {id_t}, cell int, kept boolean"
+        )
     cell_ids = np.array([r["cell"] for r in crows])
     C = np.array([r["cent_vec"] for r in crows], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
@@ -837,7 +842,7 @@ def semantic_dedup(
     vec_t = corpus.schema[vec_col].dataType.simpleString()
     assigned = corpus.select(
         F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
-    ).mapInPandas(assign_local, schema=f"__vid long, cell int, __v {vec_t}")
+    ).mapInPandas(assign_local, schema=f"__vid {id_t}, cell int, __v {vec_t}")
 
     def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("__vid").reset_index(drop=True)
@@ -857,7 +862,7 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(
-        greedy, schema="id long, cell int, kept boolean"
+        greedy, schema=f"id {id_t}, cell int, kept boolean"
     )
 
 
@@ -881,6 +886,7 @@ def semantic_cell_pairs(
     import numpy as np
     import pandas as pd
 
+    id_t = dict(corpus.dtypes)[id_col]
     joined = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
     ).join(assignment.select("id", "cell"), "id")
@@ -905,5 +911,5 @@ def semantic_cell_pairs(
         )
 
     return joined.groupBy("cell").applyInPandas(
-        pairs, schema="id_a long, id_b long, cell int, sim double"
+        pairs, schema=f"id_a {id_t}, id_b {id_t}, cell int, sim double"
     )

@@ -83,6 +83,11 @@ def quantize_int8(
                 continue
             M = np.array(pdf["__v"].tolist(), dtype=np.float64)
             C = np.rint((M - lo) / safe).astype(np.int64) - 127
+            # params may be fitted on a different corpus: out-of-range
+            # values SATURATE at the range ends instead of wrapping
+            # through int8 overflow (error bounded by the overshoot,
+            # not the full range)
+            C = np.clip(C, -127, 127)
             C = np.where(step == 0.0, 0, C).astype(np.int8)
             yield pd.DataFrame({"id": pdf["__id"], "codes": list(C)})
 

@@ -5455,9 +5455,14 @@ def twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seg.groupBy("user_id")
         .agg(
+            # try_divide: a user whose every segment is 0 µs (identical
+            # timestamps) must be DROPPED by the span filter below, not
+            # crash the aggregate under ANSI — the oracle's HAVING twin
             F.round(
-                F.sum(_dec(F.col("value") * F.col("dur_us"))).cast("double")
-                / F.sum("dur_us"),
+                F.try_divide(
+                    F.sum(_dec(F.col("value") * F.col("dur_us"))).cast("double"),
+                    F.sum("dur_us"),
+                ),
                 6,
             ).alias("twap"),
             F.sum("dur_us").alias("span_us"),
@@ -5757,11 +5762,12 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict = D.semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.30
     ).persist()
+    # pairs feeds BOTH invariant counts below — persist so the per-cell
+    # Gram matrices (the gate's dominant cost) run once, not twice
+    pairs = D.semantic_cell_pairs(
+        e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
+    ).persist()
     try:
-        pairs = D.semantic_cell_pairs(
-            e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
-        )
-
         n_total = e.count()
         n_verdicts = verdict.count()
         distinct_ids = verdict.select("id").distinct().count()
@@ -5785,6 +5791,7 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         verdict.unpersist()
+        pairs.unpersist()
     return spark.range(1).select(
         F.lit(n_total).cast("long").alias("n"),
         F.lit(bool(partition_ok)).alias("partition_ok"),
@@ -6224,8 +6231,12 @@ def knn_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "ql",
         )
-        # relevant corpus size excludes the query itself (same label)
+        # relevant corpus size excludes the query itself (same label);
+        # singleton-label queries have NO relevance set — drop them,
+        # matching the oracle's inner join on rel_tot (and avoiding an
+        # ANSI divide-by-zero in the recall denominator)
         .select("query_id", (F.col("n_label") - 1).alias("n_rel"))
+        .where(F.col("n_rel") > 0)
     )
     return (
         top.groupBy("query_id")

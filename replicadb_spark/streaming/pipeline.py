@@ -774,6 +774,59 @@ def stream_kmv_distinct(
     return writer.start()
 
 
+def _psi_merge_fn(state_path: str, value_col: str, bounds: "list[float]"):
+    """The foreachBatch merge for stream_psi_drift, module-level so the
+    replay-guard test can drive it with fabricated batch ids."""
+
+    def bucketed_counts(df: DataFrame, batch_id: int) -> DataFrame:
+        # plain comparison chain, not a higher-order filter: HOF lambda
+        # variables break the Union constraint rewrite inside
+        # foreachBatch merges (key not found: <col>), and the chain is
+        # whole-stage codegen anyway
+        bucket = F.lit(1)
+        for b in bounds:
+            bucket = bucket + (F.col(value_col) > F.lit(float(b))).cast("int")
+        return (
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+            .withColumn("last_batch", F.lit(batch_id).cast("long"))
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        delta = bucketed_counts(batch_df, batch_id)
+        if batch_id == 0:
+            delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_path
+            )
+            return
+        try:
+            current = spark.read.parquet(state_path)
+        except AnalysisException as e:
+            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
+            merged = delta
+        else:
+            applied = current.agg(F.max("last_batch")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # at-least-once replay of an applied batch: no-op
+            merged = (
+                current.unionByName(delta)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("c").alias("c"),
+                    F.max("last_batch").alias("last_batch"),
+                )
+            )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    return merge_batch
+
+
 def stream_psi_drift(
     source: DataFrame,
     state_path: str,
@@ -795,46 +848,12 @@ def stream_psi_drift(
 
     Scale: per batch one ≤(len(bounds)+1)-key aggregate; state is one
     row per bucket forever. Same batch-0 stale-state overwrite guard as
-    the sketch twins."""
+    the sketch twins, and — because COUNTS are not set-semantic (a
+    re-applied batch double-counts, the stream_heavy_hitters hazard,
+    unlike the KMV twin's distinct-union) — the state carries the last
+    applied batch id and an at-least-once replay becomes a no-op."""
 
-    def bucketed_counts(df: DataFrame) -> DataFrame:
-        # plain comparison chain, not a higher-order filter: HOF lambda
-        # variables break the Union constraint rewrite inside
-        # foreachBatch merges (key not found: <col>), and the chain is
-        # whole-stage codegen anyway
-        bucket = F.lit(1)
-        for b in bounds:
-            bucket = bucket + (F.col(value_col) > F.lit(float(b))).cast("int")
-        return (
-            df.select(bucket.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("c"))
-        )
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        delta = bucketed_counts(batch_df)
-        if batch_id == 0:
-            delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-                state_path
-            )
-            return
-        try:
-            current = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
-            merged = delta
-        else:
-            merged = (
-                current.unionByName(delta)
-                .groupBy("bucket")
-                .agg(F.sum("c").alias("c"))
-            )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    merge_batch = _psi_merge_fn(state_path, value_col, bounds)
 
     writer = (
         source.writeStream.foreachBatch(merge_batch)

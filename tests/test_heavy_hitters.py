@@ -128,3 +128,25 @@ def test_kmv_estimate_and_merge_accuracy(spark):
     assert abs(est["est_b"] - 6000) <= 0.15 * 6000
     assert abs(est["est_union"] - 10000) <= 0.15 * 10000
     assert abs(est["est_intersect"] - 2000) <= 0.30 * 2000
+
+
+def test_int8_quant_out_of_range_saturates(spark):
+    """Params fitted on one corpus, applied to another: values outside
+    (lo, hi) must SATURATE at the range ends, not wrap through int8
+    overflow (code 128 → -128 would reconstruct near lo instead of hi)."""
+    import numpy as np
+
+    from replicadb_spark.functions import quantization as Q
+
+    fit = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    params = Q.quant_params(fit, "embedding")
+    probe = spark.createDataFrame(
+        [(3, [12.0, -0.5])], "vec_id long, embedding array<double>"
+    )
+    recon = Q.dequantize_int8(
+        Q.quantize_int8(probe, "vec_id", "embedding", params), params
+    ).collect()[0]["recon"]
+    assert abs(recon[0] - 10.0) < 1e-9   # clamped to hi, NOT wrapped to ~lo
+    assert abs(recon[1] - 0.0) < 1e-9    # clamped to lo

@@ -724,3 +724,37 @@ def test_stream_psi_matches_batch_psi(spark, tmp_path):
         batch_psi += (pc - pr) * math.log(pc / pr)
     assert abs(streamed_psi - batch_psi) < 1e-12
     assert streamed_psi > 0.0  # the planted distribution does drift
+
+
+def test_stream_psi_replay_guard_no_double_count(spark, tmp_path):
+    """Counts are not set-semantic: re-delivering an applied batch id
+    must be a no-op (the stream_heavy_hitters guard), or the histogram
+    double-weights the batch. Drives the merge function directly with
+    fabricated batch ids to simulate at-least-once redelivery."""
+    from replicadb_spark.streaming.pipeline import _psi_merge_fn
+
+    state = str(tmp_path / "psi_guard_state")
+    merge = _psi_merge_fn(state, "value", [10.0, 20.0])
+
+    b0 = spark.createDataFrame([(5.0,), (15.0,), (25.0,)], "value double")
+    b1 = spark.createDataFrame([(5.0,), (25.0,)], "value double")
+    merge(b0, 0)
+    merge(b1, 1)
+    after = sorted(
+        (r["bucket"], r["c"]) for r in spark.read.parquet(state).collect()
+    )
+    assert after == [(1, 2), (2, 1), (3, 2)]
+
+    # at-least-once redelivery of batch 1: MUST be a no-op
+    merge(b1, 1)
+    replayed = sorted(
+        (r["bucket"], r["c"]) for r in spark.read.parquet(state).collect()
+    )
+    assert replayed == after
+
+    # a genuinely new batch still applies
+    merge(spark.createDataFrame([(15.0,)], "value double"), 2)
+    final = sorted(
+        (r["bucket"], r["c"]) for r in spark.read.parquet(state).collect()
+    )
+    assert final == [(1, 2), (2, 2), (3, 2)]
