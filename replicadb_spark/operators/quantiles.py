@@ -145,3 +145,46 @@ def kmv_set_estimates(
         "est_intersect": rho * est_union,
         "jaccard": rho,
     }
+
+
+def kmv_grouped_sketch(
+    df: DataFrame, group_cols: "list[str]", key_col, *, k: int
+) -> DataFrame:
+    """One KMV distinct sketch PER GROUP: (group_cols..., ranks
+    array<long>) with the k smallest distinct xxhash64 ranks of
+    ``key_col`` within each group — the build side of sketch
+    re-aggregation (weekly sketches → any coarser grain by merge).
+
+    Plan: the same two-stage shape as kmv_distinct_sketch, grouped —
+    an Arrow pre-prune keeps ≤ k distinct candidate ranks per group
+    per batch, so the keyed exchange that follows moves ≤ k·batches
+    rows per group instead of every distinct key; the final per-group
+    window rank then runs over a pre-pruned set. Without the pre-prune
+    a 10^9-distinct-key group would sort wholesale at the exchange."""
+    import pandas as pd
+
+    hashed = df.select(
+        *group_cols, F.xxhash64(F.col(key_col)).alias("__rk")
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.drop_duplicates(subset=[*group_cols, "__rk"])
+                    .sort_values("__rk")
+                    .groupby(list(group_cols), sort=False)
+                    .head(k)
+                )
+
+    schema = ", ".join(
+        f"{c} {t}" for c, t in df.select(*group_cols).dtypes
+    ) + ", __rk long"
+    pruned = hashed.mapInPandas(prune, schema=schema).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__rk")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__rk")).alias("ranks"))
+    )

@@ -6548,20 +6548,13 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = e.select(
         "event_type",
         F.date_trunc("week", F.col("ts")).cast("string").alias("week_s"),
-        F.xxhash64(F.col("user_id")).alias("__rk"),
+        "user_id",
     )
-    # per-(type, week) bottom-k distinct ranks: dedupe then rank-window
-    # (groups are few here; the Arrow pre-prune variant is
-    # kmv_distinct_sketch — this grouped build shares its semantics)
-    wnd = Window.partitionBy("event_type", "week_s").orderBy("__rk")
-    sketches = (
-        keyed.distinct()
-        .withColumn("rn", F.row_number().over(wnd))
-        .where(F.col("rn") <= k)
-        .groupBy("event_type", "week_s")
-        .agg(F.sort_array(F.collect_list("__rk")).alias("ranks"))
-        .collect()  # ≤ k ranks × |groups| — bounded summary, not data
-    )
+    from replicadb_spark.operators.quantiles import kmv_grouped_sketch
+
+    sketches = kmv_grouped_sketch(
+        keyed, ["event_type", "week_s"], "user_id", k=k
+    ).collect()  # ≤ k ranks × |groups| — bounded summary, not data
     week_est = {
         (r["event_type"], r["week_s"]): _kmv_estimate(list(r["ranks"]), k)
         for r in sketches

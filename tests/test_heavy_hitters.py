@@ -150,3 +150,28 @@ def test_int8_quant_out_of_range_saturates(spark):
     ).collect()[0]["recon"]
     assert abs(recon[0] - 10.0) < 1e-9   # clamped to hi, NOT wrapped to ~lo
     assert abs(recon[1] - 0.0) < 1e-9    # clamped to lo
+
+
+def test_kmv_grouped_sketch_matches_per_group_sketch(spark):
+    """The grouped build (Arrow pre-prune + keyed rank) produces
+    exactly the bottom-k distinct ranks a per-group kmv_distinct_sketch
+    would — same sketch, one pass over all groups."""
+    from replicadb_spark.operators.quantiles import (
+        kmv_distinct_sketch,
+        kmv_grouped_sketch,
+    )
+
+    rows = [(("a" if i % 3 else "b"), i % 450) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    grouped = {
+        r["g"]: list(r["ranks"])
+        for r in kmv_grouped_sketch(df, ["g"], "k", k=64).collect()
+    }
+    for g in ("a", "b"):
+        solo = sorted(
+            r["__rk"]
+            for r in kmv_distinct_sketch(
+                df.where(F.col("g") == g), "k", k=64
+            ).collect()
+        )
+        assert grouped[g] == solo and len(solo) == 64
