@@ -6030,13 +6030,18 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bucketed(df: DataFrame) -> DataFrame:
+        # unrolled element_at comparisons, not a higher-order filter:
+        # the chain stays in whole-stage codegen where HOF lambdas are
+        # interpreted per row (the band_hashes precedent); identical
+        # arithmetic to the oracle's list_filter count
+        bucket = F.lit(1)
+        for i in range(1, 10):
+            bucket = bucket + (
+                F.col("value") > F.element_at("bs", i)
+            ).cast("int")
         return (
             df.crossJoin(F.broadcast(bounds))
-            .select(
-                (
-                    F.size(F.filter("bs", lambda b: F.col("value") > b)) + 1
-                ).alias("bucket")
-            )
+            .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count("*").alias("c"))
             .withColumn("p", F.col("c") / F.sum("c").over(Window.partitionBy()))
