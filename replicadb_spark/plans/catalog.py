@@ -5769,9 +5769,10 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     try:
         n_total = e.count()
-        n_verdicts = verdict.count()
-        distinct_ids = verdict.select("id").distinct().count()
-        partition_ok = n_verdicts == n_total and distinct_ids == n_total
+        vstats = verdict.agg(
+            F.count("*").alias("nv"), F.countDistinct("id").alias("nd")
+        ).first()
+        partition_ok = vstats["nv"] == n_total and vstats["nd"] == n_total
 
         kept = verdict.where("kept").select("id")
         removed = verdict.where("NOT kept").select("id")
@@ -7012,12 +7013,12 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     it as a one-row advisory a pipeline can log before running the
     join it describes.
 
-    Scale: three independent aggregates (two counts + one two-level
-    key-frequency profile with map-side partials) — the card costs a
-    scan per side, never a join. skew_factor is an exact bigint/avg
-    double division rounded at 6 dp."""
+    Scale: two aggregates — a count of the build side and ONE two-level
+    key-frequency profile of the probe side (map-side partials; its
+    Σcounts IS the probe row count, so the probe table scans once) —
+    the card costs a scan per side, never a join. skew_factor is an
+    exact bigint/avg double division rounded at 6 dp."""
     t = _t(spark, sf_dir, "lineitem", "orders")
-    l_n = t["lineitem"].count()
     o_n = t["orders"].count()
     prof = (
         t["lineitem"]
@@ -7027,9 +7028,11 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("mx"),
             F.avg("c").alias("av"),
             F.count("*").alias("nk"),
+            F.sum("c").alias("n_rows"),
         )
         .collect()[0]
     )
+    l_n = prof["n_rows"]
     skew = prof["mx"] / prof["av"]
     strategy = (
         "broadcast" if o_n <= 1_000_000 else ("salted" if skew > 10.0 else "shuffle")

@@ -36,6 +36,23 @@ def read_event_stream(
     return reader.load(path)
 
 
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    """Read a state/snapshot parquet, returning None ONLY when the path
+    genuinely doesn't exist (first batch). Any other failure re-raises:
+    a corrupt or unreadable state must fail the batch loudly, never
+    silently reset to this batch's rows — the shared contract of every
+    foreachBatch merger in this module."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+        return None
+
+
 def stream_tumbling_agg(
     events: DataFrame,
     *,
@@ -183,23 +200,14 @@ def stream_incremental_upsert(
     from replicadb_spark.modes import upsert_dataframe
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         # newest row per PK within the batch, then merge over the snapshot
         deduped = upsert_dataframe(
             batch_df.limit(0), batch_df, pk_columns, order_column=order_column
         )
-        try:
-            current = spark.read.parquet(sink_path)
-        except AnalysisException as e:
-            # only a genuinely missing snapshot means "first batch" —
-            # same contract as stream_incremental_agg.merge_batch: any
-            # other failure must fail the batch, not silently reset the
-            # snapshot to this batch's rows
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
+        current = _read_parquet_or_none(spark, sink_path)
+        if current is None:
             merged = deduped
         else:
             merged = upsert_dataframe(current, deduped, pk_columns, order_column=order_column)
@@ -339,21 +347,11 @@ def stream_incremental_agg(
     from replicadb_spark.operators.rollup import agg_partials, merge_partials
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         delta = agg_partials(batch_df, keys, value_col)
-        try:
-            current = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            # ONLY a genuinely absent state path means "first batch".
-            # Any other failure (corrupt footer, FS hiccup, concurrent
-            # writer) must propagate and fail the batch so the stream
-            # retries — falling back to `delta` there would silently
-            # reset the maintained aggregate to one micro-batch.
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
+        current = _read_parquet_or_none(spark, state_path)
+        if current is None:
             merged = delta
         else:
             merged = merge_partials(current, delta, keys)
@@ -464,7 +462,6 @@ def stream_bottomk_sample(
     from replicadb_spark.operators.quantiles import bottomk_sample
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         delta = bottomk_sample(batch_df, id_col, k=k, keep=keep)
@@ -476,12 +473,8 @@ def stream_bottomk_sample(
                 state_path
             )
             return
-        try:
-            current = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
+        current = _read_parquet_or_none(spark, state_path)
+        if current is None:
             merged = delta
         else:
             # dropDuplicates makes the merge SET-semantic: an
@@ -540,7 +533,6 @@ def stream_heavy_hitters(
     from replicadb_spark.operators.heavy_hitters import mg_summaries
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         delta = (
@@ -559,12 +551,8 @@ def stream_heavy_hitters(
             # empty either way).
             merged = delta
         else:
-            try:
-                current = spark.read.parquet(state_path)
-            except AnalysisException as e:
-                cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-                if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                    raise
+            current = _read_parquet_or_none(spark, state_path)
+            if current is None:
                 merged = delta
             else:
                 # replay guard: counters are NOT set-semantic (a
@@ -657,7 +645,6 @@ def stream_outlier_profile(
         )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         delta = _prune(
@@ -674,12 +661,8 @@ def stream_outlier_profile(
                 state_path
             )
             return
-        try:
-            current = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
+        current = _read_parquet_or_none(spark, state_path)
+        if current is None:
             merged = delta
         else:
             merged = _prune(current.unionByName(delta).dropDuplicates())
@@ -739,7 +722,6 @@ def stream_kmv_distinct(
     from replicadb_spark.operators.quantiles import kmv_distinct_sketch
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         delta = kmv_distinct_sketch(batch_df, key_col, k=k)
@@ -748,12 +730,8 @@ def stream_kmv_distinct(
                 state_path
             )
             return
-        try:
-            current = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
+        current = _read_parquet_or_none(spark, state_path)
+        if current is None:
             merged = delta
         else:
             merged = (
@@ -794,7 +772,6 @@ def _psi_merge_fn(state_path: str, value_col: str, bounds: "list[float]"):
         )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         delta = bucketed_counts(batch_df, batch_id)
@@ -803,12 +780,8 @@ def _psi_merge_fn(state_path: str, value_col: str, bounds: "list[float]"):
                 state_path
             )
             return
-        try:
-            current = spark.read.parquet(state_path)
-        except AnalysisException as e:
-            cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
+        current = _read_parquet_or_none(spark, state_path)
+        if current is None:
             merged = delta
         else:
             applied = current.agg(F.max("last_batch")).first()[0]
