@@ -399,3 +399,51 @@ def test_int8_code_arithmetic_bound(xs):
     assert code.min() >= -127 and code.max() <= 127
     recon = (code + 127.0) * step + lo
     assert (np.abs(recon - v) <= step / 2 + 1e-9 * max(abs(lo), abs(hi), 1.0)).all()
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup greedy contract (Spark-backed, few examples)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
+        ),
+        min_size=1, max_size=18,
+    ),
+    st.floats(min_value=0.5, max_value=0.999),
+)
+@settings(max_examples=8, deadline=None)
+def test_semantic_dedup_matches_sequential_reference(spark, vecs, threshold):
+    """With one cell, the verdict must equal the sequential greedy
+    min-id maximal-independent-set over the cosine-threshold graph,
+    computed by an independent pure-python model."""
+    import numpy as np
+
+    from replicadb_spark.functions.dedup import semantic_dedup
+
+    rows = [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: r["kept"]
+        for r in semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding",
+            n_cells=1, threshold=threshold,
+        ).collect()
+    }
+
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    Mn = M / nrm[:, None]
+    kept_ref: list[int] = []
+    want = {}
+    for i in range(len(rows)):
+        dup = any(float(Mn[j] @ Mn[i]) >= threshold for j in kept_ref)
+        want[i] = not dup
+        if not dup:
+            kept_ref.append(i)
+    assert got == want
