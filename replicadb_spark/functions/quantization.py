@@ -82,18 +82,21 @@ def quantize_int8(
             if len(pdf) == 0:
                 continue
             M = np.array(pdf["__v"].tolist(), dtype=np.float64)
-            C = np.rint((M - lo) / safe).astype(np.int64) - 127
             # params may be fitted on a different corpus: out-of-range
-            # values SATURATE at the range ends instead of wrapping
-            # through int8 overflow (error bounded by the overshoot,
-            # not the full range)
-            C = np.clip(C, -127, 127)
+            # values SATURATE at the range ends instead of wrapping.
+            # The clip runs in FLOAT space BEFORE the integer cast —
+            # a huge overshoot on a near-constant dimension would
+            # otherwise overflow int64 in the cast and land on the
+            # wrong end despite a later clip.
+            Cf = np.clip(np.rint((M - lo) / safe), 0.0, 254.0)
+            C = (Cf - 127.0).astype(np.int64)
             C = np.where(step == 0.0, 0, C).astype(np.int8)
             yield pd.DataFrame({"id": pdf["__id"], "codes": list(C)})
 
+    id_t = dict(df.dtypes)[id_col]
     return df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(encode, schema="id long, codes array<tinyint>")
+    ).mapInPandas(encode, schema=f"id {id_t}, codes array<tinyint>")
 
 
 def dequantize_int8(
@@ -120,4 +123,5 @@ def dequantize_int8(
             R = (C + 127.0) * step + lo
             yield pd.DataFrame({"id": pdf[id_col], "recon": list(R)})
 
-    return codes.mapInPandas(decode, schema="id long, recon array<double>")
+    id_t = dict(codes.dtypes)[id_col]
+    return codes.mapInPandas(decode, schema=f"id {id_t}, recon array<double>")

@@ -30,11 +30,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; zero-norm vectors score 0 against everything
-    (try_divide → null → coalesce) instead of raising under ANSI mode —
-    identical to the unguarded division whenever both norms are
+    """Cosine similarity; zero-norm vectors score NULL instead of
+    raising under ANSI mode (try_divide). NULL — not 0.0 — so the
+    (score desc) rankings agree with the SQL oracles: both engines
+    sort nulls LAST, whereas a 0.0 would rank a degenerate vector
+    above genuinely negative-similarity neighbors on the Spark side
+    only. Identical to the unguarded division whenever both norms are
     positive, so gated results are unchanged."""
-    return F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def knn_bruteforce(

@@ -70,13 +70,37 @@ def unique(*cols: str, min_ratio: float = 1.0) -> UniqueRule:
     return UniqueRule(tuple(cols), min_ratio)
 
 
+@dataclass(frozen=True)
+class CountRule:
+    """Table-level row-count floor: metric = min(n / min_rows, 1).
+    The rule an ingest gate must ALWAYS include — every per-row ratio
+    rule is vacuously satisfied on an empty table (0-of-0 rows pass),
+    so without a count floor a failed upstream extraction reads as a
+    perfectly clean load."""
+
+    min_rows: int
+
+    def label(self) -> str:
+        return f"at_least({self.min_rows})"
+
+
+def at_least(min_rows: int) -> CountRule:
+    return CountRule(min_rows)
+
+
 def run_checks(df: DataFrame, rules: list) -> DataFrame:
     """Evaluate all rules; returns (rule string, metric double 6dp,
     threshold double, passed boolean), one row per rule, ordered by
-    rule name for deterministic output."""
+    rule name for deterministic output.
+
+    Empty-table semantics: per-row ratio rules are VACUOUSLY true on
+    zero rows (0-of-0 pass — the mathematical convention), so a gate
+    that must reject empty loads needs an explicit ``at_least(n)``
+    count rule; it is the only rule that fails on an empty table."""
     spark = df.sparkSession
     row_rules = [r for r in rules if isinstance(r, Rule)]
     uniq_rules = [r for r in rules if isinstance(r, UniqueRule)]
+    count_rules = [r for r in rules if isinstance(r, CountRule)]
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, r in enumerate(row_rules):
@@ -96,6 +120,9 @@ def run_checks(df: DataFrame, rules: list) -> DataFrame:
         rows.append(
             (r.label(), round(metric, 6), r.min_ratio, metric >= r.min_ratio)
         )
+    for r in count_rules:
+        metric = min(n / r.min_rows, 1.0) if r.min_rows > 0 else 1.0
+        rows.append((r.label(), round(metric, 6), 1.0, n >= r.min_rows))
     rows.sort(key=lambda t: t[0])
     return spark.createDataFrame(
         rows, "rule string, metric double, threshold double, passed boolean"

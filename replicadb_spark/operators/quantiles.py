@@ -173,7 +173,10 @@ def kmv_grouped_sketch(
                 yield (
                     pdf.drop_duplicates(subset=[*group_cols, "__rk"])
                     .sort_values("__rk")
-                    .groupby(list(group_cols), sort=False)
+                    # dropna=False: Spark groupBy keeps null-keyed
+                    # groups; the pandas default would silently drop
+                    # them from the sketch here
+                    .groupby(list(group_cols), sort=False, dropna=False)
                     .head(k)
                 )
 

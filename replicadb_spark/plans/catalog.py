@@ -6448,8 +6448,13 @@ def time_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "purchase_attribution",
     oracle="""
-    WITH clicks AS (
-      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    WITH c0 AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ), clicks AS (
+      SELECT user_id, ts, event_id FROM c0 WHERE rn = 1
     ), p AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ), joined AS (
@@ -6476,14 +6481,25 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     its timestamp in one pass (one union + one keyed window = ONE
     shuffle on user_id); the lookback is a post-filter on the carried
     timestamp, so expired clicks null out without a second join. Lag is
-    microsecond-exact (the twap_by_user precision rule). Oracle =
-    DuckDB's native ASOF LEFT JOIN + the same window guard."""
+    microsecond-exact (the twap_by_user precision rule). Same-microsecond
+    click ties collapse to the LAST WRITER (max event_id — the
+    scd2_point_in_time_join rule) BEFORE the as-of join: the carry
+    window orders only by (ts, side), so an uncollapsed tie would pick
+    whichever row the shuffle delivered last, nondeterministically, on
+    both engines. Oracle = DuckDB's native ASOF LEFT JOIN + the same
+    pre-collapse and window guard."""
     e = _t(spark, sf_dir, "events")["events"]
-    clicks = e.where(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w_tie))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
     )
     p = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -6948,15 +6964,20 @@ def returns_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'range(o_totalprice)', m.c_rng * 1.0 / n.n, 1.0 FROM m, n
       UNION ALL
       SELECT 'unique(o_orderkey)', u.du * 1.0 / n.n, 1.0 FROM u, n
+      UNION ALL
+      SELECT 'at_least(1)', least(n.n * 1.0, 1.0), 1.0 FROM n
     ) ORDER BY rule
     """,
 )
 def dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality verification (operators/dq — the
-    Deequ-style mini rules engine): six constraints on orders —
+    Deequ-style mini rules engine): seven constraints on orders —
     completeness, value range, status domain, priority pattern, an
-    era-window ratio rule at 99%, and primary-key uniqueness — compiled
-    into ONE aggregate pass plus one key-only distinct count.
+    era-window ratio rule at 99%, primary-key uniqueness, and the
+    at_least(1) count floor (per-row rules are vacuously true on an
+    empty table, so a load gate without a count floor green-lights a
+    failed extraction) — compiled into ONE aggregate pass plus one
+    key-only distinct count.
 
     Scale: every row rule is a conditional count in the same Aggregate
     node (map-side partials; adding rules adds columns, not scans);
@@ -6982,6 +7003,7 @@ def dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_ratio=0.99,
         ),
         dq.unique("o_orderkey"),
+        dq.at_least(1),
     ]
     return dq.run_checks(o, rules)
 

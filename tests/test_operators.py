@@ -344,3 +344,20 @@ def test_dq_rules_single_aggregate_plan(spark):
     plan = o.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
     assert "Join" not in plan
+
+
+def test_dq_at_least_fails_empty_table(spark):
+    """Per-row rules are vacuously green on an empty table; the count
+    floor is the rule that catches a failed extraction."""
+    from replicadb_spark.operators import dq
+
+    empty = spark.createDataFrame([], "id long, v double")
+    report = {
+        r["rule"]: r["passed"]
+        for r in dq.run_checks(
+            empty, [dq.not_null("v"), dq.unique("id"), dq.at_least(1)]
+        ).collect()
+    }
+    assert report["not_null(v)"] is True     # vacuous, documented
+    assert report["unique(id)"] is True      # vacuous, documented
+    assert report["at_least(1)"] is False    # the gate with teeth
