@@ -443,14 +443,6 @@ def test_multigrain_rollup_expands_once(spark):
     assert "Union" not in plan
 
 
-def test_attribution_single_user_shuffle(spark):
-    """The as-of attribution join is the union+window plan: exactly one
-    keyed Window, no SortMergeJoin of clicks against purchases."""
-    plan = _plan(spark, "purchase_attribution")
-    assert "SortMergeJoin" not in plan
-    assert plan.count("Window") == 1
-
-
 def test_rolling_wau_contribution_explode_no_range_join(spark):
     """Sliding-distinct via contribution explode: a Generate (explode)
     feeds the per-day distinct — no inequality join anywhere."""
@@ -458,6 +450,19 @@ def test_rolling_wau_contribution_explode_no_range_join(spark):
     assert "Generate" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_windows_are_keyed(spark):
+    """Two windows — the (user, ts) click tie-collapse and the as-of
+    carry — both keyed by user_id (never global); no shuffle join of
+    clicks against purchases."""
+    plan = _plan(spark, "purchase_attribution")
+    assert "SortMergeJoin" not in plan
+    # "Window [" is the window operator node; "WindowGroupLimit" is the
+    # rank-pushdown helper Spark inserts for the rn==1 tie-collapse
+    assert plan.count("Window [") == 2
+    for seg in plan.split("Window [")[1:]:
+        assert "user_id" in seg.splitlines()[0]
 
 
 def test_linear_attribution_is_equijoin_with_band_filter(spark):
