@@ -480,3 +480,49 @@ def test_pareto_windows_are_keyed_by_nation(spark):
     plan = _plan(spark, "revenue_pareto_cut")
     seg = plan.split("Window", 1)[1]
     assert "n_name" in seg.splitlines()[0]
+
+
+def test_scd2_pit_windows_all_keyed_by_user(spark):
+    """Version derivation + as-of carry: every window partitions by
+    user_id; no shuffle join of probe against versions."""
+    plan = _plan(spark, "scd2_point_in_time_join")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window [") >= 2
+    for seg in plan.split("Window [")[1:]:
+        assert "user_id" in seg.splitlines()[0]
+
+
+def test_knn_label_mrr_rides_broadcast_knn_plan(spark):
+    """The eval layer must not change knn's scale shape: queries
+    broadcast (nested-loop over broadcast), label tables broadcast,
+    corpus never sort-merge-joins."""
+    plan = _plan(spark, "knn_label_mrr")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_no_cartesian_and_partial_aggs(spark):
+    """First-occurrence table and doc rebuild are partial-aggregated;
+    the keep-join is an equijoin on the chunk, never a cartesian."""
+    plan = _final_plan(spark, "chunk_dedup_rebuild")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_feature_hash_single_aggregate_no_join(spark):
+    """Feature hashing's whole point: no vocabulary table — one explode
+    feeding one map-side-combined aggregate, zero joins."""
+    plan = _final_plan(spark, "user_feature_hash")
+    assert "Generate" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_degree_profile_is_aggregate_cascade(spark):
+    """Distinct edges → per-node degree → per-degree count: a pure
+    aggregate cascade, no windows, each level strictly smaller."""
+    plan = _final_plan(spark, "copurchase_degree_profile")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 6  # partial+final × 3 levels
