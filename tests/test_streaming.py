@@ -758,3 +758,59 @@ def test_stream_psi_replay_guard_no_double_count(spark, tmp_path):
         (r["bucket"], r["c"]) for r in spark.read.parquet(state).collect()
     )
     assert final == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_stream_cdc_apply_equals_batch_apply(spark, tmp_path):
+    """Applying an ordered changelog in 3 micro-batches yields the SAME
+    snapshot as one batch apply_changelog over the concatenated log —
+    per-key monotone sequence numbers make only the globally-latest op
+    decide, whichever batch it arrived in."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.cdc import apply_changelog
+    from replicadb_spark.streaming import pipeline as P
+
+    # ordered changelog: inserts, then updates/deletes, then a
+    # resurrection and more deletes — across 3 files (batches)
+    log_rows = [
+        # seq, op, id, val
+        (1, "insert", 1, "a1"), (2, "insert", 2, "b1"), (3, "insert", 3, "c1"),
+        (4, "update", 1, "a2"), (5, "delete", 2, None), (6, "insert", 4, "d1"),
+        (7, "insert", 2, "b2"), (8, "delete", 3, None), (9, "update", 4, "d2"),
+    ]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for i in range(3):
+        chunk = log_rows[i * 3:(i + 1) * 3]
+        tbl = pa.table({
+            "seq": pa.array([r[0] for r in chunk], pa.int64()),
+            "op": pa.array([r[1] for r in chunk]),
+            "id": pa.array([r[2] for r in chunk], pa.int64()),
+            "val": pa.array([r[3] for r in chunk]),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    snap = str(tmp_path / "cdc_snap")
+    q = P.stream_cdc_apply(
+        stream, snap, str(tmp_path / "cdc_ckpt"), keys=["id"],
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["id"], r["val"]) for r in spark.read.parquet(snap).collect()
+    }
+    empty = spark.createDataFrame([], "id long, val string")
+    full_log = spark.read.parquet(str(src))
+    batch = {
+        (r["id"], r["val"])
+        for r in apply_changelog(empty, full_log, ["id"]).collect()
+    }
+    assert streamed == batch == {(1, "a2"), (2, "b2"), (4, "d2")}
