@@ -263,3 +263,68 @@ def mad_outlier_profile(
             ).alias("n_outliers"),
         )
     )
+
+
+def cusum_profile(
+    df,
+    key_col: str,
+    value_col: str,
+    *,
+    order_cols: "list[str]",
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+):
+    """One-sided (upper) CUSUM changepoint profile per key: fold the
+    key's ordered value sequence through the Page recursion
+    S_i = max(0, S_{i-1} + (x_i − target − slack)) and report, per key,
+    the alert count (crossings of ``threshold`` — S resets to 0 after
+    each alert, the standard restart rule), the running maximum, and
+    the final S — the statistical-process-control primitive for "did
+    this metric drift upward, and when did it start".
+
+    NOT window-expressible: the max(0, ·) clamp makes the recursion
+    non-associative (no prefix-sum trick, unlike interval_coalesce's
+    running max), so the fold runs as a per-key Arrow kernel over the
+    key's ordered rows. Scale: one shuffle on the key; per-key sequences
+    stream through pandas in order; output is one row per key. The
+    streaming twin (stream_cusum_alerts) carries (S, counters) across
+    micro-batches and is equivalence-tested against this fold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F811 (module-local)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols)
+        s = 0.0
+        mx = 0.0
+        alerts = 0
+        for x in pdf[value_col].to_numpy(dtype=np.float64):
+            s = max(0.0, s + (x - target - slack))
+            mx = max(mx, s)
+            if s > threshold:
+                alerts += 1
+                s = 0.0
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0]],
+                "n": [len(pdf)],
+                "n_alerts": [alerts],
+                "max_s": [mx],
+                "final_s": [s],
+            }
+        )
+
+    key_t = dict(df.dtypes)[key_col]
+    cols = [key_col, value_col, *order_cols]
+    return (
+        df.select(*dict.fromkeys(cols))
+        .groupBy(key_col)
+        .applyInPandas(
+            fold,
+            schema=f"key {key_t}, n long, n_alerts long, max_s double,"
+            " final_s double",
+        )
+    )

@@ -914,3 +914,87 @@ def stream_cdc_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cusum_alerts(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift detector per key — the second
+    custom applyInPandasWithState operator (stream_dedup_first_seen's
+    sibling): the Page recursion S = max(0, S + (x − target − slack))
+    folds across micro-batches through per-key state, emitting one
+    updated (n, n_alerts, max_s, final_s) row per key per batch.
+
+    The recursion's max(0,·) clamp is non-associative, so no built-in
+    window or mergeable-summary trick expresses it — per-key ordered
+    state is the only shape, which is exactly what
+    applyInPandasWithState provides. Within a batch rows fold in event
+    order; across batches the state carries (S, counters). The
+    equivalence test proves the streamed fold equals the batch
+    operators/stats.cusum_profile over the full history under any
+    batch split, PROVIDED batches arrive in per-key event order (true
+    of an ordered source; late data would need a watermark-delayed
+    re-fold, the documented trade).
+
+    Scale: one tiny numeric tuple per key, partitioned across
+    executors; Arrow-batched folds; watermark-advanced state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    key_t = dict(events.dtypes)[key_col]
+    out_schema = (
+        f"key {key_t}, n long, n_alerts long, max_s double, final_s double"
+    )
+    state_schema = "s double, mx double, alerts long, n long"
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            s, mx, alerts, n = state.get
+        else:
+            s, mx, alerts, n = 0.0, 0.0, 0, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col)
+            n += len(pdf)
+            for x in pdf[value_col].astype(float):
+                s = max(0.0, s + (x - target - slack))
+                mx = max(mx, s)
+                if s > threshold:
+                    alerts += 1
+                    s = 0.0
+        state.update((s, mx, alerts, n))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [n],
+                "n_alerts": [alerts],
+                "max_s": [mx],
+                "final_s": [s],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

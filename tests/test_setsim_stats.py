@@ -483,3 +483,40 @@ def test_tfidf_cosine_hand_computed_and_capped(spark):
         ).collect()
     }
     assert frac == capped
+
+
+def test_cusum_profile_alerts_on_planted_shift(spark):
+    """A mean shift of +3 after index 30 must alert on the shifted key
+    and stay silent on the stable one; the fold matches a sequential
+    python reference exactly."""
+    from replicadb_spark.operators.stats import cusum_profile
+
+    rows = []
+    for i in range(90):
+        rows.append((i, "drift", 10.0 + (3.0 if i >= 30 else 0.0)))
+        rows.append((i, "stable", 10.0))
+    df = spark.createDataFrame(rows, "seq long, k string, v double")
+    got = {
+        r["key"]: r
+        for r in cusum_profile(
+            df, "k", "v", order_cols=["seq"], target=10.0,
+            slack=0.5, threshold=20.0,
+        ).collect()
+    }
+
+    def ref(vals):
+        s = mx = 0.0
+        alerts = 0
+        for x in vals:
+            s = max(0.0, s + (x - 10.0 - 0.5))
+            mx = max(mx, s)
+            if s > 20.0:
+                alerts += 1
+                s = 0.0
+        return alerts, mx, s
+
+    a, mx, fs = ref([13.0 if i >= 30 else 10.0 for i in range(90)])
+    assert got["drift"]["n_alerts"] == a > 0
+    assert abs(got["drift"]["max_s"] - mx) < 1e-12
+    assert abs(got["drift"]["final_s"] - fs) < 1e-12
+    assert got["stable"]["n_alerts"] == 0 and got["stable"]["max_s"] == 0.0

@@ -814,3 +814,76 @@ def test_stream_cdc_apply_equals_batch_apply(spark, tmp_path):
         for r in apply_changelog(empty, full_log, ["id"]).collect()
     }
     assert streamed == batch == {(1, "a2"), (2, "b2"), (4, "d2")}
+
+
+def test_stream_cusum_equals_batch_fold(spark, tmp_path):
+    """The streamed CUSUM state after 3 in-order micro-batches equals
+    the batch cusum_profile fold over the full history — the
+    non-associative recursion carried correctly across batches."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.stats import cusum_profile
+    from replicadb_spark.streaming import pipeline as P
+
+    # key "a" drifts upward (alerts); key "b" stays at target (none)
+    rows = []
+    for i in range(90):
+        rows.append((i, "a", 10.0 + (3.0 if i >= 30 else 0.0)))
+        rows.append((i, "b", 10.0))
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    base = 1_700_000_000_000_000
+    for f in range(3):
+        chunk = rows[f * 60:(f + 1) * 60]
+        tbl = pa.table({
+            "ts": pa.array(
+                [base + r[0] * 1_000_000 for r in chunk],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array([r[1] for r in chunk]),
+            "value": pa.array([r[2] for r in chunk]),
+        })
+        pq.write_table(tbl, src / f"f{f}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{f}.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = P.read_event_stream(spark, str(src), schema, max_files_per_trigger=1)
+    out = _run_to_memory(
+        spark,
+        P.stream_cusum_alerts(
+            stream, key_col="event_type", value_col="value",
+            target=10.0, slack=0.5, threshold=20.0,
+        ),
+        "t_cusum_state",
+        mode="update",
+    ).collect()
+    # one row per key per batch; the LAST row per key (max n) is the
+    # final state
+    latest = {}
+    for r in out:
+        if r["key"] not in latest or r["n"] > latest[r["key"]]["n"]:
+            latest[r["key"]] = r
+
+    batch = {
+        r["key"]: r
+        for r in cusum_profile(
+            spark.read.parquet(str(src)),
+            "event_type",
+            "value",
+            order_cols=["ts"],
+            target=10.0,
+            slack=0.5,
+            threshold=20.0,
+        ).collect()
+    }
+    for k in ("a", "b"):
+        assert latest[k]["n"] == batch[k]["n"] == 90
+        assert latest[k]["n_alerts"] == batch[k]["n_alerts"]
+        assert abs(latest[k]["max_s"] - batch[k]["max_s"]) < 1e-9
+        assert abs(latest[k]["final_s"] - batch[k]["final_s"]) < 1e-9
+    assert batch["a"]["n_alerts"] > 0 and batch["b"]["n_alerts"] == 0
