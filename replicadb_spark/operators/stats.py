@@ -294,8 +294,6 @@ def cusum_profile(
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import functions as F  # noqa: F811 (module-local)
-
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order_cols)
         s = 0.0
