@@ -266,25 +266,34 @@ def main() -> int:
         f.write("\n")
 
     # The driver records only the LAST 2000 bytes of stdout and parses
-    # the JSON line out of that tail (BENCH_r04.json: "tail" is exactly
-    # 2000 bytes, "parsed" was null because the full-precision line ran
-    # 1998+ bytes and lost its head). The stdout line therefore trims to
-    # 2-dp timings and recall-ok booleans, with a hard size guard that
-    # drops to 1-dp if the catalog ever grows the line past 1900 bytes;
-    # BENCH_LOCAL.json keeps every dropped digit.
-    def _line(dp: int) -> str:
+    # the JSON line out of that tail (BENCH_r04/r05: "tail" is exactly
+    # 2000 bytes, "parsed" null — the full 96-query line ran 2700+
+    # bytes even at 1 dp, so its head fell off the window). The stdout
+    # line is therefore built to a HARD 1800-byte budget: headline
+    # total + recall booleans always, then per-query timings slowest-
+    # first until the budget is hit; "queries_benched" carries the true
+    # count and BENCH_LOCAL.json keeps every query at full precision.
+    def _line(qs: dict) -> str:
         return json.dumps({
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, dp) for k, v in timings.items()},
+            "queries": qs,
+            "queries_benched": len(timings),
             "recall": {k: v["ok"] for k, v in recall.items()},
             "sf": sf,
+            "sidecar": "BENCH_LOCAL.json",
         }, separators=(",", ":"))
 
-    line = _line(2)
-    if len(line) > 1900:
-        line = _line(1)
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    shown: dict = {}
+    for name in by_cost:
+        trial = dict(shown)
+        trial[name] = round(timings[name], 2)
+        if len(_line(trial)) > 1800:
+            break
+        shown = trial
+    line = _line(shown)
     spark.stop()
     print(line)
     return 0

@@ -17,6 +17,7 @@ on the key only (narrow shuffle). No UDFs, no collect of data rows.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -98,6 +99,15 @@ def run_checks(df: DataFrame, rules: list) -> DataFrame:
     that must reject empty loads needs an explicit ``at_least(n)``
     count rule; it is the only rule that fails on an empty table."""
     spark = df.sparkSession
+
+    def round6(x: float) -> float:
+        # SQL ROUND is half-away-from-zero; Python round() is
+        # half-to-even — a metric landing exactly on a 5 at the 7th
+        # decimal would hash-mismatch the DuckDB oracle otherwise.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
     row_rules = [r for r in rules if isinstance(r, Rule)]
     uniq_rules = [r for r in rules if isinstance(r, UniqueRule)]
     count_rules = [r for r in rules if isinstance(r, CountRule)]
@@ -113,16 +123,16 @@ def run_checks(df: DataFrame, rules: list) -> DataFrame:
     rows = []
     for i, r in enumerate(row_rules):
         metric = (base[f"__c{i}"] / n) if n else 1.0
-        rows.append((r.name, round(metric, 6), r.min_ratio, metric >= r.min_ratio))
+        rows.append((r.name, round6(metric), r.min_ratio, metric >= r.min_ratio))
     for r in uniq_rules:
         dn = df.select(*r.cols).distinct().count()
         metric = (dn / n) if n else 1.0
         rows.append(
-            (r.label(), round(metric, 6), r.min_ratio, metric >= r.min_ratio)
+            (r.label(), round6(metric), r.min_ratio, metric >= r.min_ratio)
         )
     for r in count_rules:
         metric = min(n / r.min_rows, 1.0) if r.min_rows > 0 else 1.0
-        rows.append((r.label(), round(metric, 6), 1.0, n >= r.min_rows))
+        rows.append((r.label(), round6(metric), 1.0, n >= r.min_rows))
     rows.sort(key=lambda t: t[0])
     return spark.createDataFrame(
         rows, "rule string, metric double, threshold double, passed boolean"

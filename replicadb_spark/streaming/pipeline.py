@@ -867,6 +867,7 @@ def stream_cdc_apply(
     op_col: str = "op",
     order_col: str = "seq",
     available_now: bool = True,
+    seed_snapshot: bool = False,
 ) -> StreamingQuery:
     """Continuous CDC replication: each micro-batch is an ordered
     insert/update/delete changelog slice applied onto the maintained
@@ -881,8 +882,15 @@ def stream_cdc_apply(
     (per-key, only the globally-latest op ever decides, and it arrives
     in the latest batch that touches the key). An at-least-once replay
     re-applies the SAME compacted ops — deletes and full-payload
-    upserts are idempotent, so no batch-id guard is needed (unlike the
-    count-merging PSI/heavy-hitter states).
+    upserts are idempotent, so REPLAY needs no batch-id guard (unlike
+    the count-merging PSI/heavy-hitter states). A FRESH checkpoint is
+    different: by default batch 0 rebuilds the snapshot from the batch
+    alone (same stale-state wipe the sketch twins do), so a reused
+    snapshot_path can't silently receive a replayed changelog on top
+    of stale state. Pass ``seed_snapshot=True`` to instead merge batch
+    0 onto a pre-seeded snapshot (initial-load-then-CDC replication) —
+    then snapshot_path must be empty or continuous with the
+    checkpoint, the caller's contract.
 
     Scale: per batch one window shuffle over the BATCH's changes
     (compaction) + the co-partitioned anti-join/union of apply_diff —
@@ -894,6 +902,8 @@ def stream_cdc_apply(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         current = _read_parquet_or_none(spark, snapshot_path)
+        if batch_id == 0 and not seed_snapshot:
+            current = None  # fresh checkpoint: ignore any stale snapshot
         if current is None:
             payload = [
                 c for c in batch_df.columns if c not in (op_col, order_col)
@@ -926,6 +936,8 @@ def stream_cusum_alerts(
     slack: float = 0.0,
     threshold: float = 5.0,
     watermark: str = "2 hours",
+    tiebreak_cols: "tuple[str, ...]" = (),
+    state_ttl_ms: int = 24 * 3600 * 1000,
 ) -> DataFrame:
     """Streaming one-sided CUSUM drift detector per key — the second
     custom applyInPandasWithState operator (stream_dedup_first_seen's
@@ -942,10 +954,15 @@ def stream_cusum_alerts(
     operators/stats.cusum_profile over the full history under any
     batch split, PROVIDED batches arrive in per-key event order (true
     of an ordered source; late data would need a watermark-delayed
-    re-fold, the documented trade).
+    re-fold, the documented trade). Same-timestamp rows within a batch
+    fold in ``tiebreak_cols`` order (pass e.g. an event-id column, as
+    cusum_profile's order_cols does) — without one, intra-batch ties
+    fold in arrival order and n_alerts/final_s may vary across runs.
 
     Scale: one tiny numeric tuple per key, partitioned across
-    executors; Arrow-batched folds; watermark-advanced state."""
+    executors; Arrow-batched folds; EventTimeTimeout + ``state_ttl_ms``
+    past each key's newest event evicts idle keys (mirrors
+    stream_dedup_first_seen) so state doesn't grow with key churn."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -953,7 +970,8 @@ def stream_cusum_alerts(
     out_schema = (
         f"key {key_t}, n long, n_alerts long, max_s double, final_s double"
     )
-    state_schema = "s double, mx double, alerts long, n long"
+    state_schema = "s double, mx double, alerts long, n long, last_ms long"
+    sort_cols = [ts_col, *tiebreak_cols]
 
     def fold(key, pdf_iter, state):
         import pandas as pd
@@ -962,21 +980,29 @@ def stream_cusum_alerts(
             state.remove()
             return
         if state.exists:
-            s, mx, alerts, n = state.get
+            s, mx, alerts, n, last_ms = state.get
         else:
-            s, mx, alerts, n = 0.0, 0.0, 0, 0
+            s, mx, alerts, n, last_ms = 0.0, 0.0, 0, 0, 0
+        saw_rows = False
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(ts_col)
+            saw_rows = True
+            pdf = pdf.sort_values(sort_cols, kind="stable")
             n += len(pdf)
+            last_ms = max(
+                last_ms, int(pdf[ts_col].max().value // 1_000_000)
+            )
             for x in pdf[value_col].astype(float):
                 s = max(0.0, s + (x - target - slack))
                 mx = max(mx, s)
                 if s > threshold:
                     alerts += 1
                     s = 0.0
-        state.update((s, mx, alerts, n))
+        if not saw_rows:
+            return
+        state.update((s, mx, alerts, n, last_ms))
+        state.setTimeoutTimestamp(last_ms + state_ttl_ms)
         yield pd.DataFrame(
             {
                 "key": [key[0]],
@@ -995,6 +1021,6 @@ def stream_cusum_alerts(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
