@@ -1,0 +1,174 @@
+"""Pure-stdlib media codecs for the multimodal kernels.
+
+Real decoders for the container-friendly formats that need no codec
+library: uncompressed BMP (24/32-bit, 8-bit grayscale) and PPM "P6"
+images via struct/numpy, and PCM WAV audio via the stdlib ``wave``
+module. Formats that genuinely need external codecs (JPEG/PNG/MP3/…)
+still raise NotImplementedError with the library they'd require —
+functions/multimodal.py dispatches on magic bytes and falls through to
+that error, keeping the stub surface honest while making the decode
+step REAL for the formats a pure-Python container can handle.
+
+Reference parity note: the closest reference analog is binary/LOB
+round-trip fidelity (OrcFileManager.java:298-324 writes LOB bytes
+losslessly); this module is the "do something real with the bytes"
+step the reference never needed because it only replicates payloads.
+
+Scale: decoders run inside Arrow-batched mapInPandas workers — payload
+bytes stay on the executor that scanned them, pixel/PCM math is numpy
+(vectorized, no per-sample Python), and only small feature rows leave
+the worker.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+class UnsupportedMediaError(NotImplementedError):
+    """Raised for formats that need an external codec library."""
+
+
+def sniff_format(payload: bytes | None) -> str:
+    """Best-effort container sniff from magic bytes."""
+    if not payload:
+        return "empty"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P6", b"P5"):
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP (BITMAPINFOHEADER; 24/32-bit BGR(A) or
+    8-bit grayscale) to an (h, w, 3) uint8 RGB array."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise UnsupportedMediaError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise UnsupportedMediaError(f"compressed BMP (type {compression})")
+    if bpp not in (8, 24, 32):
+        raise UnsupportedMediaError(f"{bpp}-bit BMP")
+    bottom_up = height > 0
+    h, w = abs(height), width
+    row_size = ((bpp * w + 31) // 32) * 4
+    need = data_off + row_size * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_off
+    ).reshape(h, row_size)
+    if bpp == 8:
+        px = rows[:, :w]
+        rgb = np.repeat(px[:, :, None], 3, axis=2)
+    else:
+        nch = bpp // 8
+        px = rows[:, : w * nch].reshape(h, w, nch)
+        rgb = px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) / PGM (P5), maxval <= 255, to (h, w, 3)
+    uint8 RGB."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    gray = payload[:2] == b"P5"
+    # header = magic + 3 ints, separated by whitespace; '#' comments run
+    # to end-of-line; a single whitespace byte ends the header
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise UnsupportedMediaError("16-bit PPM")
+    nch = 1 if gray else 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
+    if gray:
+        return np.repeat(px.reshape(h, w, 1), 3, axis=2)
+    return px.reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP and PPM/PGM
+    decode for real; JPEG/PNG raise UnsupportedMediaError(PIL)."""
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    raise UnsupportedMediaError(
+        f"image decode for {fmt!r} requires PIL/libjpeg — not in this container"
+    )
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as binary PPM (P6) — the stdlib-only
+    round-trip target for resize_images."""
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        rgb, dtype=np.uint8
+    ).tobytes()
+
+
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width, 3) — pure numpy
+    index arithmetic (pixel-center mapping, the classic NN rule)."""
+    h, w = rgb.shape[:2]
+    ys = ((np.arange(height) + 0.5) * h / height).astype(np.int64).clip(0, h - 1)
+    xs = ((np.arange(width) + 0.5) * w / width).astype(np.int64).clip(0, w - 1)
+    return rgb[ys][:, xs]
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV to (mono float64 samples in [-1, 1], sample_rate).
+
+    8-bit WAV is unsigned (offset 128), 16/32-bit signed little-endian
+    — the stdlib ``wave`` module parses the RIFF framing; numpy does
+    the sample math. Multi-channel audio is mixed down by mean."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise UnsupportedMediaError(f"{sw * 8}-bit WAV")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate

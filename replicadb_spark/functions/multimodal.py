@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image``/``decode_audio`` raise NotImplementedError unless
-``fake=True``, which substitutes a deterministic fake decoder so the
-Spark-side plumbing — schema, batch iteration, partitioning — is fully
-exercised by tests.
+The decode step is REAL for the formats a pure-stdlib container can
+handle (uncompressed BMP and PPM/PGM images, PCM WAV audio — see
+functions/codecs.py): ``fake=False`` dispatches on magic bytes and
+produces true width/height/pixel stats and duration/PCM loudness.
+Formats that need external codec libraries (JPEG/PNG/MP3/MP4) still
+raise NotImplementedError naming the library; ``fake=True`` substitutes
+a deterministic fake decoder so plumbing tests and the gated
+multimodal_features oracle stay payload-format-agnostic.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python
 overhead); binary payloads never pass through a shuffle — derive features
@@ -37,6 +40,8 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType(), True),
     T.StructField("mean_byte", T.DoubleType(), True),
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("width", T.IntegerType(), True),   # real decode only
+    T.StructField("height", T.IntegerType(), True),  # (null on fake path)
 ])
 
 
@@ -60,26 +65,61 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
-    ``fake=False`` raises NotImplementedError at execution time — the
-    real decoder needs PIL/libjpeg, absent in this container. The plan
-    shape (schema in/out, batching, no shuffle) is identical either way.
+    ``fake=False`` REALLY decodes BMP/PPM payloads (functions/codecs):
+    width/height from the header, mean_byte = mean pixel value, feature
+    = L1-normalized ``feat_dim``-bin grayscale histogram (ITU-R 601
+    luma). JPEG/PNG raise NotImplementedError (needs PIL/libjpeg). The
+    plan shape (schema in/out, batching, no shuffle) is identical on
+    the fake path, which keeps byte-level stats and null width/height.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from replicadb_spark.functions import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/torchvision — not in this container"
-                )
-            feats = pdf["payload"].map(lambda p: _fake_decode(p, feat_dim))
-            yield pd.DataFrame({
+            out = {
                 "media_id": pdf["media_id"],
-                "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int64"),
-                "mean_byte": pdf["payload"].map(
+                "n_bytes": pdf["payload"]
+                .map(lambda p: 0 if p is None else len(p))
+                .astype("int64"),
+            }
+            if fake:
+                out["mean_byte"] = pdf["payload"].map(
                     lambda p: float(sum(p)) / len(p) if p else 0.0
-                ),
-                "feature": feats,
-            })
+                )
+                out["feature"] = pdf["payload"].map(
+                    lambda p: _fake_decode(p, feat_dim)
+                )
+                out["width"] = pd.array([None] * len(pdf), dtype="Int32")
+                out["height"] = pd.array([None] * len(pdf), dtype="Int32")
+            else:
+                means, feats, ws, hs = [], [], [], []
+                for p in pdf["payload"]:
+                    if p is None:
+                        means.append(0.0)
+                        feats.append([0.0] * feat_dim)
+                        ws.append(None)
+                        hs.append(None)
+                        continue
+                    rgb = codecs.decode_image(bytes(p))
+                    gray = (
+                        0.299 * rgb[:, :, 0]
+                        + 0.587 * rgb[:, :, 1]
+                        + 0.114 * rgb[:, :, 2]
+                    )
+                    hist, _ = np.histogram(gray, bins=feat_dim, range=(0, 256))
+                    n_px = gray.size or 1
+                    means.append(float(rgb.mean()))
+                    feats.append((hist / n_px).astype("float32").tolist())
+                    hs.append(rgb.shape[0])
+                    ws.append(rgb.shape[1])
+                out["mean_byte"] = means
+                out["feature"] = feats
+                out["width"] = pd.array(ws, dtype="Int32")
+                out["height"] = pd.array(hs, dtype="Int32")
+            yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
@@ -129,21 +169,32 @@ def resize_images(
     height: int = 64,
     fake: bool = False,
 ) -> DataFrame:
-    """Image resize via mapInPandas. Real path is STUBBED (needs
-    PIL/libvips); ``fake=True`` substitutes a deterministic byte
-    truncate/pad to width*height so the schema, Arrow batch flow, and
-    output contract are real and testable."""
+    """Image resize via mapInPandas. ``fake=False`` REALLY resizes
+    BMP/PPM payloads: decode (functions/codecs) → nearest-neighbor
+    resample in numpy → re-encode as binary PPM (P6), the stdlib-only
+    round-trip format; JPEG/PNG raise NotImplementedError (needs
+    PIL/libvips). ``fake=True`` keeps the deterministic byte
+    truncate/pad so format-agnostic plumbing tests still run."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from replicadb_spark.functions import codecs
+
         target = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/libvips — not in this container"
+            if fake:
+                resized = pdf["payload"].map(
+                    lambda p: (p or b"")[:target].ljust(target, b"\0")
                 )
-            resized = pdf["payload"].map(
-                lambda p: (p or b"")[:target].ljust(target, b"\0")
-            )
+            else:
+                resized = pdf["payload"].map(
+                    lambda p: None
+                    if p is None
+                    else codecs.encode_ppm(
+                        codecs.resize_nearest(
+                            codecs.decode_image(bytes(p)), width, height
+                        )
+                    )
+                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": resized,
@@ -159,29 +210,60 @@ def extract_audio_features(
     *,
     fake: bool = False,
 ) -> DataFrame:
-    """Audio decode + loudness features via mapInPandas. Real decode is
-    STUBBED (needs ffmpeg/librosa); ``fake=True`` treats the payload
-    bytes as 8-bit samples and computes real RMS/peak over them."""
+    """Audio decode + loudness features via mapInPandas. ``fake=False``
+    REALLY decodes PCM WAV payloads (functions/codecs, stdlib ``wave``):
+    duration_ms from frame count / sample rate, rms over the normalized
+    [-1, 1] mono mix, peak as the raw-integer sample magnitude (so the
+    8/16-bit scales stay comparable to the fake path's byte peaks);
+    compressed audio (MP3/AAC) raises NotImplementedError (needs
+    ffmpeg/librosa). ``fake=True`` treats the payload bytes as 8-bit
+    samples and computes RMS/peak over them, format-agnostic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        import numpy as np
+
+        from replicadb_spark.functions import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires ffmpeg/librosa — not in this container"
-                )
             rows = {"media_id": [], "duration_ms": [], "rms": [], "peak": []}
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                b = payload or b""
                 rows["media_id"].append(mid)
-                rows["duration_ms"].append(dur)
-                rows["rms"].append(
-                    math.sqrt(sum(x * x for x in b) / len(b)) if b else 0.0
+                if fake:
+                    b = payload or b""
+                    rows["duration_ms"].append(dur)
+                    rows["rms"].append(
+                        math.sqrt(sum(x * x for x in b) / len(b)) if b else 0.0
+                    )
+                    rows["peak"].append(max(b) if b else 0)
+                    continue
+                if payload is None:
+                    rows["duration_ms"].append(0)
+                    rows["rms"].append(0.0)
+                    rows["peak"].append(0)
+                    continue
+                if codecs.sniff_format(bytes(payload)) != "wav":
+                    raise NotImplementedError(
+                        "audio decode beyond PCM WAV requires ffmpeg/librosa"
+                        " — not in this container"
+                    )
+                x, rate = codecs.decode_wav(bytes(payload))
+                rows["duration_ms"].append(
+                    int(round(len(x) * 1000.0 / rate)) if rate else 0
                 )
-                rows["peak"].append(max(b) if b else 0)
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                )
+                # raw-sample magnitude: [-1,1] × 2^15 for the common
+                # 16-bit case, clamped into the Int32 output field
+                rows["peak"].append(
+                    min(int(round(float(np.abs(x).max()) * 32768)), 2**31 - 1)
+                    if len(x)
+                    else 0
+                )
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload", "duration_ms").mapInPandas(

@@ -21,7 +21,9 @@ def media(spark):
 
 def test_fake_feature_extraction(media):
     out = MM.extract_image_features(media, feat_dim=4, fake=True)
-    assert [f.name for f in out.schema.fields] == ["media_id", "n_bytes", "mean_byte", "feature"]
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "n_bytes", "mean_byte", "feature", "width", "height",
+    ]
     rows = {r["media_id"]: r for r in out.collect()}
     assert rows[1]["n_bytes"] == 9
     assert rows[4]["n_bytes"] == 0
@@ -31,12 +33,12 @@ def test_fake_feature_extraction(media):
     assert rows[1]["feature"] == again[1]["feature"]
 
 
-def test_real_decode_is_stubbed(media):
-    with pytest.raises(Exception) as exc_info:
+def test_real_decode_rejects_codec_formats(media):
+    # PNG/JPEG still need external codec libs — the real path must say
+    # so, not silently fake anything (BMP/PPM/WAV decode for real; see
+    # test_multimodal_codecs.py)
+    with pytest.raises(Exception, match="UnsupportedMediaError|NotImplementedError|PIL"):
         MM.extract_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
 
 
 def test_video_frame_sampling_plan(media):
