@@ -1024,3 +1024,139 @@ def stream_cusum_alerts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_asof_enrich(
+    facts: DataFrame,
+    dims: DataFrame,
+    *,
+    on: str,
+    fact_ts: str = "ts",
+    dim_ts: str = "ts",
+    fact_cols: "list[str]",
+    payload: "list[str]",
+    watermark: str = "2 hours",
+    state_ttl_ms: "int | None" = None,
+) -> DataFrame:
+    """Streaming AS-OF state join — the streaming twin of
+    operators/relational.asof_join (and therefore of the SCD2
+    point-in-time and purchase-attribution family, which are all
+    backward as-of joins at heart): each fact row is enriched with the
+    payload of the latest dimension version whose ``dim_ts`` <=
+    ``fact_ts``, across micro-batch boundaries.
+
+    Shape: the two streams union with a side tag into ONE keyed stream;
+    ``applyInPandasWithState`` keeps, per key, exactly the LATEST
+    dimension version seen (one tiny tuple — the running as-of carry),
+    seeds each batch's ``pandas.merge_asof`` with it, and emits one
+    enriched row per fact (append mode). Within a batch enrichment is
+    exact for any fact/dim interleaving (merge_asof over the sorted
+    batch, dim-at-equal-ts visible to the fact, later duplicate wins);
+    ACROSS batches the single-version state is exact under the same
+    per-key ordered-arrival contract as stream_cusum_alerts — batch
+    N+1's rows are not older than batch N's for that key (true of an
+    ordered changelog/event source; out-of-order sources need a
+    watermark-delayed re-sort upstream). The equivalence test proves
+    the N-batch stream equals one batch asof_join over the full
+    history under that contract.
+
+    State: one (dim_us, payload...) tuple per key — bounded by
+    DIMENSION cardinality (what a broadcast dim table would cost), so
+    the default keeps it forever: evicting a dimension version is
+    semantically lossy (facts after eviction enrich to null), unlike
+    the dedup/CUSUM counters where idle keys are garbage. Pass
+    ``state_ttl_ms`` to opt into EventTimeTimeout eviction when key
+    churn (e.g. per-session dims) makes retention unbounded.
+
+    Scale: per batch one shuffle on the join key; Arrow-batched
+    vectorized merge_asof per key group; payload columns only (project
+    before calling for wide dims)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fact_types = dict(facts.dtypes)
+    dim_types = dict(dims.dtypes)
+    key_t = fact_types[on]
+
+    f_side = facts.select(
+        F.col(on).alias("__k"),
+        F.col(fact_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in fact_cols],
+        *[F.lit(None).cast(dim_types[p]).alias(p) for p in payload],
+    )
+    d_side = dims.select(
+        F.col(on).alias("__k"),
+        F.col(dim_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(fact_types[c]).alias(c) for c in fact_cols],
+        *[F.col(p) for p in payload],
+    )
+    u = f_side.unionByName(d_side).withWatermark("__t", watermark)
+
+    out_schema = ", ".join(
+        [f"{on} {key_t}", f"{fact_ts} timestamp"]
+        + [f"{c} {fact_types[c]}" for c in fact_cols]
+        + [f"{p} {dim_types[p]}" for p in payload]
+    )
+    state_schema = ", ".join(
+        ["dim_us long"] + [f"{p} {dim_types[p]}" for p in payload]
+    )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def enrich(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            st = state.get
+            seed = pd.DataFrame(
+                {
+                    "__t": [pd.Timestamp(st[0], unit="us")],
+                    **{p: [st[i + 1]] for i, p in enumerate(payload)},
+                }
+            )
+        else:
+            seed = None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # dims sort before facts at equal __t (side 0 < 1) so an
+            # equal-timestamp version is visible; later duplicates win
+            pdf = pdf.sort_values(["__t", "__side"], kind="stable")
+            d = pdf[pdf["__side"] == 0][["__t", *payload]]
+            if seed is not None:
+                d = pd.concat([seed, d], ignore_index=True)
+            f = pdf[pdf["__side"] == 1][["__t", *fact_cols]]
+            if len(f):
+                if len(d):
+                    enriched = pd.merge_asof(
+                        f, d, on="__t", allow_exact_matches=True
+                    )
+                else:
+                    enriched = f.copy()
+                    for p in payload:
+                        enriched[p] = None
+                enriched.insert(0, on, key[0])
+                yield enriched.rename(columns={"__t": fact_ts})
+            if len(d):
+                seed = d.tail(1)
+        if seed is not None and len(seed):
+            last = seed.iloc[-1]
+            dim_us = int(pd.Timestamp(last["__t"]).value // 1_000)
+            state.update((dim_us, *[last[p] for p in payload]))
+            if state_ttl_ms is not None:
+                state.setTimeoutTimestamp(dim_us // 1_000 + state_ttl_ms)
+
+    return u.groupBy(F.col("__k")).applyInPandasWithState(
+        enrich,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

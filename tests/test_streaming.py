@@ -887,3 +887,82 @@ def test_stream_cusum_equals_batch_fold(spark, tmp_path):
         assert abs(latest[k]["max_s"] - batch[k]["max_s"]) < 1e-9
         assert abs(latest[k]["final_s"] - batch[k]["final_s"]) < 1e-9
     assert batch["a"]["n_alerts"] > 0 and batch["b"]["n_alerts"] == 0
+
+
+def test_stream_asof_enrich_equals_batch_asof_join(spark, tmp_path):
+    """The streamed as-of state join over 3 in-order micro-batch pairs
+    equals one batch asof_join over the full history: facts before any
+    dim version enrich to null, equal-timestamp versions are visible,
+    and the latest version carried in state survives batches where the
+    key has no dim rows."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.relational import asof_join
+    from replicadb_spark.streaming import pipeline as P
+
+    base = 1_700_000_000_000_000
+
+    def us(sec):
+        return base + sec * 1_000_000
+
+    # (key, sec, price): dim versions; key k2 gets ONE early version
+    dims = [
+        [("k1", 10, 1.0), ("k2", 10, 9.0)],          # batch 0
+        [("k1", 40, 2.0)],                            # batch 1
+        [("k1", 70, 3.0)],                            # batch 2
+    ]
+    # (key, sec, qty): facts — include pre-dim (k1@5), tie (k1@40),
+    # and a k2 fact two batches after its only dim version
+    facts = [
+        [("k1", 5, 100), ("k1", 20, 101)],
+        [("k1", 40, 102), ("k2", 50, 103)],
+        [("k1", 80, 104), ("k2", 90, 105)],
+    ]
+
+    ddir, fdir = tmp_path / "dims", tmp_path / "facts"
+    ddir.mkdir(); fdir.mkdir()
+    for i in range(3):
+        for rows, path, vcol in ((dims[i], ddir, "price"), (facts[i], fdir, "qty")):
+            tbl = pa.table({
+                "uid": pa.array([r[0] for r in rows]),
+                "ts": pa.array([us(r[1]) for r in rows], pa.timestamp("us")),
+                vcol: pa.array([r[2] for r in rows],
+                               pa.float64() if vcol == "price" else pa.int64()),
+            })
+            pq.write_table(tbl, path / f"f{i}.parquet")
+        time.sleep(1.05)
+        for path in (ddir, fdir):
+            os.utime(path / f"f{i}.parquet")
+
+    d_schema = spark.read.parquet(str(ddir)).schema
+    f_schema = spark.read.parquet(str(fdir)).schema
+    out = _run_to_memory(
+        spark,
+        P.stream_asof_enrich(
+            P.read_event_stream(spark, str(fdir), f_schema, max_files_per_trigger=1),
+            P.read_event_stream(spark, str(ddir), d_schema, max_files_per_trigger=1),
+            on="uid", fact_ts="ts", dim_ts="ts",
+            fact_cols=["qty"], payload=["price"],
+        ),
+        "t_asof_enrich",
+        mode="append",
+    ).collect()
+    got = {r["qty"]: r["price"] for r in out}
+
+    batch = asof_join(
+        spark.read.parquet(str(fdir)),
+        spark.read.parquet(str(ddir)),
+        on="uid", left_ts="ts", right_ts="ts", payload=["price"],
+    ).collect()
+    want = {r["qty"]: r["price"] for r in batch}
+
+    assert len(got) == 6
+    assert got == want
+    # spot semantics: pre-dim fact null, tie visible, state carried
+    assert got[100] is None
+    assert got[102] == 2.0
+    assert got[105] == 9.0
