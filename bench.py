@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "twap_by_user",
     "winsorized_stats_by_type",
     "equidepth_histogram_value",
+    "equidepth_split_gate",
     "source_overlap_matrix",
     "chunk_dedup_rebuild",
     "semantic_dedup_gate",
@@ -108,6 +109,7 @@ BENCH_QUERIES = [
     "purchase_attribution",
     "kmv_rollup_gate",
     "customer_rfm_segments",
+    "rfm_approx_gate",
     "revenue_pareto_cut",
     "rolling_wau",
     "attribution_linear_credit",

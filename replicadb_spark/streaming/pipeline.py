@@ -1160,3 +1160,132 @@ def stream_asof_enrich(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def stream_semantic_dedup(
+    stream: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_kept_per_cell: int = 100_000,
+) -> DataFrame:
+    """Streaming SemDeDup screen — the twin of functions/dedup.
+    semantic_dedup for a continuously-arriving embedded corpus: each
+    micro-batch's vectors are assigned to their nearest FIXED centroid
+    (the collected codebook from a reference batch — the same bounded
+    centroid-collect the batch operator does), then screened against
+    the per-cell set of previously KEPT vectors held in
+    ``applyInPandasWithState``; a vector with a kept neighbor at
+    cosine ≥ threshold in its cell is marked duplicate, otherwise it
+    is kept and joins the state. Emits (id, cell, kept) per input row
+    (append mode).
+
+    Equivalence contract: with vectors arriving in ascending-id order
+    (the greedy MIS is order-dependent — same contract the batch
+    operator documents for its per-cell ascending-id scan) and the
+    same centroid table, N micro-batches produce EXACTLY the batch
+    operator's verdicts; the test proves it under a 3-way split.
+
+    State: the kept vectors of each cell — the irreducible memory of
+    any online dedup screen (what the batch operator re-reads from the
+    corpus each run). Bounded by kept-density × cell size; size
+    n_cells ∝ corpus so cells stay ~10k vectors, and
+    ``max_kept_per_cell`` hard-caps pathological cells: past the cap
+    new vectors are emitted kept=true but NOT added to state (flagged
+    via the saturated column), so state cannot grow unboundedly —
+    the same honest-cap pattern as fuzzy_name_match's max_sig_df.
+
+    Scale: centroid argmax rides the closure (zero-shuffle assign, as
+    batch); ONE shuffle per batch on cell; per-cell work is one
+    vectorized (batch × kept) matmul."""
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not centroids:
+        raise ValueError("centroids must be a non-empty collected codebook")
+    cell_ids = np.array([c for c, _ in centroids])
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+
+    id_t = dict(stream.dtypes)[id_col]
+    vec_t = stream.schema[vec_col].dataType.simpleString()
+
+    def assign_local(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            S = (M / mn[:, None]) @ Cn.T
+            yield pd.DataFrame(
+                {
+                    "__vid": pdf["__vid"],
+                    "cell": cell_ids[S.argmax(axis=1)],
+                    "__v": pdf["__v"],
+                }
+            )
+
+    assigned = stream.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).mapInPandas(assign_local, schema=f"__vid {id_t}, cell int, __v {vec_t}")
+
+    out_schema = f"id {id_t}, cell int, kept boolean, saturated boolean"
+    state_schema = "kept_vecs array<array<double>>, n_kept int"
+
+    def screen(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # NoTimeout → unreachable; keep the guard
+            state.remove()
+            return
+        kept_list: list = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("__vid").reset_index(drop=True)
+            M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0.0] = 1.0  # zero vectors are similar to nothing
+            M = M / nrm[:, None]
+            kept_flags, sat_flags = [], []
+            K = (
+                np.array(kept_list, dtype=np.float64)
+                if kept_list
+                else np.zeros((0, M.shape[1]))
+            )
+            for i in range(len(pdf)):
+                saturated = len(kept_list) >= max_kept_per_cell
+                if len(K) and (K @ M[i] >= threshold).any():
+                    kept_flags.append(False)
+                    sat_flags.append(saturated)
+                    continue
+                kept_flags.append(True)
+                sat_flags.append(saturated)
+                if not saturated:
+                    kept_list.append(M[i].tolist())
+                    K = np.vstack([K, M[i][None, :]])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__vid"],
+                    "cell": pdf["cell"],
+                    "kept": kept_flags,
+                    "saturated": sat_flags,
+                }
+            )
+        state.update((kept_list, len(kept_list)))
+
+    return assigned.groupBy(F.col("cell")).applyInPandasWithState(
+        screen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -966,3 +966,159 @@ def test_stream_asof_enrich_equals_batch_asof_join(spark, tmp_path):
     assert got[100] is None
     assert got[102] == 2.0
     assert got[105] == 9.0
+
+
+def test_stream_semantic_dedup_equals_batch(spark, tmp_path):
+    """The streaming SemDeDup screen over 3 ascending-id micro-batches,
+    seeded with the batch operator's own codebook, produces EXACTLY the
+    batch semantic_dedup verdicts (greedy MIS carried through per-cell
+    kept-vector state)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.functions.dedup import semantic_dedup
+    from replicadb_spark.functions.similarity import coarse_centroids
+    from replicadb_spark.streaming import pipeline as P
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # near-orthogonal corpus (max pairwise cos ≈ 0.51): 0.3 bites
+    threshold, n_cells = 0.3, 4
+
+    batch = {
+        (r["id"], r["cell"], r["kept"])
+        for r in semantic_dedup(
+            corpus, n_cells=n_cells, threshold=threshold
+        ).collect()
+    }
+    assert any(not k for (_, _, k) in batch)  # the threshold really bites
+
+    cents = [
+        (r["cell"], list(r["cent_vec"]))
+        for r in coarse_centroids(corpus, n_cells=n_cells).orderBy("cell").collect()
+    ]
+
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    pdf = corpus.orderBy("vec_id").toPandas()
+    cut = len(pdf) // 3
+    for i, chunk in enumerate((pdf[:cut], pdf[cut:2 * cut], pdf[2 * cut:])):
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(chunk), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    stream = P.read_event_stream(
+        spark, str(src), corpus.schema, max_files_per_trigger=1
+    )
+    out = _run_to_memory(
+        spark,
+        P.stream_semantic_dedup(stream, cents, threshold=threshold),
+        "t_sem_dedup",
+        mode="append",
+    ).collect()
+    got = {(r["id"], r["cell"], r["kept"]) for r in out}
+    assert not any(r["saturated"] for r in out)
+    assert got == batch
+
+
+def test_stream_semantic_dedup_cap_saturates_not_grows(spark, tmp_path):
+    """Past max_kept_per_cell the screen keeps emitting (kept=true,
+    saturated=true) instead of growing state — the honest-cap contract."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.streaming import pipeline as P
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 8)).astype("float64")
+    src = tmp_path / "emb_cap"
+    src.mkdir()
+    tbl = pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, src / "f0.parquet")
+    os.utime(src / "f0.parquet")
+
+    stream = P.read_event_stream(
+        spark, str(src), spark.read.parquet(str(src)).schema
+    )
+    out = _run_to_memory(
+        spark,
+        P.stream_semantic_dedup(
+            stream,
+            [(0, [1.0] + [0.0] * 7)],  # one cell: everything lands in it
+            threshold=0.99,            # orthogonal-ish: nothing dedups
+            max_kept_per_cell=5,
+        ),
+        "t_sem_cap",
+        mode="append",
+    ).collect()
+    assert len(out) == 12
+    assert sum(r["saturated"] for r in out) == 12 - 5
+    assert all(r["kept"] for r in out)  # cap keeps, never silently drops
+
+
+def test_stream_cusum_tiebreak_is_deterministic(spark, tmp_path):
+    """Same-timestamp rows fold in tiebreak_cols order (ADVICE r5):
+    with a tiebreak column the stream matches the batch fold ordered by
+    (ts, id) exactly — including n_alerts, which depends on fold order
+    when a threshold crossing sits between two tied rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.stats import cusum_profile
+    from replicadb_spark.streaming import pipeline as P
+
+    base = 1_700_000_000_000_000
+    # three rows at the SAME microsecond whose order decides the fold:
+    # in id order the drifts are (+15, +15, -100) → S reaches 30, one
+    # alert, reset; the reverse interleaving (+15, -100, +15) never
+    # crosses 25 and alerts zero times — so passing proves the
+    # tiebreak column, not luck
+    rows = [
+        (0, 0, 10.0), (1, 1, 25.0), (1, 2, 25.0), (1, 3, -90.0), (2, 4, 10.0),
+    ]
+    src = tmp_path / "cusum_ties"
+    src.mkdir()
+    tbl = pa.table({
+        "ts": pa.array([base + r[0] * 1_000_000 for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["a"] * len(rows)),
+        "value": pa.array([r[2] for r in rows]),
+    })
+    pq.write_table(tbl, src / "f0.parquet")
+    os.utime(src / "f0.parquet")
+
+    stream = P.read_event_stream(
+        spark, str(src), spark.read.parquet(str(src)).schema
+    )
+    out = _run_to_memory(
+        spark,
+        P.stream_cusum_alerts(
+            stream, key_col="event_type", value_col="value",
+            target=10.0, threshold=25.0, tiebreak_cols=("event_id",),
+        ),
+        "t_cusum_ties",
+        mode="update",
+    ).collect()
+    got = max(out, key=lambda r: r["n"])
+
+    want = cusum_profile(
+        spark.read.parquet(str(src)), "event_type", "value",
+        order_cols=["ts", "event_id"], target=10.0, threshold=25.0,
+    ).collect()[0]
+    assert got["n"] == want["n"] == 5
+    assert got["n_alerts"] == want["n_alerts"] == 1
+    assert abs(got["final_s"] - want["final_s"]) < 1e-9
+    assert abs(got["max_s"] - want["max_s"]) < 1e-9
