@@ -121,8 +121,9 @@ _GATE_LAST = (
     "median_balance_by_nation", "window_top_customers", "events_tumbling_agg",
     # round-6 additions (past the 150 rotation ceiling — ROUND6.md):
     # self-checking approx-vs-exact gates whose booleans flip on any
-    # divergence; evidence is the local replica + the in-row checks
-    "rfm_approx_gate", "equidepth_split_gate",
+    # divergence, plus the bounded streaming as-of twin hash-gated
+    # against DuckDB's native ASOF JOIN; evidence is the local replica
+    "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
 )
 
 

@@ -7448,3 +7448,86 @@ def equidepth_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("hi_ap", 6) == F.round("hi_x", 6)).alias("hi_ok"),
         )
     )
+
+
+@register(
+    "streaming_asof_state",
+    oracle="""
+    WITH dims AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS dts,
+             MAX(o_totalprice) AS price
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(round(d.price, 6) AS DOUBLE) AS last_price
+    FROM events e
+    ASOF LEFT JOIN dims d ON e.user_id = d.k AND e.ts >= d.dts
+    """,
+)
+def streaming_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream_asof_enrich twin driven bounded and VALUE-gated
+    against DuckDB's native ASOF LEFT JOIN (an independent as-of
+    implementation — the scd2_point_in_time_join oracle precedent):
+    every event is enriched with the latest same-customer order price
+    whose order date <= event time, through the streaming state join
+    (union side-tag → per-key latest-dim state → per-batch vectorized
+    merge_asof), and the full enriched set must hash-match the batch
+    oracle. Same-date order ties are decided by ``dim_tiebreak`` on
+    the price itself (ascending, last-duplicate-wins ⇒ MAX), exactly
+    the MAX-collapse the oracle's dims CTE replays — the total
+    tiebreak every as-of needs.
+
+    Scale: state is one (dim_us, price) tuple per customer (dimension
+    footprint); the memory sink is harness-only — production appends
+    each enriched batch to the fact sink."""
+    import uuid
+
+    from replicadb_spark.streaming.pipeline import stream_asof_enrich
+
+    f_src = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.[p]arquet")
+    )
+    if dict(f_src.dtypes).get("ts") == "bigint":
+        f_src = f_src.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ntz")
+        )
+    d_src = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+        )
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/orders.[p]arquet")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("dts"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    enriched = stream_asof_enrich(
+        f_src.select("user_id", "ts", "event_id"),
+        d_src,
+        on="user_id",
+        fact_ts="ts",
+        dim_ts="dts",
+        fact_cols=["event_id"],
+        payload=["price"],
+        dim_tiebreak=["price"],
+    )
+    name = f"strm_asof_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.round("price", 6).alias("last_price"),
+    )

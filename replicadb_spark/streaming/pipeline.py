@@ -1037,6 +1037,7 @@ def stream_asof_enrich(
     payload: "list[str]",
     watermark: str = "2 hours",
     state_ttl_ms: "int | None" = None,
+    dim_tiebreak: "list[str] | None" = None,
 ) -> DataFrame:
     """Streaming AS-OF state join — the streaming twin of
     operators/relational.asof_join (and therefore of the SCD2
@@ -1044,6 +1045,13 @@ def stream_asof_enrich(
     backward as-of joins at heart): each fact row is enriched with the
     payload of the latest dimension version whose ``dim_ts`` <=
     ``fact_ts``, across micro-batch boundaries.
+
+    Ties: several dimension versions at the SAME (key, ts) are decided
+    last-duplicate-wins; pass ``dim_tiebreak`` (payload column names,
+    ascending) to make that winner deterministic — e.g. tiebreak on the
+    value itself reproduces a MAX-collapse per (key, ts), which is what
+    a SQL oracle can replay. Without it, equal-timestamp duplicates
+    resolve in arrival order (the batch asof_join has the same caveat).
 
     Shape: the two streams union with a side tag into ONE keyed stream;
     ``applyInPandasWithState`` keeps, per key, exactly the LATEST
@@ -1127,8 +1135,15 @@ def stream_asof_enrich(
             if not len(pdf):
                 continue
             # dims sort before facts at equal __t (side 0 < 1) so an
-            # equal-timestamp version is visible; later duplicates win
-            pdf = pdf.sort_values(["__t", "__side"], kind="stable")
+            # equal-timestamp version is visible; later duplicates win,
+            # with dim_tiebreak making the last duplicate deterministic
+            # (facts all share side=1 and null tiebreak values, so the
+            # stable sort never reorders them)
+            pdf = pdf.sort_values(
+                ["__t", "__side", *(dim_tiebreak or [])],
+                kind="stable",
+                na_position="last",
+            )
             d = pdf[pdf["__side"] == 0][["__t", *payload]]
             if seed is not None:
                 d = pd.concat([seed, d], ignore_index=True)
