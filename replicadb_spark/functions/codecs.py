@@ -52,7 +52,8 @@ def sniff_format(payload: bytes | None) -> str:
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode an uncompressed BMP (BITMAPINFOHEADER; 24/32-bit BGR(A) or
-    8-bit grayscale) to an (h, w, 3) uint8 RGB array."""
+    8-bit paletted) to an (h, w, 3) uint8 RGB array. 8-bit pixels go
+    through the BGRA color table (biClrUsed entries, 256 when 0)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -76,8 +77,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         payload, dtype=np.uint8, count=row_size * h, offset=data_off
     ).reshape(h, row_size)
     if bpp == 8:
-        px = rows[:, :w]
-        rgb = np.repeat(px[:, :, None], 3, axis=2)
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        if len(payload) < pal_off + 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA -> RGB
+        idx = rows[:, :w]
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("BMP pixel index outside color table")
+        rgb = pal[idx]
     else:
         nch = bpp // 8
         px = rows[:, : w * nch].reshape(h, w, nch)

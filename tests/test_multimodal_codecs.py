@@ -196,3 +196,20 @@ def F_lit_long(v):
     from pyspark.sql import functions as F
 
     return F.lit(v).cast("long")
+
+
+def test_bmp_8bit_palette_lookup():
+    """8-bit BMP pixels are palette indices, not luminance — a
+    non-grayscale color table must come through the lookup."""
+    # palette: index 0 = red, 1 = green, 2 = blue (stored BGRA)
+    pal = bytes([0, 0, 255, 0,  0, 255, 0, 0,  255, 0, 0, 0])
+    w, h = 3, 1
+    row = bytes([0, 1, 2]) + b"\0"  # padded to 4
+    off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + len(row), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(row),
+                       2835, 2835, 3, 0)
+    out = codecs.decode_bmp(header + info + pal + row)
+    np.testing.assert_array_equal(
+        out, [[[255, 0, 0], [0, 255, 0], [0, 0, 255]]]
+    )
