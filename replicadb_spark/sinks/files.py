@@ -122,3 +122,47 @@ def compact_files(
     Path(tmp).rename(src)
     shutil.rmtree(old)
     return n_files
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: "list[str] | tuple[str, ...]",
+    n_buckets: int,
+    sort_cols: "list[str] | tuple[str, ...] | None" = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Hash-bucketed managed/external table (``bucketBy`` +
+    ``saveAsTable``) — the co-located-join layout the flat file sinks
+    can't express: two tables bucketed on the same key with the same
+    bucket count join WITHOUT a shuffle (each bucket pair is read
+    co-partitioned; with ``sort_cols`` the per-bucket sort is
+    pre-materialized too, so SortMergeJoin degenerates to a zero-sort
+    merge of pre-sorted bucket files).
+
+    This is the Spark-native answer to the reference's
+    partition-aligned parallel replication (its source and sink tasks
+    pair up 1:1 over hash ranges — TableManager fan-out, SURVEY §2.5
+    F1): here the pairing is persisted in the table layout, so EVERY
+    downstream join/aggregation on the bucket key inherits it, not just
+    one replication run.
+
+    Scale: bucket pruning + shuffle-free joins are the difference
+    between O(data) exchange per join and zero at 100 TB; pick
+    n_buckets so data_size/n_buckets ≈ 128-512 MB per bucket file per
+    partition. Plan proof: tests/test_bucketed_join.py pins a
+    bucketed⋈bucketed SortMergeJoin with ZERO Exchange operators.
+
+    Note ``df.repartition(bucket_cols)`` before calling when the input
+    has many small tasks — each task writes one file PER bucket it
+    holds rows for, so unpartitioned wide inputs fragment into
+    tasks×buckets files."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

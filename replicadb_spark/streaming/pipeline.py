@@ -1304,3 +1304,125 @@ def stream_semantic_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _dq_merge_fn(state_path: str, rules: list):
+    """The foreachBatch merge for stream_dq_monitor, module-level so the
+    replay-guard test can drive it with fabricated batch ids."""
+    from replicadb_spark.operators.dq import CountRule, Rule
+
+    row_rules = [r for r in rules if isinstance(r, Rule)]
+
+    def rule_counts(df: DataFrame, batch_id: int) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, r in enumerate(row_rules):
+            aggs.append(
+                F.sum(F.when(r.predicate, 1).otherwise(0)).alias(f"__c{i}")
+            )
+        return df.agg(*aggs).withColumn(
+            "last_batch", F.lit(batch_id).cast("long")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = rule_counts(batch_df, batch_id)
+        if batch_id == 0:
+            delta.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_path
+            )
+            return
+        current = _read_parquet_or_none(spark, state_path)
+        if current is None:
+            merged = delta
+        else:
+            applied = current.agg(F.max("last_batch")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # at-least-once replay of an applied batch: no-op
+            count_cols = [c for c in current.columns if c != "last_batch"]
+            merged = current.unionByName(delta).agg(
+                *[F.sum(c).alias(c) for c in count_cols],
+                F.max("last_batch").alias("last_batch"),
+            )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    return merge_batch
+
+
+def stream_dq_monitor(
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    *,
+    rules: list,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous data-quality monitoring — the streaming twin of
+    operators/dq.run_checks for its mergeable subset: every per-row
+    conditional-count rule and the ``at_least(n)`` floor fold across
+    micro-batches as exact count sums (ONE aggregate row of state,
+    batch-id replay guard identical to stream_psi_drift's since count
+    merging is not idempotent). ``dq_report`` reads the same (rule,
+    metric, threshold, passed) frame run_checks returns, off the state
+    instead of a full rescan — the load-gate a continuously-replicating
+    pipeline polls between batches.
+
+    Uniqueness rules are EXCLUDED by contract: distinct-counting does
+    not fold through per-batch partial counts (a key seen in two
+    batches is one distinct value, not two) — at stream scale that is
+    the KMV sketch's job (stream_kmv_distinct maintains exactly that
+    state; pair it with a threshold poll for an approximate uniqueness
+    gate).
+
+    Scale: per batch one scan computing every rule in one aggregate
+    (the run_checks plan), merged into a 1-row parquet state."""
+    from replicadb_spark.operators.dq import UniqueRule
+
+    if any(isinstance(r, UniqueRule) for r in rules):
+        raise ValueError(
+            "unique() rules do not fold across micro-batches — use "
+            "stream_kmv_distinct for approximate streaming uniqueness"
+        )
+    merge_batch = _dq_merge_fn(state_path, rules)
+    writer = (
+        source.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dq_report(spark: SparkSession, state_path: str, rules: list) -> DataFrame:
+    """(rule, metric, threshold, passed) off stream_dq_monitor's state —
+    same row shape, rounding (half-away-from-zero), empty-table
+    vacuous-truth semantics, and name ordering as batch run_checks."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from replicadb_spark.operators.dq import CountRule, Rule
+
+    row_rules = [r for r in rules if isinstance(r, Rule)]
+    count_rules = [r for r in rules if isinstance(r, CountRule)]
+    st = _read_parquet_or_none(spark, state_path)
+    if st is None:
+        base = {"__n": 0, **{f"__c{i}": 0 for i in range(len(row_rules))}}
+    else:
+        base = st.collect()[0].asDict()
+    n = base["__n"]
+
+    def round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rows = []
+    for i, r in enumerate(row_rules):
+        metric = (base[f"__c{i}"] / n) if n else 1.0
+        rows.append((r.name, round6(metric), r.min_ratio, metric >= r.min_ratio))
+    for r in count_rules:
+        metric = min(n / r.min_rows, 1.0) if r.min_rows > 0 else 1.0
+        rows.append((r.label(), round6(metric), 1.0, n >= r.min_rows))
+    rows.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        rows, "rule string, metric double, threshold double, passed boolean"
+    )

@@ -1122,3 +1122,90 @@ def test_stream_cusum_tiebreak_is_deterministic(spark, tmp_path):
     assert got["n_alerts"] == want["n_alerts"] == 1
     assert abs(got["final_s"] - want["final_s"]) < 1e-9
     assert abs(got["max_s"] - want["max_s"]) < 1e-9
+
+
+def test_stream_dq_monitor_matches_batch_run_checks(spark, tmp_path):
+    """The cumulative rule-count state after 3 micro-batches yields the
+    SAME (rule, metric, threshold, passed) report as one batch
+    run_checks over all rows — exact count mergeability for the
+    mergeable rule subset."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators import dq
+    from replicadb_spark.streaming import pipeline as P
+
+    rules = [
+        dq.not_null("event_type"),
+        dq.in_range("value", -1000.0, 1000.0),
+        dq.satisfies("value_nonneg", F.col("value") >= 0, min_ratio=0.4),
+        dq.at_least(100),
+    ]
+    src = tmp_path / "dq_src"
+    src.mkdir()
+    rows = [(f"t{i % 3}" if i % 17 else None, float(i - 40)) for i in range(120)]
+    for f in range(3):
+        chunk = rows[f * 40:(f + 1) * 40]
+        tbl = pa.table({
+            "event_type": pa.array([r[0] for r in chunk]),
+            "value": pa.array([r[1] for r in chunk]),
+        })
+        pq.write_table(tbl, src / f"f{f}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{f}.parquet")
+
+    state = str(tmp_path / "dq_state")
+    stream = P.read_event_stream(
+        spark, str(src), spark.read.parquet(str(src)).schema,
+        max_files_per_trigger=1,
+    )
+    q = P.stream_dq_monitor(
+        stream, state, str(tmp_path / "dq_ckpt"), rules=rules
+    )
+    q.awaitTermination(120)
+
+    got = [tuple(r) for r in P.dq_report(spark, state, rules).collect()]
+    want = [
+        tuple(r)
+        for r in dq.run_checks(spark.read.parquet(str(src)), rules).collect()
+    ]
+    assert got == want
+    # the planted data really exercises both outcomes
+    status = {r[0]: r[3] for r in got}
+    assert status["not_null(event_type)"] is False  # every 17th is null
+    assert status["at_least(100)"] is True
+
+
+def test_stream_dq_monitor_replay_guard_and_unique_refusal(spark, tmp_path):
+    """Count merging is not idempotent: redelivering an applied batch id
+    must no-op. unique() rules must be refused loudly (distinct does
+    not fold through partial counts)."""
+    import pytest as _pytest
+
+    from replicadb_spark.operators import dq
+    from replicadb_spark.streaming.pipeline import (
+        _dq_merge_fn,
+        dq_report,
+        stream_dq_monitor,
+    )
+
+    rules = [dq.not_null("v"), dq.at_least(5)]
+    state = str(tmp_path / "dq_replay_state")
+    merge = _dq_merge_fn(state, rules)
+    b0 = spark.createDataFrame([(1,), (None,)], "v int")
+    b1 = spark.createDataFrame([(3,), (4,)], "v int")
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # at-least-once redelivery: must not double-count
+    rep = {r["rule"]: r for r in dq_report(spark, state, rules).collect()}
+    assert rep["not_null(v)"]["metric"] == 0.75  # 3 of 4, not 5 of 6
+    assert rep["at_least(5)"]["passed"] is False
+
+    with _pytest.raises(ValueError, match="unique"):
+        stream_dq_monitor(
+            spark.readStream.format("rate").load(),
+            state, "x", rules=[dq.unique("v")],
+        )
