@@ -156,10 +156,15 @@ def write_bucketed_table(
     partition. Plan proof: tests/test_bucketed_join.py pins a
     bucketed⋈bucketed SortMergeJoin with ZERO Exchange operators.
 
-    Note ``df.repartition(bucket_cols)`` before calling when the input
-    has many small tasks — each task writes one file PER bucket it
-    holds rows for, so unpartitioned wide inputs fragment into
-    tasks×buckets files."""
+    Note ``df.repartition(n_buckets, *bucket_cols)`` before calling —
+    repartitioning on the same murmur3 hash as the bucket spec gives
+    ONE file per bucket (any other input layout writes one file per
+    task per bucket, fragmenting into tasks×buckets files AND losing
+    the sorted-scan eligibility). Reading the persisted sort order
+    back additionally needs
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (SPARK-28616 gates it off because multi-file buckets would force
+    single-threaded concatenation)."""
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -23,8 +23,12 @@ def bucketed_pair(spark, tmp_path_factory):
         ("t_customer_b", customer, "c_custkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # repartition on the SAME hash as the bucket spec → each task
+        # holds exactly one bucket → ONE file per bucket, which is what
+        # lets the scan advertise the per-bucket sort order (multi-file
+        # buckets are concatenated and lose it)
         write_bucketed_table(
-            df.repartition(4, key),
+            df.repartition(8, key),
             name,
             bucket_cols=[key],
             n_buckets=8,
@@ -53,6 +57,13 @@ def test_bucketed_join_has_zero_exchange(spark, bucketed_pair):
     # force the sort-merge path: a broadcast would hide the layout win
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the planner's auto heuristic may disable bucketed scans it thinks
+    # won't help; pin it on — we're asserting the layout's guarantee
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    # since Spark 3.0 the scan only advertises the persisted per-bucket
+    # sort order behind this flag (SPARK-28616: multi-file buckets would
+    # force single-threaded concatenation; ours are one file per bucket)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try:
         df = _join(spark, l, r)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -67,6 +78,8 @@ def test_bucketed_join_has_zero_exchange(spark, bucketed_pair):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
 
 
 def test_bucketed_join_matches_plain_join(spark, bucketed_pair):
@@ -95,6 +108,7 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_pair):
 def test_bucket_pruning_on_point_lookup(spark, bucketed_pair):
     l, _ = bucketed_pair
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try:
         df = spark.table(l).where(F.col("o_custkey") == 371)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -102,3 +116,4 @@ def test_bucket_pruning_on_point_lookup(spark, bucketed_pair):
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
