@@ -130,6 +130,38 @@ def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
         mrpf = job.sink_params.get("max.records.per.file", "")
         if mrpf:
             write_opts["max_records_per_file"] = int(mrpf)
+        #   bucket.by=k1,k2 + bucket.count=N [+ bucket.sort.by=s1,...]
+        #   → hash-bucketed table layout (co-located joins downstream;
+        #   tests/test_bucketed_join.py pins the zero-shuffle contract).
+        #   Registered as an external table named sink.table (or the
+        #   path basename) over the sink path.
+        bucket_by = [
+            c.strip()
+            for c in job.sink_params.get("bucket.by", "").split(",")
+            if c.strip()
+        ]
+        if bucket_by:
+            from replicadb_spark.sinks.files import write_bucketed_table
+
+            n_buckets = int(job.sink_params.get("bucket.count", "8"))
+            sort_by = [
+                c.strip()
+                for c in job.sink_params.get("bucket.sort.by", "").split(",")
+                if c.strip()
+            ]
+            table = job.sink_table or path.rstrip("/").rsplit("/", 1)[-1]
+            table = "".join(ch if ch.isalnum() else "_" for ch in table)
+            write_bucketed_table(
+                df.repartition(n_buckets, *bucket_by),
+                table,
+                bucket_cols=bucket_by,
+                n_buckets=n_buckets,
+                sort_cols=sort_by or None,
+                fmt=fmt if fmt in ("parquet", "orc") else "parquet",
+                mode="overwrite" if job.mode.startswith("complete") else "append",
+                path=path,
+            )
+            return
         if fmt == "csv":
             # sink-side CSV format dialect/knobs (the reference reads the
             # same format.* grammar from the SINK connection params,

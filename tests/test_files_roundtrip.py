@@ -258,3 +258,34 @@ def test_incremental_swap_leaves_no_side_dirs(spark, tmp_path):
     assert {r["v"] for r in spark.read.parquet(str(out)).collect()} == {"new"}
     leftovers = [d for d in os.listdir(tmp_path) if "__replicadb_" in d]
     assert leftovers == []
+
+
+def test_engine_bucketed_sink_params(spark, tmp_path):
+    """sink.connect.parameter.bucket.by/bucket.count reach the bucketed
+    table writer: the sink lands as an external hash-bucketed table
+    whose metadata downstream joins can exploit (zero-shuffle contract
+    pinned in tests/test_bucketed_join.py)."""
+    src = tmp_path / "bsrc.csv"
+    src.write_text("id,v\n" + "".join(f"{i},{i*10}\n" for i in range(20)))
+    out = tmp_path / "out_bucketed"
+    spark.sql("DROP TABLE IF EXISTS out_bucketed")
+    job = ReplicaJob(
+        source_connect=f"file://{src}",
+        sink_connect=f"file://{out}",
+        source_file_format="csv",
+        sink_file_format="parquet",
+        source_params={"header": "true"},
+        sink_params={"bucket.by": "id", "bucket.count": "4",
+                     "bucket.sort.by": "id"},
+        mode="complete",
+    )
+    try:
+        run(spark, job)
+        desc = spark.sql("DESCRIBE TABLE EXTENDED out_bucketed").collect()
+        props = {r["col_name"]: r["data_type"] for r in desc}
+        assert props.get("Num Buckets") == "4"
+        assert "id" in props.get("Bucket Columns", "")
+        assert spark.table("out_bucketed").count() == 20
+        assert spark.read.parquet(str(out)).count() == 20  # external path
+    finally:
+        spark.sql("DROP TABLE IF EXISTS out_bucketed")
