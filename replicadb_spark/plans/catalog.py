@@ -7531,3 +7531,64 @@ def streaming_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("price", 6).alias("last_price"),
     )
+
+
+@register(
+    "streaming_dq_state",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM events),
+    m AS (
+      SELECT
+        SUM(CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END) AS c_nn,
+        SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS c_pos,
+        SUM(CASE WHEN value >= -1000 AND value <= 1000
+                 THEN 1 ELSE 0 END) AS c_rng
+      FROM events
+    )
+    SELECT rule, round(metric, 6) AS metric,
+           CAST(threshold AS DOUBLE) AS threshold,
+           metric >= threshold AS passed
+    FROM (
+      SELECT 'at_least(1000)' AS rule, least(n.n / 1000.0, 1.0) AS metric,
+             1.0 AS threshold FROM n
+      UNION ALL
+      SELECT 'not_null(event_type)', m.c_nn * 1.0 / n.n, 1.0 FROM m, n
+      UNION ALL
+      SELECT 'range(value)', m.c_rng * 1.0 / n.n, 1.0 FROM m, n
+      UNION ALL
+      SELECT 'value_nonneg', m.c_pos * 1.0 / n.n, 0.4 FROM m, n
+    ) ORDER BY rule
+    """,
+)
+def streaming_dq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream_dq_monitor twin driven bounded and VALUE-gated: the
+    events stream folds through the cumulative rule-count state
+    (foreachBatch, batch-id replay guard) and dq_report reads the final
+    (rule, metric, threshold, passed) frame off the state — which for a
+    complete bounded run must equal the same rules computed by one SQL
+    pass (the streaming_dedup_state pattern applied to twin #19).
+
+    Scale: per batch ONE conditional-count aggregate row merged into a
+    1-row parquet state; the report never rescans history."""
+    import tempfile
+
+    from replicadb_spark.operators import dq
+    from replicadb_spark.streaming.pipeline import dq_report, stream_dq_monitor
+
+    rules = [
+        dq.not_null("event_type"),
+        dq.in_range("value", -1000.0, 1000.0),
+        dq.satisfies("value_nonneg", F.col("value") >= 0, min_ratio=0.4),
+        dq.at_least(1000),
+    ]
+    src = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.[p]arquet")
+    )
+    work = tempfile.mkdtemp(prefix="strm_dq_")
+    q = stream_dq_monitor(src, f"{work}/state", f"{work}/ckpt", rules=rules)
+    q.awaitTermination(300)
+    return dq_report(spark, f"{work}/state", rules)

@@ -447,3 +447,63 @@ def test_semantic_dedup_matches_sequential_reference(spark, vecs, threshold):
         if not dup:
             kept_ref.append(i)
     assert got == want
+
+
+# ---------------------------------------------------------------- codecs
+
+import numpy as np
+
+from replicadb_spark.functions import codecs
+
+
+@st.composite
+def rgb_arrays(draw):
+    h = draw(st.integers(1, 9))
+    w = draw(st.integers(1, 9))
+    data = draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3)
+    )
+    return np.frombuffer(data, np.uint8).reshape(h, w, 3)
+
+
+@given(rgb_arrays())
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_any_image(rgb):
+    np.testing.assert_array_equal(
+        codecs.decode_ppm(codecs.encode_ppm(rgb)), rgb
+    )
+
+
+@given(rgb_arrays(), st.integers(1, 12), st.integers(1, 12))
+@settings(max_examples=40, deadline=None)
+def test_resize_nearest_samples_real_pixels(rgb, w, h):
+    out = codecs.resize_nearest(rgb, w, h)
+    assert out.shape == (h, w, 3)
+    # every output pixel is SOME input pixel (nearest-neighbor, no blend)
+    flat_in = {bytes(p) for p in rgb.reshape(-1, 3)}
+    assert all(bytes(p) in flat_in for p in out.reshape(-1, 3))
+    # identity resize is exact
+    same = codecs.resize_nearest(rgb, rgb.shape[1], rgb.shape[0])
+    np.testing.assert_array_equal(same, rgb)
+
+
+@given(
+    st.lists(st.floats(-1.0, 1.0, allow_nan=False), min_size=1, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_16bit_roundtrip_any_signal(samples, rate):
+    import io
+    import wave as wave_mod
+
+    x = np.array(samples)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((x * 32767).astype("<i2").tobytes())
+    got, got_rate = codecs.decode_wav(buf.getvalue())
+    assert got_rate == rate and len(got) == len(x)
+    # 16-bit quantization: within 1 LSB of the original
+    assert np.abs(got - np.round(x * 32767) / 32768.0).max() <= (1.5 / 32768)
