@@ -1209,3 +1209,62 @@ def test_stream_dq_monitor_replay_guard_and_unique_refusal(spark, tmp_path):
             spark.readStream.format("rate").load(),
             state, "x", rules=[dq.unique("v")],
         )
+
+
+def test_stream_dedup_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """EventTimeTimeout + state_ttl_ms really evicts: a key idle past
+    its TTL while the watermark advances is forgotten, so its
+    recurrence starts a FRESH state (dup_count back to 0) — while a key
+    that stayed active keeps accumulating. This drives the timeout
+    branch end-to-end (the ADVICE-r5 dead-code concern, inverted)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    base = 1_700_000_000_000_000
+    HOUR = 3_600_000_000
+    batches = [
+        [(1, base), (2, base)],            # A=1 and B=2 appear
+        [(2, base + 2 * HOUR)],            # B active; watermark → +2h
+        [(2, base + 4 * HOUR)],            # A's ttl expired < watermark → evict A
+        [(1, base + 6 * HOUR), (2, base + 6 * HOUR)],  # A returns, B continues
+    ]
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    stream = P.read_event_stream(
+        spark, str(src), spark.read.parquet(str(src)).schema,
+        max_files_per_trigger=1,
+    )
+    out = _run_to_memory(
+        spark,
+        P.stream_dedup_first_seen(
+            stream, key_col="event_id", watermark="0 seconds",
+            state_ttl_ms=1_000,  # 1s TTL << the 2h gaps
+        ),
+        "t_dedup_ttl",
+        mode="update",
+    ).collect()
+    a_rows = sorted(
+        (r for r in out if r["event_id"] == 1), key=lambda r: str(r["first_ts"])
+    )
+    # A emitted twice; the SECOND emission restarted from scratch:
+    # dup_count 0 again and first_ts = the +6h recurrence, not base
+    assert [r["dup_count"] for r in a_rows] == [0, 0]
+    assert len({str(r["first_ts"]) for r in a_rows}) == 2
+    # B never idled past TTL: 4 appearances accumulated into dup_count 3
+    b_final = max((r for r in out if r["event_id"] == 2), key=lambda r: r["dup_count"])
+    assert b_final["dup_count"] == 3
+    assert str(b_final["first_ts"]).startswith("2023")  # original first seen
