@@ -12,8 +12,25 @@ continuously:
 - stream_file_replica  = continuous file→file replication (the streaming
   form of `complete` mode: append-only micro-batches)
 
-Tests drive these with Trigger.AvailableNow over file sources so they run
-bounded (tests/test_streaming.py).
+Nineteen twins as of round 6, in three shapes:
+
+1. built-in stateful operators (tumbling/sliding/session windows,
+   stream-stream interval join);
+2. foreachBatch mergeable-state folds with parquet state and, where
+   counts merge non-idempotently, a batch-id replay guard
+   (incremental upsert, CDC apply, KMV distinct/bottom-k,
+   Misra-Gries heavy hitters, PSI drift, DQ monitor, rollup partials,
+   neardup-vs-corpus screen, outlier profile);
+3. custom applyInPandasWithState operators for the non-associative /
+   order-dependent recursions built-ins can't express (dedup with
+   duplicate accounting, CUSUM changepoints, the as-of state join,
+   the online SemDeDup screen).
+
+Every twin has a batch-equality test (N micro-batches ≡ one batch run)
+driven bounded with Trigger.AvailableNow (tests/test_streaming.py);
+four are additionally value-hash-gated against DuckDB oracles via the
+catalog (streaming_dedup_state, streaming_asof_state,
+streaming_dq_state, and the KMV family's gates).
 """
 
 from __future__ import annotations

@@ -526,3 +526,30 @@ def test_degree_profile_is_aggregate_cascade(spark):
     plan = _final_plan(spark, "copurchase_degree_profile")
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 6  # partial+final × 3 levels
+
+
+def test_rfm_approx_gate_sketch_path_is_mergeable(spark):
+    """The PROVEN scale path inside the gate: quintile cuts come from a
+    partial+final percentile_approx aggregate (fixed-size mergeable
+    state) broadcast to the scorer — not from any extra global sort.
+    The only single-partition windows are the exact ntiles being gated
+    against (3 of them, on the exact side)."""
+    plan = _plan(spark, "rfm_approx_gate")
+    assert "partial_percentile_approx" in plan
+    assert "percentile_approx" in plan
+    assert "BroadcastExchange" in plan  # 12 cut values ride a broadcast
+    # exactly the 3 exact-side ntile windows, no global window creep
+    assert plan.count("ntile(5)") == 3
+
+
+def test_equidepth_split_gate_rank_path_is_partitioned(spark):
+    """The PROVEN scale path: global_rank's row_number runs PARTITIONED
+    by the range bucket (__b) — the full-data sort never collapses to
+    one partition; the 7 split values broadcast as one collected array;
+    bucket assignment is codegen comparisons (no HOF)."""
+    plan = _plan(spark, "equidepth_split_gate")
+    assert "windowspecdefinition(__b" in plan          # partitioned rank
+    assert "collect_list" in plan                      # 7-value broadcast
+    assert "BroadcastExchange IdentityBroadcastMode" in plan
+    # the exact side's gated ntile is the ONLY full-data global window
+    assert plan.count("ntile(8)") == 1
