@@ -1443,3 +1443,93 @@ def dq_report(spark: SparkSession, state_path: str, rules: list) -> DataFrame:
     return spark.createDataFrame(
         rows, "rule string, metric double, threshold double, passed boolean"
     )
+
+
+def stream_jdbc_replica(
+    source: DataFrame,
+    checkpoint: str,
+    *,
+    sink_connect: str,
+    sink_table: str,
+    mode: str = "incremental",
+    sink_user: "str | None" = None,
+    sink_password: "str | None" = None,
+    sink_params: "dict | None" = None,
+    pk_columns: "list[str] | None" = None,
+    order_column: "str | None" = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous replication into a LIVE JDBC database — each
+    micro-batch runs the engine's own sink mode (modes.run_jdbc_mode:
+    staging table + dialect MERGE for ``incremental``, bulk append for
+    ``append``) against the real connection. This removes the
+    parquet-snapshot stand-in the other upsert twins document: the
+    sink here is the same staging+MERGE path the batch CLI uses, so a
+    changelog stream lands in the sink table with true last-write-wins
+    per primary key.
+
+    Delivery semantics: ``incremental`` MERGEs full-payload upserts —
+    idempotent, so an at-least-once replay of a micro-batch is a no-op
+    and NO batch-id guard is needed (the live-sink analog of
+    stream_cdc_apply's argument; the test proves re-applying a batch
+    leaves the sink unchanged). ``append`` bulk-inserts and is NOT
+    replay-idempotent — use it only with exactly-once sources or
+    dedup downstream, the same caveat the reference's non-transactional
+    inserts carry (SURVEY §2.3 M1 without truncate).
+
+    A micro-batch touching one key several times would fail the MERGE
+    (multiple source matches), so pass ``order_column`` to compact each
+    batch to its newest row per ``pk_columns`` first (pk_columns
+    defaults to the sink's discovered primary key); without it the
+    source contract is at most one row per key per batch.
+
+    Scale: per batch the usual MERGE economics — one staging write of
+    the BATCH (not the table) + one set-based MERGE; the stream never
+    rewrites the sink."""
+    from replicadb_spark.modes import run_jdbc_mode
+    from replicadb_spark.options import ReplicaJob
+
+    if mode not in ("incremental", "append"):
+        raise ValueError(
+            "stream_jdbc_replica supports mode='incremental' (MERGE, "
+            "replay-idempotent) or 'append' (bulk insert) — per-batch "
+            "'complete' would truncate the sink every micro-batch"
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        job = ReplicaJob(
+            source_connect="stream://microbatch",
+            sink_connect=sink_connect,
+            sink_table=sink_table,
+            mode="incremental" if mode == "incremental" else "complete",
+            sink_truncate=False,  # only consulted by the append path
+            sink_user=sink_user,
+            sink_password=sink_password,
+            sink_params=dict(sink_params or {}),
+        )
+        if order_column is not None and mode == "incremental":
+            from pyspark.sql import Window
+
+            from replicadb_spark.modes import sink_primary_keys
+
+            pks = pk_columns or sink_primary_keys(batch_df.sparkSession, job)
+            colmap = {c.lower(): c for c in batch_df.columns}
+            pks = [colmap.get(p.lower(), p) for p in pks]
+            w = Window.partitionBy(*pks).orderBy(F.col(order_column).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        run_jdbc_mode(batch_df.sparkSession, job, batch_df)
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
