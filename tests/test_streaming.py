@@ -1268,3 +1268,43 @@ def test_stream_dedup_state_ttl_evicts_idle_keys(spark, tmp_path):
     b_final = max((r for r in out if r["event_id"] == 2), key=lambda r: r["dup_count"])
     assert b_final["dup_count"] == 3
     assert str(b_final["first_ts"]).startswith("2023")  # original first seen
+
+
+def test_stream_file_replica_survives_schema_drift_across_restarts(spark, tmp_path):
+    """Replication restart after upstream schema evolution (the
+    schema_drift_union scenario, continuous form): run the replica,
+    stop, restart on the SAME checkpoint with a widened source schema —
+    the sink must hold every row from both eras, readable as one frame
+    with the union schema (old rows null in the new column). The
+    reference's flat-insert replication breaks here; the parquet sink's
+    per-file schema + mergeSchema read is the Spark-native answer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "drift_sink"), str(tmp_path / "drift_ck")
+
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}), src / "era1.parquet"
+    )
+    s1 = spark.readStream.schema("id long").parquet(str(src))
+    P.stream_file_replica(s1, sink, ckpt).awaitTermination(120)
+
+    # upstream evolves: a new column appears in era-2 files
+    pq.write_table(
+        pa.table({
+            "id": pa.array([3, 4], pa.int64()),
+            "source": pa.array(["web", "app"]),
+        }),
+        src / "era2.parquet",
+    )
+    s2 = spark.readStream.schema("id long, source string").parquet(str(src))
+    P.stream_file_replica(s2, sink, ckpt).awaitTermination(120)
+
+    got = spark.read.option("mergeSchema", "true").parquet(sink)
+    rows = {r["id"]: r["source"] for r in got.collect()}
+    # era-1 rows not re-replicated (checkpoint), era-2 appended
+    assert rows == {1: None, 2: None, 3: "web", 4: "app"}
