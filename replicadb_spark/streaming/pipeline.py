@@ -1000,24 +1000,23 @@ def stream_cusum_alerts(
             s, mx, alerts, n, last_ms = state.get
         else:
             s, mx, alerts, n, last_ms = 0.0, 0.0, 0, 0, 0
-        saw_rows = False
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            saw_rows = True
-            pdf = pdf.sort_values(sort_cols, kind="stable")
-            n += len(pdf)
-            last_ms = max(
-                last_ms, int(pdf[ts_col].max().value // 1_000_000)
-            )
-            for x in pdf[value_col].astype(float):
-                s = max(0.0, s + (x - target - slack))
-                mx = max(mx, s)
-                if s > threshold:
-                    alerts += 1
-                    s = 0.0
-        if not saw_rows:
+        # a group larger than the Arrow batch size arrives as several
+        # chunks with NO cross-chunk time order — concat before the one
+        # sort, or the fold order breaks exactly on big keys
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
             return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            sort_cols, kind="stable"
+        )
+        n += len(pdf)
+        last_ms = max(last_ms, int(pdf[ts_col].max().value // 1_000_000))
+        for x in pdf[value_col].astype(float):
+            s = max(0.0, s + (x - target - slack))
+            mx = max(mx, s)
+            if s > threshold:
+                alerts += 1
+                s = 0.0
         state.update((s, mx, alerts, n, last_ms))
         state.setTimeoutTimestamp(last_ms + state_ttl_ms)
         yield pd.DataFrame(
@@ -1148,15 +1147,17 @@ def stream_asof_enrich(
             )
         else:
             seed = None
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
+        # a group larger than the Arrow batch size arrives as several
+        # chunks with NO cross-chunk time order — concat before the one
+        # sort, or a fact in a later chunk misses a dim in an earlier one
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
             # dims sort before facts at equal __t (side 0 < 1) so an
             # equal-timestamp version is visible; later duplicates win,
             # with dim_tiebreak making the last duplicate deterministic
             # (facts all share side=1 and null tiebreak values, so the
             # stable sort never reorders them)
-            pdf = pdf.sort_values(
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["__t", "__side", *(dim_tiebreak or [])],
                 kind="stable",
                 na_position="last",
@@ -1279,39 +1280,45 @@ def stream_semantic_dedup(
             state.remove()
             return
         kept_list: list = list(state.get[0]) if state.exists else []
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("__vid").reset_index(drop=True)
-            M = np.array(pdf["__v"].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(M, axis=1)
-            nrm[nrm == 0.0] = 1.0  # zero vectors are similar to nothing
-            M = M / nrm[:, None]
-            kept_flags, sat_flags = [], []
-            K = (
-                np.array(kept_list, dtype=np.float64)
-                if kept_list
-                else np.zeros((0, M.shape[1]))
-            )
-            for i in range(len(pdf)):
-                saturated = len(kept_list) >= max_kept_per_cell
-                if len(K) and (K @ M[i] >= threshold).any():
-                    kept_flags.append(False)
-                    sat_flags.append(saturated)
-                    continue
-                kept_flags.append(True)
+        # concat all Arrow chunks before the one ascending-id sort — a
+        # cell bigger than the Arrow batch size would otherwise screen
+        # chunk-by-chunk in an order that breaks the greedy-MIS contract
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            state.update((kept_list, len(kept_list)))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "__vid"
+        ).reset_index(drop=True)
+        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0.0] = 1.0  # zero vectors are similar to nothing
+        M = M / nrm[:, None]
+        kept_flags, sat_flags = [], []
+        K = (
+            np.array(kept_list, dtype=np.float64)
+            if kept_list
+            else np.zeros((0, M.shape[1]))
+        )
+        for i in range(len(pdf)):
+            saturated = len(kept_list) >= max_kept_per_cell
+            if len(K) and (K @ M[i] >= threshold).any():
+                kept_flags.append(False)
                 sat_flags.append(saturated)
-                if not saturated:
-                    kept_list.append(M[i].tolist())
-                    K = np.vstack([K, M[i][None, :]])
-            yield pd.DataFrame(
-                {
-                    "id": pdf["__vid"],
-                    "cell": pdf["cell"],
-                    "kept": kept_flags,
-                    "saturated": sat_flags,
-                }
-            )
+                continue
+            kept_flags.append(True)
+            sat_flags.append(saturated)
+            if not saturated:
+                kept_list.append(M[i].tolist())
+                K = np.vstack([K, M[i][None, :]])
+        yield pd.DataFrame(
+            {
+                "id": pdf["__vid"],
+                "cell": pdf["cell"],
+                "kept": kept_flags,
+                "saturated": sat_flags,
+            }
+        )
         state.update((kept_list, len(kept_list)))
 
     return assigned.groupBy(F.col("cell")).applyInPandasWithState(
