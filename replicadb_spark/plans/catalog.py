@@ -7589,6 +7589,13 @@ def streaming_dq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{sf_dir}/events.[p]arquet")
     )
     work = tempfile.mkdtemp(prefix="strm_dq_")
-    q = stream_dq_monitor(src, f"{work}/state", f"{work}/ckpt", rules=rules)
-    q.awaitTermination(300)
-    return dq_report(spark, f"{work}/state", rules)
+    try:
+        q = stream_dq_monitor(src, f"{work}/state", f"{work}/ckpt", rules=rules)
+        q.awaitTermination(300)
+        # dq_report materializes the state into local rows, so the
+        # working dir can go away before the frame is consumed
+        return dq_report(spark, f"{work}/state", rules)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
