@@ -7599,3 +7599,107 @@ def streaming_dq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS toks,
+             lower(text) AS lt
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+               AS total_chars,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha_words,
+             len(list_filter(toks, x -> x IN
+                 ('the','be','to','of','and','that','have','with')))
+               AS n_stop,
+             length(lt) - length(replace(lt, '#', ''))
+               + (length(lt) - length(replace(lt, '...', ''))) / 3
+               AS n_symbols
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(total_chars * 1.0 / n_words, 4) AS mean_wlen,
+           (n_words >= 50 AND n_words <= 100000) AS bounds_ok,
+           (total_chars * 1.0 / n_words >= 3.0
+            AND total_chars * 1.0 / n_words <= 10.0) AS wlen_ok,
+           (n_symbols * 1.0 / n_words <= 0.1) AS symbol_ok,
+           (n_alpha_words * 1.0 / n_words >= 0.8) AS alpha_ok,
+           (n_stop >= 2) AS stop_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND total_chars * 1.0 / n_words >= 3.0
+            AND total_chars * 1.0 / n_words <= 10.0
+            AND n_symbols * 1.0 / n_words <= 0.1
+            AND n_alpha_words * 1.0 / n_words >= 0.8
+            AND n_stop >= 2) AS keep
+    FROM m WHERE n_words > 0
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    §A1.1 — the public heuristic suite most training-data pipelines
+    start from): word-count bounds [50, 100k], mean word length in
+    [3, 10], hash/ellipsis symbol-to-word ratio ≤ 0.1, ≥80% of words
+    containing an alphabetic character, and ≥2 common-English stop
+    words. Emits the per-rule booleans AND the conjunctive keep flag
+    per document, so a pipeline can both filter and audit which rule
+    fired.
+
+    Determinism: the whitespace tokenization is the established
+    cross-engine twin; every ratio is an exact int/int double division
+    compared against the same literal threshold in both engines.
+
+    Scale: ONE projection pass, all HOF/regex per-row work over the
+    tokens array — no shuffle at all (the plan is scan → project);
+    at 100 TB this is the map-only screen it must be."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    lt = F.lower(F.col("text"))
+    toks = X.tokens(lt)
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin(
+                "the", "be", "to", "of", "and", "that", "have", "with"
+            ),
+        )
+    ).cast("long")
+    n_symbols = (
+        F.length(lt) - F.length(F.replace(lt, F.lit("#"), F.lit("")))
+        + (F.length(lt) - F.length(F.replace(lt, F.lit("..."), F.lit("")))) / 3
+    )
+    mean_wlen = total_chars.cast("double") / n_words
+    bounds_ok = (n_words >= 50) & (n_words <= 100000)
+    wlen_ok = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    symbol_ok = n_symbols.cast("double") / n_words <= 0.1
+    alpha_ok = n_alpha.cast("double") / n_words >= 0.8
+    stop_ok = n_stop >= 2
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_words.alias("n_words"),
+            F.round(mean_wlen, 4).alias("mean_wlen"),
+            bounds_ok.alias("bounds_ok"),
+            wlen_ok.alias("wlen_ok"),
+            symbol_ok.alias("symbol_ok"),
+            alpha_ok.alias("alpha_ok"),
+            stop_ok.alias("stop_ok"),
+            (bounds_ok & wlen_ok & symbol_ok & alpha_ok & stop_ok).alias("keep"),
+        )
+        .where(F.col("n_words") > 0)
+    )
