@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "dow_seasonality_events",
     "user_feature_hash",
     "copurchase_degree_profile",
+    "gopher_quality_rules",
 ]
 
 
