@@ -1,0 +1,213 @@
+"""Persisted IVF vector index as a cell-partitioned parquet layout.
+
+The ANN family in functions/similarity.py builds its inverted file
+per query run; this module MATERIALIZES it as a table layout so the
+index survives across jobs and the probe step becomes Spark partition
+pruning:
+
+- ``build``: assign every vector to its nearest coarse cell (the shared
+  deterministic quantizer — functions/similarity.coarse_centroids) and
+  write the corpus ``partitionBy("cell")``, with the centroid codebook
+  as a small sidecar parquet. One layout write; at 100 TB this is the
+  same cost as any partitioned-table materialization.
+- ``search``: per query, pick the ``n_probe`` nearest cells from the
+  (broadcast-size) codebook and scan ONLY those partitions — the
+  ``cell IN (...)`` filter prunes at the directory level
+  (PartitionFilters in the scan, pinned by the test), so a 1024-cell
+  index at n_probe=8 reads <1% of the corpus bytes per query batch.
+  Within the probed cells the scoring is the exact broadcast-queries
+  kernel (no corpus shuffle), then one top-k window per query.
+- ``append``: assign NEW vectors against the FROZEN codebook and
+  append into their cell partitions — incremental index maintenance
+  with no rebuild (cells drift as the distribution drifts; rebuild
+  with fresh centroids when the recall gate drops, the standard IVF
+  operational trade, cf. the stream_semantic_dedup fixed-codebook
+  contract).
+
+Determinism: the codebook is the deterministic hash-picked quantizer;
+assignment ties go to the lower cell id; search output carries the
+(score desc, neighbor_id) total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _assign(df: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """corpus → (id, cell, vec) via the collected-argmax Arrow kernel
+    (the dedup.semantic_dedup shape): the bounded codebook rides the
+    closure, assignment is a per-batch matmul argmax with ties to the
+    lower cell id — ZERO exchanges on the corpus."""
+    import numpy as np
+
+    crows = cents.orderBy("cell").collect()
+    cell_ids = np.array([r["cell"] for r in crows])
+    C = np.array([r["cent_vec"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+
+    id_t = dict(df.dtypes)[id_col]
+    vec_t = df.schema[vec_col].dataType.simpleString()
+
+    def assign_local(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            S = (M / mn[:, None]) @ Cn.T
+            # argmax returns the FIRST maximal column; columns are
+            # cell-id ordered, so ties go to the lower cell id
+            yield pd.DataFrame(
+                {
+                    "__vid": pdf["__vid"],
+                    "cell": cell_ids[S.argmax(axis=1)],
+                    "__v": pdf["__v"],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).mapInPandas(assign_local, schema=f"__vid {id_t}, cell int, __v {vec_t}")
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_iters: int = 0,
+) -> None:
+    """Materialize the IVF layout: ``path/codebook`` (n_cells rows) and
+    ``path/cells`` partitioned by cell."""
+    from replicadb_spark.functions.similarity import coarse_centroids
+
+    cents = coarse_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        lloyd_iters=lloyd_iters,
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    spark = corpus.sparkSession
+    saved = spark.read.parquet(f"{path}/codebook")
+    _assign(corpus, saved, id_col, vec_col).withColumnRenamed(
+        "__vid", id_col
+    ).withColumnRenamed("__v", vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+
+
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance: assign against the FROZEN codebook and
+    append into the cell partitions (dynamic partition append — only
+    the touched cells gain files). New vectors are cast to the INDEX's
+    stored vector type first — mixed float/double element types across
+    part-files would fail every later scan."""
+    spark = new_vecs.sparkSession
+    cents = spark.read.parquet(f"{path}/codebook")
+    stored_t = (
+        spark.read.parquet(f"{path}/cells")
+        .schema[vec_col]
+        .dataType.simpleString()
+    )
+    new_vecs = new_vecs.withColumn(vec_col, F.col(vec_col).cast(stored_t))
+    _assign(new_vecs, cents, id_col, vec_col).withColumnRenamed(
+        "__vid", id_col
+    ).withColumnRenamed("__v", vec_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Probe-and-scan: union of the query batch's n_probe cells → ONE
+    pruned partitioned scan (`cell IN (...)` reaches PartitionFilters)
+    → broadcast-queries exact scoring inside the probed cells → top-k
+    window per query. Returns (query_id, neighbor_id, score 6dp)."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/codebook").orderBy("cell").collect()
+    C = np.array([r["cent_vec"] for r in cents], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+    cell_ids = np.array([r["cell"] for r in cents])
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    probe: set[int] = set()
+    for r in qrows:
+        qv = np.array(r["qv"], dtype=np.float64)
+        qn = np.linalg.norm(qv) or 1.0
+        scores = Cn @ (qv / qn)
+        order = np.lexsort((cell_ids, -scores))  # score desc, cell asc
+        probe.update(int(cell_ids[i]) for i in order[:n_probe])
+
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("cell").isin(*sorted(probe))
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        cells.crossJoin(F.broadcast(qdf))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.aggregate(
+                    F.zip_with(vec_col, "qv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.greatest(
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform(vec_col, lambda x: x * x),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            F.transform("qv", lambda x: x * x),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ),
+                    F.lit(1e-12),
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )

@@ -1,0 +1,70 @@
+"""Persisted IVF index (operators/ann_index): cell-partitioned layout,
+partition-pruned probes, incremental append, recall vs brute force."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from replicadb_spark.operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    search_ivf_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_index(corpus, path, n_cells=8)
+    return path, corpus
+
+
+def test_layout_is_cell_partitioned(spark, index):
+    import os
+
+    path, corpus = index
+    dirs = sorted(d for d in os.listdir(f"{path}/cells") if d.startswith("cell="))
+    assert 1 < len(dirs) <= 8
+    total = spark.read.parquet(f"{path}/cells").count()
+    assert total == corpus.count()
+
+
+def test_search_prunes_partitions_and_hits_recall(spark, index):
+    from replicadb_spark.functions.similarity import knn_bruteforce
+
+    path, corpus = index
+    queries = corpus.where(F.col("vec_id") < 5)
+    res = search_ivf_index(spark, path, queries, n_probe=6, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probe filter reaches the scan as a PARTITION filter: only the
+    # probed cell directories are read
+    assert "PartitionFilters: [cell" in plan.replace("#", "").replace(
+        "cast(cell", "cell"
+    ) or "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
+    got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(corpus, queries, k=10).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.75, recall
+
+
+def test_append_then_search_finds_new_vector(spark, index):
+    path, corpus = index
+    # a brand-new vector cloned from vec 3 (same direction, scaled):
+    # cosine 1.0 with vec 3, so it must appear in vec 3's neighbors
+    probe = corpus.where(F.col("vec_id") == 3).first()
+    new = spark.createDataFrame(
+        [(999_999, [2.0 * x for x in probe["embedding"]])],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(new, path)
+    queries = corpus.where(F.col("vec_id") == 3)
+    res = search_ivf_index(spark, path, queries, n_probe=4, k=5).collect()
+    top = max(res, key=lambda r: r["score"])
+    assert top["neighbor_id"] == 999_999
+    assert top["score"] == pytest.approx(1.0, abs=1e-5)
