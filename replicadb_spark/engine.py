@@ -143,6 +143,15 @@ def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
         if bucket_by:
             from replicadb_spark.sinks.files import write_bucketed_table
 
+            if job.mode == "incremental":
+                # appending without the PK merge would silently violate
+                # incremental semantics; the bucketed layout currently
+                # supports full-load modes only
+                raise ValueError(
+                    "bucket.by supports complete/complete-atomic modes; "
+                    "incremental merge into a bucketed table is not "
+                    "implemented — drop bucket.by or use mode=complete"
+                )
             n_buckets = int(job.sink_params.get("bucket.count", "8"))
             sort_by = [
                 c.strip()

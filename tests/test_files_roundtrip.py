@@ -289,3 +289,19 @@ def test_engine_bucketed_sink_params(spark, tmp_path):
         assert spark.read.parquet(str(out)).count() == 20  # external path
     finally:
         spark.sql("DROP TABLE IF EXISTS out_bucketed")
+
+
+def test_engine_bucketed_sink_refuses_incremental(spark, tmp_path):
+    """bucket.by + mode=incremental would append without the PK merge —
+    refused loudly instead of silently corrupting the sink."""
+    src = tmp_path / "bi.csv"
+    src.write_text("id,v\n1,10\n")
+    job = ReplicaJob(
+        source_connect=f"file://{src}", source_file_format="csv",
+        sink_connect=f"file://{tmp_path / 'bi_out'}",
+        sink_file_format="parquet", mode="incremental",
+        source_params={"header": "true"},
+        sink_params={"bucket.by": "id", "pk.columns": "id"},
+    )
+    with pytest.raises(ValueError, match="bucket.by"):
+        run(spark, job)
