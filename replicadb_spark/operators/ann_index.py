@@ -154,6 +154,9 @@ def search_ivf_index(
     Cn = C / cn[:, None]
     cell_ids = np.array([r["cell"] for r in cents])
 
+    # the query BATCH is collected to pick probe cells (bounded by the
+    # caller's batch size — hundreds, not the corpus); the corpus side
+    # never leaves the executors
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).collect()

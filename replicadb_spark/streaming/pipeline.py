@@ -12,15 +12,16 @@ continuously:
 - stream_file_replica  = continuous file→file replication (the streaming
   form of `complete` mode: append-only micro-batches)
 
-Nineteen twins as of round 6, in three shapes:
+Twenty twins as of round 6, in three shapes:
 
 1. built-in stateful operators (tumbling/sliding/session windows,
    stream-stream interval join);
 2. foreachBatch mergeable-state folds with parquet state and, where
    counts merge non-idempotently, a batch-id replay guard
-   (incremental upsert, CDC apply, KMV distinct/bottom-k,
-   Misra-Gries heavy hitters, PSI drift, DQ monitor, rollup partials,
-   neardup-vs-corpus screen, outlier profile);
+   (incremental upsert, CDC apply, live-JDBC MERGE replication, KMV
+   distinct/bottom-k, Misra-Gries heavy hitters, PSI drift, DQ
+   monitor, rollup partials, neardup-vs-corpus screen, outlier
+   profile);
 3. custom applyInPandasWithState operators for the non-associative /
    order-dependent recursions built-ins can't express (dedup with
    duplicate accounting, CUSUM changepoints, the as-of state join,
@@ -1503,6 +1504,8 @@ def stream_jdbc_replica(
             "'complete' would truncate the sink every micro-batch"
         )
 
+    pk_cache: list = []  # sink PK metadata discovered once, not per batch
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1521,7 +1524,11 @@ def stream_jdbc_replica(
 
             from replicadb_spark.modes import sink_primary_keys
 
-            pks = pk_columns or sink_primary_keys(batch_df.sparkSession, job)
+            if not pk_cache:
+                pk_cache.extend(
+                    pk_columns or sink_primary_keys(batch_df.sparkSession, job)
+                )
+            pks = list(pk_cache)
             colmap = {c.lower(): c for c in batch_df.columns}
             pks = [colmap.get(p.lower(), p) for p in pks]
             w = Window.partitionBy(*pks).orderBy(F.col(order_column).desc())
