@@ -124,7 +124,7 @@ _GATE_LAST = (
     # divergence, plus the bounded streaming as-of twin hash-gated
     # against DuckDB's native ASOF JOIN; evidence is the local replica
     "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
-    "streaming_dq_state", "gopher_quality_rules",
+    "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
 )
 
 

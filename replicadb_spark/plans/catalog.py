@@ -7703,3 +7703,38 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_words") > 0)
     )
+
+
+@register("ann_index_gate", oracle=_ANN_RECALL_ORACLE)
+def ann_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL GATE for the PERSISTED IVF index (operators/ann_index):
+    build the cell-partitioned layout (8 cells) in a temp dir, search
+    it through the partition-pruned probe path (6 cells), and require
+    ≥ 75% of the exact top-10 pairs — the ann_ivf gate's bound applied
+    to the durable-layout variant, so the materialize→prune→scan path
+    carries the same per-round evidence as the in-memory one.
+
+    Scale: the layout IS the point — at 10^9 vectors the probe reads
+    n_probe/n_cells of the corpus bytes via directory pruning; here
+    the whole build+search runs at gate scale in a few seconds."""
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = S.knn_bruteforce(e, q, k=10)
+    work = tempfile.mkdtemp(prefix="ann_idx_")
+    try:
+        build_ivf_index(e, work, n_cells=8, lloyd_iters=1)
+        approx = search_ivf_index(spark, work, q, n_probe=6, k=10)
+        # the gate aggregates to one local row before the temp layout
+        # can be removed
+        row = _ann_recall_gate(exact, approx, 0.75).collect()
+        return spark.createDataFrame(row, "n_exact bigint, recall_ok boolean")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
