@@ -12,16 +12,16 @@ continuously:
 - stream_file_replica  = continuous file→file replication (the streaming
   form of `complete` mode: append-only micro-batches)
 
-Twenty twins as of round 6, in three shapes:
+Twenty-one twins as of round 6, in three shapes:
 
 1. built-in stateful operators (tumbling/sliding/session windows,
    stream-stream interval join);
 2. foreachBatch mergeable-state folds with parquet state and, where
    counts merge non-idempotently, a batch-id replay guard
-   (incremental upsert, CDC apply, live-JDBC MERGE replication, KMV
-   distinct/bottom-k, Misra-Gries heavy hitters, PSI drift, DQ
-   monitor, rollup partials, neardup-vs-corpus screen, outlier
-   profile);
+   (incremental upsert, CDC apply, live-JDBC MERGE replication,
+   persisted-IVF index append, KMV distinct/bottom-k, Misra-Gries
+   heavy hitters, PSI drift, DQ monitor, rollup partials,
+   neardup-vs-corpus screen, outlier profile);
 3. custom applyInPandasWithState operators for the non-associative /
    order-dependent recursions built-ins can't express (dedup with
    duplicate accounting, CUSUM changepoints, the as-of state join,
@@ -1538,6 +1538,50 @@ def stream_jdbc_replica(
                 .drop("__rn")
             )
         run_jdbc_mode(batch_df.sparkSession, job, batch_df)
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ivf_append(
+    source: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous maintenance of the persisted IVF index
+    (operators/ann_index): each micro-batch of newly-embedded vectors
+    is assigned against the FROZEN codebook and appended into its cell
+    partitions, so searches see new vectors as soon as their batch
+    lands — the durable-layout twin of stream_semantic_dedup's
+    fixed-codebook contract (rebuild with fresh centroids when the
+    recall gate drops).
+
+    Delivery: an at-least-once replay re-appends the same rows —
+    duplicate neighbor ids with identical vectors and scores, which
+    top-k dedupes poorly; run exactly-once sources (file/Kafka with
+    checkpoint) or dedup on id downstream, the documented trade of
+    any append-only index.
+
+    Scale: per batch the zero-exchange argmax assign + a dynamic
+    partition append touching only the batch's cells."""
+    from replicadb_spark.operators.ann_index import append_to_ivf_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(
+            batch_df, index_path, id_col=id_col, vec_col=vec_col
+        )
 
     writer = (
         source.writeStream.foreachBatch(apply_batch)

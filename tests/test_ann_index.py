@@ -68,3 +68,58 @@ def test_append_then_search_finds_new_vector(spark, index):
     top = max(res, key=lambda r: r["score"])
     assert top["neighbor_id"] == 999_999
     assert top["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_stream_ivf_append_makes_batches_searchable(spark, index, tmp_path):
+    """Twin #21: two streamed micro-batches of new vectors land in the
+    persisted index's cell partitions and are found by search."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.streaming.pipeline import stream_ivf_append
+
+    path, corpus = index
+    probe = corpus.where(F.col("vec_id") == 7).first()
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    # batch 0: a clone of vec 7 (must become its top hit);
+    # batch 1: an unrelated new vector
+    for i, (vid, vec) in enumerate(
+        [
+            (777_001, [1.5 * x for x in probe["embedding"]]),
+            (777_002, [float(j % 5) for j in range(len(probe["embedding"]))]),
+        ]
+    ):
+        tbl = pa.table({
+            "vec_id": pa.array([vid], pa.int64()),
+            "embedding": pa.array([vec], pa.list_(pa.float64())),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    q = stream_ivf_append(stream, path, str(tmp_path / "ck_ivf"))
+    q.awaitTermination(120)
+
+    from replicadb_spark.operators.ann_index import search_ivf_index
+
+    res = search_ivf_index(
+        spark, path, corpus.where(F.col("vec_id") == 7), n_probe=4, k=5
+    ).collect()
+    top = max(res, key=lambda r: r["score"])
+    assert top["neighbor_id"] == 777_001
+    assert top["score"] == pytest.approx(1.0, abs=1e-5)
+    # both streamed vectors are physically in the layout
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/cells")
+        .where(F.col("vec_id") >= 777_000)
+        .collect()
+    }
+    assert ids == {777_001, 777_002}
