@@ -141,16 +141,23 @@ def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
             if c.strip()
         ]
         if bucket_by:
-            from replicadb_spark.sinks.files import write_bucketed_table
+            from replicadb_spark.sinks.files import (
+                upsert_bucketed_table,
+                write_bucketed_table,
+            )
 
-            if job.mode == "incremental":
-                # appending without the PK merge would silently violate
-                # incremental semantics; the bucketed layout currently
-                # supports full-load modes only
+            # loud refusals over silent coercion (ADVICE r6): bucketBy
+            # only exists for the splittable columnar formats, and the
+            # flat-file layout knobs don't reach the bucketed writer
+            if fmt not in ("parquet", "orc"):
                 raise ValueError(
-                    "bucket.by supports complete/complete-atomic modes; "
-                    "incremental merge into a bucketed table is not "
-                    "implemented — drop bucket.by or use mode=complete"
+                    f"bucket.by requires sink.file.format=parquet or orc "
+                    f"(got {fmt!r}); it will not be silently coerced"
+                )
+            if write_opts:
+                raise ValueError(
+                    "bucket.by does not compose with these sink options: "
+                    + ", ".join(sorted(write_opts))
                 )
             n_buckets = int(job.sink_params.get("bucket.count", "8"))
             sort_by = [
@@ -160,14 +167,33 @@ def write_sink(spark: SparkSession, job: ReplicaJob, df: DataFrame) -> None:
             ]
             table = job.sink_table or path.rstrip("/").rsplit("/", 1)[-1]
             table = "".join(ch if ch.isalnum() else "_" for ch in table)
+            if job.mode == "incremental":
+                # M3 composed with the bucketed layout: PK merge that
+                # rewrites only the touched buckets (sinks/files.
+                # upsert_bucketed_table)
+                if not pks:
+                    raise ValueError(
+                        "incremental merge into a bucketed table needs "
+                        "pk.columns on the sink"
+                    )
+                upsert_bucketed_table(
+                    spark, df, table,
+                    pk_columns=pks,
+                    bucket_cols=bucket_by,
+                    n_buckets=n_buckets,
+                    sort_cols=sort_by or None,
+                    fmt=fmt,
+                    path=path,
+                )
+                return
             write_bucketed_table(
                 df.repartition(n_buckets, *bucket_by),
                 table,
                 bucket_cols=bucket_by,
                 n_buckets=n_buckets,
                 sort_cols=sort_by or None,
-                fmt=fmt if fmt in ("parquet", "orc") else "parquet",
-                mode="overwrite" if job.mode.startswith("complete") else "append",
+                fmt=fmt,
+                mode="overwrite",
                 path=path,
             )
             return

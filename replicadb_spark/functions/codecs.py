@@ -123,6 +123,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError("16-bit PPM")
     nch = 1 if gray else 3
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
+    if maxval < 255:
+        # Netpbm samples are relative to maxval — rescale to full-range
+        # uint8 so e.g. a maxval=15 image doesn't decode near-black
+        px = np.rint(px.astype(np.float64) * (255.0 / maxval)).astype(np.uint8)
     if gray:
         return np.repeat(px.reshape(h, w, 1), 3, axis=2)
     return px.reshape(h, w, 3).copy()
@@ -161,6 +165,15 @@ def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV to (mono float64 samples in [-1, 1], sample_rate).
+    Thin wrapper over :func:`decode_wav_full` for callers that don't
+    need the source sample width."""
+    x, rate, _sw = decode_wav_full(payload)
+    return x, rate
+
+
+def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode PCM WAV to (mono float64 samples in [-1, 1], sample_rate,
+    sample_width_bytes).
 
     8-bit WAV is unsigned (offset 128), 16/32-bit signed little-endian
     — the stdlib ``wave`` module parses the RIFF framing; numpy does
@@ -181,4 +194,4 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise UnsupportedMediaError(f"{sw * 8}-bit WAV")
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
-    return x, rate
+    return x, rate, sw

@@ -213,8 +213,10 @@ def extract_audio_features(
     """Audio decode + loudness features via mapInPandas. ``fake=False``
     REALLY decodes PCM WAV payloads (functions/codecs, stdlib ``wave``):
     duration_ms from frame count / sample rate, rms over the normalized
-    [-1, 1] mono mix, peak as the raw-integer sample magnitude (so the
-    8/16-bit scales stay comparable to the fake path's byte peaks);
+    [-1, 1] mono mix, peak as the TRUE raw-integer sample magnitude at
+    the source bit depth (normalized amplitude × 2^(8·sw−1): max ~128
+    for 8-bit, ~32768 for 16-bit — an 8-bit peak is directly the byte
+    deviation from the 128 center, comparable to the fake path);
     compressed audio (MP3/AAC) raises NotImplementedError (needs
     ffmpeg/librosa). ``fake=True`` treats the payload bytes as 8-bit
     samples and computes RMS/peak over them, format-agnostic."""
@@ -250,17 +252,21 @@ def extract_audio_features(
                         "audio decode beyond PCM WAV requires ffmpeg/librosa"
                         " — not in this container"
                     )
-                x, rate = codecs.decode_wav(bytes(payload))
+                x, rate, sw = codecs.decode_wav_full(bytes(payload))
                 rows["duration_ms"].append(
                     int(round(len(x) * 1000.0 / rate)) if rate else 0
                 )
                 rows["rms"].append(
                     float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 )
-                # raw-sample magnitude: [-1,1] × 2^15 for the common
-                # 16-bit case, clamped into the Int32 output field
+                # true raw-sample magnitude: [-1,1] × 2^(8·sw−1) — the
+                # source bit depth's full scale (128 for 8-bit, 32768
+                # for 16-bit), clamped into the Int32 output field
                 rows["peak"].append(
-                    min(int(round(float(np.abs(x).max()) * 32768)), 2**31 - 1)
+                    min(
+                        int(round(float(np.abs(x).max()) * 2 ** (8 * sw - 1))),
+                        2**31 - 1,
+                    )
                     if len(x)
                     else 0
                 )

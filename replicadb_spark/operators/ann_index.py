@@ -143,8 +143,15 @@ def search_ivf_index(
 ) -> DataFrame:
     """Probe-and-scan: union of the query batch's n_probe cells → ONE
     pruned partitioned scan (`cell IN (...)` reaches PartitionFilters)
-    → broadcast-queries exact scoring inside the probed cells → top-k
-    window per query. Returns (query_id, neighbor_id, score 6dp)."""
+    → broadcast-queries exact scoring inside EACH query's own probed
+    cells (equi-join on cell — proper per-query IVF semantics) → top-k
+    window per query. Returns (query_id, neighbor_id, score 6dp).
+
+    Probe selection runs INSIDE an Arrow kernel (the ≤n_cells codebook
+    rides the closure); only the DISTINCT probed cell ids — at most
+    n_cells ints — are collected to build the partition-pruning
+    literal. Query vectors never touch the driver, so the batch can be
+    arbitrarily large. An empty query batch returns an empty frame."""
     import numpy as np
 
     cents = spark.read.parquet(f"{path}/codebook").orderBy("cell").collect()
@@ -153,29 +160,48 @@ def search_ivf_index(
     cn[cn == 0.0] = 1.0
     Cn = C / cn[:, None]
     cell_ids = np.array([r["cell"] for r in cents])
+    n_take = min(n_probe, len(cell_ids))
 
-    # the query BATCH is collected to pick probe cells (bounded by the
-    # caller's batch size — hundreds, not the corpus); the corpus side
-    # never leaves the executors
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
-    probe: set[int] = set()
-    for r in qrows:
-        qv = np.array(r["qv"], dtype=np.float64)
-        qn = np.linalg.norm(qv) or 1.0
-        scores = Cn @ (qv / qn)
-        order = np.lexsort((cell_ids, -scores))  # score desc, cell asc
-        probe.update(int(cell_ids[i]) for i in order[:n_probe])
-
-    cells = spark.read.parquet(f"{path}/cells").where(
-        F.col("cell").isin(*sorted(probe))
-    )
+    id_t = dict(queries.dtypes)[id_col]
     qdf = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+
+    def pick_probes(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            S = (M / mn[:, None]) @ Cn.T
+            # stable argsort over score desc: columns ascend by cell
+            # id, so ties resolve to the lower cell (the build-side
+            # tie rule)
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_take]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(n_take),
+                    "cell": cell_ids[order].ravel().astype("int32"),
+                }
+            )
+
+    qprobe = qdf.mapInPandas(pick_probes, schema=f"query_id {id_t}, cell int")
+    probe_ids = sorted(
+        r["cell"] for r in qprobe.select("cell").distinct().collect()
+    )
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, score double"
+    if not probe_ids:
+        return spark.createDataFrame([], out_schema)
+
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("cell").isin(probe_ids)
+    )
+    qside = qdf.join(qprobe, "query_id")
     scored = (
-        cells.crossJoin(F.broadcast(qdf))
+        cells.join(F.broadcast(qside), "cell")
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

@@ -171,3 +171,147 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def _bucket_of(filename: str) -> "int | None":
+    """Bucket id from a bucketed-table data file name — Spark encodes it
+    as the ``_NNNNN`` suffix before the codec extension
+    (``part-00000-<uuid>_00003.c000.snappy.parquet`` → 3)."""
+    import re
+
+    m = re.search(r"_(\d{5})\.c", filename)
+    return int(m.group(1)) if m else None
+
+
+def upsert_bucketed_table(
+    spark,
+    staging: DataFrame,
+    table: str,
+    *,
+    pk_columns: "list[str]",
+    bucket_cols: "list[str] | tuple[str, ...]",
+    n_buckets: int,
+    sort_cols: "list[str] | tuple[str, ...] | None" = None,
+    fmt: str = "parquet",
+    path: str | None = None,
+    order_column: str | None = None,
+) -> "list[int]":
+    """PK upsert (the reference's incremental MERGE, M3 —
+    SqlManager.java:503-512) into a bucketed table, rewriting ONLY the
+    buckets the staging batch touches. Returns the touched bucket ids.
+
+    This is what makes the reference's core mode compose with the
+    100 TB layout: an incremental batch whose keys land in K of N
+    buckets reads and rewrites K/N of the table — the other buckets'
+    files are left physically untouched (pinned by the test), so a
+    daily 0.1% delta into a 1000-bucket table costs ~the delta, not a
+    table rewrite. Bucket membership is computed with the SAME hash
+    Spark's bucket spec uses (murmur3 ``F.hash`` pmod n_buckets), so
+    file-level surgery and the metastore spec agree; the merged rows
+    re-enter through a real ``bucketBy`` write (via a temp external
+    table with the identical spec), keeping every downstream
+    zero-shuffle join and bucket-pruning guarantee intact.
+
+    Steps: (1) staged bucket ids — ≤ n_buckets ints collected; (2) read
+    ONLY the victim bucket files; (3) ``modes.upsert_dataframe``
+    (union + one PK-shuffle last-wins window — the relational MERGE);
+    (4) bucketBy-write the merged rows to a temp table (only touched
+    buckets produce files); (5) per-bucket rename-aside swap: victims
+    move to a ``.old-*`` sibling, new files move in, then both temp
+    dirs drop. A crash mid-swap leaves every victim file recoverable
+    under the ``.old-*`` name (the compact_files dance, file-granular).
+    Local/driver-visible FS semantics, like compact_files."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.modes import upsert_dataframe
+
+    if not pk_columns:
+        raise ValueError("bucketed upsert requires pk columns")
+    if not spark.catalog.tableExists(table):
+        write_bucketed_table(
+            staging.repartition(n_buckets, *bucket_cols),
+            table,
+            bucket_cols=bucket_cols,
+            n_buckets=n_buckets,
+            sort_cols=sort_cols,
+            fmt=fmt,
+            mode="overwrite",
+            path=path,
+        )
+        return sorted(
+            r["b"]
+            for r in spark.table(table)
+            .select(F.pmod(F.hash(*bucket_cols), F.lit(n_buckets)).alias("b"))
+            .distinct()
+            .collect()
+        )
+    if path is None:
+        loc = [
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            if r["col_name"] == "Location"
+        ]
+        path = loc[0].removeprefix("file:") if loc else None
+        if path is None:
+            raise ValueError(f"cannot resolve the storage path of {table}")
+
+    cols = spark.table(table).columns
+    touched = sorted(
+        r["b"]
+        for r in staging.select(
+            F.pmod(F.hash(*bucket_cols), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    touched_set = set(touched)
+
+    root = Path(path)
+    victims = [
+        f
+        for f in root.iterdir()
+        if f.is_file()
+        and not f.name.startswith(("_", "."))
+        and _bucket_of(f.name) in touched_set
+    ]
+    if victims:
+        existing = spark.read.format(fmt).load(
+            [str(f) for f in victims]
+        ).select(*cols)
+    else:
+        existing = spark.createDataFrame([], spark.table(table).schema)
+    merged = upsert_dataframe(
+        existing, staging.select(*cols), list(pk_columns), order_column
+    )
+
+    tmp_table = f"{table}___repdb_upsert"
+    tmp_path = root.parent / f".{root.name}.upsert-{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+    write_bucketed_table(
+        merged.repartition(n_buckets, *bucket_cols),
+        tmp_table,
+        bucket_cols=bucket_cols,
+        n_buckets=n_buckets,
+        sort_cols=sort_cols,
+        fmt=fmt,
+        mode="overwrite",
+        path=str(tmp_path),
+    )
+    old_dir = root.parent / f".{root.name}.old-{uuid.uuid4().hex[:8]}"
+    old_dir.mkdir()
+    for f in victims:
+        f.rename(old_dir / f.name)
+    for f in tmp_path.iterdir():
+        if f.is_file() and _bucket_of(f.name) in touched_set:
+            f.rename(root / f.name)
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")  # external: metadata only
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    spark.catalog.refreshTable(table)
+    return touched

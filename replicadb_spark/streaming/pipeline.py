@@ -1166,6 +1166,13 @@ def stream_asof_enrich(
             d = pdf[pdf["__side"] == 0][["__t", *payload]]
             if seed is not None:
                 d = pd.concat([seed, d], ignore_index=True)
+                if len(d) > 1 and not d["__t"].is_monotonic_increasing:
+                    # a dim row OLDER than the carried seed (ordered-
+                    # arrival contract violation) would leave d unsorted
+                    # and crash merge_asof — re-sort (stable: the seed
+                    # stays ahead of equal-__t rows) so violations
+                    # degrade to latest-version semantics instead
+                    d = d.sort_values("__t", kind="stable", ignore_index=True)
             f = pdf[pdf["__side"] == 1][["__t", *fact_cols]]
             if len(f):
                 if len(d):

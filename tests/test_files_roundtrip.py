@@ -291,17 +291,75 @@ def test_engine_bucketed_sink_params(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS out_bucketed")
 
 
-def test_engine_bucketed_sink_refuses_incremental(spark, tmp_path):
-    """bucket.by + mode=incremental would append without the PK merge —
-    refused loudly instead of silently corrupting the sink."""
+def test_engine_bucketed_incremental_upserts(spark, tmp_path):
+    """bucket.by + mode=incremental runs the PK merge into the bucketed
+    layout (VERDICT r6 item 3): updates replace, inserts land, untouched
+    rows survive. Bucket-touch granularity is pinned in
+    tests/test_bucketed_upsert.py."""
+    out = tmp_path / "bi_out"
+    spark.sql("DROP TABLE IF EXISTS bi_out")
+
+    def job(src):
+        return ReplicaJob(
+            source_connect=f"file://{src}", source_file_format="csv",
+            sink_connect=f"file://{out}", sink_table="bi_out",
+            sink_file_format="parquet", mode="incremental",
+            source_params={"header": "true"},
+            sink_params={"bucket.by": "id", "bucket.count": "4",
+                         "pk.columns": "id"},
+        )
+
+    s0 = tmp_path / "bi0.csv"
+    s0.write_text("id,v\n" + "".join(f"{i},{i*10}\n" for i in range(8)))
+    s1 = tmp_path / "bi1.csv"
+    s1.write_text("id,v\n3,333\n99,990\n")
+    try:
+        run(spark, job(s0))
+        run(spark, job(s1))
+        got = {r["id"]: r["v"] for r in spark.table("bi_out").collect()}
+        want = {i: i * 10 for i in range(8)} | {3: 333, 99: 990}
+        assert got == want
+        desc = spark.sql("DESCRIBE TABLE EXTENDED bi_out").collect()
+        props = {r["col_name"]: r["data_type"] for r in desc}
+        assert props.get("Num Buckets") == "4"  # layout survives the merge
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bi_out")
+
+
+def test_engine_bucketed_incremental_needs_pks(spark, tmp_path):
+    """incremental into a bucketed table WITHOUT pk.columns would append
+    duplicates past the merge — refused loudly."""
     src = tmp_path / "bi.csv"
     src.write_text("id,v\n1,10\n")
     job = ReplicaJob(
         source_connect=f"file://{src}", source_file_format="csv",
-        sink_connect=f"file://{tmp_path / 'bi_out'}",
+        sink_connect=f"file://{tmp_path / 'bi_nopk'}",
         sink_file_format="parquet", mode="incremental",
         source_params={"header": "true"},
-        sink_params={"bucket.by": "id", "pk.columns": "id"},
+        sink_params={"bucket.by": "id"},
     )
-    with pytest.raises(ValueError, match="bucket.by"):
+    with pytest.raises(ValueError, match="pk.columns"):
         run(spark, job)
+
+
+def test_engine_bucketed_sink_refuses_bad_format_and_options(spark, tmp_path):
+    """ADVICE r6: bucket.by with a non-columnar format or flat-file
+    layout options raises instead of silently coercing/dropping."""
+    src = tmp_path / "bf.csv"
+    src.write_text("id,v\n1,10\n")
+
+    def job(fmt, extra):
+        return ReplicaJob(
+            source_connect=f"file://{src}", source_file_format="csv",
+            sink_connect=f"file://{tmp_path / 'bf_out'}",
+            sink_file_format=fmt, mode="complete",
+            source_params={"header": "true"},
+            sink_params={"bucket.by": "id", **extra},
+        )
+
+    with pytest.raises(ValueError, match="parquet or orc"):
+        run(spark, job("csv", {}))
+    with pytest.raises(ValueError, match="max.records.per.file"):
+        run(spark, job("parquet", {"max.records.per.file": "100"}))
+    with pytest.raises(ValueError, match="partition_by"):
+        run(spark, job("parquet", {"partition.by": "v"}))

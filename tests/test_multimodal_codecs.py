@@ -94,6 +94,19 @@ def test_ppm_decode_with_comment_header():
     np.testing.assert_array_equal(codecs.decode_ppm(make_ppm(TEST_RGB)), TEST_RGB)
 
 
+def test_ppm_maxval_rescaled_to_full_range():
+    # Netpbm samples are relative to maxval: a maxval=15 image whose
+    # samples hit 15 must decode to 255, not stay near-black
+    vals = np.array([[[15, 0, 7]]], dtype=np.uint8)
+    payload = b"P6\n1 1\n15\n" + vals.tobytes()
+    out = codecs.decode_ppm(payload)
+    np.testing.assert_array_equal(out, [[[255, 0, 119]]])
+    # gray variant (P5) through the same rescale
+    pgm = b"P5\n2 1\n15\n" + bytes([15, 8])
+    out = codecs.decode_ppm(pgm)
+    np.testing.assert_array_equal(out[0, :, 0], [255, 136])
+
+
 def test_ppm_encode_decode_roundtrip():
     np.testing.assert_array_equal(
         codecs.decode_ppm(codecs.encode_ppm(TEST_RGB)), TEST_RGB
@@ -181,6 +194,18 @@ def test_extract_audio_features_real(spark):
     assert got[1]["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=1e-3)
     assert got[1]["peak"] == pytest.approx(0.5 * 32768, rel=1e-2)
     assert got[2]["duration_ms"] == 0 and got[2]["rms"] == 0.0
+
+
+def test_extract_audio_features_real_8bit_peak_scale(spark):
+    # peak reports TRUE raw magnitude at the source bit depth: an
+    # 8-bit 0.5-amplitude sample peaks at ~64 (byte deviation from the
+    # 128 center), not ~16384 (ADVICE r6: was scaled by 2^15)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(np.array([0.0, 0.5, -0.25]), sampwidth=1)), 0)],
+        "media_id long, payload binary, duration_ms long",
+    )
+    got = MM.extract_audio_features(df, fake=False).collect()[0]
+    assert got["peak"] == pytest.approx(64, abs=2)
 
 
 def test_extract_audio_features_real_rejects_nonwav(spark):
