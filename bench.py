@@ -155,6 +155,39 @@ def main() -> int:
 
     spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
 
+    # Host-throughput calibration probes (VERDICT r6 item 4): two
+    # fixed-cost workloads measured at bench time, carried in the
+    # stdout line, so a cross-round delta on pandas-UDF queries can be
+    # attributed — if py_probe moved by the same factor as the pandas
+    # paths, it's host load, not a plan change. py = Arrow roundtrip
+    # through all 32 Python workers (the pandas-path cost model);
+    # jvm = pure whole-stage-codegen aggregate (the JVM cost model).
+    def _probe_py() -> float:
+        def k(it):
+            import numpy as np
+
+            for pdf in it:
+                a = np.arange(200_000, dtype=np.float64)
+                pdf["id"] = pdf["id"] + np.int64((a * 1.0001).sum() % 7)
+                yield pdf
+
+        t0 = time.time()
+        spark.range(500_000).repartition(32).mapInPandas(k, "id long").count()
+        return time.time() - t0
+
+    def _probe_jvm() -> float:
+        t0 = time.time()
+        spark.range(0, 200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        return time.time() - t0
+
+    probe_runs = {
+        "py": [round(_probe_py(), 3) for _ in range(3)],
+        "jvm": [round(_probe_jvm(), 3) for _ in range(3)],
+    }
+    probes = {k: min(v) for k, v in probe_runs.items()}
+    print(f"# probes: py={probes['py']:.2f}s jvm={probes['jvm']:.2f}s "
+          f"(runs {probe_runs})", file=sys.stderr)
+
     # Each query runs TWICE, cache-cold both times (clearCache between
     # runs evicts any frame the query persisted), and reports the MIN —
     # single cold runs on this shared host swing up to 2x from ambient
@@ -261,6 +294,7 @@ def main() -> int:
         "queries": timings,
         "runs": raw_runs,
         "recall": recall,
+        "probes": probe_runs,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -284,6 +318,7 @@ def main() -> int:
             "queries": qs,
             "queries_benched": len(timings),
             "recall": {k: v["ok"] for k, v in recall.items()},
+            "probes": probes,
             "sf": sf,
             "sidecar": "BENCH_LOCAL.json",
         }, separators=(",", ":"))

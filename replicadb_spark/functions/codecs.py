@@ -132,14 +132,132 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, 3).copy()
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth, non-interlaced PNG (gray, RGB, palette,
+    gray+alpha, RGBA) to (h, w, 3) uint8 RGB — pure stdlib: ``zlib``
+    inflates the IDAT stream, numpy reconstructs the five scanline
+    filters (None/Sub/Up/Average/Paeth per the PNG spec §9), alpha is
+    dropped. 16-bit depth and Adam7 interlace raise
+    UnsupportedMediaError (rare in training corpora; kept honest)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise UnsupportedMediaError(f"{depth}-bit-depth PNG")
+    if interlace:
+        raise UnsupportedMediaError("interlaced (Adam7) PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise UnsupportedMediaError(f"PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    arr = np.frombuffer(raw, np.uint8, count=(stride + 1) * h).reshape(
+        h, stride + 1
+    )
+    recon = np.zeros((h, stride), np.int32)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f = int(arr[y, 0])
+        out = arr[y, 1:].astype(np.int32)
+        prev = recon[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — fully vectorized
+            out = (out + prev) & 0xFF
+        elif f == 1:  # Sub — sequential in x over the pixel lag
+            for x in range(bpp, stride):
+                out[x] = (out[x] + out[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                out[x] = (out[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(out[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (out[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        recon[y] = out
+    px = recon.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if ctype == 2:
+        return np.ascontiguousarray(px)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG pixel index outside palette")
+        return np.ascontiguousarray(pal[idx])
+    if ctype == 4:
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGBA -> RGB
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a minimal filter-0 PNG — the
+    stdlib-only round-trip partner of :func:`decode_png`."""
+    import zlib
+
+    h, w = rgb.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    body = np.ascontiguousarray(rgb, dtype=np.uint8)
+    scan = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP and PPM/PGM
-    decode for real; JPEG/PNG raise UnsupportedMediaError(PIL)."""
+    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP, PPM/PGM and
+    PNG decode for real; JPEG raises UnsupportedMediaError(PIL)."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "png":
+        return decode_png(payload)
     raise UnsupportedMediaError(
         f"image decode for {fmt!r} requires PIL/libjpeg — not in this container"
     )

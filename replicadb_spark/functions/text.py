@@ -282,3 +282,218 @@ def bigram_logprob(df, id_col: str, text_col: str):
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher document-quality screen (Rae et al. 2021, §A1.1 + the
+# repetition-removal table). All 18 published rules in ONE map-only pass.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# (n, threshold) — fraction of document characters inside the single most
+# frequent word n-gram must stay BELOW the threshold
+GOPHER_TOP_NGRAM = ((2, 0.20), (3, 0.18), (4, 0.16))
+# (n, threshold) — fraction of document characters inside word n-grams that
+# occur 2+ times must stay BELOW the threshold
+GOPHER_DUP_NGRAM = (
+    (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10),
+)
+
+
+def _gram_array(toks: Column, n: int) -> Column:
+    """Lexicographically sorted word n-grams (space-joined) — sorted so
+    the fold below sees equal grams as one contiguous run."""
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.sort_array(grams)
+
+
+def _top_ngram_chars(toks: Column, n: int) -> Column:
+    """Characters covered by the most frequent n-gram: count × token
+    chars (gram length minus its n-1 separators). Ties on count go to
+    the lexicographically smallest gram — the sorted fold reaches the
+    first max-count run before any tied later run can exceed it."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("best"), F.lit("").alias("bestg"),
+    )
+
+    def merge(acc, g):
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run2 > acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(
+        _gram_array(toks, n),
+        init,
+        merge,
+        lambda acc: acc["best"]
+        * F.greatest(F.length(acc["bestg"]) - (n - 1), F.lit(0)).cast("long"),
+    )
+
+
+def _dup_ngram_chars(toks: Column, n: int) -> Column:
+    """Characters covered by n-grams occurring 2+ times: every occurrence
+    of a duplicated gram contributes its token chars (when a run reaches
+    its 2nd element both retroactively count)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("dup"))
+
+    def merge(acc, g):
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        glen = (F.length(g) - (n - 1)).cast("long")
+        add = (
+            F.when(run2 == 2, 2 * glen)
+            .when(run2 > 2, glen)
+            .otherwise(zero)
+        )
+        return F.struct(
+            g.alias("prev"), run2.alias("run"), (acc["dup"] + add).alias("dup")
+        )
+
+    return F.aggregate(_gram_array(toks, n), init, merge, lambda acc: acc["dup"])
+
+
+def gopher_screen(df, *, id_cols=("doc_id", "source"), text_col="text"):
+    """The FULL published Gopher quality screen (Rae et al. 2021 §A1.1 +
+    the repetition table) as one map-only projection — per-rule audit
+    booleans, the numeric fractions behind them, and the conjunctive
+    ``keep`` flag.
+
+    Rules (document dropped unless every boolean is true):
+      - word count in [50, 100 000]; mean word length in [3, 10]
+      - symbol-to-word ratio (``#`` / ``...``) ≤ 0.1
+      - ≤ 90% of lines start with a bullet (``- ``, ``* ``, ``•``)
+      - ≤ 30% of lines end with an ellipsis (``...`` / ``…``)
+      - ≥ 80% of words contain an alphabetic character
+      - ≥ 2 of the 8 common English stop words
+      - duplicate-line fraction ≤ 0.30; duplicate-line CHAR fraction ≤ 0.20
+      - top-{2,3,4}-gram char fraction ≤ {0.20, 0.18, 0.16}
+      - dup-{5..10}-gram char fraction ≤ {0.15 .. 0.10}
+
+    Determinism twins (mirrored in the catalog oracle): whitespace
+    tokens over lower(text); lines split on \\n, trimmed, empties
+    dropped; gram char length = gram string length minus its n-1
+    separators; denominator = total token chars; top-gram count ties
+    break to the lexicographically smallest gram; every ratio is an
+    exact int/int double division.
+
+    Scale: scan → project → project — ZERO shuffle at any corpus size;
+    the gram folds run over per-row sorted arrays (O(len·log len) per
+    document), exactly the map-only screen a 100 TB filter pass must be.
+    """
+    lt = F.lower(F.col(text_col))
+    staged = df.select(
+        *id_cols,
+        lt.alias("__lt"),
+        tokens(lt).alias("__toks"),
+        F.filter(
+            F.transform(F.split(lt, "\n"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        ).alias("__lines"),
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = staged.select(
+        *id_cols,
+        F.size(toks).cast("long").alias("n_words"),
+        lsum(toks).alias("total_chars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long").alias(
+            "n_alpha"
+        ),
+        F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        (
+            F.length("__lt")
+            - F.length(F.replace(F.col("__lt"), F.lit("#"), F.lit("")))
+            + (
+                F.length("__lt")
+                - F.length(F.replace(F.col("__lt"), F.lit("..."), F.lit("")))
+            )
+            / 3
+        ).alias("n_symbols"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda s: s.startswith("- ")
+                | s.startswith("* ")
+                | s.startswith("•"),
+            )
+        ).cast("long").alias("n_bullet"),
+        F.size(
+            F.filter(lines, lambda s: s.endswith("...") | s.endswith("…"))
+        ).cast("long").alias("n_ell"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_dlines"),
+        lsum(lines).alias("line_chars"),
+        lsum(F.array_distinct(lines)).alias("dline_chars"),
+        *[
+            _top_ngram_chars(toks, n).alias(f"top{n}_chars")
+            for n, _ in GOPHER_TOP_NGRAM
+        ],
+        *[
+            _dup_ngram_chars(toks, n).alias(f"dup{n}_chars")
+            for n, _ in GOPHER_DUP_NGRAM
+        ],
+    )
+    nw = F.col("n_words").cast("double")
+    tc = F.greatest(F.col("total_chars"), F.lit(1)).cast("double")
+    nl = F.greatest(F.col("n_lines"), F.lit(1)).cast("double")
+    lc = F.greatest(F.col("line_chars"), F.lit(1)).cast("double")
+    mean_wlen = F.col("total_chars") / nw
+    dup_line_frac = (F.col("n_lines") - F.col("n_dlines")) / nl
+    dup_line_char_frac = (F.col("line_chars") - F.col("dline_chars")) / lc
+    rules = [
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000), "bounds_ok"),
+        ((mean_wlen >= 3.0) & (mean_wlen <= 10.0), "wlen_ok"),
+        (F.col("n_symbols") / nw <= 0.1, "symbol_ok"),
+        (F.col("n_bullet") / nl <= 0.9, "bullet_ok"),
+        (F.col("n_ell") / nl <= 0.3, "ellipsis_ok"),
+        (F.col("n_alpha") / nw >= 0.8, "alpha_ok"),
+        (F.col("n_stop") >= 2, "stop_ok"),
+        (dup_line_frac <= 0.30, "dup_line_ok"),
+        (dup_line_char_frac <= 0.20, "dup_line_char_ok"),
+    ]
+    fracs = [
+        (F.round(dup_line_frac, 6), "dup_line_frac"),
+        (F.round(dup_line_char_frac, 6), "dup_line_char_frac"),
+    ]
+    for n, thr in GOPHER_TOP_NGRAM:
+        f = F.col(f"top{n}_chars") / tc
+        rules.append((f <= thr, f"top{n}_ok"))
+        fracs.append((F.round(f, 6), f"top{n}_frac"))
+    for n, thr in GOPHER_DUP_NGRAM:
+        f = F.col(f"dup{n}_chars") / tc
+        rules.append((f <= thr, f"dup{n}_ok"))
+        fracs.append((F.round(f, 6), f"dup{n}_frac"))
+    keep = rules[0][0]
+    for cond, _ in rules[1:]:
+        keep = keep & cond
+    return m.where(F.col("n_words") > 0).select(
+        *id_cols,
+        "n_words",
+        *[c.alias(a) for c, a in fracs],
+        *[c.alias(a) for c, a in rules],
+        keep.alias("keep"),
+    )

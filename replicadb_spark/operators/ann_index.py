@@ -131,6 +131,79 @@ def append_to_ivf_index(
     ).parquet(f"{path}/cells")
 
 
+def compact_ivf_cells(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_mb: int = 128,
+    min_files: int = 2,
+) -> dict:
+    """Layout maintenance: rewrite fragmented cell partitions into
+    ~``target_mb`` files. Streaming appends add one file per touched
+    cell per micro-batch (``append_to_ivf_index``); at production
+    cadence a cell accumulates thousands of small files and the pruned
+    scan degrades to open-file overhead. Compaction rewrites ONLY the
+    cells with ≥ ``min_files`` part-files — each cell is read, coalesced
+    to ``ceil(bytes / target_mb)`` files, written to a staging dir, and
+    swapped in with an atomic directory rename. The codebook and the
+    vectors are untouched: search results are identical pre/post (the
+    test pins byte-identical result sets).
+
+    Scale: cost is proportional to the FRAGMENTED cells' bytes only —
+    untouched cells are never read (the zorder/manifest maintenance
+    family's contract). Each cell rewrite is an independent pruned
+    scan → coalesce → write; no shuffle, no global pass.
+
+    Returns {"cells_compacted": n, "files_before": a, "files_after": b}.
+    """
+    import math
+    import os
+    import shutil
+
+    cells_dir = f"{path}/cells"
+    stats = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    for d in sorted(os.listdir(cells_dir)):
+        if not d.startswith("cell="):
+            continue
+        cell_path = os.path.join(cells_dir, d)
+        parts = [
+            f
+            for f in os.listdir(cell_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        stats["files_before"] += len(parts)
+        if len(parts) < min_files:
+            stats["files_after"] += len(parts)
+            continue
+        nbytes = sum(os.path.getsize(os.path.join(cell_path, f)) for f in parts)
+        n_out = max(1, math.ceil(nbytes / (target_mb * 1024 * 1024)))
+        # stage OUTSIDE cells/ so a concurrent partition discovery never
+        # sees a half-written "cell=N.__compact__" directory
+        staged = os.path.join(path, f"__compact__{d}")
+        shutil.rmtree(staged, ignore_errors=True)
+        # one pruned single-partition read; the partition column is
+        # constant inside the directory so it is dropped and re-derived
+        # by the directory name on read
+        spark.read.parquet(cell_path).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        old = os.path.join(path, f"__old__{d}")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cell_path, old)
+        os.rename(staged, cell_path)
+        shutil.rmtree(old, ignore_errors=True)
+        # drop the _SUCCESS marker so the directory looks like any
+        # other dynamic-partition output
+        marker = os.path.join(cell_path, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        stats["files_after"] += len(
+            [f for f in os.listdir(cell_path) if f.endswith(".parquet")]
+        )
+        stats["cells_compacted"] += 1
+    return stats
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

@@ -7738,3 +7738,138 @@ def ann_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(row, "n_exact bigint, recall_ok boolean")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _gopher_full_oracle() -> str:
+    """DuckDB twin of functions/text.gopher_screen — the base metrics
+    mirror the map-only projection; the per-n gram stats use
+    unnest+GROUP BY (the oracle need not be map-only, only equal).
+    Tiebreak twin: row_number ORDER BY cnt DESC, g ASC == the sorted
+    fold's first-max-run rule."""
+    import textwrap
+
+    gram_ctes, joins, cols = [], [], []
+    for n, thr in (("2", 0.20), ("3", 0.18), ("4", 0.16)):
+        k = int(n)
+        gram_ctes.append(f"""
+    g{k} AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= {k}
+          THEN [array_to_string(toks[i:i+{k - 1}], ' ') FOR i IN range(1, len(toks) - {k - 2})]
+          ELSE [] END) AS g
+      FROM t
+    ), c{k} AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM g{k} GROUP BY doc_id, g
+    ), top{k} AS (
+      SELECT doc_id, cnt * (length(g) - {k - 1}) AS chars
+      FROM (SELECT doc_id, g, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, g) AS rn
+            FROM c{k}) WHERE rn = 1
+    )""")
+        joins.append(f"LEFT JOIN top{k} USING (doc_id)")
+        cols.append(
+            f"round(COALESCE(top{k}.chars, 0) * 1.0 / greatest(total_chars, 1), 6)"
+            f" AS top{k}_frac"
+        )
+    for k, thr in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)):
+        gram_ctes.append(f"""
+    g{k} AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= {k}
+          THEN [array_to_string(toks[i:i+{k - 1}], ' ') FOR i IN range(1, len(toks) - {k - 2})]
+          ELSE [] END) AS g
+      FROM t
+    ), d{k} AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * (length(g) - {k - 1}) ELSE 0 END)
+               AS chars
+      FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g{k} GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )""")
+        joins.append(f"LEFT JOIN d{k} USING (doc_id)")
+        cols.append(
+            f"round(COALESCE(d{k}.chars, 0) * 1.0 / greatest(total_chars, 1), 6)"
+            f" AS dup{k}_frac"
+        )
+    ok_cols = [
+        "(n_words >= 50 AND n_words <= 100000) AS bounds_ok",
+        "(total_chars * 1.0 / n_words >= 3.0 AND total_chars * 1.0 / n_words <= 10.0) AS wlen_ok",
+        "(n_symbols * 1.0 / n_words <= 0.1) AS symbol_ok",
+        "(n_bullet * 1.0 / greatest(n_lines, 1) <= 0.9) AS bullet_ok",
+        "(n_ell * 1.0 / greatest(n_lines, 1) <= 0.3) AS ellipsis_ok",
+        "(n_alpha * 1.0 / n_words >= 0.8) AS alpha_ok",
+        "(n_stop >= 2) AS stop_ok",
+        "((n_lines - n_dlines) * 1.0 / greatest(n_lines, 1) <= 0.30) AS dup_line_ok",
+        "((line_chars - dline_chars) * 1.0 / greatest(line_chars, 1) <= 0.20) AS dup_line_char_ok",
+    ]
+    for k, thr in (("2", 0.20), ("3", 0.18), ("4", 0.16)):
+        ok_cols.append(
+            f"(COALESCE(top{k}.chars, 0) * 1.0 / greatest(total_chars, 1) <= {thr})"
+            f" AS top{k}_ok"
+        )
+    for k, thr in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)):
+        ok_cols.append(
+            f"(COALESCE(d{k}.chars, 0) * 1.0 / greatest(total_chars, 1) <= {thr})"
+            f" AS dup{k}_ok"
+        )
+    keep = " AND ".join(c.rsplit(" AS ", 1)[0] for c in ok_cols)
+    gram_ctes_sql = ",".join(gram_ctes)
+    cols_sql = ",\n           ".join(cols)
+    ok_cols_sql = ",\n           ".join(ok_cols)
+    return textwrap.dedent(f"""
+    WITH t AS (
+      SELECT doc_id, source, lower(text) AS lt,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks,
+             list_filter([trim(x) FOR x IN string_split(lower(text), chr(10))],
+                         x -> x != '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_words,
+             COALESCE(list_sum(list_transform(toks,
+                 x -> CAST(length(x) AS BIGINT))), 0) AS total_chars,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha,
+             len(list_filter(toks, x -> x IN
+                 ('the','be','to','of','and','that','have','with'))) AS n_stop,
+             length(lt) - length(replace(lt, '#', ''))
+               + (length(lt) - length(replace(lt, '...', ''))) / 3 AS n_symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> starts_with(x, '- ')
+                 OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
+             len(list_filter(lines, x -> ends_with(x, '...')
+                 OR ends_with(x, '…'))) AS n_ell,
+             len(list_distinct(lines)) AS n_dlines,
+             COALESCE(list_sum(list_transform(lines,
+                 x -> CAST(length(x) AS BIGINT))), 0) AS line_chars,
+             COALESCE(list_sum(list_transform(list_distinct(lines),
+                 x -> CAST(length(x) AS BIGINT))), 0) AS dline_chars
+      FROM t
+    ),{gram_ctes_sql}
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+           round((n_lines - n_dlines) * 1.0 / greatest(n_lines, 1), 6)
+             AS dup_line_frac,
+           round((line_chars - dline_chars) * 1.0 / greatest(line_chars, 1), 6)
+             AS dup_line_char_frac,
+           {cols_sql},
+           {ok_cols_sql},
+           ({keep}) AS keep
+    FROM m
+    {" ".join(joins)}
+    WHERE n_words > 0
+    """)
+
+
+@register("gopher_full_screen", oracle=_gopher_full_oracle())
+def gopher_full_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL published Gopher screen (Rae et al. 2021 §A1.1 + the
+    repetition-removal table) — VERDICT r6 item 7: all 18 rules in one
+    map-only projection with per-rule audit booleans, the fractions
+    behind them, and the conjunctive keep flag. Implementation and
+    determinism twins: functions/text.gopher_screen.
+
+    Scale: scan → project → project, ZERO shuffle; the per-row gram
+    folds are O(len·log len). The oracle computes the same stats via
+    unnest+GROUP BY — two independent shapes, one answer."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return X.gopher_screen(d)
