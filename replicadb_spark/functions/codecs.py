@@ -1,9 +1,10 @@
 """Pure-stdlib media codecs for the multimodal kernels.
 
 Real decoders for the container-friendly formats that need no codec
-library: uncompressed BMP (24/32-bit, 8-bit grayscale) and PPM "P6"
-images via struct/numpy, and PCM WAV audio via the stdlib ``wave``
-module. Formats that genuinely need external codecs (JPEG/PNG/MP3/…)
+library: uncompressed BMP (24/32-bit, 8-bit grayscale), PPM "P6"
+images via struct/numpy, 8-bit non-interlaced PNG via stdlib ``zlib``,
+and PCM WAV audio via the stdlib ``wave`` module. Formats that
+genuinely need external codecs (JPEG/MP3/…)
 still raise NotImplementedError with the library they'd require —
 functions/multimodal.py dispatches on magic bytes and falls through to
 that error, keeping the stub surface honest while making the decode

@@ -5,7 +5,7 @@ The decode step is REAL for the formats a pure-stdlib container can
 handle (uncompressed BMP and PPM/PGM images, PCM WAV audio — see
 functions/codecs.py): ``fake=False`` dispatches on magic bytes and
 produces true width/height/pixel stats and duration/PCM loudness.
-Formats that need external codec libraries (JPEG/PNG/MP3/MP4) still
+Formats that need external codec libraries (JPEG/MP3/MP4) still
 raise NotImplementedError naming the library; ``fake=True`` substitutes
 a deterministic fake decoder so plumbing tests and the gated
 multimodal_features oracle stay payload-format-agnostic.
@@ -68,7 +68,7 @@ def extract_image_features(
     ``fake=False`` REALLY decodes BMP/PPM payloads (functions/codecs):
     width/height from the header, mean_byte = mean pixel value, feature
     = L1-normalized ``feat_dim``-bin grayscale histogram (ITU-R 601
-    luma). JPEG/PNG raise NotImplementedError (needs PIL/libjpeg). The
+    luma). JPEG raises NotImplementedError (needs PIL/libjpeg). The
     plan shape (schema in/out, batching, no shuffle) is identical on
     the fake path, which keeps byte-level stats and null width/height.
     """
@@ -172,7 +172,7 @@ def resize_images(
     """Image resize via mapInPandas. ``fake=False`` REALLY resizes
     BMP/PPM payloads: decode (functions/codecs) → nearest-neighbor
     resample in numpy → re-encode as binary PPM (P6), the stdlib-only
-    round-trip format; JPEG/PNG raise NotImplementedError (needs
+    round-trip format; JPEG raises NotImplementedError (needs
     PIL/libvips). ``fake=True`` keeps the deterministic byte
     truncate/pad so format-agnostic plumbing tests still run."""
 
