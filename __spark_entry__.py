@@ -124,9 +124,10 @@ _GATE_LAST = (
     # local replica regenerated each round at sf0.01 and sf0.1
     "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
     "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
-    # r7 local-evidence addition: the FULL 18-rule Gopher screen
-    # (full SQL oracle — every replica run re-proves it)
-    "gopher_full_screen",
+    # r7 local-evidence additions: the FULL 18-rule Gopher screen
+    # (full SQL oracle) and the persisted IVF-PQ layout's recall gate —
+    # every replica run re-proves both
+    "gopher_full_screen", "ann_pq_index_gate",
 )
 
 

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "user_feature_hash",
     "copurchase_degree_profile",
     "gopher_quality_rules",
+    "gopher_full_screen",
 ]
 
 

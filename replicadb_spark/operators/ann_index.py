@@ -204,27 +204,19 @@ def compact_ivf_cells(
     return stats
 
 
-def search_ivf_index(
+def _probe_frame(
     spark: SparkSession,
     path: str,
     queries: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_probe: int = 3,
-    k: int = 10,
-) -> DataFrame:
-    """Probe-and-scan: union of the query batch's n_probe cells → ONE
-    pruned partitioned scan (`cell IN (...)` reaches PartitionFilters)
-    → broadcast-queries exact scoring inside EACH query's own probed
-    cells (equi-join on cell — proper per-query IVF semantics) → top-k
-    window per query. Returns (query_id, neighbor_id, score 6dp).
-
-    Probe selection runs INSIDE an Arrow kernel (the ≤n_cells codebook
-    rides the closure); only the DISTINCT probed cell ids — at most
-    n_cells ints — are collected to build the partition-pruning
-    literal. Query vectors never touch the driver, so the batch can be
-    arbitrarily large. An empty query batch returns an empty frame."""
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+):
+    """Shared probe-selection kernel: nearest-cells-per-query computed
+    INSIDE an Arrow batch against the broadcast-size codebook. Returns
+    (qdf, qprobe, probe_ids) — query (id, vec) frame, (query_id, cell)
+    probe pairs, and the distinct probed cell ids (≤ n_cells ints, the
+    only driver-side collect)."""
     import numpy as np
 
     cents = spark.read.parquet(f"{path}/codebook").orderBy("cell").collect()
@@ -264,6 +256,33 @@ def search_ivf_index(
     qprobe = qdf.mapInPandas(pick_probes, schema=f"query_id {id_t}, cell int")
     probe_ids = sorted(
         r["cell"] for r in qprobe.select("cell").distinct().collect()
+    )
+    return qdf, qprobe, probe_ids, id_t
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Probe-and-scan: union of the query batch's n_probe cells → ONE
+    pruned partitioned scan (`cell IN (...)` reaches PartitionFilters)
+    → broadcast-queries exact scoring inside EACH query's own probed
+    cells (equi-join on cell — proper per-query IVF semantics) → top-k
+    window per query. Returns (query_id, neighbor_id, score 6dp).
+
+    Probe selection runs INSIDE an Arrow kernel (the ≤n_cells codebook
+    rides the closure); only the DISTINCT probed cell ids — at most
+    n_cells ints — are collected to build the partition-pruning
+    literal. Query vectors never touch the driver, so the batch can be
+    arbitrarily large. An empty query batch returns an empty frame."""
+    qdf, qprobe, probe_ids, id_t = _probe_frame(
+        spark, path, queries, id_col, vec_col, n_probe
     )
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, score double"
     if not probe_ids:
@@ -310,6 +329,287 @@ def search_ivf_index(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ persisted layout: the cells hold product-quantization CODES
+# (m_sub small ints + one recon norm per vector ≈ 16-70 B) instead of raw
+# float vectors (256-512 B) — the scan-bytes answer at 100 TB: directory
+# pruning cuts WHICH cells are read, PQ cuts HOW MUCH each cell weighs.
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, ks: int, seed: int
+) -> "list":
+    """ks hash-sampled corpus vectors — the same constant-size,
+    deterministic pick as functions/similarity.ann_ivf_pq (one bounded
+    driver collect, ≤ ks rows regardless of corpus size)."""
+    return (
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(ks))
+            .cast("int")
+            .alias("b"),
+            F.struct(
+                F.xxhash64(F.col(id_col), F.lit(seed + 1)).alias("__h"),
+                F.col(id_col).alias("__sid"),
+                F.col(vec_col).alias("__sv"),
+            ).alias("__pick"),
+        )
+        .groupBy("b")
+        .agg(F.min("__pick").alias("__pick"))
+        .select(F.col("b"), F.col("__pick.__sv").alias("sv"))
+        .collect()
+    )
+
+
+def _load_pq(spark: SparkSession, path: str):
+    """(CB (m_sub, ks_eff, dsub), cb_norms_sq, m_sub, dsub) from the
+    persisted pq_codebook + pq_meta sidecars."""
+    import numpy as np
+
+    meta = spark.read.parquet(f"{path}/pq_meta").first()
+    m_sub, dim = meta["m_sub"], meta["dim"]
+    rows = spark.read.parquet(f"{path}/pq_codebook").orderBy("b").collect()
+    S_ = np.array([r["sv"] for r in rows], dtype=np.float64)
+    dsub = dim // m_sub
+    CB = np.ascontiguousarray(
+        S_.reshape(len(S_), m_sub, dsub).transpose(1, 0, 2)
+    )
+    return CB, (CB**2).sum(axis=2), m_sub, dsub
+
+
+def _encode_pq(df: DataFrame, CB, cb_norms_sq, id_col: str, vec_col: str):
+    """(id, vec) → (id, codes, recon_norm) via the vectorized
+    subvector-argmin kernel (no corpus shuffle; codebook rides the
+    closure)."""
+    import numpy as np
+
+    m_sub = CB.shape[0]
+    dsub = CB.shape[2]
+    id_t = dict(df.dtypes)[id_col]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            Xs = X.reshape(len(X), m_sub, dsub)
+            dots = np.einsum("nmd,mkd->nmk", Xs, CB)
+            code = (cb_norms_sq[None, :, :] - 2.0 * dots).argmin(axis=2)
+            recon_sq = cb_norms_sq[np.arange(m_sub)[None, :], code].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__vid": pdf["__vid"].values,
+                    "codes": list(code.astype(np.int32)),
+                    "recon_norm": np.sqrt(recon_sq),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).mapInPandas(
+        encode, schema=f"__vid {id_t}, codes array<int>, recon_norm double"
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m_sub: int = 16,
+    ks: int = 32,
+    seed: int = 7,
+    lloyd_iters: int = 0,
+) -> None:
+    """Materialize the IVF-PQ layout: ``path/codebook`` (coarse cells),
+    ``path/pq_codebook`` + ``path/pq_meta`` (PQ sidecars), and
+    ``path/cells`` partitioned by cell holding (id, codes, recon_norm)
+    ONLY — raw vectors never enter the layout, so a 64-dim float64
+    corpus (512 B/row) stores as m_sub=16 int codes + one double
+    (~70 B parquet-encoded; int8-width codes once ks ≤ 256 dictionary-
+    encode far smaller). Search reads n_probe/n_cells of THAT.
+
+    Citation: the in-memory twin is functions/similarity.ann_ivf_pq
+    (same deterministic codebooks, same encode kernel); this module
+    persists its stages the way build_ivf_index persists ann_ivf."""
+    import numpy as np
+
+    from replicadb_spark.functions.similarity import coarse_centroids
+
+    spark = corpus.sparkSession
+    cents = coarse_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        lloyd_iters=lloyd_iters,
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+    sample = _pq_codebook(corpus, id_col, vec_col, ks, seed)
+    dim = len(sample[0]["sv"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    spark.createDataFrame(
+        [(r["b"], [float(x) for x in r["sv"]]) for r in sample],
+        "b int, sv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    spark.createDataFrame(
+        [(m_sub, ks, dim)], "m_sub int, ks int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_meta")
+
+    CB, cb_norms_sq, m_sub, _dsub = _load_pq(spark, path)
+    saved_cents = spark.read.parquet(f"{path}/codebook")
+    codes = _encode_pq(corpus, CB, cb_norms_sq, id_col, vec_col)
+    cells = _assign(corpus, saved_cents, id_col, vec_col).select("__vid", "cell")
+    codes.join(cells, "__vid").withColumnRenamed("__vid", id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def append_to_ivf_pq_index(
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance with BOTH codebooks frozen: coarse-assign
+    and PQ-encode the new vectors, append into touched cell partitions
+    (same operational contract as append_to_ivf_index — rebuild when
+    the recall gate drops)."""
+    spark = new_vecs.sparkSession
+    cents = spark.read.parquet(f"{path}/codebook")
+    CB, cb_norms_sq, _m, _d = _load_pq(spark, path)
+    codes = _encode_pq(new_vecs, CB, cb_norms_sq, id_col, vec_col)
+    cells = _assign(new_vecs, cents, id_col, vec_col).select("__vid", "cell")
+    codes.join(cells, "__vid").withColumnRenamed("__vid", id_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def search_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    k: int = 10,
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Probe → pruned CODES scan → ADC scoring → top-k; optionally
+    exact-rescore the ADC shortlist against the raw ``corpus`` (the
+    standard retrieve+rerank, rerank ≥ k candidates per query).
+
+    Plan shape: the probed-cell scan reads codes-only bytes
+    (PartitionFilters prune directories, the column set is
+    (id, codes, recon_norm)); ADC is one Arrow kernel with a per-query
+    (m_sub × ks) LUT; the rerank joins a broadcast shortlist of
+    ≤ rerank·|queries| ids against the corpus — the corpus itself
+    never shuffles. Empty query batches return an empty frame."""
+    import numpy as np
+
+    CB, _cbn, m_sub, dsub = _load_pq(spark, path)
+    qdf, qprobe, probe_ids, id_t = _probe_frame(
+        spark, path, queries, id_col, vec_col, n_probe
+    )
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, score double"
+    if not probe_ids:
+        return spark.createDataFrame([], out_schema)
+
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("cell").isin(probe_ids)
+    )
+    qside = qdf.join(qprobe, "query_id")
+    cand = (
+        cells.join(F.broadcast(qside), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            "recon_norm",
+            "qv",
+        )
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        luts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty(len(pdf), dtype=np.float64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            recon = pdf["recon_norm"].values
+            qids = pdf["query_id"].values
+            for qid in pd.unique(qids):
+                sel = qids == qid
+                if qid not in luts:
+                    qv = np.array(pdf["qv"].values[sel][0], dtype=np.float64)
+                    luts[qid] = (
+                        np.einsum("md,mkd->mk", qv.reshape(m_sub, dsub), CB),
+                        float(np.sqrt((qv**2).sum())),
+                    )
+                lut, qn = luts[qid]
+                dots = lut[np.arange(m_sub)[None, :], codes[sel]].sum(axis=1)
+                denom = qn * recon[sel]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[sel] = np.where(denom > 0, dots / denom, 0.0)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "score": out,
+                }
+            )
+
+    scored = cand.mapInPandas(adc, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    if rerank <= 0 or corpus is None:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(
+                "query_id", "neighbor_id", F.round("score", 6).alias("score")
+            )
+        )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
+    from replicadb_spark.functions.similarity import cosine
+
+    exact = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
     )

@@ -7873,3 +7873,38 @@ def gopher_full_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest+GROUP BY — two independent shapes, one answer."""
     d = _t(spark, sf_dir, "documents")["documents"]
     return X.gopher_screen(d)
+
+
+@register("ann_pq_index_gate", oracle=_ANN_RECALL_ORACLE)
+def ann_pq_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL GATE for the PERSISTED IVF-PQ layout (operators/ann_index
+    build_ivf_pq_index/search_ivf_pq_index): cells store PQ CODES only
+    (16 int codes + one norm ≈ 70 B vs 512 B raw — the scan-bytes
+    answer at 100 TB on top of directory pruning), search runs
+    probe → pruned codes scan → ADC → exact rerank, and must recover
+    ≥ 70% of the exact top-10 pairs — the ann_ivfpq gate's bound
+    applied to the durable layout.
+
+    Scale: probe reads n_probe/n_cells of the CODE bytes; the rerank
+    broadcast is ≤ rerank·|queries| ids; the corpus never shuffles."""
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = S.knn_bruteforce(e, q, k=10)
+    work = tempfile.mkdtemp(prefix="ann_pq_idx_")
+    try:
+        build_ivf_pq_index(e, work, n_cells=8, m_sub=16, ks=32)
+        approx = search_ivf_pq_index(
+            spark, work, q, n_probe=6, k=10, rerank=100, corpus=e
+        )
+        row = _ann_recall_gate(exact, approx, 0.7).collect()
+        return spark.createDataFrame(row, "n_exact bigint, recall_ok boolean")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

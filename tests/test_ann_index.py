@@ -194,3 +194,94 @@ def test_compact_ivf_cells_merges_files_and_preserves_results(spark, tmp_path):
     assert after_rows == before_rows
     # no staging/backup residue
     assert not [d for d in os.listdir(path) if d.startswith("__")]
+
+
+def test_ivf_pq_layout_stores_codes_not_vectors(spark, tmp_path):
+    """The PQ layout's scan-bytes contract: cells hold (id, codes,
+    recon_norm) only — no raw embedding column anywhere in the layout —
+    and the probed scan still prunes partitions."""
+    from replicadb_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "pq_idx")
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_pq_index(corpus, path, n_cells=8, m_sub=16, ks=32)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert set(cells.columns) == {"vec_id", "codes", "recon_norm", "cell"}
+    assert cells.count() == corpus.count()
+    # codes are m_sub ints each
+    row = cells.first()
+    assert len(row["codes"]) == 16
+
+    queries = corpus.where(F.col("vec_id") < 5)
+    res = search_ivf_pq_index(spark, path, queries, n_probe=6, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:80]
+    assert res.count() > 0
+
+
+def test_ivf_pq_rerank_recall_vs_bruteforce(spark, tmp_path):
+    """ADC + exact rerank hits the ann_ivfpq gate's recall bound (0.7)
+    through the PERSISTED layout."""
+    from replicadb_spark.functions.similarity import knn_bruteforce
+    from replicadb_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "pq_idx")
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_pq_index(corpus, path, n_cells=8, m_sub=16, ks=32)
+    queries = corpus.where(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in search_ivf_pq_index(
+            spark, path, queries, n_probe=6, k=10, rerank=100, corpus=corpus
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(corpus, queries, k=10).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_ivf_pq_append_then_search_finds_clone(spark, tmp_path):
+    """Frozen-codebook append: a scaled clone of vec 3 lands in the code
+    layout and surfaces as its source's top rerank hit (cosine 1.0)."""
+    from replicadb_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "pq_idx")
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_pq_index(corpus, path, n_cells=8, m_sub=16, ks=32)
+    probe = corpus.where(F.col("vec_id") == 3).first()
+    new = spark.createDataFrame(
+        [(999_999, [2.0 * x for x in probe["embedding"]])],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_pq_index(new, path)
+    vec_t = corpus.schema["embedding"].dataType.simpleString()
+    full = corpus.select("vec_id", "embedding").union(
+        new.select("vec_id", F.col("embedding").cast(vec_t))
+    )
+    res = search_ivf_pq_index(
+        spark,
+        path,
+        corpus.where(F.col("vec_id") == 3),
+        n_probe=4,
+        k=5,
+        rerank=50,
+        corpus=full,
+    ).collect()
+    top = max(res, key=lambda r: r["score"])
+    assert top["neighbor_id"] == 999_999
+    assert top["score"] == pytest.approx(1.0, abs=1e-5)
