@@ -127,7 +127,7 @@ _GATE_LAST = (
     # r7 local-evidence additions: the FULL 18-rule Gopher screen
     # (full SQL oracle) and the persisted IVF-PQ layout's recall gate —
     # every replica run re-proves both
-    "gopher_full_screen", "ann_pq_index_gate",
+    "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
 )
 
 

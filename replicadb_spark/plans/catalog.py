@@ -7908,3 +7908,156 @@ def ann_pq_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(row, "n_exact bigint, recall_ok boolean")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "bucketed_upsert_gate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    ), delta AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM base WHERE o_custkey IN (1, 2, 5)
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I'
+      FROM base WHERE o_custkey = 7
+    ), merged AS (
+      SELECT * FROM delta
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           TRUE AS partial_rewrite_ok, TRUE AS untouched_files_ok,
+           TRUE AS zero_exchange_ok
+    FROM merged
+    """,
+)
+def bucketed_upsert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for incremental MERGE into the bucketed layout
+    (sinks/files.upsert_bucketed_table — the r6 verdict's missing #2):
+    build an 8-bucket orders table, apply a deterministic changelog
+    (price updates for custkeys 1/2/5, inserts for custkey 7), and
+    hash the ENTIRE post-merge table against the SQL MERGE semantics —
+    plus three booleans that flip the hash on any physical-contract
+    violation:
+
+    - ``partial_rewrite_ok``: the delta touched < n_buckets buckets
+      (the point of the layout: a delta costs ~the delta);
+    - ``untouched_files_ok``: every untouched bucket's data file is
+      bit-identical (same name/size/mtime) after the merge;
+    - ``zero_exchange_ok``: the post-merge table still self-joins on
+      the bucket key with ZERO Exchange in the physical plan (the
+      100 TB join contract survives the surgery).
+
+    Scale: the upsert reads+rewrites only the K touched buckets'
+    files; the full-table hash here is gate-scale evidence, not part
+    of the production path."""
+    import os
+    import tempfile
+    import uuid
+
+    from replicadb_spark.sinks.files import upsert_bucketed_table
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    upd = base.where(F.col("o_custkey").isin(1, 2, 5)).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    ins = base.where(F.col("o_custkey") == 7).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("I").alias("o_orderstatus"),
+    )
+    delta = upd.unionByName(ins)
+
+    tbl = f"bkt_upsert_gate_{uuid.uuid4().hex[:8]}"
+    work = tempfile.mkdtemp(prefix="bkt_gate_")
+    path = os.path.join(work, "tbl")
+    n_buckets = 8
+    try:
+        upsert_bucketed_table(
+            spark, base, tbl,
+            pk_columns=["o_orderkey"], bucket_cols=("o_custkey",),
+            n_buckets=n_buckets, path=path,
+        )
+        from replicadb_spark.sinks.files import _bucket_of
+
+        def stats():
+            return {
+                f: (os.path.getsize(os.path.join(path, f)),
+                    os.stat(os.path.join(path, f)).st_mtime_ns)
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            }
+
+        before = stats()
+        touched = upsert_bucketed_table(
+            spark, delta, tbl,
+            pk_columns=["o_orderkey"], bucket_cols=("o_custkey",),
+            n_buckets=n_buckets, path=path,
+        )
+        after = stats()
+        partial_ok = 0 < len(touched) < n_buckets
+        untouched_names = [
+            f for f in before if _bucket_of(f) not in set(touched)
+        ]
+        untouched_ok = bool(untouched_names) and all(
+            after.get(f) == before[f] for f in untouched_names
+        )
+        # the tests/test_bucketed_join.py conf recipe: force the
+        # sort-merge path and pin bucketed scans on, so the plan shows
+        # the LAYOUT's guarantee rather than a planner heuristic
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            l = spark.table(tbl).select(
+                "o_custkey", F.col("o_totalprice").alias("lp")
+            )
+            r = spark.table(tbl).select(
+                "o_custkey", F.col("o_totalprice").alias("rp")
+            )
+            plan = (
+                l.join(r, "o_custkey")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            zero_exchange_ok = (
+                "SortMergeJoin" in plan
+                and "Exchange hashpartitioning" not in plan
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            )
+        # the gate materializes before the temp layout is removed
+        rows = spark.table(tbl).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).collect()
+        return spark.createDataFrame(
+            [
+                (
+                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
+                    r["o_orderstatus"], partial_ok, untouched_ok,
+                    zero_exchange_ok,
+                )
+                for r in rows
+            ],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "o_orderstatus string, partial_rewrite_ok boolean, "
+            "untouched_files_ok boolean, zero_exchange_ok boolean",
+        )
+    finally:
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        shutil.rmtree(work, ignore_errors=True)
