@@ -128,6 +128,7 @@ _GATE_LAST = (
     # (full SQL oracle) and the persisted IVF-PQ layout's recall gate —
     # every replica run re-proves both
     "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
+    "minhash_index_gate",
 )
 
 

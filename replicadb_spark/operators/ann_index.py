@@ -155,15 +155,38 @@ def compact_ivf_cells(
     scan → coalesce → write; no shuffle, no global pass.
 
     Returns {"cells_compacted": n, "files_before": a, "files_after": b}.
+
+    ``subdir``/``prefix`` generalize the maintenance to any
+    hive-partitioned layout under ``path`` — operators/dedup_index
+    reuses it for the band-partitioned MinHash bucket store.
     """
+    return compact_partition_dirs(
+        spark, path, subdir="cells", prefix="cell=",
+        target_mb=target_mb, min_files=min_files,
+    )
+
+
+def compact_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    *,
+    subdir: str,
+    prefix: str,
+    target_mb: int = 128,
+    min_files: int = 2,
+) -> dict:
+    """Generic per-partition-directory compaction (see
+    :func:`compact_ivf_cells` for the contract): rewrite each
+    ``path/subdir/<prefix>*`` directory holding ≥ min_files part-files
+    into ~target_mb files via staged write + atomic rename swap."""
     import math
     import os
     import shutil
 
-    cells_dir = f"{path}/cells"
+    cells_dir = f"{path}/{subdir}"
     stats = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
     for d in sorted(os.listdir(cells_dir)):
-        if not d.startswith("cell="):
+        if not d.startswith(prefix):
             continue
         cell_path = os.path.join(cells_dir, d)
         parts = [

@@ -8061,3 +8061,52 @@ def bucketed_upsert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register("minhash_index_gate", oracle=_SIMHASH_RECALL_ORACLE)
+def minhash_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL GATE for the PERSISTED MinHash near-dup index
+    (operators/dedup_index): build the banded bucket + signature store
+    in a temp dir, self-probe the corpus through the broadcast query
+    path (signature-agreement estimate ≥ 0.35), and require ≥ 80% of
+    the exact Jaccard-0.5 pairs — the dedup_minhash_lsh bound applied
+    to the durable-store variant, so the materialize→probe→estimate
+    path carries the same per-round evidence as the inline one.
+
+    Scale: the store-side bucket/sig tables never shuffle (batch rows
+    broadcast); query cost is O(batch·bands + collisions), independent
+    of corpus size — the shape an ingest pipeline runs per batch."""
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    truth = D.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    work = tempfile.mkdtemp(prefix="mh_idx_")
+    try:
+        build_minhash_index(d, work, k=3, num_hashes=128, bands=64)
+        got = query_minhash_index(
+            spark, work, d, min_est_jaccard=0.35
+        ).select(
+            F.least("new_id", "match_id").alias("id_a"),
+            F.greatest("new_id", "match_id").alias("id_b"),
+        ).distinct()
+        hit = truth.join(got, ["id_a", "id_b"], "left_semi")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                "n_true",
+                (F.col("n_hit") >= F.col("n_true") * 0.8).alias("recall_ok"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(row, "n_true bigint, recall_ok boolean")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
