@@ -1598,3 +1598,100 @@ def stream_ivf_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_minhash_screen(
+    source: DataFrame,
+    index_path: str,
+    verdicts_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #22: continuous near-dup SCREENING against the persisted
+    MinHash index (operators/dedup_index) — the durable-store analog of
+    stream_semantic_dedup's embedding screen.
+
+    Per micro-batch: (1) the batch is sketched and APPENDED to the
+    index first (the store is the have-I-seen-it memory — it retains
+    every ingested document); (2) the batch is queried against the
+    store; a document is a duplicate iff some EARLIER document (lower
+    id — the incremental-ingest contract gives globally increasing ids)
+    clears the signature-agreement threshold. Append-first makes one
+    query serve both cross-batch AND intra-batch duplicates: a batch's
+    own rows are already in the store when it screens, self-matches
+    drop on the id equality filter, and higher-id matches are ignored
+    — so verdicts are deterministic regardless of how rows split into
+    Arrow batches.
+
+    Verdicts land in ``verdicts_path/batch_id=N`` with mode=overwrite:
+    an at-least-once REPLAY overwrites the same directory with
+    identical content (the store's duplicate sketch rows from the
+    re-append collapse under the query's distinct + aggregation), so
+    the verdict stream is idempotent without a batch-id state guard.
+    The duplicated store rows themselves are the documented
+    append-only-index trade (stream_ivf_append) — compact with
+    ann_index.compact_partition_dirs.
+
+    Scale: per batch one broadcast probe against the band store
+    (O(batch·bands + collisions), corpus side never shuffles) and one
+    dynamic-partition append."""
+    from replicadb_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        query_minhash_index,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            append_to_minhash_index(
+                batch_df, index_path, id_col=id_col, text_col=text_col
+            )
+            matches = query_minhash_index(
+                spark, index_path, batch_df,
+                id_col=id_col, text_col=text_col,
+                min_est_jaccard=min_est_jaccard,
+            ).where(F.col("match_id") < F.col("new_id"))
+            best = matches.groupBy("new_id").agg(
+                F.max(
+                    F.struct(
+                        F.col("est_jaccard").alias("e"),
+                        (-F.col("match_id")).alias("negid"),
+                    )
+                ).alias("b")
+            ).select(
+                F.col("new_id").alias(id_col),
+                F.lit(True).alias("is_dup"),
+                (-F.col("b.negid")).alias("best_match_id"),
+                F.col("b.e").alias("best_est_jaccard"),
+            )
+            verdicts = (
+                batch_df.select(F.col(id_col))
+                .join(best, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+                    "best_match_id",
+                    "best_est_jaccard",
+                )
+            )
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdicts_path}/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1308,3 +1308,80 @@ def test_stream_file_replica_survives_schema_drift_across_restarts(spark, tmp_pa
     rows = {r["id"]: r["source"] for r in got.collect()}
     # era-1 rows not re-replicated (checkpoint), era-2 appended
     assert rows == {1: None, 2: None, 3: "web", 4: "app"}
+
+
+def test_stream_minhash_screen_verdicts_across_and_within_batches(spark, tmp_path):
+    """Twin #22: the durable-store near-dup screen flags cross-batch AND
+    intra-batch duplicates (lowest id wins), leaves fresh docs clean,
+    and a full replay with a fresh checkpoint overwrites the verdict
+    dirs with identical content (idempotence without a state guard)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.dedup_index import build_minhash_index
+    from replicadb_spark.streaming import pipeline as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(docs, idx, k=3, num_hashes=128, bands=64)
+
+    base5 = docs.where(F.col("doc_id") == 5).first()["text"]
+    fresh_a = " ".join(f"fa{i}" for i in range(40))
+    fresh_b = " ".join(f"fb{i}" for i in range(40))
+    batches = [
+        # batch 0: clone of corpus doc 5 (dup) + fresh text (clean)
+        [(1000, base5 + " zz"), (1001, fresh_a)],
+        # batch 1: clone of 1001 from the PREVIOUS batch (cross-batch dup)
+        [(1002, fresh_a + " yy")],
+        # batch 2: two clones of the same new text (intra-batch: lower
+        # id kept, higher id dup)
+        [(1003, fresh_b), (1004, fresh_b + " qq")],
+    ]
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    verd = str(tmp_path / "verdicts")
+    q = P.stream_minhash_screen(
+        stream, idx, verd, str(tmp_path / "ck1"), min_est_jaccard=0.5
+    )
+    q.awaitTermination(300)
+
+    def read_verdicts():
+        return {
+            r["doc_id"]: (r["is_dup"], r["best_match_id"])
+            for r in spark.read.option("basePath", verd).parquet(verd).collect()
+        }
+
+    got = read_verdicts()
+    assert got[1000] == (True, 5)
+    assert got[1001][0] is False
+    assert got[1002] == (True, 1001)
+    assert got[1003][0] is False
+    assert got[1004] == (True, 1003)
+
+    # full replay: fresh checkpoint, same source — verdicts identical
+    # even though the store now holds every streamed doc (self-matches
+    # and higher-id matches are filtered; re-appends collapse)
+    q2 = P.stream_minhash_screen(
+        stream, idx, verd, str(tmp_path / "ck2"), min_est_jaccard=0.5
+    )
+    q2.awaitTermination(300)
+    assert read_verdicts() == got
