@@ -124,11 +124,13 @@ _GATE_LAST = (
     # local replica regenerated each round at sf0.01 and sf0.1
     "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
     "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
-    # r7 local-evidence additions: the FULL 18-rule Gopher screen
-    # (full SQL oracle) and the persisted IVF-PQ layout's recall gate —
-    # every replica run re-proves both
+    # r7 local-evidence additions (ROUND7.md): the FULL 18-rule Gopher
+    # screen, the persisted IVF-PQ layout's recall gate, the bucketed
+    # incremental-MERGE self-checking gate, the persisted MinHash
+    # near-dup store's recall gate, and temperature-scaled source
+    # mixing — every replica run re-proves all five
     "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
-    "minhash_index_gate",
+    "minhash_index_gate", "source_temperature_mix",
 )
 
 

@@ -8110,3 +8110,61 @@ def minhash_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(row, "n_true bigint, recall_ok boolean")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "source_temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_source,
+             least(COUNT(*),
+                   CAST(floor(4.0 * sqrt(COUNT(*))) AS BIGINT)) AS target_n
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix-7:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.source, doc_id, n_source, target_n
+    FROM r JOIN c USING (source) WHERE rn <= target_n
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the published multilingual
+    sampling rule (Devlin et al. 2019 §multilingual; Conneau & Lample
+    2019 §3.1): each source's quota ∝ n_source^α with α = 0.5, which
+    upweights small sources relative to proportional sampling. The
+    quota here is the UNNORMALIZED form target = ⌊K·√n⌋ (K = 4),
+    deliberately: a shared normalizer Σ n_s^α is a float SUM whose
+    accumulation order differs across engines, while K·sqrt(n) of an
+    integer is one correctly-rounded IEEE op — bit-identical in Spark
+    and DuckDB (the oracle-determinism convention). Membership inside a
+    source is the md5 hash order (reproducible across runs/engines —
+    the sample_stratified_hash trick), tiebroken by doc_id.
+
+    Scale: one tiny groupBy broadcast back + ONE window PARTITIONED by
+    source (not a global window — per-source rank). A pathologically
+    hot source ranks inside its own partition; if one source is the
+    whole corpus, swap the rank filter for a per-source hash threshold
+    (keep h < t_s with t_s calibrated from n_source — the
+    sample_stratified_hash shape) and the plan becomes map-only."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source")).select(
+        "source",
+        "n_source",
+        F.least(
+            F.col("n_source"),
+            F.floor(F.lit(4.0) * F.sqrt(F.col("n_source"))).cast("long"),
+        ).alias("target_n"),
+    )
+    h = F.md5(F.concat(F.lit("mix-7:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    r = d.select("doc_id", "source").withColumn("rn", F.row_number().over(w))
+    return (
+        r.join(F.broadcast(c), "source")
+        .where(F.col("rn") <= F.col("target_n"))
+        .select("source", "doc_id", "n_source", "target_n")
+    )
