@@ -41,9 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r7 FIRST = the 50 r04-green queries (exactly 2 rounds stale at r7
 #   — never 3; each carried a green local-replica row every round in
 #   between).
-#   r7 LAST = the 50 r6-gated queries (fresh r06 rows, they lead the
-#   r8 window), then the 50 r5-gated queries (r9 window), then the
-#   local-evidence self-checking gates.
+#   r7 LAST = the 50 r6-gated queries (r06 rows; they re-gate in r9)
+#   and the 50 r5-gated queries (r05 rows — 2 intermediate rounds by
+#   r8, so THEY lead the r8 window), then the local-evidence gates.
 _GATE_FIRST = (
     # r04-green, last fresh driver row r04 — zeroing the stale tail
     "dedup_containment", "schema_drift_union",
@@ -71,7 +71,7 @@ _GATE_FIRST = (
     "median_balance_by_nation", "window_top_customers", "events_tumbling_agg",
 )
 _GATE_LAST = (
-    # r6-gated queries (fresh r06 rows) — lead the r8 window
+    # r6-gated queries (fresh r06 rows) — re-gate in r9
     "dedup_simhash", "ann_lsh", "ann_ivf", "ann_ivfpq",
     "approx_distinct_gate", "approx_percentile_gate",
     "streaming_dedup_state", "text_winnowing",
@@ -93,7 +93,7 @@ _GATE_LAST = (
     "attribution_linear_credit", "returns_rate_wilson_ci",
     "dq_rules_orders", "join_strategy_advisor", "dow_seasonality_events",
     "user_feature_hash", "copurchase_degree_profile",
-    # r5-gated queries (fresh r05 rows) — lead the r9 window
+    # r5-gated queries (fresh r05 rows) — lead the r8 window
     "basket_jaccard_customers", "copurchase_triangles",
     "user_entropy_profile", "daily_trend_regression",
     "timeseries_gapfill", "interval_coalesce_user", "fuzzy_name_match",
