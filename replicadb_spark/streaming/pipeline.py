@@ -1695,3 +1695,103 @@ def stream_minhash_screen(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_gopher_screen(
+    source: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    id_cols: tuple = ("doc_id", "source"),
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #23: the full 18-rule Gopher screen
+    (functions/text.gopher_screen) applied CONTINUOUSLY to a document
+    stream. The screen is a pure map-only projection — zero state, no
+    watermark — so the streaming form is the batch plan run per
+    micro-batch, written through the exactly-once parquet file sink
+    (its commit log makes replays invisible downstream; no foreachBatch
+    guard needed). This is the shape a 100 TB ingest runs: score and
+    keep/drop documents as they land, not in a nightly sweep."""
+    from replicadb_spark.functions.text import gopher_screen
+
+    screened = gopher_screen(source, id_cols=id_cols, text_col=text_col)
+    writer = (
+        screened.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_bucketed_replica(
+    source: DataFrame,
+    table: str,
+    path: str,
+    checkpoint: str,
+    *,
+    pk_columns: "list[str]",
+    bucket_cols: "list[str] | tuple[str, ...]",
+    n_buckets: int,
+    sort_cols: "list[str] | tuple[str, ...] | None" = None,
+    order_column: "str | None" = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #24: continuous replication into the BUCKETED layout —
+    stream_jdbc_replica's semantics with sinks/files.upsert_bucketed_table
+    as the merge engine, composing the reference's incremental mode (M3)
+    with the 100 TB co-located-join layout per micro-batch.
+
+    Delivery: the upsert is a full-payload last-wins MERGE per PK —
+    replay-idempotent, no batch-id guard needed (the
+    stream_jdbc_replica argument; the test proves a replayed batch
+    leaves the table unchanged). Multi-update batches are legal:
+    ``upsert_dataframe``'s last-wins window (ordered by
+    ``order_column``) compacts them inside the merge — unlike the SQL
+    MERGE path there is no single-source-match restriction.
+
+    Scale: per batch, only the buckets the batch's keys hash into are
+    read and rewritten (K/N of the table for a K-bucket delta); every
+    downstream join on the bucket key keeps the zero-Exchange
+    contract, continuously.
+
+    Cache note: foreachBatch hands each micro-batch a CLONED session
+    whose SessionCatalog has its own file-index cache — the upsert's
+    internal refreshTable only invalidates the clone, so the
+    stream-OWNING session would keep serving the pre-surgery file list
+    (FILE_NOT_EXIST on the moved victims). The twin therefore
+    refreshes the table on the session that created the stream after
+    every batch; other concurrent sessions carry the usual
+    external-table-mutation caveat (refresh before reading)."""
+    from replicadb_spark.sinks.files import upsert_bucketed_table
+
+    owner = source.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_bucketed_table(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            pk_columns=list(pk_columns),
+            bucket_cols=bucket_cols,
+            n_buckets=n_buckets,
+            sort_cols=sort_cols,
+            path=path,
+            order_column=order_column,
+        )
+        owner.catalog.refreshTable(table)
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1385,3 +1385,109 @@ def test_stream_minhash_screen_verdicts_across_and_within_batches(spark, tmp_pat
     )
     q2.awaitTermination(300)
     assert read_verdicts() == got
+
+
+def test_stream_gopher_screen_equals_batch(spark, tmp_path):
+    """Twin #23: the streamed screen over 2 micro-batches produces
+    exactly the batch gopher_screen rows (stateless map-only twin
+    through the exactly-once file sink)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.functions.text import gopher_screen
+    from replicadb_spark.streaming import pipeline as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") < 60
+    ).select("doc_id", "source", "text")
+    batch = {tuple(r) for r in gopher_screen(docs).collect()}
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    pdf = docs.orderBy("doc_id").toPandas()
+    cut = len(pdf) // 2
+    for i, chunk in enumerate((pdf[:cut], pdf[cut:])):
+        pq.write_table(pa.Table.from_pandas(chunk), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "screened")
+    q = P.stream_gopher_screen(stream, out, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(got) > 0
+
+
+def test_stream_bucketed_replica_converges_and_replays(spark, tmp_path):
+    """Twin #24: a changelog stream lands in the bucketed layout with
+    last-wins-per-PK semantics across micro-batches (including a
+    multi-update batch), the table keeps its bucket spec, and a full
+    replay with a fresh checkpoint leaves the table unchanged."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        [(1, 10, 1), (2, 20, 2), (3, 30, 3)],          # initial load
+        [(2, 22, 4), (4, 40, 5)],                      # update + insert
+        [(1, 11, 6), (1, 12, 7), (5, 50, 8)],          # multi-update batch
+    ]
+    src = tmp_path / "cdc_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "seq": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, v long, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_bucketed_replica(
+            stream, "t_strm_bucket", str(tmp_path / "tbl"),
+            str(tmp_path / ck),
+            pk_columns=["k"], bucket_cols=["k"], n_buckets=4,
+            order_column="seq",
+        )
+        q.awaitTermination(300)
+
+    spark.sql("DROP TABLE IF EXISTS t_strm_bucket")
+    try:
+        run("ck1")
+        want = {1: 12, 2: 22, 3: 30, 4: 40, 5: 50}
+        got = {r["k"]: r["v"] for r in spark.table("t_strm_bucket").collect()}
+        assert got == want
+        assert spark.table("t_strm_bucket").count() == 5
+        # the table is still a real bucketed table (spec survives)
+        ddl = "\n".join(
+            str(r) for r in spark.sql("DESCRIBE FORMATTED t_strm_bucket").collect()
+        )
+        assert "4" in ddl and "Bucket" in ddl
+        # full replay, fresh checkpoint: MERGE idempotence, no change
+        run("ck2")
+        got = {r["k"]: r["v"] for r in spark.table("t_strm_bucket").collect()}
+        assert got == want
+        assert spark.table("t_strm_bucket").count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_strm_bucket")
