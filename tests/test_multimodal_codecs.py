@@ -361,3 +361,15 @@ def test_extract_image_features_real_png(spark):
     assert (got[2]["width"], got[2]["height"]) == (3, 2)
     assert got[1]["feature"] == got[2]["feature"]
     assert got[1]["mean_byte"] == got[2]["mean_byte"]
+
+
+def test_png_random_filter_fuzz():
+    """30 random images, every scanline with a random filter type: the
+    decoder inverts whatever the encoder side chose, bit-for-bit."""
+    rng = np.random.RandomState(99)
+    for _ in range(30):
+        h, w = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = [int(rng.randint(0, 5)) for _ in range(h)]
+        png = _make_png(rgb.reshape(h, w * 3), filters)
+        np.testing.assert_array_equal(codecs.decode_png(png), rgb)

@@ -177,3 +177,59 @@ def test_gopher_screen_top_gram_tiebreak_is_lexicographic(spark):
     total = r["n_words"]  # sanity only
     assert total >= 50
     assert r["top2_frac"] > 0
+
+
+def test_gopher_gram_folds_match_python_reference_fuzz(spark):
+    """100 random word-salad docs: the sorted-fold top/dup n-gram char
+    counts must equal a straightforward Python Counter reference (same
+    definitions: gram chars = joined length minus separators; top ties
+    to the lexicographically smallest gram)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(1234)
+    docs = []
+    for i in range(100):
+        n = rng.randint(0, 60)
+        # tiny vocabulary → dense gram collisions, the hard case
+        docs.append((i, " ".join(rng.choice("aa bb cc dd e".split())
+                                 for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref(text, n):
+        toks = text.lower().split()
+        grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        if not grams:
+            return 0, 0
+        c = Counter(grams)
+        # tie → lexicographically smallest gram among the max counts
+        mx = max(c.values())
+        bg = min(g for g, k in c.items() if k == mx)
+        top = mx * (len(bg) - (n - 1))
+        dup = sum(k * (len(g) - (n - 1)) for g, k in c.items() if k >= 2)
+        return top, dup
+
+    from replicadb_spark.functions.text import (
+        _dup_ngram_chars,
+        _top_ngram_chars,
+        tokens,
+    )
+
+    staged = df.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in staged.select(
+            "doc_id",
+            *[_top_ngram_chars(F.col("toks"), n).alias(f"t{n}")
+              for n in (2, 3, 4)],
+            *[_dup_ngram_chars(F.col("toks"), n).alias(f"d{n}")
+              for n in (2, 5, 10)],
+        ).collect()
+    }
+    for i, text in docs:
+        for n in (2, 3, 4):
+            assert got[i][f"t{n}"] == ref(text, n)[0], (i, n, text)
+        for n in (2, 5, 10):
+            assert got[i][f"d{n}"] == ref(text, n)[1], (i, n, text)
