@@ -636,3 +636,54 @@ def search_ivf_pq_index(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
     )
+
+
+def ivf_cell_stats(
+    spark: SparkSession,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Operational health of the persisted IVF layout — the numbers the
+    rebuild decision needs (the frozen-codebook trade documented on
+    ``append_to_ivf_index``): per cell, how many vectors it holds, how
+    many part-files it has fragmented into, and the mean cosine of its
+    vectors to their own centroid (assignment tightness — drifting data
+    pulls this down; rebuild with fresh centroids when it sags or when
+    cell sizes skew).
+
+    Returns (cell, n_vecs, n_files, mean_cos_to_centroid) — one row per
+    cell, bounded by n_cells. ONE pruned scan + one groupBy(cell)
+    aggregate; the codebook joins in as a broadcast. File counts come
+    from the driver-side directory listing (n_cells directories — the
+    same bounded walk compaction does)."""
+    import os
+
+    from replicadb_spark.functions.similarity import cosine
+
+    counts = {}
+    for d in os.listdir(f"{path}/cells"):
+        if d.startswith("cell="):
+            counts[int(d.split("=", 1)[1])] = len([
+                f for f in os.listdir(f"{path}/cells/{d}")
+                if f.endswith(".parquet")
+            ])
+    files_df = spark.createDataFrame(
+        sorted(counts.items()), "cell int, n_files int"
+    )
+    cells = spark.read.parquet(f"{path}/cells")
+    cents = spark.read.parquet(f"{path}/codebook")
+    stats = (
+        cells.join(F.broadcast(cents), "cell")
+        .select("cell", cosine(F.col(vec_col), F.col("cent_vec")).alias("cos"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("mean_cos_to_centroid"),
+        )
+    )
+    return (
+        stats.join(F.broadcast(files_df), "cell")
+        .select("cell", "n_vecs", "n_files", "mean_cos_to_centroid")
+        .orderBy("cell")
+    )

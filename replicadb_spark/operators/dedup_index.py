@@ -170,3 +170,30 @@ def query_minhash_index(
         )
         .where(F.col("est_jaccard") >= min_est_jaccard)
     )
+
+
+def minhash_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Operational health of the persisted near-dup store: per band, the
+    bucket-count and the largest / 99th-percentile bucket sizes. Hot
+    buckets are THE LSH failure mode at scale — a bucket shared by k
+    docs contributes O(k) candidates to EVERY future probe that lands
+    in it (the same degradation max_sig_df caps in the FastSS index),
+    so a fattening max_bucket_size is the signal to re-shard with more
+    bands / a different seed or to cap the bucket in query.
+
+    Returns (band, n_buckets, max_bucket_size, p99_bucket_size) — one
+    row per band. ONE scan + two groupBys whose keys are (band, bucket)
+    then band; every aggregate is map-side combinable."""
+    b = spark.read.parquet(f"{path}/buckets")
+    per_bucket = b.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket_size"),
+            F.percentile_approx("sz", 0.99).alias("p99_bucket_size"),
+        )
+        .orderBy("band")
+    )

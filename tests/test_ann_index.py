@@ -285,3 +285,18 @@ def test_ivf_pq_append_then_search_finds_clone(spark, tmp_path):
     top = max(res, key=lambda r: r["score"])
     assert top["neighbor_id"] == 999_999
     assert top["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ivf_cell_stats_reports_health(spark, index):
+    from replicadb_spark.operators.ann_index import ivf_cell_stats
+
+    path, corpus = index
+    rows = ivf_cell_stats(spark, path).collect()
+    assert 1 < len(rows) <= 8
+    # every corpus vector accounted for (the shared fixture may hold
+    # appended vectors from sibling tests too)
+    assert sum(r["n_vecs"] for r in rows) >= corpus.count()
+    for r in rows:
+        assert r["n_files"] >= 1
+        # vectors are closer to their own centroid than orthogonal
+        assert 0.0 < r["mean_cos_to_centroid"] <= 1.0

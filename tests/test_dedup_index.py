@@ -150,3 +150,23 @@ def test_band_dirs_compact_with_shared_maintenance(spark, tmp_path):
         ).collect()
     )
     assert after_rows == before_rows
+
+
+def test_minhash_index_stats_flags_hot_buckets(spark, tmp_path):
+    from replicadb_spark.operators.dedup_index import minhash_index_stats
+
+    path = str(tmp_path / "hot_idx")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    # 20 exact copies of one text -> every band has a bucket of >= 20
+    clones = spark.createDataFrame(
+        [(5_000_000 + i, "the same hot text repeated " * 5)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = docs.select("doc_id", "text").unionByName(clones)
+    build_minhash_index(base, path)
+    stats = {r["band"]: r for r in minhash_index_stats(spark, path).collect()}
+    assert len(stats) == 64
+    for band, r in stats.items():
+        assert r["max_bucket_size"] >= 20, (band, r)
+        assert r["n_buckets"] >= 1
