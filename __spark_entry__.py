@@ -128,9 +128,10 @@ _GATE_LAST = (
     # screen, the persisted IVF-PQ layout's recall gate, the bucketed
     # incremental-MERGE self-checking gate, the persisted MinHash
     # near-dup store's recall gate, and temperature-scaled source
-    # mixing — every replica run re-proves all five
+    # mixing, and the snapshot-table (atomic commit/time
+    # travel/data-skipping) gate — every replica run re-proves all six
     "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
-    "minhash_index_gate", "source_temperature_mix",
+    "minhash_index_gate", "source_temperature_mix", "snapshot_table_gate",
 )
 
 

@@ -1,0 +1,215 @@
+"""Snapshot table: atomic multi-file commits, time travel, and GC on
+top of the file-skipping manifest (operators/manifest) — the lakehouse
+mechanics a 100 TB table needs and the flat parquet sinks can't give:
+
+- ``snapshot_commit``: write the batch's files into an immutable
+  per-snapshot directory, build their footer-stats manifest, union it
+  with the parent manifest (append) or replace it (overwrite), and
+  PUBLISH with one atomic ``os.replace`` of the commit record — the
+  commit point. A crash before the record leaves orphan files that no
+  reader ever sees (GC'd by expire); a crash after is a completed
+  commit. Readers never observe a half-commit.
+- ``snapshot_read``: resolve a snapshot (current or time-travel by id),
+  read its manifest, optionally ``prune_files`` on a column range
+  (data skipping — only intersecting files are scanned), and scan the
+  surviving file list. Old snapshots stay readable after new commits:
+  data files are immutable and never rewritten.
+- ``snapshot_expire``: delete the data files referenced ONLY by
+  expired snapshots (plus never-committed orphans), keeping the last
+  K snapshots fully readable — bounded-history GC.
+
+Single-writer contract (the reference's replication jobs are
+single-writer per sink table too — SURVEY §2.3); concurrent readers
+are isolated by construction. Manifest cost is O(files) footer reads;
+commit cost is O(batch) + one manifest union, never O(table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from replicadb_spark.operators.manifest import file_manifest, prune_files
+
+_MANIFEST_SCHEMA = "file string, n_rows long, column string, min_s string, max_s string"
+
+
+def _snap_ids(path: str) -> list[int]:
+    d = os.path.join(path, "snapshots")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("s-") and f.endswith(".json"):
+            out.append(int(f[2:-5]))
+    return sorted(out)
+
+
+def current_snapshot(path: str) -> "int | None":
+    ids = _snap_ids(path)
+    return ids[-1] if ids else None
+
+
+def snapshot_commit(
+    df: DataFrame,
+    path: str,
+    *,
+    stat_columns: "list[str] | None" = None,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as the next snapshot; returns the snapshot id.
+    ``mode='append'`` adds to the parent's visible set,
+    ``'overwrite'`` logically replaces it (parent files stay on disk
+    for time travel until expired)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}: use 'append' or 'overwrite'")
+    spark = df.sparkSession
+    parent = current_snapshot(path)
+    snap_id = (parent or 0) + 1
+    data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+
+    has_files = any(
+        f.endswith(".parquet") for f in os.listdir(data_dir)
+    )
+    if has_files:
+        new_m = file_manifest(spark, data_dir, stat_columns)
+    else:  # empty batch: a legal no-op/overwrite-to-empty commit
+        new_m = spark.createDataFrame([], _MANIFEST_SCHEMA)
+    if mode == "append" and parent is not None:
+        prev = spark.read.schema(_MANIFEST_SCHEMA).parquet(
+            os.path.join(path, "manifests", f"m-{parent:06d}")
+        )
+        full = prev.unionByName(new_m)
+    else:
+        full = new_m
+    full.write.mode("overwrite").parquet(
+        os.path.join(path, "manifests", f"m-{snap_id:06d}")
+    )
+
+    os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+    rec = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "operation": mode,
+        "new_data_dir": data_dir,
+    }
+    tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+        f.flush()
+        os.fsync(f.fileno())
+    # THE commit point: one atomic rename publishes the snapshot
+    os.replace(tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json"))
+    return snap_id
+
+
+def _resolve(path: str, snapshot_id: "int | None") -> int:
+    ids = _snap_ids(path)
+    if not ids:
+        raise ValueError(f"no snapshots under {path}")
+    if snapshot_id is None:
+        return ids[-1]
+    if snapshot_id not in ids:
+        raise ValueError(
+            f"snapshot {snapshot_id} not found (have {ids}) — expired?"
+        )
+    return snapshot_id
+
+
+def snapshot_manifest(
+    spark: SparkSession, path: str, snapshot_id: "int | None" = None
+) -> DataFrame:
+    sid = _resolve(path, snapshot_id)
+    return spark.read.schema(_MANIFEST_SCHEMA).parquet(
+        os.path.join(path, "manifests", f"m-{sid:06d}")
+    )
+
+
+def snapshot_read(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: "int | None" = None,
+    prune: "tuple[str, float, float] | None" = None,
+    schema=None,
+) -> DataFrame:
+    """Scan a snapshot's visible files; ``prune=(column, lo, hi)``
+    applies manifest data skipping first. ``schema`` (optional) skips
+    inference for empty snapshots."""
+    m = snapshot_manifest(spark, path, snapshot_id)
+    if prune is not None:
+        files = prune_files(m, *prune)
+    else:
+        files = sorted(r["file"] for r in m.select("file").distinct().collect())
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not files:
+        if schema is None:
+            raise ValueError("empty snapshot needs an explicit schema")
+        return spark.createDataFrame([], schema)
+    return reader.parquet(*files)
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    rows = []
+    for sid in _snap_ids(path):
+        with open(os.path.join(path, "snapshots", f"s-{sid:06d}.json")) as f:
+            rows.append(json.load(f))
+    return spark.createDataFrame(
+        [
+            (r["snapshot_id"], r["parent_id"], r["operation"])
+            for r in rows
+        ],
+        "snapshot_id int, parent_id int, operation string",
+    )
+
+
+def snapshot_expire(
+    spark: SparkSession, path: str, *, keep_last: int = 1
+) -> dict:
+    """GC: drop all but the newest ``keep_last`` snapshots and delete
+    every data file not referenced by a KEPT manifest — including
+    orphans from crashed (never-published) commits. Kept snapshots stay
+    byte-identical; reading an expired id raises by name."""
+    ids = _snap_ids(path)
+    keep = set(ids[-keep_last:]) if keep_last > 0 else set()
+    referenced: set[str] = set()
+    for sid in keep:
+        m = spark.read.schema(_MANIFEST_SCHEMA).parquet(
+            os.path.join(path, "manifests", f"m-{sid:06d}")
+        )
+        referenced.update(
+            r["file"] for r in m.select("file").distinct().collect()
+        )
+    removed_files = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for rdir, _, fs in os.walk(data_root):
+            for f in fs:
+                full = os.path.join(rdir, f)
+                if f.endswith(".parquet") and full not in referenced:
+                    os.remove(full)
+                    removed_files += 1
+    import shutil
+
+    for sid in ids:
+        if sid not in keep:
+            os.remove(os.path.join(path, "snapshots", f"s-{sid:06d}.json"))
+            shutil.rmtree(
+                os.path.join(path, "manifests", f"m-{sid:06d}"),
+                ignore_errors=True,
+            )
+    # drop now-empty snap dirs
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    return {"kept": sorted(keep), "expired": [i for i in ids if i not in keep],
+            "data_files_removed": removed_files}

@@ -8168,3 +8168,104 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("target_n"))
         .select("source", "doc_id", "n_source", "target_n")
     )
+
+
+@register(
+    "snapshot_table_gate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), delta AS (
+      SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey, o_totalprice
+      FROM base WHERE o_custkey = 9
+    ), cur AS (
+      SELECT * FROM base UNION ALL SELECT * FROM delta
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TRUE AS time_travel_ok, TRUE AS prune_ok,
+           TRUE AS orphan_invisible_ok
+    FROM cur
+    """,
+)
+def snapshot_table_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for the snapshot table
+    (operators/snapshot_table — atomic commits + time travel + manifest
+    data skipping over operators/manifest): commit orders as snapshot
+    1 (range-partitioned so files carry disjoint o_orderkey stats),
+    append a deterministic delta as snapshot 2, and hash the ENTIRE
+    current snapshot against the SQL union — with three booleans folded
+    into every hashed row:
+
+    - ``time_travel_ok``: snapshot 1 still reads as exactly the
+      pre-append row count after the append;
+    - ``prune_ok``: manifest pruning on an o_orderkey range selects a
+      STRICT subset of files AND the pruned scan returns the same
+      filtered rows as the full scan (skipping never loses data);
+    - ``orphan_invisible_ok``: a simulated crashed commit (data files
+      written, record never published) changes nothing a reader sees.
+
+    Scale: commit cost is O(batch) + footer-only manifest; the pruned
+    read is the 100 TB point — scan only the files whose stats
+    intersect the predicate."""
+    import os
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.manifest import prune_files
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    delta = base.where(F.col("o_custkey") == 9).select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    n_base = base.count()
+    work = tempfile.mkdtemp(prefix="snap_gate_")
+    path = os.path.join(work, "tbl")
+    try:
+        snapshot_commit(
+            base.repartitionByRange(4, "o_orderkey"), path,
+            stat_columns=["o_orderkey"],
+        )
+        snapshot_commit(delta, path, stat_columns=["o_orderkey"])
+        # crashed-commit simulation: files on disk, record never lands
+        delta.limit(5).write.mode("overwrite").parquet(
+            os.path.join(path, "data", "snap-000099")
+        )
+        cur = snapshot_read(spark, path)
+        time_travel_ok = (
+            snapshot_read(spark, path, snapshot_id=1).count() == n_base
+        )
+        orphan_invisible_ok = cur.count() == n_base + delta.count()
+        m = snapshot_manifest(spark, path)
+        n_files = m.select("file").distinct().count()
+        lo, hi = 1.0, 1000.0
+        pruned = prune_files(m, "o_orderkey", lo, hi)
+        in_range = (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        prune_ok = (
+            0 < len(pruned) < n_files
+            and snapshot_read(spark, path, prune=("o_orderkey", lo, hi))
+            .where(in_range).count()
+            == cur.where(in_range).count()
+        )
+        rows = cur.collect()  # materialize before the temp layout drops
+        return spark.createDataFrame(
+            [
+                (
+                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
+                    time_travel_ok, prune_ok, orphan_invisible_ok,
+                )
+                for r in rows
+            ],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "time_travel_ok boolean, prune_ok boolean, "
+            "orphan_invisible_ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,101 @@
+"""Snapshot table (operators/snapshot_table): atomic commits, time
+travel, manifest data skipping, GC."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from replicadb_spark.operators.snapshot_table import (
+    current_snapshot,
+    snapshot_commit,
+    snapshot_expire,
+    snapshot_history,
+    snapshot_manifest,
+    snapshot_read,
+)
+
+SCHEMA = "id long, v long"
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_append_commits_time_travel_and_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    s1 = snapshot_commit(_batch(spark, 0, 100), path, stat_columns=["id"])
+    s2 = snapshot_commit(_batch(spark, 100, 200), path, stat_columns=["id"])
+    s3 = snapshot_commit(_batch(spark, 200, 300), path, stat_columns=["id"])
+    assert (s1, s2, s3) == (1, 2, 3)
+    assert current_snapshot(path) == 3
+    # current sees everything
+    assert snapshot_read(spark, path).count() == 300
+    # time travel: snapshot 1 is the first batch only, forever
+    old = snapshot_read(spark, path, snapshot_id=1)
+    assert old.count() == 100
+    assert old.agg(F.max("id")).first()[0] == 99
+    h = {r["snapshot_id"]: (r["parent_id"], r["operation"])
+         for r in snapshot_history(spark, path).collect()}
+    assert h == {1: (None, "append"), 2: (1, "append"), 3: (2, "append")}
+
+
+def test_overwrite_replaces_but_keeps_old_readable(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_commit(_batch(spark, 0, 100), path)
+    snapshot_commit(_batch(spark, 500, 510), path, mode="overwrite")
+    assert snapshot_read(spark, path).count() == 10
+    assert snapshot_read(spark, path, snapshot_id=1).count() == 100
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    from replicadb_spark.operators.manifest import prune_files
+
+    path = str(tmp_path / "tbl")
+    # range-partitioned write → files with disjoint id ranges
+    df = _batch(spark, 0, 10_000).repartitionByRange(8, "id")
+    snapshot_commit(df, path, stat_columns=["id"])
+    m = snapshot_manifest(spark, path)
+    all_files = m.select("file").distinct().count()
+    pruned = prune_files(m, "id", 0.0, 100.0)
+    assert len(pruned) < all_files
+    got = snapshot_read(spark, path, prune=("id", 0.0, 100.0)).where(
+        (F.col("id") >= 0) & (F.col("id") <= 100)
+    )
+    assert got.count() == 101  # pruning never loses matching rows
+
+
+def test_crash_orphans_invisible_and_expire_gc(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_commit(_batch(spark, 0, 100), path)
+    snapshot_commit(_batch(spark, 100, 200), path)
+    # simulate a crashed commit: data files exist, record never published
+    zombie = os.path.join(path, "data", "snap-000099")
+    _batch(spark, 900, 950).write.mode("overwrite").parquet(zombie)
+    assert current_snapshot(path) == 2
+    assert snapshot_read(spark, path).count() == 200  # zombie invisible
+
+    snapshot_commit(_batch(spark, 0, 50), path, mode="overwrite")
+    stats = snapshot_expire(spark, path, keep_last=1)
+    assert stats["kept"] == [3]
+    assert stats["expired"] == [1, 2]
+    assert stats["data_files_removed"] > 0
+    # survivor intact, expired id raises by name, zombie dir gone
+    assert snapshot_read(spark, path).count() == 50
+    with pytest.raises(ValueError, match="expired|not found"):
+        snapshot_read(spark, path, snapshot_id=1)
+    assert not os.path.isdir(zombie)
+
+
+def test_empty_commit_is_legal(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_commit(_batch(spark, 0, 10), path)
+    empty = spark.createDataFrame([], SCHEMA)
+    sid = snapshot_commit(empty, path)  # append no-op
+    assert snapshot_read(spark, path, snapshot_id=sid).count() == 10
+    sid2 = snapshot_commit(empty, path, mode="overwrite")
+    out = snapshot_read(spark, path, snapshot_id=sid2, schema=SCHEMA)
+    assert out.count() == 0
