@@ -58,11 +58,14 @@ def snapshot_commit(
     *,
     stat_columns: "list[str] | None" = None,
     mode: str = "append",
+    meta: "dict | None" = None,
 ) -> int:
     """Commit ``df`` as the next snapshot; returns the snapshot id.
     ``mode='append'`` adds to the parent's visible set,
     ``'overwrite'`` logically replaces it (parent files stay on disk
-    for time travel until expired)."""
+    for time travel until expired). ``meta`` keys are stored in the
+    commit record — stream_snapshot_ingest uses this to persist the
+    micro-batch id that makes replays exactly-once."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}: use 'append' or 'overwrite'")
     spark = df.sparkSession
@@ -95,6 +98,7 @@ def snapshot_commit(
         "parent_id": parent,
         "operation": mode,
         "new_data_dir": data_dir,
+        **(meta or {}),
     }
     tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
     with open(tmp, "w") as f:
@@ -213,3 +217,22 @@ def snapshot_expire(
                 shutil.rmtree(full, ignore_errors=True)
     return {"kept": sorted(keep), "expired": [i for i in ids if i not in keep],
             "data_files_removed": removed_files}
+
+
+def snapshot_record(path: str, snapshot_id: "int | None" = None) -> dict:
+    """The commit record of a snapshot (current if id is None)."""
+    sid = _resolve(path, snapshot_id)
+    with open(os.path.join(path, "snapshots", f"s-{sid:06d}.json")) as f:
+        return json.load(f)
+
+
+def last_committed_batch_id(path: str) -> "int | None":
+    """Newest ``batch_id`` found walking the snapshot chain backwards —
+    the replay-guard watermark for stream_snapshot_ingest (snapshots
+    without one, e.g. manual backfills interleaved with the stream,
+    are skipped)."""
+    for sid in reversed(_snap_ids(path)):
+        b = snapshot_record(path, sid).get("batch_id")
+        if b is not None:
+            return int(b)
+    return None

@@ -1795,3 +1795,53 @@ def stream_bucketed_replica(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_snapshot_ingest(
+    source: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    *,
+    stat_columns: "list[str] | None" = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #25: EXACTLY-ONCE continuous ingestion into the snapshot
+    table (operators/snapshot_table) — each micro-batch becomes one
+    atomic append commit whose record carries the micro-batch id, and
+    a replayed batch (at-least-once foreachBatch delivery) is detected
+    by ``last_committed_batch_id`` and skipped BEFORE any file lands.
+    This is the strongest delivery contract in the twin family: the
+    PSI-style batch-id guard persisted inside the table's own commit
+    log, so the guard survives checkpoint loss on the WRITE side (a
+    fresh checkpoint re-delivers batches 0..N and every one no-ops).
+
+    Each commit also gives downstream readers time travel to any
+    batch boundary and manifest data skipping over ``stat_columns`` —
+    continuous ingestion with lakehouse read semantics.
+
+    Scale: per batch O(batch) file writes + footer-only manifest +
+    one atomic rename; the table is never rewritten."""
+    from replicadb_spark.operators.snapshot_table import (
+        last_committed_batch_id,
+        snapshot_commit,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = last_committed_batch_id(table_path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already in the commit log
+        snapshot_commit(
+            batch_df, table_path,
+            stat_columns=stat_columns, meta={"batch_id": batch_id},
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1491,3 +1491,59 @@ def test_stream_bucketed_replica_converges_and_replays(spark, tmp_path):
         assert spark.table("t_strm_bucket").count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS t_strm_bucket")
+
+
+def test_stream_snapshot_ingest_exactly_once(spark, tmp_path):
+    """Twin #25: 3 micro-batches become 3 atomic snapshot commits with
+    time travel to each batch boundary, and a FULL replay with a fresh
+    checkpoint commits nothing (the batch-id guard lives in the table's
+    own commit log, so it survives write-side checkpoint loss)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+        snapshot_record,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "ingest_stream"
+    src.mkdir()
+    for i in range(3):
+        tbl = pa.table({
+            "id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+            "v": pa.array([i] * 10, pa.int64()),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    table = str(tmp_path / "snap_tbl")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_snapshot_ingest(
+            stream, table, str(tmp_path / ck), stat_columns=["id"]
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    assert current_snapshot(table) == 3
+    assert snapshot_read(spark, table).count() == 30
+    # time travel to each batch boundary
+    assert snapshot_read(spark, table, snapshot_id=1).count() == 10
+    assert snapshot_read(spark, table, snapshot_id=2).count() == 20
+    assert snapshot_record(table)["batch_id"] == 2
+
+    # full replay, fresh checkpoint: every batch no-ops BEFORE writing
+    run("ck2")
+    assert current_snapshot(table) == 3
+    assert snapshot_read(spark, table).count() == 30
