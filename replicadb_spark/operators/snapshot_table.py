@@ -30,6 +30,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from replicadb_spark.operators.manifest import file_manifest, prune_files
 
@@ -236,3 +237,129 @@ def last_committed_batch_id(path: str) -> "int | None":
         if b is not None:
             return int(b)
     return None
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    prune: "tuple[str, float, float] | None" = None,
+) -> int:
+    """Row-level DELETE as a copy-on-write commit: rewrite ONLY the
+    files that might hold matching rows, keep every other file
+    untouched, publish atomically. ``condition`` is a Column predicate
+    selecting the rows to REMOVE; ``prune=(column, lo, hi)`` bounds the
+    victim set via the manifest (files whose stats cannot intersect the
+    predicate are never read OR rewritten — the 100 TB delete shape:
+    cost scales with the affected files, not the table).
+
+    The new snapshot's manifest = parent manifest minus the victim
+    files plus the rewritten survivors' stats; the parent snapshot
+    still reads the pre-delete data (time travel) until expired.
+    Returns the new snapshot id."""
+    parent = _resolve(path, None)
+    m = snapshot_manifest(spark, path, parent)
+    if prune is not None:
+        victims = prune_files(m, *prune)
+    else:
+        victims = sorted(
+            r["file"] for r in m.select("file").distinct().collect()
+        )
+    snap_id = parent + 1
+    data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
+    stat_cols = sorted(
+        r["column"]
+        for r in m.select("column").distinct().collect()
+    ) or None
+    if victims:
+        survivors = spark.read.parquet(*victims).where(~condition)
+        survivors.write.mode("overwrite").parquet(data_dir)
+        has_files = any(
+            f.endswith(".parquet") for f in os.listdir(data_dir)
+        )
+        new_m = (
+            file_manifest(spark, data_dir, stat_cols)
+            if has_files
+            else spark.createDataFrame([], _MANIFEST_SCHEMA)
+        )
+    else:
+        new_m = spark.createDataFrame([], _MANIFEST_SCHEMA)
+    kept = m.where(~F.col("file").isin(victims)) if victims else m
+    kept.unionByName(new_m).write.mode("overwrite").parquet(
+        os.path.join(path, "manifests", f"m-{snap_id:06d}")
+    )
+    os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+    rec = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "operation": "delete",
+        "new_data_dir": data_dir,
+        "victim_files": len(victims),
+    }
+    tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json"))
+    return snap_id
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    small_mb: int = 16,
+    target_files: "int | None" = None,
+) -> int:
+    """Small-file maintenance as a commit: coalesce every data file
+    under ``small_mb`` into ``target_files`` new files (default: sized
+    by total small-file bytes), leave large files alone, publish the
+    swap atomically. Contents are identical by construction; the
+    parent snapshot still reads the fragmented layout (time travel)
+    until expired — the streaming-ingest companion
+    (stream_snapshot_ingest commits one snapshot per micro-batch, so
+    file counts grow with batch cadence exactly like the IVF cells).
+    Returns the new snapshot id."""
+    import math
+
+    parent = _resolve(path, None)
+    m = snapshot_manifest(spark, path, parent)
+    files = sorted(r["file"] for r in m.select("file").distinct().collect())
+    small = [
+        f for f in files
+        if os.path.getsize(f) < small_mb * 1024 * 1024
+    ]
+    if len(small) < 2:
+        return parent  # nothing to do — no empty commit
+    snap_id = parent + 1
+    data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
+    nbytes = sum(os.path.getsize(f) for f in small)
+    n_out = target_files or max(1, math.ceil(nbytes / (128 * 1024 * 1024)))
+    stat_cols = sorted(
+        r["column"] for r in m.select("column").distinct().collect()
+    ) or None
+    spark.read.parquet(*small).coalesce(n_out).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    new_m = file_manifest(spark, data_dir, stat_cols)
+    kept = m.where(~F.col("file").isin(small))
+    kept.unionByName(new_m).write.mode("overwrite").parquet(
+        os.path.join(path, "manifests", f"m-{snap_id:06d}")
+    )
+    os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+    rec = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "operation": "compact",
+        "new_data_dir": data_dir,
+        "compacted_files": len(small),
+    }
+    tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json"))
+    return snap_id

@@ -99,3 +99,63 @@ def test_empty_commit_is_legal(spark, tmp_path):
     sid2 = snapshot_commit(empty, path, mode="overwrite")
     out = snapshot_read(spark, path, snapshot_id=sid2, schema=SCHEMA)
     assert out.count() == 0
+
+
+def test_snapshot_delete_cow_rewrites_only_victims(spark, tmp_path):
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_delete,
+        snapshot_manifest,
+        snapshot_record,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = _batch(spark, 0, 10_000).repartitionByRange(8, "id")
+    snapshot_commit(df, path, stat_columns=["id"])
+    m1_files = {
+        r["file"]
+        for r in snapshot_manifest(spark, path).select("file").distinct().collect()
+    }
+    sid = snapshot_delete(
+        spark, path, F.col("id") < 500, prune=("id", 0.0, 499.0)
+    )
+    rec = snapshot_record(path, sid)
+    assert rec["operation"] == "delete"
+    assert 0 < rec["victim_files"] < len(m1_files)
+    # deleted rows gone; everything else intact
+    cur = snapshot_read(spark, path)
+    assert cur.count() == 9_500
+    assert cur.agg(F.min("id")).first()[0] == 500
+    # untouched files carry over into the new manifest verbatim
+    m2_files = {
+        r["file"]
+        for r in snapshot_manifest(spark, path).select("file").distinct().collect()
+    }
+    assert len(m1_files & m2_files) == len(m1_files) - rec["victim_files"]
+    # time travel still shows the pre-delete table
+    assert snapshot_read(spark, path, snapshot_id=1).count() == 10_000
+
+
+def test_snapshot_compact_merges_small_files_identically(spark, tmp_path):
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_compact,
+        snapshot_manifest,
+        snapshot_record,
+    )
+
+    path = str(tmp_path / "tbl")
+    # 5 tiny commits -> >= 5 small files
+    for i in range(5):
+        snapshot_commit(
+            _batch(spark, i * 100, (i + 1) * 100).coalesce(1), path,
+            stat_columns=["id"],
+        )
+    n_before = snapshot_manifest(spark, path).select("file").distinct().count()
+    before = sorted(tuple(r) for r in snapshot_read(spark, path).collect())
+    sid = snapshot_compact(spark, path, small_mb=16, target_files=1)
+    assert snapshot_record(path, sid)["operation"] == "compact"
+    n_after = snapshot_manifest(spark, path).select("file").distinct().count()
+    assert n_after < n_before
+    after = sorted(tuple(r) for r in snapshot_read(spark, path).collect())
+    assert after == before
+    # compacting an already-compact table is a no-op commit-wise
+    assert snapshot_compact(spark, path, small_mb=16, target_files=1) == sid
