@@ -132,6 +132,7 @@ _GATE_LAST = (
     # travel/data-skipping) gate — every replica run re-proves all six
     "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
     "minhash_index_gate", "source_temperature_mix", "snapshot_table_gate",
+    "snapshot_delete_gate",
 )
 
 

@@ -8269,3 +8269,97 @@ def snapshot_table_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "snapshot_delete_gate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TRUE AS victims_pruned_ok, TRUE AS untouched_carryover_ok,
+           TRUE AS time_travel_ok
+    FROM orders
+    WHERE NOT (o_totalprice >= 100000 AND o_totalprice < 150000)
+    """,
+)
+def snapshot_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for copy-on-write DELETE on the snapshot
+    table (operators/snapshot_table.snapshot_delete): commit orders
+    range-partitioned on o_totalprice, delete a price band with the
+    victim set bounded by manifest pruning, and hash the ENTIRE
+    post-delete snapshot against the SQL anti-filter — with three
+    booleans folded into every hashed row:
+
+    - ``victims_pruned_ok``: the delete rewrote a STRICT subset of the
+      table's files (stats pruning bounded the blast radius);
+    - ``untouched_carryover_ok``: every non-victim file entered the new
+      manifest verbatim (same path — never re-read, never rewritten);
+    - ``time_travel_ok``: the parent snapshot still reads the full
+      pre-delete row count.
+
+    Scale: THE 100 TB delete shape — cost ∝ files whose stats
+    intersect the predicate, not table size."""
+    import os
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_delete,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_record,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    n_base = base.count()
+    lo, hi = 100000.0, 150000.0
+    work = tempfile.mkdtemp(prefix="snap_del_")
+    path = os.path.join(work, "tbl")
+    try:
+        from replicadb_spark.operators.snapshot_table import snapshot_commit
+
+        snapshot_commit(
+            base.repartitionByRange(6, "o_totalprice"), path,
+            stat_columns=["o_totalprice"],
+        )
+        m1 = {
+            r["file"]
+            for r in snapshot_manifest(spark, path)
+            .select("file").distinct().collect()
+        }
+        sid = snapshot_delete(
+            spark, path,
+            (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi),
+            # hi - epsilon: prune bounds are inclusive, the predicate's
+            # upper bound is exclusive
+            prune=("o_totalprice", lo, hi),
+        )
+        rec = snapshot_record(path, sid)
+        victims_pruned_ok = 0 < rec["victim_files"] < len(m1)
+        m2 = {
+            r["file"]
+            for r in snapshot_manifest(spark, path)
+            .select("file").distinct().collect()
+        }
+        untouched_carryover_ok = (
+            len(m1 & m2) == len(m1) - rec["victim_files"]
+        )
+        time_travel_ok = (
+            snapshot_read(spark, path, snapshot_id=1).count() == n_base
+        )
+        rows = snapshot_read(spark, path).collect()
+        return spark.createDataFrame(
+            [
+                (
+                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
+                    victims_pruned_ok, untouched_carryover_ok,
+                    time_travel_ok,
+                )
+                for r in rows
+            ],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "victims_pruned_ok boolean, untouched_carryover_ok boolean, "
+            "time_travel_ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -59,10 +59,11 @@ def test_r7_window_is_the_r04_block():
     # the two blocks that rotated out lead _GATE_LAST in r8/r9 order
     assert E._GATE_LAST[0] == "dedup_simhash"          # r6-gated block
     assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r5-gated block
-    assert E._GATE_LAST[-12:] == (
+    assert E._GATE_LAST[-13:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
         "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
         "minhash_index_gate", "source_temperature_mix", "snapshot_table_gate",
+        "snapshot_delete_gate",
     )
