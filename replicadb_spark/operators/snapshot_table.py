@@ -363,3 +363,159 @@ def snapshot_compact(
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json"))
     return snap_id
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    path: str,
+    staging: DataFrame,
+    *,
+    pk_columns: "list[str]",
+    prune_column: "str | None" = None,
+    order_column: "str | None" = None,
+    meta: "dict | None" = None,
+) -> int:
+    """PK upsert (the reference's incremental MERGE, M3 —
+    SqlManager.java:503-512) as ONE copy-on-write commit on the
+    snapshot table — the third merge-capable sink after the live-JDBC
+    MERGE and the bucketed-table surgery:
+
+    1. victim files = those whose ``prune_column`` stats contain AT
+       LEAST ONE staging key (per-key interval matching against the
+       manifest — NOT one global [min, max], which a batch mixing a
+       low-key update with a high-key insert would stretch over the
+       whole table; files without parseable stats are kept
+       conservatively). Pass the PK itself when the table is
+       range-laid-out on it; None rewrites every file — still one
+       commit, just unpruned;
+    2. survivors = victim rows whose PK does NOT appear in staging
+       (left_anti join against the batch — broadcast-sized by the
+       batch, the corpus never shuffles);
+    3. new files = survivors + the staging rows themselves, where a
+       multi-update batch first collapses to its newest row per PK by
+       ``order_column`` and is then PROJECTED to the table's columns
+       (extra staging columns — e.g. the order column itself — are
+       dropped; the upsert_bucketed_table contract);
+    4. manifest = parent minus victims plus new files; one atomic
+       commit-record publish.
+
+    Replay-idempotent by construction (same staging rows → same final
+    table state), so stream_snapshot_replica needs no extra guard for
+    correctness — it still uses the batch-id guard to avoid burning
+    no-op snapshots. Returns the new snapshot id."""
+    if not pk_columns:
+        raise ValueError("snapshot upsert requires pk columns")
+    if prune_column is not None and prune_column not in pk_columns:
+        # pruning on a MUTABLE column is unsound: an update that moves
+        # the value out of the batch's range would miss the key's old
+        # row's file and leave a duplicate PK behind
+        raise ValueError(
+            f"prune_column {prune_column!r} must be one of pk_columns "
+            f"{pk_columns} — pruning on a mutable column can miss the "
+            "old version of an updated key"
+        )
+    parent = _resolve(path, None)
+    m = snapshot_manifest(spark, path, parent)
+    staging = staging.persist()
+    try:
+        if order_column is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*pk_columns).orderBy(
+                F.col(order_column).desc()
+            )
+            staging_c = (
+                staging.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            staging_c = staging
+        if prune_column is not None:
+            stats = m.where(F.col("column") == prune_column).select(
+                "file",
+                F.col("min_s").try_cast("double").alias("mn"),
+                F.col("max_s").try_cast("double").alias("mx"),
+            )
+            keys = staging_c.select(
+                F.col(prune_column).cast("double").alias("__k")
+            ).distinct()
+            hit = stats.join(
+                F.broadcast(keys),
+                (F.col("__k") >= F.col("mn")) & (F.col("__k") <= F.col("mx")),
+                "left_semi",
+            ).select("file")
+            # files with no stats row / unparseable stats: keep them —
+            # unknown is never excludable (the prune_files contract)
+            unknown = (
+                m.select("file").distinct()
+                .join(stats.where(
+                    F.col("mn").isNotNull() & F.col("mx").isNotNull()
+                ).select("file"), "file", "left_anti")
+            )
+            victims = sorted(
+                r["file"]
+                for r in hit.unionByName(unknown).distinct().collect()
+            )
+        else:
+            victims = sorted(
+                r["file"] for r in m.select("file").distinct().collect()
+            )
+        snap_id = parent + 1
+        data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
+        # the TABLE's columns are the merge schema: staging is projected
+        # onto them (after the order_column compaction above), so extra
+        # batch columns can't poison the table's part-file schemas
+        table_files = sorted(
+            r["file"] for r in m.select("file").distinct().collect()
+        )
+        cols = (
+            spark.read.parquet(table_files[0]).columns
+            if table_files
+            else staging_c.columns
+        )
+        missing = [c for c in cols if c not in staging_c.columns]
+        if missing:
+            raise ValueError(
+                f"staging batch lacks table columns {missing}"
+            )
+        staging_c = staging_c.select(*cols)
+        stat_cols = sorted(
+            r["column"] for r in m.select("column").distinct().collect()
+        ) or None
+        if victims:
+            keys = staging_c.select(*pk_columns).distinct()
+            survivors = (
+                spark.read.parquet(*victims)
+                .select(*cols)
+                .join(F.broadcast(keys), pk_columns, "left_anti")
+            )
+            merged = survivors.unionByName(staging_c)
+        else:
+            merged = staging_c
+        merged.write.mode("overwrite").parquet(data_dir)
+        new_m = file_manifest(spark, data_dir, stat_cols)
+        kept = m.where(~F.col("file").isin(victims)) if victims else m
+        kept.unionByName(new_m).write.mode("overwrite").parquet(
+            os.path.join(path, "manifests", f"m-{snap_id:06d}")
+        )
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        rec = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "operation": "upsert",
+            "new_data_dir": data_dir,
+            "victim_files": len(victims),
+            **(meta or {}),
+        }
+        tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(
+            tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json")
+        )
+        return snap_id
+    finally:
+        staging.unpersist()

@@ -8330,8 +8330,9 @@ def snapshot_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sid = snapshot_delete(
             spark, path,
             (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi),
-            # hi - epsilon: prune bounds are inclusive, the predicate's
-            # upper bound is exclusive
+            # prune bounds are inclusive on both ends — a superset of
+            # the half-open predicate range, so pruning stays
+            # conservative (never skips a file holding a matching row)
             prune=("o_totalprice", lo, hi),
         )
         rec = snapshot_record(path, sid)

@@ -1845,3 +1845,81 @@ def stream_snapshot_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_snapshot_replica(
+    source: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    *,
+    pk_columns: "list[str]",
+    prune_column: "str | None" = None,
+    order_column: "str | None" = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #26: continuous PK replication into the SNAPSHOT table —
+    the reference's incremental mode (M3) with
+    operators/snapshot_table.snapshot_upsert as the merge engine, the
+    third continuous merge-capable sink (live JDBC → bucketed layout →
+    snapshot/lakehouse layout). The first batch bootstraps the table
+    with a plain commit; every later batch is one copy-on-write upsert
+    whose victim set is manifest-pruned on ``prune_column`` (must be a
+    PK column — see snapshot_upsert's mutability guard).
+
+    Delivery: the upsert is replay-idempotent by construction, and the
+    stream_snapshot_ingest batch-id guard (persisted in the commit log,
+    so it survives write-side checkpoint loss) additionally skips
+    replayed batches BEFORE they burn a snapshot id — the table's
+    history stays one snapshot per delivered batch.
+
+    Readers get what no other merge sink gives: time travel to the
+    table AS OF any batch boundary plus data-skipping reads between
+    commits."""
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        last_committed_batch_id,
+        snapshot_commit,
+        snapshot_upsert,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = last_committed_batch_id(table_path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already merged
+        spark = batch_df.sparkSession
+        if order_column is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*pk_columns).orderBy(
+                F.col(order_column).desc()
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        stat_cols = [prune_column] if prune_column else None
+        if current_snapshot(table_path) is None:
+            snapshot_commit(
+                batch_df, table_path,
+                stat_columns=stat_cols, meta={"batch_id": batch_id},
+            )
+            return
+        snapshot_upsert(
+            spark, table_path, batch_df,
+            pk_columns=list(pk_columns),
+            prune_column=prune_column,
+            order_column=None,  # batch already compacted above
+            meta={"batch_id": batch_id},
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

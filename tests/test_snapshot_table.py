@@ -159,3 +159,47 @@ def test_snapshot_compact_merges_small_files_identically(spark, tmp_path):
     assert after == before
     # compacting an already-compact table is a no-op commit-wise
     assert snapshot_compact(spark, path, small_mb=16, target_files=1) == sid
+
+
+def test_snapshot_upsert_merge_semantics_and_pruned_victims(spark, tmp_path):
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_manifest,
+        snapshot_record,
+        snapshot_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = _batch(spark, 0, 10_000).repartitionByRange(8, "id")
+    snapshot_commit(base, path, stat_columns=["id"])
+    n_files_before = (
+        snapshot_manifest(spark, path).select("file").distinct().count()
+    )
+    # updates confined to a narrow id range + one insert; a multi-update
+    # key (42) must collapse to its newest row by seq
+    staging = spark.createDataFrame(
+        [(42, 1, 1), (42, 2, 2), (43, 3, 1), (20_000, 4, 1)],
+        "id long, v long, seq long",
+    ).select("id", "v", F.col("seq"))
+    sid = snapshot_upsert(
+        spark, path,
+        staging, pk_columns=["id"], prune_column="id", order_column="seq",
+    )
+    rec = snapshot_record(path, sid)
+    assert rec["operation"] == "upsert"
+    assert 0 < rec["victim_files"] < n_files_before
+    cur = snapshot_read(spark, path)
+    got = {r["id"]: r["v"] for r in cur.where(
+        F.col("id").isin(42, 43, 20_000, 41, 44)
+    ).collect()}
+    assert got[42] == 2 and got[43] == 3 and got[20_000] == 4
+    assert got[41] == 410 and got[44] == 440  # neighbors untouched
+    assert cur.count() == 10_001  # one true insert
+    # the staging's extra seq column was dropped at the table boundary
+    assert cur.columns == ["id", "v"]
+    # pruning on a non-PK column is refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutable"):
+        snapshot_upsert(
+            spark, path, staging, pk_columns=["id"], prune_column="v"
+        )

@@ -1547,3 +1547,69 @@ def test_stream_snapshot_ingest_exactly_once(spark, tmp_path):
     run("ck2")
     assert current_snapshot(table) == 3
     assert snapshot_read(spark, table).count() == 30
+
+
+def test_stream_snapshot_replica_converges_time_travels_and_replays(spark, tmp_path):
+    """Twin #26: a changelog stream merges into the snapshot table with
+    last-wins-per-PK semantics, time travel shows the table AS OF each
+    batch, and a fresh-checkpoint replay commits nothing (batch-id
+    guard in the commit log)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        [(1, 10, 1), (2, 20, 2), (3, 30, 3)],      # bootstrap commit
+        [(2, 22, 4), (4, 40, 5)],                  # update + insert
+        [(1, 11, 6), (1, 12, 7), (5, 50, 8)],      # multi-update batch
+    ]
+    src = tmp_path / "cdc_snap_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "seq": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    table = str(tmp_path / "snap_replica")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, v long, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_snapshot_replica(
+            stream, table, str(tmp_path / ck),
+            pk_columns=["k"], prune_column="k", order_column="seq",
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    assert current_snapshot(table) == 3
+    want = {1: 12, 2: 22, 3: 30, 4: 40, 5: 50}
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got == want
+    # AS OF batch boundaries
+    assert {r["k"]: r["v"] for r in
+            snapshot_read(spark, table, snapshot_id=1).collect()} == {
+        1: 10, 2: 20, 3: 30}
+    assert {r["k"]: r["v"] for r in
+            snapshot_read(spark, table, snapshot_id=2).collect()} == {
+        1: 10, 2: 22, 3: 30, 4: 40}
+    # fresh-checkpoint replay: nothing commits, state unchanged
+    run("ck2")
+    assert current_snapshot(table) == 3
+    assert {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()} == want
