@@ -250,8 +250,10 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP, PPM/PGM and
-    PNG decode for real; JPEG raises UnsupportedMediaError(PIL)."""
+    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP, PPM/PGM, PNG
+    and baseline JPEG decode for real (see functions/jpeg.py); only
+    exotic variants (progressive/arithmetic JPEG, 16-bit PNG, …) raise
+    UnsupportedMediaError."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
@@ -259,8 +261,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        from replicadb_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise UnsupportedMediaError(
-        f"image decode for {fmt!r} requires PIL/libjpeg — not in this container"
+        f"image decode for {fmt!r} is not supported in this container"
     )
 
 

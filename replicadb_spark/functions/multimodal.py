@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The decode step is REAL for the formats a pure-stdlib container can
-handle (uncompressed BMP and PPM/PGM images, PCM WAV audio — see
-functions/codecs.py): ``fake=False`` dispatches on magic bytes and
-produces true width/height/pixel stats and duration/PCM loudness.
-Formats that need external codec libraries (JPEG/MP3/MP4) still
-raise NotImplementedError naming the library; ``fake=True`` substitutes
+handle (uncompressed BMP, PPM/PGM, 8-bit PNG, baseline JPEG images,
+PCM WAV audio — see functions/codecs.py and functions/jpeg.py):
+``fake=False`` dispatches on magic bytes and produces true
+width/height/pixel stats and duration/PCM loudness. Formats that need
+external codec libraries (MP3/MP4, progressive/arithmetic JPEG) still
+raise NotImplementedError naming the variant; ``fake=True`` substitutes
 a deterministic fake decoder so plumbing tests and the gated
 multimodal_features oracle stay payload-format-agnostic.
 
@@ -65,10 +66,11 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
-    ``fake=False`` REALLY decodes BMP/PPM payloads (functions/codecs):
-    width/height from the header, mean_byte = mean pixel value, feature
-    = L1-normalized ``feat_dim``-bin grayscale histogram (ITU-R 601
-    luma). JPEG raises NotImplementedError (needs PIL/libjpeg). The
+    ``fake=False`` REALLY decodes BMP/PPM/PNG/baseline-JPEG payloads
+    (functions/codecs, functions/jpeg): width/height from the header,
+    mean_byte = mean pixel value, feature = L1-normalized ``feat_dim``
+    -bin grayscale histogram (ITU-R 601 luma). Progressive JPEG raises
+    NotImplementedError naming the variant. The
     plan shape (schema in/out, batching, no shuffle) is identical on
     the fake path, which keeps byte-level stats and null width/height.
     """
@@ -170,10 +172,10 @@ def resize_images(
     fake: bool = False,
 ) -> DataFrame:
     """Image resize via mapInPandas. ``fake=False`` REALLY resizes
-    BMP/PPM payloads: decode (functions/codecs) → nearest-neighbor
-    resample in numpy → re-encode as binary PPM (P6), the stdlib-only
-    round-trip format; JPEG raises NotImplementedError (needs
-    PIL/libvips). ``fake=True`` keeps the deterministic byte
+    BMP/PPM/PNG/baseline-JPEG payloads: decode (functions/codecs) →
+    nearest-neighbor resample in numpy → re-encode as binary PPM (P6),
+    the stdlib-only round-trip format; progressive JPEG raises
+    NotImplementedError. ``fake=True`` keeps the deterministic byte
     truncate/pad so format-agnostic plumbing tests still run."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -67,7 +67,7 @@ def test_resize_images_real_path_raises(spark):
     from replicadb_spark.functions.multimodal import resize_images
 
     df = spark.createDataFrame([(1, b"abc")], "media_id long, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|PIL|libvips"):
+    with pytest.raises(Exception, match="NotImplementedError|not supported"):
         resize_images(df, fake=False).collect()
 
 

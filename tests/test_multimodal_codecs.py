@@ -118,8 +118,12 @@ def test_sniff_and_dispatch():
     assert codecs.sniff_format(make_ppm(TEST_RGB)) == "ppm"
     assert codecs.sniff_format(make_wav(np.zeros(8))) == "wav"
     assert codecs.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG decodes for real now (functions/jpeg.py); a sniffed
+    # but malformed JPEG payload is a data error, not a missing codec
+    with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"GIF89a not supported here")
 
 
 def test_resize_nearest_identity_and_downscale():
