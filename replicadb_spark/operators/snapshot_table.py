@@ -365,6 +365,132 @@ def snapshot_compact(
     return snap_id
 
 
+def snapshot_changed_files(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: "int | None" = None,
+) -> "tuple[list[str], list[str]]":
+    """(added, removed) data files between two snapshots' visible sets.
+    Files present in both manifests are untouched by every commit in
+    the range — immutability means they can contribute no change, so
+    :func:`snapshot_changes` never reads them. ``from_snapshot=0`` is
+    the empty table before the first commit (an initial commit's
+    changelog is all inserts)."""
+    a = (
+        set()
+        if from_snapshot == 0
+        else set(
+            r["file"]
+            for r in snapshot_manifest(spark, path, from_snapshot)
+            .select("file")
+            .distinct()
+            .collect()
+        )
+    )
+    b = set(
+        r["file"]
+        for r in snapshot_manifest(spark, path, to_snapshot)
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    return sorted(b - a), sorted(a - b)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    *,
+    pk_columns: "list[str]",
+    from_snapshot: int,
+    to_snapshot: "int | None" = None,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Net row-level changelog between two retained snapshots — the CDC
+    OUT surface of the snapshot table (the reference only replicates
+    INTO sinks; operators/cdc.py applies changelogs — this EXTRACTS
+    one from the table's own commit history).
+
+    Data files are immutable, so only files added or removed between
+    the two manifests can hold a change: candidate after-rows come from
+    added files, candidate before-rows from removed files, and the
+    (usually dominant) intersection of the manifests is never scanned —
+    diff cost scales with the churned bytes, not the table. A
+    compaction commit adds+removes files with identical content and
+    therefore yields an EMPTY changelog, by construction.
+
+    Classification by PK over the two candidate sets (full outer join,
+    both sides bounded by churned files):
+
+    - PK only in after-rows → ``insert`` (post-image)
+    - PK only in before-rows → ``delete`` (pre-image)
+    - PK in both, any non-key column differing → ``update`` (post-image)
+    - PK in both, identical → dropped (file rewrite noise, not a change)
+
+    Multi-commit ranges collapse to the NET effect (insert-then-delete
+    vanishes, like Delta/Iceberg CDF over a version range); walk
+    consecutive ids for a per-commit feed (stream_snapshot_changes does
+    exactly that, continuously). Duplicate-PK tables are refused —
+    net-diff semantics need a key."""
+    if not pk_columns:
+        raise ValueError("snapshot changelog extraction requires pk columns")
+    added, removed = snapshot_changed_files(
+        spark, path, from_snapshot, to_snapshot
+    )
+    sample = added or removed
+    if not sample:
+        # identical file sets — a legal no-op range (e.g. from == to):
+        # empty changelog with the table's schema
+        table = snapshot_read(spark, path, snapshot_id=to_snapshot)
+        vals = [c for c in table.columns if c not in pk_columns]
+        return spark.createDataFrame([], table.schema).select(
+            *pk_columns, *vals, F.lit("noop").alias(change_col)
+        )
+    cols = spark.read.parquet(*sample).columns
+    val_cols = [c for c in cols if c not in pk_columns]
+
+    # pure-PK tables have no value payload: any rewrite of the same key
+    # is a no-change, so the struct degrades to a constant
+    payload = (
+        F.struct(*[F.col(c) for c in val_cols]) if val_cols else F.lit(1)
+    )
+
+    def side(files: "list[str]", tag: str) -> DataFrame:
+        src = (
+            spark.read.parquet(*files)
+            if files
+            else spark.createDataFrame([], spark.read.parquet(*sample).schema)
+        )
+        return src.select(*pk_columns, payload.alias(tag))
+
+    after = side(added, "__after")
+    before = side(removed, "__before")
+    for frame, tag in ((after, "after"), (before, "before")):
+        dup = frame.groupBy(*pk_columns).count().where(F.col("count") > 1)
+        if dup.limit(1).count():
+            raise ValueError(
+                f"duplicate PK in {tag}-rows — snapshot_changes needs "
+                f"unique {pk_columns} per snapshot"
+            )
+    j = after.join(before, pk_columns, "full_outer")
+    changed = j.withColumn(
+        change_col,
+        F.when(F.col("__before").isNull(), F.lit("insert"))
+        .when(F.col("__after").isNull(), F.lit("delete"))
+        # null-safe: a value moving to/from NULL is still an update
+        .when(~F.col("__after").eqNullSafe(F.col("__before")), F.lit("update")),
+    ).where(F.col(change_col).isNotNull())
+    img = F.when(
+        F.col(change_col) == "delete", F.col("__before")
+    ).otherwise(F.col("__after"))
+    return changed.select(
+        *pk_columns,
+        *[img.getField(c).alias(c) for c in val_cols],
+        change_col,
+    )
+
+
 def snapshot_upsert(
     spark: SparkSession,
     path: str,
