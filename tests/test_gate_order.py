@@ -49,16 +49,16 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r8_window_is_the_r05_block():
-    """The r8 rotation (ROUND7.md §Gate-rotation / VERDICT r7 item 1):
-    the driver window is exactly the 50 r5-gated queries, bounded by
-    its prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "basket_jaccard_customers"
-    assert E._GATE_FIRST[-1] == "q18_large_orders"
-    assert "pagerank_copurchase" in E._GATE_FIRST
-    # the two blocks that rotated out lead _GATE_LAST in r9/r10 order
-    assert E._GATE_LAST[0] == "dedup_simhash"          # r6-gated block
-    assert E._GATE_LAST[50] == "dedup_containment"     # r7-gated block
+def test_r9_window_is_the_r06_block():
+    """The r9 rotation (VERDICT r8 item 1 / ROUND7.md arithmetic): the
+    driver window is exactly the 50 r6-gated queries, bounded by its
+    prescribed endpoints."""
+    assert E._GATE_FIRST[0] == "dedup_simhash"
+    assert E._GATE_FIRST[-1] == "copurchase_degree_profile"
+    assert "cdc_apply_changelog" in E._GATE_FIRST
+    # the two blocks that rotated out lead _GATE_LAST in r10/r11 order
+    assert E._GATE_LAST[0] == "dedup_containment"          # r7-gated block
+    assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r8-gated block
     assert E._GATE_LAST[-13:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
