@@ -13,14 +13,18 @@ then ``prune_files`` turns a box predicate into the small file subset
 whose stats intersect it. Correctness contract: pruning never drops a
 file that could contain a matching row (stats are conservative), so
 scan(pruned) ∩ predicate == scan(all) ∩ predicate — tested.
+
+All path I/O goes through replicadb_spark.fs (Hadoop FileSystem on the
+driver, pyarrow filesystems in the executors), so the manifest works on
+any Spark-readable URI, not just the driver's local disk.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from replicadb_spark.fs import TableFS, join, pyarrow_open
 
 
 def file_manifest(
@@ -33,16 +37,16 @@ def file_manifest(
     stack in one schema; numeric compare re-casts on use).
 
     The directory listing is driver-side metadata (same as Spark's own
-    scan planning); footer reads are distributed over the executors.
+    scan planning — one Hadoop glob round trip per nesting depth);
+    footer reads are distributed over the executors.
     """
-    import pandas as pd  # noqa: F401 (schema side)
-
-    files = sorted(
-        os.path.join(r, f)
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    fs = TableFS(spark, path)
+    files: list[str] = []
+    pattern = join(path, "*.parquet")
+    for _ in range(8):  # bounded nesting: part files, then partition dirs
+        files.extend(f for f, _sz in fs.glob(pattern))
+        pattern = pattern[: -len("*.parquet")] + "*/*.parquet"
+    files = sorted(set(files))
     if not files:
         raise ValueError(f"no parquet files under {path}")
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
@@ -54,7 +58,7 @@ def file_manifest(
         for pdf in batches:
             out = {"file": [], "n_rows": [], "column": [], "min_s": [], "max_s": []}
             for fname in pdf["file"].values:
-                md = pq.ParquetFile(fname).metadata
+                md = pq.ParquetFile(pyarrow_open(fname)).metadata
                 lo: dict = {}
                 hi: dict = {}
                 n_rows = md.num_rows

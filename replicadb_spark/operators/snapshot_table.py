@@ -5,10 +5,10 @@ mechanics a 100 TB table needs and the flat parquet sinks can't give:
 - ``snapshot_commit``: write the batch's files into an immutable
   per-snapshot directory, build their footer-stats manifest, union it
   with the parent manifest (append) or replace it (overwrite), and
-  PUBLISH with one atomic ``os.replace`` of the commit record — the
-  commit point. A crash before the record leaves orphan files that no
-  reader ever sees (GC'd by expire); a crash after is a completed
-  commit. Readers never observe a half-commit.
+  PUBLISH with one atomic rename of the commit record — the commit
+  point. A crash before the record leaves orphan files that no reader
+  ever sees (GC'd by expire); a crash after is a completed commit.
+  Readers never observe a half-commit.
 - ``snapshot_read``: resolve a snapshot (current or time-travel by id),
   read its manifest, optionally ``prune_files`` on a column range
   (data skipping — only intersecting files are scanned), and scan the
@@ -16,7 +16,19 @@ mechanics a 100 TB table needs and the flat parquet sinks can't give:
   data files are immutable and never rewritten.
 - ``snapshot_expire``: delete the data files referenced ONLY by
   expired snapshots (plus never-committed orphans), keeping the last
-  K snapshots fully readable — bounded-history GC.
+  K snapshots fully readable — bounded-history GC. The candidate set
+  is listed per-directory INSIDE executor tasks and diffed against the
+  kept manifests with one distributed anti-join; deletes run in the
+  same tasks — nothing O(table-files) ever sits on the driver.
+
+ALL metadata I/O (commit log, listings, renames, deletes) goes through
+replicadb_spark.fs — the session's Hadoop ``FileSystem`` on the driver
+and pyarrow filesystems inside Arrow tasks — so the table root may be
+any Spark-readable URI (``file://``, ``hdfs://``, ``s3a://``), not just
+the driver's local disk. The commit point is rename-without-overwrite:
+atomic put-if-absent on HDFS/local; on S3 (non-atomic rename) the
+single-writer contract below is load-bearing, as with Delta's S3
+LogStore.
 
 Single-writer contract (the reference's replication jobs are
 single-writer per sink table too — SURVEY §2.3); concurrent readers
@@ -27,29 +39,53 @@ commit cost is O(batch) + one manifest union, never O(table).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from replicadb_spark.fs import TableFS, join, pyarrow_fs_for
 from replicadb_spark.operators.manifest import file_manifest, prune_files
 
 _MANIFEST_SCHEMA = "file string, n_rows long, column string, min_s string, max_s string"
 
 
-def _snap_ids(path: str) -> list[int]:
-    d = os.path.join(path, "snapshots")
-    if not os.path.isdir(d):
-        return []
+def _table_fs(path: str, spark: "SparkSession | None" = None) -> TableFS:
+    """FS handle for a table root. Metadata-only entry points that take
+    no SparkSession (current_snapshot, snapshot_record, …) borrow the
+    thread's active session — they are driver-side calls inside a live
+    pipeline by contract."""
+    spark = (
+        spark
+        or SparkSession.getActiveSession()
+        or SparkSession.builder.getOrCreate()
+    )
+    return TableFS(spark, path)
+
+
+def _snap_ids(fs: TableFS) -> list[int]:
     out = []
-    for f in os.listdir(d):
+    for f in fs.list_names(join(fs.root, "snapshots")):
         if f.startswith("s-") and f.endswith(".json"):
             out.append(int(f[2:-5]))
     return sorted(out)
 
 
+def _manifest_path(path: str, sid: int) -> str:
+    return join(path, "manifests", f"m-{sid:06d}")
+
+
+def _publish(fs: TableFS, path: str, rec: dict) -> None:
+    """Write the commit record beside its final name and atomically
+    rename it into place — THE commit point."""
+    fs.mkdirs(join(path, "snapshots"))
+    sid = rec["snapshot_id"]
+    tmp = join(path, "snapshots", f".s-{sid:06d}.json.tmp")
+    fs.write_text(tmp, json.dumps(rec))
+    fs.rename_no_overwrite(tmp, join(path, "snapshots", f"s-{sid:06d}.json"))
+
+
 def current_snapshot(path: str) -> "int | None":
-    ids = _snap_ids(path)
+    ids = _snap_ids(_table_fs(path))
     return ids[-1] if ids else None
 
 
@@ -70,13 +106,15 @@ def snapshot_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}: use 'append' or 'overwrite'")
     spark = df.sparkSession
-    parent = current_snapshot(path)
+    fs = TableFS(spark, path)
+    ids = _snap_ids(fs)
+    parent = ids[-1] if ids else None
     snap_id = (parent or 0) + 1
-    data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
+    data_dir = join(path, "data", f"snap-{snap_id:06d}")
     df.write.mode("overwrite").parquet(data_dir)
 
     has_files = any(
-        f.endswith(".parquet") for f in os.listdir(data_dir)
+        f.endswith(".parquet") for f in fs.list_names(data_dir)
     )
     if has_files:
         new_m = file_manifest(spark, data_dir, stat_columns)
@@ -84,37 +122,27 @@ def snapshot_commit(
         new_m = spark.createDataFrame([], _MANIFEST_SCHEMA)
     if mode == "append" and parent is not None:
         prev = spark.read.schema(_MANIFEST_SCHEMA).parquet(
-            os.path.join(path, "manifests", f"m-{parent:06d}")
+            _manifest_path(path, parent)
         )
         full = prev.unionByName(new_m)
     else:
         full = new_m
-    full.write.mode("overwrite").parquet(
-        os.path.join(path, "manifests", f"m-{snap_id:06d}")
-    )
+    full.write.mode("overwrite").parquet(_manifest_path(path, snap_id))
 
-    os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
-    rec = {
+    _publish(fs, path, {
         "snapshot_id": snap_id,
         "parent_id": parent,
         "operation": mode,
         "new_data_dir": data_dir,
         **(meta or {}),
-    }
-    tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-        f.flush()
-        os.fsync(f.fileno())
-    # THE commit point: one atomic rename publishes the snapshot
-    os.replace(tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json"))
+    })
     return snap_id
 
 
-def _resolve(path: str, snapshot_id: "int | None") -> int:
-    ids = _snap_ids(path)
+def _resolve(fs: TableFS, snapshot_id: "int | None") -> int:
+    ids = _snap_ids(fs)
     if not ids:
-        raise ValueError(f"no snapshots under {path}")
+        raise ValueError(f"no snapshots under {fs.root}")
     if snapshot_id is None:
         return ids[-1]
     if snapshot_id not in ids:
@@ -127,9 +155,9 @@ def _resolve(path: str, snapshot_id: "int | None") -> int:
 def snapshot_manifest(
     spark: SparkSession, path: str, snapshot_id: "int | None" = None
 ) -> DataFrame:
-    sid = _resolve(path, snapshot_id)
+    sid = _resolve(TableFS(spark, path), snapshot_id)
     return spark.read.schema(_MANIFEST_SCHEMA).parquet(
-        os.path.join(path, "manifests", f"m-{sid:06d}")
+        _manifest_path(path, sid)
     )
 
 
@@ -160,10 +188,11 @@ def snapshot_read(
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
-    rows = []
-    for sid in _snap_ids(path):
-        with open(os.path.join(path, "snapshots", f"s-{sid:06d}.json")) as f:
-            rows.append(json.load(f))
+    fs = TableFS(spark, path)
+    rows = [
+        json.loads(fs.read_text(join(path, "snapshots", f"s-{sid:06d}.json")))
+        for sid in _snap_ids(fs)
+    ]
     return spark.createDataFrame(
         [
             (r["snapshot_id"], r["parent_id"], r["operation"])
@@ -179,52 +208,88 @@ def snapshot_expire(
     """GC: drop all but the newest ``keep_last`` snapshots and delete
     every data file not referenced by a KEPT manifest — including
     orphans from crashed (never-published) commits. Kept snapshots stay
-    byte-identical; reading an expired id raises by name."""
-    ids = _snap_ids(path)
-    keep = set(ids[-keep_last:]) if keep_last > 0 else set()
-    referenced: set[str] = set()
-    for sid in keep:
-        m = spark.read.schema(_MANIFEST_SCHEMA).parquet(
-            os.path.join(path, "manifests", f"m-{sid:06d}")
-        )
-        referenced.update(
-            r["file"] for r in m.select("file").distinct().collect()
-        )
-    removed_files = 0
-    data_root = os.path.join(path, "data")
-    if os.path.isdir(data_root):
-        for rdir, _, fs in os.walk(data_root):
-            for f in fs:
-                full = os.path.join(rdir, f)
-                if f.endswith(".parquet") and full not in referenced:
-                    os.remove(full)
-                    removed_files += 1
-    import shutil
+    byte-identical; reading an expired id raises by name.
 
+    100 TB shape: per-snapshot-directory listing AND the deletes run
+    inside executor tasks (pyarrow filesystems); the doomed set is the
+    distributed anti-join of that listing against the kept manifests —
+    the driver holds only O(snapshots) directory names and the summary
+    counts, never the table's file list."""
+    fs = TableFS(spark, path)
+    ids = _snap_ids(fs)
+    keep = set(ids[-keep_last:]) if keep_last > 0 else set()
+    if keep:
+        referenced = (
+            spark.read.schema(_MANIFEST_SCHEMA)
+            .parquet(*[_manifest_path(path, sid) for sid in keep])
+            .select("file")
+            .distinct()
+        )
+    else:
+        referenced = spark.createDataFrame([], "file string")
+
+    data_root = join(path, "data")
+    snap_dirs = [
+        join(data_root, d)
+        for d in fs.list_names(data_root)
+        if d.startswith("snap-")
+    ]
+    removed_files = 0
+    if snap_dirs:
+        dirs_df = spark.createDataFrame([(d,) for d in snap_dirs], "dir string")
+
+        def list_parquet(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                files: list[str] = []
+                for d in pdf["dir"].values:
+                    pfs, local = pyarrow_fs_for(d)
+                    import pyarrow.fs as pafs
+
+                    sel = pafs.FileSelector(local, recursive=True)
+                    for info in pfs.get_file_info(sel):
+                        if info.is_file and info.path.endswith(".parquet"):
+                            # re-anchor onto the caller-prefix dir form
+                            files.append(d + info.path[len(local):])
+                yield pd.DataFrame({"file": files})
+
+        on_disk = dirs_df.repartition(
+            min(len(snap_dirs), spark.sparkContext.defaultParallelism)
+        ).mapInPandas(list_parquet, "file string")
+        doomed = on_disk.join(referenced, "file", "left_anti")
+
+        def delete_batch(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                done = []
+                for f in pdf["file"].values:
+                    pfs, local = pyarrow_fs_for(f)
+                    pfs.delete_file(local)
+                    done.append(f)
+                yield pd.DataFrame({"file": done})
+
+        removed_files = doomed.mapInPandas(delete_batch, "file string").count()
+
+    # expired commit records + manifests: O(expired) metadata deletes
     for sid in ids:
         if sid not in keep:
-            os.remove(os.path.join(path, "snapshots", f"s-{sid:06d}.json"))
-            shutil.rmtree(
-                os.path.join(path, "manifests", f"m-{sid:06d}"),
-                ignore_errors=True,
-            )
-    # drop now-empty snap dirs
-    if os.path.isdir(data_root):
-        for d in sorted(os.listdir(data_root)):
-            full = os.path.join(data_root, d)
-            if os.path.isdir(full) and not any(
-                f.endswith(".parquet") for f in os.listdir(full)
-            ):
-                shutil.rmtree(full, ignore_errors=True)
+            fs.delete(join(path, "snapshots", f"s-{sid:06d}.json"))
+            fs.delete(_manifest_path(path, sid), recursive=True)
+    # drop snap dirs left with no data files (write markers only)
+    for d in snap_dirs:
+        if not any(n.endswith(".parquet") for n in fs.list_names(d)):
+            fs.delete(d, recursive=True)
     return {"kept": sorted(keep), "expired": [i for i in ids if i not in keep],
             "data_files_removed": removed_files}
 
 
 def snapshot_record(path: str, snapshot_id: "int | None" = None) -> dict:
     """The commit record of a snapshot (current if id is None)."""
-    sid = _resolve(path, snapshot_id)
-    with open(os.path.join(path, "snapshots", f"s-{sid:06d}.json")) as f:
-        return json.load(f)
+    fs = _table_fs(path)
+    sid = _resolve(fs, snapshot_id)
+    return json.loads(fs.read_text(join(path, "snapshots", f"s-{sid:06d}.json")))
 
 
 def last_committed_batch_id(path: str) -> "int | None":
@@ -232,7 +297,8 @@ def last_committed_batch_id(path: str) -> "int | None":
     the replay-guard watermark for stream_snapshot_ingest (snapshots
     without one, e.g. manual backfills interleaved with the stream,
     are skipped)."""
-    for sid in reversed(_snap_ids(path)):
+    fs = _table_fs(path)
+    for sid in reversed(_snap_ids(fs)):
         b = snapshot_record(path, sid).get("batch_id")
         if b is not None:
             return int(b)
@@ -258,7 +324,8 @@ def snapshot_delete(
     files plus the rewritten survivors' stats; the parent snapshot
     still reads the pre-delete data (time travel) until expired.
     Returns the new snapshot id."""
-    parent = _resolve(path, None)
+    fs = TableFS(spark, path)
+    parent = _resolve(fs, None)
     m = snapshot_manifest(spark, path, parent)
     if prune is not None:
         victims = prune_files(m, *prune)
@@ -267,7 +334,7 @@ def snapshot_delete(
             r["file"] for r in m.select("file").distinct().collect()
         )
     snap_id = parent + 1
-    data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
+    data_dir = join(path, "data", f"snap-{snap_id:06d}")
     stat_cols = sorted(
         r["column"]
         for r in m.select("column").distinct().collect()
@@ -276,7 +343,7 @@ def snapshot_delete(
         survivors = spark.read.parquet(*victims).where(~condition)
         survivors.write.mode("overwrite").parquet(data_dir)
         has_files = any(
-            f.endswith(".parquet") for f in os.listdir(data_dir)
+            f.endswith(".parquet") for f in fs.list_names(data_dir)
         )
         new_m = (
             file_manifest(spark, data_dir, stat_cols)
@@ -287,22 +354,15 @@ def snapshot_delete(
         new_m = spark.createDataFrame([], _MANIFEST_SCHEMA)
     kept = m.where(~F.col("file").isin(victims)) if victims else m
     kept.unionByName(new_m).write.mode("overwrite").parquet(
-        os.path.join(path, "manifests", f"m-{snap_id:06d}")
+        _manifest_path(path, snap_id)
     )
-    os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
-    rec = {
+    _publish(fs, path, {
         "snapshot_id": snap_id,
         "parent_id": parent,
         "operation": "delete",
         "new_data_dir": data_dir,
         "victim_files": len(victims),
-    }
-    tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json"))
+    })
     return snap_id
 
 
@@ -321,21 +381,27 @@ def snapshot_compact(
     until expired — the streaming-ingest companion
     (stream_snapshot_ingest commits one snapshot per micro-batch, so
     file counts grow with batch cadence exactly like the IVF cells).
+    File sizes come from ONE Hadoop glob round trip over the data
+    dirs (the same listing Spark's own file index performs); a file
+    the glob misses is conservatively treated as large and left alone.
     Returns the new snapshot id."""
     import math
 
-    parent = _resolve(path, None)
+    fs = TableFS(spark, path)
+    parent = _resolve(fs, None)
     m = snapshot_manifest(spark, path, parent)
     files = sorted(r["file"] for r in m.select("file").distinct().collect())
+    sizes = dict(fs.glob(join(path, "data", "*", "*.parquet")))
+    big = 1 << 62
     small = [
         f for f in files
-        if os.path.getsize(f) < small_mb * 1024 * 1024
+        if sizes.get(f, big) < small_mb * 1024 * 1024
     ]
     if len(small) < 2:
         return parent  # nothing to do — no empty commit
     snap_id = parent + 1
-    data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
-    nbytes = sum(os.path.getsize(f) for f in small)
+    data_dir = join(path, "data", f"snap-{snap_id:06d}")
+    nbytes = sum(sizes[f] for f in small)
     n_out = target_files or max(1, math.ceil(nbytes / (128 * 1024 * 1024)))
     stat_cols = sorted(
         r["column"] for r in m.select("column").distinct().collect()
@@ -346,22 +412,15 @@ def snapshot_compact(
     new_m = file_manifest(spark, data_dir, stat_cols)
     kept = m.where(~F.col("file").isin(small))
     kept.unionByName(new_m).write.mode("overwrite").parquet(
-        os.path.join(path, "manifests", f"m-{snap_id:06d}")
+        _manifest_path(path, snap_id)
     )
-    os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
-    rec = {
+    _publish(fs, path, {
         "snapshot_id": snap_id,
         "parent_id": parent,
         "operation": "compact",
         "new_data_dir": data_dir,
         "compacted_files": len(small),
-    }
-    tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json"))
+    })
     return snap_id
 
 
@@ -420,19 +479,27 @@ def snapshot_changes(
     compaction commit adds+removes files with identical content and
     therefore yields an EMPTY changelog, by construction.
 
-    Classification by PK over the two candidate sets (full outer join,
-    both sides bounded by churned files):
+    Classification by PK over the two candidate sets (each side
+    pre-aggregated by PK, then one full outer join — the aggregation's
+    partitioning is reused by the join, so the whole diff is one
+    shuffle per side and ZERO extra jobs):
 
     - PK only in after-rows → ``insert`` (post-image)
     - PK only in before-rows → ``delete`` (pre-image)
     - PK in both, any non-key column differing → ``update`` (post-image)
     - PK in both, identical → dropped (file rewrite noise, not a change)
 
+    Duplicate-PK tables are refused — net-diff semantics need a key.
+    The guard is folded into the same aggregation (per-PK counts ride
+    along with the collapsed payload) and fails LAZILY via
+    ``raise_error`` when the changelog materializes, so the legal path
+    pays no verification jobs at all.
+
     Multi-commit ranges collapse to the NET effect (insert-then-delete
     vanishes, like Delta/Iceberg CDF over a version range); walk
-    consecutive ids for a per-commit feed (stream_snapshot_changes does
-    exactly that, continuously). Duplicate-PK tables are refused —
-    net-diff semantics need a key."""
+    consecutive ids for a per-commit feed
+    (streaming.pipeline.stream_snapshot_changes does exactly that,
+    continuously)."""
     if not pk_columns:
         raise ValueError("snapshot changelog extraction requires pk columns")
     added, removed = snapshot_changed_files(
@@ -462,21 +529,31 @@ def snapshot_changes(
             if files
             else spark.createDataFrame([], spark.read.parquet(*sample).schema)
         )
-        return src.select(*pk_columns, payload.alias(tag))
+        # per-PK collapse + dup count in ONE aggregation; with n == 1
+        # (the only legal case) first() IS the row's payload
+        return src.groupBy(*pk_columns).agg(
+            F.first(payload).alias(tag),
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+        )
 
     after = side(added, "__after")
     before = side(removed, "__before")
-    for frame, tag in ((after, "after"), (before, "before")):
-        dup = frame.groupBy(*pk_columns).count().where(F.col("count") > 1)
-        if dup.limit(1).count():
-            raise ValueError(
-                f"duplicate PK in {tag}-rows — snapshot_changes needs "
-                f"unique {pk_columns} per snapshot"
-            )
     j = after.join(before, pk_columns, "full_outer")
+    dup = (F.col("__after_n") > 1) | (F.col("__before_n") > 1)
     changed = j.withColumn(
         change_col,
-        F.when(F.col("__before").isNull(), F.lit("insert"))
+        F.when(
+            dup,
+            F.raise_error(F.concat(
+                F.lit("duplicate PK "),
+                F.to_json(F.struct(*pk_columns)),
+                F.lit(
+                    f" — snapshot_changes needs unique {pk_columns} "
+                    "per snapshot"
+                ),
+            )),
+        )
+        .when(F.col("__before").isNull(), F.lit("insert"))
         .when(F.col("__after").isNull(), F.lit("delete"))
         # null-safe: a value moving to/from NULL is still an update
         .when(~F.col("__after").eqNullSafe(F.col("__before")), F.lit("update")),
@@ -540,7 +617,8 @@ def snapshot_upsert(
             f"{pk_columns} — pruning on a mutable column can miss the "
             "old version of an updated key"
         )
-    parent = _resolve(path, None)
+    fs = TableFS(spark, path)
+    parent = _resolve(fs, None)
     m = snapshot_manifest(spark, path, parent)
     staging = staging.persist()
     try:
@@ -588,7 +666,7 @@ def snapshot_upsert(
                 r["file"] for r in m.select("file").distinct().collect()
             )
         snap_id = parent + 1
-        data_dir = os.path.join(path, "data", f"snap-{snap_id:06d}")
+        data_dir = join(path, "data", f"snap-{snap_id:06d}")
         # the TABLE's columns are the merge schema: staging is projected
         # onto them (after the order_column compaction above), so extra
         # batch columns can't poison the table's part-file schemas
@@ -623,25 +701,16 @@ def snapshot_upsert(
         new_m = file_manifest(spark, data_dir, stat_cols)
         kept = m.where(~F.col("file").isin(victims)) if victims else m
         kept.unionByName(new_m).write.mode("overwrite").parquet(
-            os.path.join(path, "manifests", f"m-{snap_id:06d}")
+            _manifest_path(path, snap_id)
         )
-        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
-        rec = {
+        _publish(fs, path, {
             "snapshot_id": snap_id,
             "parent_id": parent,
             "operation": "upsert",
             "new_data_dir": data_dir,
             "victim_files": len(victims),
             **(meta or {}),
-        }
-        tmp = os.path.join(path, "snapshots", f".s-{snap_id:06d}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(
-            tmp, os.path.join(path, "snapshots", f"s-{snap_id:06d}.json")
-        )
+        })
         return snap_id
     finally:
         staging.unpersist()

@@ -122,11 +122,14 @@ def test_same_snapshot_is_noop_and_null_transitions_update(spark, tmp_path):
 
 
 def test_duplicate_pk_refused(spark, tmp_path):
+    """The guard is folded into the diff's own aggregation and fails
+    LAZILY (raise_error at materialization) — the legal path pays no
+    verification jobs; crafted dup-PK input still dies by name."""
     path = str(tmp_path / "t")
     dup = spark.createDataFrame([(1, 10), (1, 11)], "id long, v long")
     s1 = snapshot_commit(_batch(spark, 0, 3), path, stat_columns=["id"])
     s2 = snapshot_commit(dup, path, stat_columns=["id"])
-    with pytest.raises(ValueError, match="duplicate PK"):
+    with pytest.raises(Exception, match="duplicate PK"):
         snapshot_changes(
             spark, path, pk_columns=["id"], from_snapshot=s1, to_snapshot=s2
         ).collect()

@@ -1,0 +1,147 @@
+"""Storage portability of the snapshot table (VERDICT r8 item 2).
+
+The lakehouse layer's metadata I/O must run through the session's
+Hadoop FileSystem so the table root can be ANY Spark-readable URI.
+These tests drive the FULL lifecycle — commit/append/time-travel/
+delete/compact/upsert/changes/expire — against an explicit ``file://``
+URI (a scheme ``os.*`` would choke on: ``os.listdir('file:///x')`` is
+ENOENT), and statically pin that the snapshot/manifest modules touch
+data and metadata paths only through replicadb_spark.fs.
+"""
+
+import inspect
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from replicadb_spark.fs import TableFS, join
+from replicadb_spark.operators import manifest as manifest_mod
+from replicadb_spark.operators import snapshot_table as snap_mod
+from replicadb_spark.operators.snapshot_table import (
+    current_snapshot,
+    last_committed_batch_id,
+    snapshot_changes,
+    snapshot_commit,
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_expire,
+    snapshot_history,
+    snapshot_read,
+    snapshot_upsert,
+)
+
+def _uri(tmp_path, name: str) -> str:
+    return "file://" + str(tmp_path / name)
+
+
+def test_full_lifecycle_on_file_uri(spark, tmp_path):
+    """commit → append → time travel → COW delete → compact → upsert →
+    changelog → expire, all on a ``file://`` root."""
+    path = _uri(tmp_path, "t")
+    s1 = snapshot_commit(
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id long, v long"),
+        path, stat_columns=["id"], meta={"batch_id": 3},
+    )
+    s2 = snapshot_commit(
+        spark.createDataFrame([(i, i * 10) for i in range(8, 12)], "id long, v long"),
+        path, stat_columns=["id"],
+    )
+    assert (s1, s2) == (1, 2)
+    assert current_snapshot(path) == 2
+    assert last_committed_batch_id(path) == 3
+    assert snapshot_read(spark, path).count() == 12
+    assert snapshot_read(spark, path, snapshot_id=s1).count() == 8
+    # data skipping on the URI-form manifest: only the second commit's
+    # files intersect id ∈ [9, 11]
+    pruned = snapshot_read(spark, path, prune=("id", 9.0, 11.0))
+    assert {r["id"] for r in pruned.where("id >= 9").collect()} == {9, 10, 11}
+
+    s3 = snapshot_delete(spark, path, F.col("id") < 2, prune=("id", 0.0, 1.0))
+    assert snapshot_read(spark, path).count() == 10
+    assert snapshot_read(spark, path, snapshot_id=s2).count() == 12
+
+    s4 = snapshot_compact(spark, path, small_mb=64, target_files=1)
+    assert s4 == s3 + 1
+    assert snapshot_read(spark, path).count() == 10
+    # compaction rewrites identical content → empty changelog
+    assert snapshot_changes(
+        spark, path, pk_columns=["id"], from_snapshot=s3, to_snapshot=s4
+    ).count() == 0
+
+    s5 = snapshot_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, 999), (50, 500)], "id long, v long"),
+        pk_columns=["id"],
+        prune_column="id",
+    )
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got[2] == 999 and got[50] == 500 and len(got) == 11
+    log = {
+        (r["id"], r["_change_type"])
+        for r in snapshot_changes(
+            spark, path, pk_columns=["id"], from_snapshot=s4, to_snapshot=s5
+        ).collect()
+    }
+    assert log == {(2, "update"), (50, "insert")}
+
+    hist = {r["snapshot_id"]: r["operation"]
+            for r in snapshot_history(spark, path).collect()}
+    assert hist == {1: "append", 2: "append", 3: "delete",
+                    4: "compact", 5: "upsert"}
+
+    res = snapshot_expire(spark, path, keep_last=2)
+    assert res["kept"] == [4, 5] and res["expired"] == [1, 2, 3]
+    assert res["data_files_removed"] > 0
+    assert snapshot_read(spark, path).count() == 11
+    assert snapshot_read(spark, path, snapshot_id=4).count() == 10
+    with pytest.raises(ValueError, match="expired"):
+        snapshot_read(spark, path, snapshot_id=1)
+
+
+def test_expire_gcs_crash_orphans_on_file_uri(spark, tmp_path):
+    """A crashed (never-published) commit's data files are invisible to
+    readers and swept by expire — through the FS API, no os.walk."""
+    path = _uri(tmp_path, "t2")
+    snapshot_commit(
+        spark.createDataFrame([(1, 1)], "id long, v long"), path,
+        stat_columns=["id"],
+    )
+    # simulate a crash AFTER data write, BEFORE the commit record:
+    # orphan files under data/snap-000002 with no s-000002.json
+    orphan_dir = join(path, "data", "snap-000002")
+    spark.createDataFrame([(9, 9)], "id long, v long").write.parquet(orphan_dir)
+    assert current_snapshot(path) == 1
+    assert snapshot_read(spark, path).count() == 1
+    res = snapshot_expire(spark, path, keep_last=1)
+    assert res["data_files_removed"] >= 1  # the orphans
+    fs = TableFS(spark, path)
+    assert not fs.exists(orphan_dir)
+    assert snapshot_read(spark, path).count() == 1
+
+
+def test_commit_point_is_put_if_absent(spark, tmp_path):
+    """The publish rename refuses an existing destination — a broken
+    single-writer contract dies at the commit point, not silently."""
+    path = _uri(tmp_path, "t3")
+    fs = TableFS(spark, path)
+    fs.mkdirs(join(path, "snapshots"))
+    dst = join(path, "snapshots", "s-000009.json")
+    fs.write_text(dst, json.dumps({"snapshot_id": 9}))
+    tmp = join(path, "snapshots", ".s-000009.json.tmp")
+    fs.write_text(tmp, json.dumps({"snapshot_id": 9}))
+    with pytest.raises(IOError, match="already exists"):
+        fs.rename_no_overwrite(tmp, dst)
+
+
+def test_no_direct_os_usage_in_table_metadata_modules():
+    """Static pin: snapshot_table.py and manifest.py perform zero
+    direct ``os.*`` path I/O — everything routes through
+    replicadb_spark.fs (Hadoop FileSystem / pyarrow filesystems)."""
+    for mod in (snap_mod, manifest_mod):
+        src = inspect.getsource(mod)
+        assert not re.search(r"^\s*import os\b", src, re.M), mod.__name__
+        assert not re.search(r"\bos\.", src), mod.__name__
+        assert not re.search(r"\bshutil\b", src), mod.__name__
