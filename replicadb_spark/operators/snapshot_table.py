@@ -292,17 +292,26 @@ def snapshot_record(path: str, snapshot_id: "int | None" = None) -> dict:
     return json.loads(fs.read_text(join(path, "snapshots", f"s-{sid:06d}.json")))
 
 
-def last_committed_batch_id(path: str) -> "int | None":
-    """Newest ``batch_id`` found walking the snapshot chain backwards —
-    the replay-guard watermark for stream_snapshot_ingest (snapshots
-    without one, e.g. manual backfills interleaved with the stream,
-    are skipped)."""
+def last_committed_meta(path: str, key: str) -> "int | None":
+    """Newest integer ``key`` found walking the snapshot chain
+    backwards — the generic replay-guard watermark persisted inside the
+    table's own commit log (snapshots without the key, e.g. manual
+    backfills interleaved with a stream, are skipped). Returns None on
+    a table with no snapshots at all."""
     fs = _table_fs(path)
+    if not fs.exists(join(path, "snapshots")):
+        return None
     for sid in reversed(_snap_ids(fs)):
-        b = snapshot_record(path, sid).get("batch_id")
+        b = snapshot_record(path, sid).get(key)
         if b is not None:
             return int(b)
     return None
+
+
+def last_committed_batch_id(path: str) -> "int | None":
+    """Newest ``batch_id`` in the commit log — the replay-guard
+    watermark for stream_snapshot_ingest."""
+    return last_committed_meta(path, "batch_id")
 
 
 def snapshot_delete(

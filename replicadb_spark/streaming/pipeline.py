@@ -1847,6 +1847,103 @@ def stream_snapshot_ingest(
     return writer.start()
 
 
+def stream_snapshot_changes(
+    spark,
+    table_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    pk_columns: "list[str]",
+    change_col: str = "_change_type",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #27: the CDC-OUT feed of the snapshot table — continuously
+    walk newly committed snapshot ids and emit each commit's row-level
+    changelog (operators/snapshot_table.snapshot_changes) EXACTLY-ONCE
+    into ``out_path``, itself a snapshot table.
+
+    The stream's SOURCE is the table's own commit log: every published
+    commit is one immutable ``s-NNNNNN.json`` file under
+    ``<table>/snapshots/``, so a plain file-source stream over that
+    directory turns commits into micro-batch rows with no polling logic
+    at all (in-flight ``.tmp`` records are dot-prefixed and therefore
+    invisible to Spark's file listing — only PUBLISHED commits ever
+    enter a batch).
+
+    Delivery is the commit-log-watermark contract of
+    stream_snapshot_ingest, pointed the other way: each emitted
+    changelog is committed to the OUT table with the source snapshot id
+    in its commit record, so ``last_committed_meta(out,
+    'source_snapshot_id')`` is a watermark that survives checkpoint
+    loss — a fresh checkpoint re-delivers every commit record and every
+    one of them no-ops BEFORE any file lands. A compaction (or any
+    no-net-change) commit yields an empty changelog by construction and
+    burns NOTHING downstream: recomputing an empty diff on replay is
+    free and idempotent, so empties advance no watermark.
+
+    Per-commit cost is the snapshot_changes bound — churned files only,
+    never the table. Retention contract (same as Delta/Iceberg CDF):
+    the feed must run before ``snapshot_expire`` drops a commit's
+    manifests; expired ids can no longer be diffed.
+
+    The feed's rows are the changelog columns plus
+    ``_source_snapshot_id``, and the OUT table gives downstream
+    consumers time travel to any emitted commit boundary."""
+    from replicadb_spark.fs import join as fs_join
+    from replicadb_spark.operators.snapshot_table import (
+        last_committed_meta,
+        snapshot_changes,
+        snapshot_commit,
+    )
+
+    commits = (
+        spark.readStream
+        .schema("snapshot_id long, parent_id long, operation string")
+        .json(fs_join(table_path, "snapshots"))
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # commit records, not data: O(new commits) driver-side rows
+        recs = sorted(
+            (int(r["snapshot_id"]), int(r["parent_id"] or 0))
+            for r in batch_df.dropDuplicates(["snapshot_id"]).collect()
+        )
+        if not recs:
+            return
+        bspark = batch_df.sparkSession
+        wm = last_committed_meta(out_path, "source_snapshot_id")
+        for sid, parent in recs:
+            if wm is not None and sid <= wm:
+                continue  # replayed commit record: already emitted
+            log = snapshot_changes(
+                bspark, table_path,
+                pk_columns=list(pk_columns),
+                from_snapshot=parent,
+                to_snapshot=sid,
+                change_col=change_col,
+            ).persist()
+            try:
+                if log.isEmpty():
+                    continue  # compaction / no-net-change commit
+                snapshot_commit(
+                    log.withColumn("_source_snapshot_id", F.lit(sid)),
+                    out_path,
+                    meta={"source_snapshot_id": sid},
+                )
+                wm = sid
+            finally:
+                log.unpersist()
+
+    writer = (
+        commits.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_snapshot_replica(
     source: DataFrame,
     table_path: str,

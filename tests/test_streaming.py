@@ -1549,6 +1549,81 @@ def test_stream_snapshot_ingest_exactly_once(spark, tmp_path):
     assert snapshot_read(spark, table).count() == 30
 
 
+def test_stream_snapshot_changes_cdc_out_exactly_once(spark, tmp_path):
+    """Twin #27: the commit log IS the stream — insert/update/delete
+    commits each emit one per-commit changelog into the OUT snapshot
+    table, a compaction commit emits NOTHING, and a fresh-checkpoint
+    replay re-delivers every commit record with zero new emissions
+    (the source-snapshot-id watermark lives in the OUT table's own
+    commit log)."""
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_record,
+        snapshot_upsert,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    tbl = str(tmp_path / "cdc_src_tbl")
+    out = str(tmp_path / "cdc_feed")
+
+    def pump(ck):
+        q = P.stream_snapshot_changes(
+            spark, tbl, out, str(tmp_path / ck), pk_columns=["id"]
+        )
+        q.awaitTermination(300)
+
+    # commit 1: pure inserts
+    snapshot_commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        tbl, stat_columns=["id"],
+    )
+    pump("ck1")
+    feed = snapshot_read(spark, out)
+    assert {(r["id"], r["v"], r["_change_type"], r["_source_snapshot_id"])
+            for r in feed.collect()} == {(1, 10, "insert", 1), (2, 20, "insert", 1)}
+
+    # commit 2 (upsert: one update + one insert), commit 3 (delete)
+    snapshot_upsert(
+        spark, tbl,
+        spark.createDataFrame([(2, 99), (3, 30)], "id long, v long"),
+        pk_columns=["id"], prune_column="id",
+    )
+    snapshot_delete(spark, tbl, F.col("id") == 1, prune=("id", 1.0, 1.0))
+    pump("ck1")
+    rows = {
+        (r["id"], r["v"], r["_change_type"], r["_source_snapshot_id"])
+        for r in snapshot_read(spark, out).collect()
+    }
+    assert rows == {
+        (1, 10, "insert", 1), (2, 20, "insert", 1),
+        (2, 99, "update", 2), (3, 30, "insert", 2),
+        (1, 10, "delete", 3),
+    }
+    # the feed is itself a snapshot table: one commit per source commit,
+    # time travel to each emission boundary
+    assert current_snapshot(out) == 3
+    assert snapshot_read(spark, out, snapshot_id=1).count() == 2
+    assert snapshot_record(out)["source_snapshot_id"] == 3
+
+    # commit 4: compaction — identical content, MUST emit nothing
+    assert snapshot_compact(spark, tbl, small_mb=64, target_files=1) == 4
+    pump("ck1")
+    assert current_snapshot(out) == 3
+    assert snapshot_read(spark, out).count() == 5
+
+    # fresh checkpoint: all 4 commit records re-delivered, every one
+    # no-ops before any file lands (watermark in the OUT commit log)
+    pump("ck_fresh")
+    assert current_snapshot(out) == 3
+    assert snapshot_read(spark, out).count() == 5
+
+
 def test_stream_snapshot_replica_converges_time_travels_and_replays(spark, tmp_path):
     """Twin #26: a changelog stream merges into the snapshot table with
     last-wins-per-PK semantics, time travel shows the table AS OF each
