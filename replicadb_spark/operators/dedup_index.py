@@ -117,15 +117,28 @@ def query_minhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_est_jaccard: float = 0.4,
+    max_bucket_size: "int | None" = 1000,
 ) -> DataFrame:
     """(new_id, match_id, est_jaccard) for every indexed document whose
     estimated Jaccard with a batch document clears the threshold.
 
     Plan: batch bucket rows BROADCAST onto the persisted bucket store
-    (equi-join on (band, bucket); the store never shuffles) → distinct
-    candidate pairs → stored signatures pulled by broadcast semi-join →
-    agreement-fraction estimate in codegen (zip_with + filter + size).
-    Cost is O(batch·bands + collisions), independent of corpus size."""
+    (equi-join on (band, bucket); the store never shuffles) → hot-bucket
+    cap → distinct candidate pairs → stored signatures pulled by
+    broadcast semi-join → agreement-fraction estimate in codegen
+    (zip_with + filter + size). Cost is O(batch·bands + collisions),
+    independent of corpus size.
+
+    ``max_bucket_size`` caps the LSH failure mode minhash_index_stats
+    measures: a boilerplate bucket shared by k docs would contribute
+    O(k) candidates to EVERY probe landing in it, forever. Buckets
+    bigger than the cap are dropped from candidate generation entirely
+    (mirroring the FastSS index's ``max_sig_df``) — a true near-dup of
+    boilerplate still surfaces through its other, unsaturated bands,
+    which is why the recall gate stays green. The size check rides the
+    probe's own collision set (one window over the already-joined hits,
+    store ids being unique per bucket), so no second store scan and
+    nothing O(store) is recounted per query. ``None`` disables."""
     m = spark.read.parquet(f"{path}/meta").first()
     num_hashes = m["num_hashes"]
     nb, new_sigs = _sketch(
@@ -133,13 +146,25 @@ def query_minhash_index(
         m["k"], num_hashes, m["bands"], m["seed"],
     )
     store = spark.read.parquet(f"{path}/buckets")
-    cand = (
-        store.join(
-            F.broadcast(
-                nb.select(F.col("id").alias("new_id"), "band", "bucket")
-            ),
-            ["band", "bucket"],
+    hits = store.join(
+        F.broadcast(
+            nb.select(F.col("id").alias("new_id"), "band", "bucket")
+        ),
+        ["band", "bucket"],
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # (band, bucket, id) is unique in the store, so the per-probe
+        # partition count IS the store bucket's size
+        bsz = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "bucket", "new_id")
         )
+        hits = hits.withColumn("__bsz", bsz).where(
+            F.col("__bsz") <= max_bucket_size
+        )
+    cand = (
+        hits
         .where(F.col("id") != F.col("new_id"))
         .select(F.col("id").alias("match_id"), "new_id")
         .distinct()

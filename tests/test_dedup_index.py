@@ -170,3 +170,43 @@ def test_minhash_index_stats_flags_hot_buckets(spark, tmp_path):
     for band, r in stats.items():
         assert r["max_bucket_size"] >= 20, (band, r)
         assert r["n_buckets"] >= 1
+
+
+def test_query_caps_hot_buckets(spark, tmp_path):
+    """max_bucket_size acts on the signal minhash_index_stats measures:
+    a probe landing in a boilerplate bucket of 20 clones gets ZERO
+    candidates from it under the cap (instead of 20 per probe forever),
+    while matches for ordinary documents are unaffected."""
+    path = str(tmp_path / "cap_idx")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    clones = spark.createDataFrame(
+        [(5_000_000 + i, "the same hot text repeated " * 5)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(docs.select("doc_id", "text").unionByName(clones), path)
+
+    # probe 1: the boilerplate text itself — every band saturated
+    boiler = spark.createDataFrame(
+        [(9_000_000, "the same hot text repeated " * 5)],
+        "doc_id long, text string",
+    )
+    uncapped = query_minhash_index(
+        spark, path, boiler, min_est_jaccard=0.5, max_bucket_size=None
+    ).count()
+    capped = query_minhash_index(
+        spark, path, boiler, min_est_jaccard=0.5, max_bucket_size=10
+    ).count()
+    assert uncapped == 20  # O(bucket) candidates per probe — the failure
+    assert capped == 0
+
+    # probe 2: a near-dup of an ordinary doc — its buckets are small,
+    # so the same cap changes nothing
+    near = docs.where(F.col("doc_id") == 7).select(
+        F.lit(9_000_001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    got = query_minhash_index(
+        spark, path, near, min_est_jaccard=0.5, max_bucket_size=10
+    ).collect()
+    assert any(r["match_id"] == 7 for r in got)
