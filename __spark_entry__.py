@@ -133,6 +133,9 @@ _GATE_LAST = (
     "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
     "minhash_index_gate", "source_temperature_mix", "snapshot_table_gate",
     "snapshot_delete_gate",
+    # r9 local-evidence addition (ROUND9.md): the bucketed-snapshot
+    # bridge — time travel + zero-Exchange joins from one commit path
+    "snapshot_bucketed_join_gate",
 )
 
 

@@ -109,6 +109,8 @@ def snapshot_commit(
     fs = TableFS(spark, path)
     ids = _snap_ids(fs)
     parent = ids[-1] if ids else None
+    if parent is not None:
+        _refuse_bucketed(path, parent, "snapshot_commit")
     snap_id = (parent or 0) + 1
     data_dir = join(path, "data", f"snap-{snap_id:06d}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -137,6 +139,18 @@ def snapshot_commit(
         **(meta or {}),
     })
     return snap_id
+
+
+def _refuse_bucketed(path: str, sid: int, op: str) -> None:
+    """Ops that would emit files without bucket ids (or fragment a
+    bucket across dirs) refuse bucketed snapshot tables — their layout
+    invariant is whole-bucket rewrites (operators/snapshot_bucketed)."""
+    if snapshot_record(path, sid).get("n_buckets"):
+        raise ValueError(
+            f"{op}: {path} is a BUCKETED snapshot table — use the "
+            "operators/snapshot_bucketed commit/upsert path (whole-bucket "
+            "rewrites keep every snapshot registrable as a bucketed table)"
+        )
 
 
 def _resolve(fs: TableFS, snapshot_id: "int | None") -> int:
@@ -277,9 +291,13 @@ def snapshot_expire(
         if sid not in keep:
             fs.delete(join(path, "snapshots", f"s-{sid:06d}.json"))
             fs.delete(_manifest_path(path, sid), recursive=True)
-    # drop snap dirs left with no data files (write markers only)
+    # drop snap dirs left with no data files (write markers only) —
+    # check two levels deep: bucketed snap dirs keep their parquet in
+    # bkt=K/ subdirectories
     for d in snap_dirs:
-        if not any(n.endswith(".parquet") for n in fs.list_names(d)):
+        if not fs.glob(join(d, "*.parquet")) and not fs.glob(
+            join(d, "*", "*.parquet")
+        ):
             fs.delete(d, recursive=True)
     return {"kept": sorted(keep), "expired": [i for i in ids if i not in keep],
             "data_files_removed": removed_files}
@@ -335,6 +353,7 @@ def snapshot_delete(
     Returns the new snapshot id."""
     fs = TableFS(spark, path)
     parent = _resolve(fs, None)
+    _refuse_bucketed(path, parent, "snapshot_delete")
     m = snapshot_manifest(spark, path, parent)
     if prune is not None:
         victims = prune_files(m, *prune)
@@ -398,6 +417,7 @@ def snapshot_compact(
 
     fs = TableFS(spark, path)
     parent = _resolve(fs, None)
+    _refuse_bucketed(path, parent, "snapshot_compact")
     m = snapshot_manifest(spark, path, parent)
     files = sorted(r["file"] for r in m.select("file").distinct().collect())
     sizes = dict(fs.glob(join(path, "data", "*", "*.parquet")))
@@ -628,6 +648,7 @@ def snapshot_upsert(
         )
     fs = TableFS(spark, path)
     parent = _resolve(fs, None)
+    _refuse_bucketed(path, parent, "snapshot_upsert")
     m = snapshot_manifest(spark, path, parent)
     staging = staging.persist()
     try:

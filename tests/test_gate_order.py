@@ -59,11 +59,13 @@ def test_r9_window_is_the_r06_block():
     # the two blocks that rotated out lead _GATE_LAST in r10/r11 order
     assert E._GATE_LAST[0] == "dedup_containment"          # r7-gated block
     assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r8-gated block
-    assert E._GATE_LAST[-13:] == (
+    assert E._GATE_LAST[-14:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
         "gopher_full_screen", "ann_pq_index_gate", "bucketed_upsert_gate",
         "minhash_index_gate", "source_temperature_mix", "snapshot_table_gate",
         "snapshot_delete_gate",
+        # r9 local-evidence addition
+        "snapshot_bucketed_join_gate",
     )
