@@ -150,6 +150,31 @@ def test_layout_guards(spark, tmp_path):
         )
 
 
+def test_expire_keeps_live_buckets(spark, tmp_path):
+    """GC on a bucketed table: superseded bucket files are swept, but
+    commit dirs still OWNING live buckets (parquet under bkt=K/
+    subdirs, nothing at the top level) must survive the empty-dir
+    sweep, and the kept snapshot stays byte-identical."""
+    from replicadb_spark.operators.snapshot_table import snapshot_expire
+
+    path, s1 = _mk(spark, tmp_path)
+    snapshot_upsert_bucketed(
+        spark, path,
+        spark.createDataFrame([(3, 777)], "k long, v long"),
+        pk_columns=["k"],
+    )
+    res = snapshot_expire(spark, path, keep_last=1)
+    # exactly the rewritten bucket's old file is unreferenced
+    assert res["expired"] == [1] and res["data_files_removed"] == 1
+    cur = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert len(cur) == 200 and cur[3] == 777 and cur[7] == 14
+    # the bucketed read still stitches (snap-1 survived the sweep —
+    # it owns the 3 untouched buckets)
+    df = snapshot_read_bucketed(spark, path)
+    n, plan = _zero_exchange_join_plan(spark, df)
+    assert n == 200 and "Exchange hashpartitioning" not in plan
+
+
 def test_file_uri_root(spark, tmp_path):
     """The bridge inherits the FS-API portability: full cycle on an
     explicit file:// root."""
