@@ -2020,3 +2020,77 @@ def stream_snapshot_replica(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bucketed_snapshot_replica(
+    source: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    *,
+    pk_columns: "list[str]",
+    bucket_cols: "list[str]",
+    n_buckets: int,
+    order_column: "str | None" = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #28: continuous PK replication into the BUCKETED snapshot
+    table (operators/snapshot_bucketed) — stream_snapshot_replica with
+    the bridge as the merge engine. The first batch bootstraps the
+    layout (bucketBy write, spec in the commit record); every later
+    batch is one whole-bucket copy-on-write upsert that rewrites only
+    the buckets its keys hash into. Same commit-log batch-id guard
+    (survives checkpoint loss; replays no-op before any file lands).
+
+    What the other merge sinks can't give, combined: time travel to
+    every batch boundary AND zero-Exchange joins on the bucket key at
+    every one of those boundaries (snapshot_read_bucketed registers
+    any retained snapshot as a partitioned+bucketed table)."""
+    from replicadb_spark.operators.snapshot_bucketed import (
+        snapshot_commit_bucketed,
+        snapshot_upsert_bucketed,
+    )
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        last_committed_batch_id,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = last_committed_batch_id(table_path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already merged
+        spark = batch_df.sparkSession
+        if order_column is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*pk_columns).orderBy(
+                F.col(order_column).desc()
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if current_snapshot(table_path) is None:
+            snapshot_commit_bucketed(
+                batch_df, table_path,
+                bucket_cols=list(bucket_cols), n_buckets=n_buckets,
+                meta={"batch_id": batch_id},
+            )
+            return
+        snapshot_upsert_bucketed(
+            spark, table_path, batch_df,
+            pk_columns=list(pk_columns),
+            order_column=None,  # batch already compacted above
+            meta={"batch_id": batch_id},
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

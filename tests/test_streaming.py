@@ -1624,6 +1624,97 @@ def test_stream_snapshot_changes_cdc_out_exactly_once(spark, tmp_path):
     assert snapshot_read(spark, out).count() == 5
 
 
+def test_stream_bucketed_snapshot_replica_converges_and_joins_shuffle_free(
+    spark, tmp_path
+):
+    """Twin #28: continuous replication into the BUCKETED snapshot
+    layout — converges to last-wins state, time travels to each batch
+    boundary, replays no-op on a fresh checkpoint, and every retained
+    boundary registers as a bucketed table whose self-join has zero
+    Exchange."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.snapshot_bucketed import (
+        snapshot_read_bucketed,
+    )
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+        snapshot_record,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "bkt_replica_stream"
+    src.mkdir()
+    batches = [
+        [(k, k * 10) for k in range(10)],            # bootstrap
+        [(k, k * 10 + 1) for k in range(5)]          # updates...
+        + [(k, k * 10) for k in range(10, 15)],      # ...and inserts
+        [(0, 999)],                                  # single-key update
+    ]
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    table = str(tmp_path / "bkt_snap_tbl")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_bucketed_snapshot_replica(
+            stream, table, str(tmp_path / ck),
+            pk_columns=["k"], bucket_cols=["k"], n_buckets=4,
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    assert current_snapshot(table) == 3
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert len(got) == 15 and got[0] == 999 and got[4] == 41 and got[12] == 120
+    assert snapshot_read(spark, table, snapshot_id=1).count() == 10
+    assert snapshot_read(spark, table, snapshot_id=2).count() == 15
+    rec = snapshot_record(table)
+    assert rec["batch_id"] == 2 and len(rec["touched_buckets"]) == 1
+
+    # fresh checkpoint: full replay, zero new commits
+    run("ck2")
+    assert current_snapshot(table) == 3
+
+    # a mid-stream boundary still joins shuffle-free
+    df = snapshot_read_bucketed(spark, table, snapshot_id=2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        j = df.select("k", F.col("v").alias("lv")).join(
+            df.select("k", F.col("v").alias("rv")), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == 15
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+
+
 def test_stream_snapshot_replica_converges_time_travels_and_replays(spark, tmp_path):
     """Twin #26: a changelog stream merges into the snapshot table with
     last-wins-per-PK semantics, time travel shows the table AS OF each
