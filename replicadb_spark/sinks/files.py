@@ -97,16 +97,21 @@ def compact_files(
     directory a live plan reads from).
     """
     import math
-    import shutil
     import uuid
-    from pathlib import Path
 
-    src = Path(path)
-    total_bytes = sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+    from replicadb_spark.fs import TableFS, join
+
+    fs = TableFS(spark, path)
+    parent, name = _split_dir(path)
+    total_bytes = 0
+    pattern = join(path, "*")
+    for _ in range(4):  # part files, then partition-dir nesting
+        total_bytes += sum(sz for _f, sz in fs.glob(pattern))
+        pattern = pattern[:-1] + "*/*"
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     reader = spark.read
-    df = getattr(reader, fmt)(str(src))
-    tmp = str(src.parent / f".{src.name}.compact-{uuid.uuid4().hex[:8]}")
+    df = getattr(reader, fmt)(path)
+    tmp = join(parent, f".{name}.compact-{uuid.uuid4().hex[:8]}")
     writer = df.repartition(n_files).write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
@@ -115,13 +120,22 @@ def compact_files(
     # crash point loses data: (1) src → src.old (table briefly absent
     # but both copies intact), (2) tmp → src (table live on new files),
     # (3) delete src.old. A crash between 1 and 2 leaves both dirs
-    # recoverable; rmtree-then-rename would instead leave the table
-    # path absent with the data stranded in a hidden tmp dir.
-    old = src.parent / f".{src.name}.old-{uuid.uuid4().hex[:8]}"
-    src.rename(old)
-    Path(tmp).rename(src)
-    shutil.rmtree(old)
+    # recoverable; delete-then-rename would instead leave the table
+    # path absent with the data stranded in a hidden tmp dir. All moves
+    # go through the Hadoop FS, so any Spark-readable URI works.
+    old = join(parent, f".{name}.old-{uuid.uuid4().hex[:8]}")
+    fs.rename_no_overwrite(path, old)
+    fs.rename_no_overwrite(tmp, path)
+    fs.delete(old, recursive=True)
     return n_files
+
+
+def _split_dir(path: str) -> "tuple[str, str]":
+    """(parent, name) of a directory path/URI — string surgery only,
+    never os.path (URI schemes must survive)."""
+    p = path.rstrip("/")
+    i = p.rfind("/")
+    return p[:i], p[i + 1:]
 
 
 def write_bucketed_table(
@@ -220,12 +234,14 @@ def upsert_bucketed_table(
     move to a ``.old-*`` sibling, new files move in, then both temp
     dirs drop. A crash mid-swap leaves every victim file recoverable
     under the ``.old-*`` name (the compact_files dance, file-granular).
-    Local/driver-visible FS semantics, like compact_files."""
-    import shutil
+    All listing/rename/delete goes through the Hadoop FileSystem
+    (replicadb_spark.fs), so the table location may be any
+    Spark-readable URI, not just the driver's local disk."""
     import uuid
-    from pathlib import Path
 
     from pyspark.sql import functions as F
+
+    from replicadb_spark.fs import TableFS, join
 
     from replicadb_spark.modes import upsert_dataframe
 
@@ -255,7 +271,9 @@ def upsert_bucketed_table(
             for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
             if r["col_name"] == "Location"
         ]
-        path = loc[0].removeprefix("file:") if loc else None
+        # the catalog reports a qualified URI (file:/…, hdfs://…) —
+        # TableFS speaks it directly, no prefix stripping
+        path = loc[0] if loc else None
         if path is None:
             raise ValueError(f"cannot resolve the storage path of {table}")
 
@@ -272,17 +290,16 @@ def upsert_bucketed_table(
         return []
     touched_set = set(touched)
 
-    root = Path(path)
+    fs = TableFS(spark, path)
+    parent, name = _split_dir(path)
     victims = [
-        f
-        for f in root.iterdir()
-        if f.is_file()
-        and not f.name.startswith(("_", "."))
-        and _bucket_of(f.name) in touched_set
+        n
+        for n in fs.list_names(path)
+        if not n.startswith(("_", ".")) and _bucket_of(n) in touched_set
     ]
     if victims:
         existing = spark.read.format(fmt).load(
-            [str(f) for f in victims]
+            [join(path, n) for n in victims]
         ).select(*cols)
     else:
         existing = spark.createDataFrame([], spark.table(table).schema)
@@ -291,7 +308,7 @@ def upsert_bucketed_table(
     )
 
     tmp_table = f"{table}___repdb_upsert"
-    tmp_path = root.parent / f".{root.name}.upsert-{uuid.uuid4().hex[:8]}"
+    tmp_path = join(parent, f".{name}.upsert-{uuid.uuid4().hex[:8]}")
     spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
     write_bucketed_table(
         merged.repartition(n_buckets, *bucket_cols),
@@ -301,17 +318,17 @@ def upsert_bucketed_table(
         sort_cols=sort_cols,
         fmt=fmt,
         mode="overwrite",
-        path=str(tmp_path),
+        path=tmp_path,
     )
-    old_dir = root.parent / f".{root.name}.old-{uuid.uuid4().hex[:8]}"
-    old_dir.mkdir()
-    for f in victims:
-        f.rename(old_dir / f.name)
-    for f in tmp_path.iterdir():
-        if f.is_file() and _bucket_of(f.name) in touched_set:
-            f.rename(root / f.name)
+    old_dir = join(parent, f".{name}.old-{uuid.uuid4().hex[:8]}")
+    fs.mkdirs(old_dir)
+    for n in victims:
+        fs.rename_no_overwrite(join(path, n), join(old_dir, n))
+    for n in fs.list_names(tmp_path):
+        if _bucket_of(n) in touched_set:
+            fs.rename_no_overwrite(join(tmp_path, n), join(path, n))
     spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")  # external: metadata only
-    shutil.rmtree(tmp_path, ignore_errors=True)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    fs.delete(tmp_path, recursive=True)
+    fs.delete(old_dir, recursive=True)
     spark.catalog.refreshTable(table)
     return touched
