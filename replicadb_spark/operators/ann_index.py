@@ -178,51 +178,52 @@ def compact_partition_dirs(
     """Generic per-partition-directory compaction (see
     :func:`compact_ivf_cells` for the contract): rewrite each
     ``path/subdir/<prefix>*`` directory holding ≥ min_files part-files
-    into ~target_mb files via staged write + atomic rename swap."""
+    into ~target_mb files via staged write + atomic rename swap. All
+    listing/rename/delete goes through the Hadoop FileSystem
+    (replicadb_spark.fs), so the layout may live on any Spark-readable
+    URI."""
     import math
-    import os
-    import shutil
 
-    cells_dir = f"{path}/{subdir}"
+    from replicadb_spark.fs import TableFS
+    from replicadb_spark.fs import join as fs_join
+
+    fs = TableFS(spark, path)
+    cells_dir = fs_join(path, subdir)
     stats = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
-    for d in sorted(os.listdir(cells_dir)):
+    for d in fs.list_names(cells_dir):
         if not d.startswith(prefix):
             continue
-        cell_path = os.path.join(cells_dir, d)
-        parts = [
-            f
-            for f in os.listdir(cell_path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        ]
+        cell_path = fs_join(cells_dir, d)
+        parts = {
+            f: sz
+            for f, sz in fs.glob(fs_join(cell_path, "*.parquet"))
+            if not f.rsplit("/", 1)[-1].startswith((".", "_"))
+        }
         stats["files_before"] += len(parts)
         if len(parts) < min_files:
             stats["files_after"] += len(parts)
             continue
-        nbytes = sum(os.path.getsize(os.path.join(cell_path, f)) for f in parts)
+        nbytes = sum(parts.values())
         n_out = max(1, math.ceil(nbytes / (target_mb * 1024 * 1024)))
         # stage OUTSIDE cells/ so a concurrent partition discovery never
         # sees a half-written "cell=N.__compact__" directory
-        staged = os.path.join(path, f"__compact__{d}")
-        shutil.rmtree(staged, ignore_errors=True)
+        staged = fs_join(path, f"__compact__{d}")
+        fs.delete(staged, recursive=True)
         # one pruned single-partition read; the partition column is
         # constant inside the directory so it is dropped and re-derived
         # by the directory name on read
         spark.read.parquet(cell_path).coalesce(n_out).write.mode(
             "overwrite"
         ).parquet(staged)
-        old = os.path.join(path, f"__old__{d}")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(cell_path, old)
-        os.rename(staged, cell_path)
-        shutil.rmtree(old, ignore_errors=True)
+        old = fs_join(path, f"__old__{d}")
+        fs.delete(old, recursive=True)
+        fs.rename_no_overwrite(cell_path, old)
+        fs.rename_no_overwrite(staged, cell_path)
+        fs.delete(old, recursive=True)
         # drop the _SUCCESS marker so the directory looks like any
         # other dynamic-partition output
-        marker = os.path.join(cell_path, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
-        stats["files_after"] += len(
-            [f for f in os.listdir(cell_path) if f.endswith(".parquet")]
-        )
+        fs.delete(fs_join(cell_path, "_SUCCESS"))
+        stats["files_after"] += len(fs.glob(fs_join(cell_path, "*.parquet")))
         stats["cells_compacted"] += 1
     return stats
 
@@ -655,19 +656,18 @@ def ivf_cell_stats(
     Returns (cell, n_vecs, n_files, mean_cos_to_centroid) — one row per
     cell, bounded by n_cells. ONE pruned scan + one groupBy(cell)
     aggregate; the codebook joins in as a broadcast. File counts come
-    from the driver-side directory listing (n_cells directories — the
-    same bounded walk compaction does)."""
-    import os
+    from one Hadoop-FS glob over the cell directories (the same
+    bounded listing compaction does; any Spark-readable URI)."""
+    from replicadb_spark.fs import TableFS
+    from replicadb_spark.fs import join as fs_join
 
     from replicadb_spark.functions.similarity import cosine
 
-    counts = {}
-    for d in os.listdir(f"{path}/cells"):
-        if d.startswith("cell="):
-            counts[int(d.split("=", 1)[1])] = len([
-                f for f in os.listdir(f"{path}/cells/{d}")
-                if f.endswith(".parquet")
-            ])
+    fs = TableFS(spark, path)
+    counts: dict[int, int] = {}
+    for f, _sz in fs.glob(fs_join(path, "cells", "cell=*", "*.parquet")):
+        cell = int(f.rsplit("/", 2)[-2].split("=", 1)[1])
+        counts[cell] = counts.get(cell, 0) + 1
     files_df = spark.createDataFrame(
         sorted(counts.items()), "cell int, n_files int"
     )
