@@ -2,8 +2,9 @@
 
 Real decoders for the container-friendly formats that need no codec
 library: uncompressed BMP (24/32-bit, 8-bit grayscale), PPM "P6"
-images via struct/numpy, 8-bit non-interlaced PNG via stdlib ``zlib``,
-and PCM WAV audio via the stdlib ``wave`` module. Formats that
+images via struct/numpy, PNG (all bit depths 1-16, sequential and
+Adam7-interlaced) via stdlib ``zlib``, and PCM WAV audio via the
+stdlib ``wave`` module. Formats that
 genuinely need external codecs (JPEG/MP3/…)
 still raise NotImplementedError with the library they'd require —
 functions/multimodal.py dispatches on magic bytes and falls through to
@@ -133,54 +134,25 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, 3).copy()
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit-depth, non-interlaced PNG (gray, RGB, palette,
-    gray+alpha, RGBA) to (h, w, 3) uint8 RGB — pure stdlib: ``zlib``
-    inflates the IDAT stream, numpy reconstructs the five scanline
-    filters (None/Sub/Up/Average/Paeth per the PNG spec §9), alpha is
-    dropped. 16-bit depth and Adam7 interlace raise
-    UnsupportedMediaError (rare in training corpora; kept honest)."""
-    import zlib
+# Adam7 interlace passes (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, ihdr, plte, idat = 8, None, None, []
-    while pos + 8 <= len(payload):
-        ln, typ = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8:
-        raise UnsupportedMediaError(f"{depth}-bit-depth PNG")
-    if interlace:
-        raise UnsupportedMediaError("interlaced (Adam7) PNG")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise UnsupportedMediaError(f"PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < (stride + 1) * h:
-        raise ValueError("truncated PNG pixel data")
-    arr = np.frombuffer(raw, np.uint8, count=(stride + 1) * h).reshape(
-        h, stride + 1
-    )
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Invert the five scanline filters (PNG spec §9) over ``h`` rows of
+    ``stride`` bytes starting at ``raw[off]``; filtering always operates
+    on BYTES with pixel lag ``bpp``, whatever the bit depth. Returns
+    (rows uint8 (h, stride), new offset)."""
     recon = np.zeros((h, stride), np.int32)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(h):
-        f = int(arr[y, 0])
-        out = arr[y, 1:].astype(np.int32)
+        f = raw[off]
+        out = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1).astype(
+            np.int32
+        )
+        off += 1 + stride
         prev = recon[y - 1] if y else np.zeros(stride, np.int32)
         if f == 0:
             pass
@@ -205,19 +177,114 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter type {f}")
         recon[y] = out
-    px = recon.astype(np.uint8).reshape(h, w, channels)
-    if ctype == 0:
-        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
-    if ctype == 2:
-        return np.ascontiguousarray(px)
+    return recon.astype(np.uint8), off
+
+
+def _png_samples(rows: np.ndarray, w: int, channels: int, depth: int):
+    """(h, stride) reconstructed bytes → (h, w*channels) samples in the
+    ORIGINAL depth range (big-endian 16-bit pairs; MSB-first sub-byte
+    packing per spec §7.2)."""
+    h = rows.shape[0]
+    n = w * channels
+    if depth == 8:
+        return rows[:, :n].astype(np.uint16)
+    if depth == 16:
+        hi = rows[:, 0 : 2 * n : 2].astype(np.uint16)
+        lo = rows[:, 1 : 2 * n : 2].astype(np.uint16)
+        return (hi << 8) | lo
+    bits = np.unpackbits(rows, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.reshape(h, -1, depth) * weights).sum(axis=2, dtype=np.uint16)
+    return vals[:, :n]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG (gray, RGB, palette, gray+alpha, RGBA; bit depths
+    1/2/4/8/16; sequential or Adam7-interlaced) to (h, w, 3) uint8 RGB
+    — pure stdlib: ``zlib`` inflates the IDAT stream, numpy
+    reconstructs the five scanline filters per pass (spec §9, byte-wise
+    with the pixel-lag bpp), sub-byte samples unpack MSB-first, 16-bit
+    samples fold to 8 by dropping the low byte (the spec's sBIT-free
+    downconversion), low-depth grays rescale by 255/(2^d−1), and alpha
+    is dropped. Interlaced images deinterlace by scattering each pass
+    onto its (x0+i·dx, y0+j·dy) grid."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise UnsupportedMediaError(f"PNG color type {ctype}")
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        ctype, (8, 16)
+    )
+    if depth not in valid_depths:
+        raise ValueError(f"PNG color type {ctype} with {depth}-bit depth")
+    if interlace not in (0, 1):
+        raise UnsupportedMediaError(f"PNG interlace method {interlace}")
+    raw = zlib.decompress(b"".join(idat))
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    bpp = max(1, (channels * depth) // 8)
+
+    dims = []
+    need = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        stride = (wp * channels * depth + 7) // 8
+        if wp > 0 and hp > 0:
+            need += hp * (1 + stride)
+        dims.append((x0, y0, dx, dy, wp, hp, stride))
+    if len(raw) < need:
+        raise ValueError("truncated PNG pixel data")
+
+    samples = np.zeros((h, w, channels), np.uint16)
+    off = 0
+    for x0, y0, dx, dy, wp, hp, stride in dims:
+        if wp <= 0 or hp <= 0:
+            continue
+        rows, off = _png_unfilter(raw, off, hp, stride, bpp)
+        s = _png_samples(rows, wp, channels, depth).reshape(hp, wp, channels)
+        samples[y0::dy, x0::dx] = s
+
     if ctype == 3:
         if plte is None:
             raise ValueError("paletted PNG without PLTE")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        idx = px[:, :, 0]
+        idx = samples[:, :, 0]
         if idx.max(initial=0) >= len(pal):
             raise ValueError("PNG pixel index outside palette")
         return np.ascontiguousarray(pal[idx])
+    if depth == 16:
+        px = (samples >> 8).astype(np.uint8)
+    elif depth == 8:
+        px = samples.astype(np.uint8)
+    else:  # low-depth gray: rescale to full range
+        px = np.rint(
+            samples.astype(np.float64) * (255.0 / ((1 << depth) - 1))
+        ).astype(np.uint8)
+    if ctype == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if ctype == 2:
+        return np.ascontiguousarray(px)
     if ctype == 4:
         return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
     return np.ascontiguousarray(px[:, :, :3])  # RGBA -> RGB
@@ -251,8 +318,9 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP, PPM/PGM, PNG
-    and baseline JPEG decode for real (see functions/jpeg.py); only
-    exotic variants (progressive/arithmetic JPEG, 16-bit PNG, …) raise
+    (all depths, interlaced or not) and baseline/progressive JPEG
+    decode for real (see functions/jpeg.py); only exotic variants
+    (lossless/arithmetic JPEG, 16-bit PPM, …) raise
     UnsupportedMediaError."""
     fmt = sniff_format(payload)
     if fmt == "bmp":

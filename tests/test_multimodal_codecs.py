@@ -255,15 +255,11 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def _make_png(raw_rows: np.ndarray, filters: list[int], ctype: int = 2,
-              plte: bytes | None = None) -> bytes:
-    """Hand-built PNG: apply the requested filter per scanline FORWARD
-    (the encoder side of spec §9) so the decoder must invert each."""
-    import zlib
-
+def _filter_rows(raw_rows: np.ndarray, filters: list[int], bpp: int) -> bytes:
+    """Apply the requested filter per scanline FORWARD (the encoder
+    side of spec §9, byte-wise with pixel lag bpp) so the decoder must
+    invert each."""
     h, stride = raw_rows.shape
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    w = stride // bpp
     scan = b""
     prev = np.zeros(stride, np.int32)
     for y in range(h):
@@ -287,7 +283,22 @@ def _make_png(raw_rows: np.ndarray, filters: list[int], ctype: int = 2,
                 enc[x] = (cur[x] - pr) & 0xFF
         scan += bytes([f]) + enc.astype(np.uint8).tobytes()
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return scan
+
+
+def _make_png(raw_rows: np.ndarray, filters: list[int], ctype: int = 2,
+              plte: bytes | None = None, depth: int = 8,
+              interlace: int = 0) -> bytes:
+    """Hand-built PNG from pre-packed scanline BYTES (one row per
+    scanline; 16-bit samples big-endian, sub-byte samples MSB-packed)."""
+    import zlib
+
+    h, stride = raw_rows.shape
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, channels * depth // 8)
+    w = stride * 8 // (channels * depth)
+    scan = _filter_rows(raw_rows, filters, bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if plte is not None:
         out += _png_chunk(b"PLTE", plte)
@@ -332,21 +343,93 @@ def test_png_gray_palette_and_alpha():
     )
 
 
-def test_png_honest_gates():
-    # 16-bit depth refused
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
-    png16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-             + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        codecs.decode_png(png16)
-    # interlaced refused
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
-    pngi = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        codecs.decode_png(pngi)
+def test_png_16bit_rgb_and_gray():
+    """16-bit samples (big-endian pairs) decode and fold to the high
+    byte; filtering is byte-wise with bpp = channels*2."""
+    rng = np.random.RandomState(3)
+    hi = rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    samples16 = (hi.astype(np.uint16) << 8) | rng.randint(
+        0, 256, size=(3, 4, 3)
+    ).astype(np.uint16)
+    rows = samples16.reshape(3, 12).astype(">u2").view(np.uint8)
+    png = _make_png(rows, [0, 2, 4], ctype=2, depth=16)
+    np.testing.assert_array_equal(codecs.decode_png(png), hi)
+    # 16-bit grayscale replicates the high byte to 3 channels
+    g16 = samples16[:, :, 0]
+    rows = g16.reshape(3, 4).astype(">u2").view(np.uint8)
+    png = _make_png(rows, [0, 1, 3], ctype=0, depth=16)
+    np.testing.assert_array_equal(
+        codecs.decode_png(png), np.repeat(hi[:, :, :1], 3, axis=2)
+    )
+
+
+def test_png_low_depth_gray_and_palette():
+    # 2-bit gray: MSB-first packing — 0b10 0b11 0b00 0b00 → samples
+    # 2,3,0,0, rescaled by 255/3 = 85 → 170,255,0,0
+    bits = np.array([[0b10110000]], dtype=np.uint8)
+    png = _make_png(bits, [0], ctype=0, depth=2)
+    got = codecs.decode_png(png)
+    np.testing.assert_array_equal(got[0, :, 0], [170, 255, 0, 0])
+    # 1-bit gray: 0/255 bilevel
+    png = _make_png(np.array([[0b10100000]], dtype=np.uint8), [0],
+                    ctype=0, depth=1)
+    np.testing.assert_array_equal(
+        codecs.decode_png(png)[0, :, 0], [255, 0, 255, 0, 0, 0, 0, 0]
+    )
+    # 4-bit palette indices
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx = np.array([[0x01, 0x23]], dtype=np.uint8)  # indices 0,1,2,3 (w=4)
+    png = _make_png(idx, [0], ctype=3, plte=plte, depth=4)
+    np.testing.assert_array_equal(
+        codecs.decode_png(png),
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]]],
+    )
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: each pass is its own filtered scanline run; the decoder
+    scatters passes back onto the (x0+i·dx, y0+j·dy) grids."""
+    import zlib
+
+    rng = np.random.RandomState(11)
+    for h, w in ((1, 1), (2, 3), (8, 8), (9, 10), (5, 16)):
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        scan = b""
+        for x0, y0, dx, dy in passes:
+            sub = rgb[y0::dy, x0::dx]
+            hp, wp = sub.shape[:2]
+            if hp == 0 or wp == 0:
+                continue
+            rows = sub.reshape(hp, wp * 3)
+            filters = [int(rng.randint(0, 5)) for _ in range(hp)]
+            scan += _filter_rows(rows, filters, 3)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(scan))
+               + _png_chunk(b"IEND", b""))
+        np.testing.assert_array_equal(codecs.decode_png(png), rgb)
+
+
+def test_png_invalid_inputs():
     with pytest.raises(ValueError):
         codecs.decode_png(b"not a png")
+    # depth/color-type combination outside the spec
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        codecs.decode_png(bad)
+    # truncated pixel data still dies by name
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+             + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_png(short)
 
 
 def test_extract_image_features_real_png(spark):
