@@ -1,27 +1,35 @@
-"""Baseline JPEG codec — pure stdlib ``struct`` + numpy, no libjpeg.
+"""JPEG codec — pure stdlib ``struct`` + numpy, no libjpeg.
 
-Decoder: baseline sequential DCT (SOF0/SOF1) with Huffman entropy
-coding — the format of essentially every JPEG in a web-scale training
-corpus. Handles grayscale and YCbCr 3-component images, arbitrary
-integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers,
-16-bit quantization tables, and multi-table DQT/DHT segments.
-Progressive (SOF2), lossless, hierarchical and arithmetic-coded
-variants raise :class:`UnsupportedMediaError` loudly — no silent
-garbage.
+Decoder: baseline sequential (SOF0/SOF1, interleaved or multi-scan)
+AND full progressive (SOF2: spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs) with
+Huffman entropy coding — together the format of essentially every JPEG
+in a web-scale training corpus. Handles grayscale and YCbCr
+3-component images, arbitrary integer sampling factors (4:4:4, 4:2:2,
+4:2:0, ...), restart markers in every scan type, 16-bit quantization
+tables, multi-table DQT/DHT segments and between-scan table
+redefinition. Lossless, hierarchical and arithmetic-coded variants
+raise :class:`UnsupportedMediaError` loudly — no silent garbage.
 
-Encoder: a minimal baseline encoder (uniform quantization tables,
-ITU T.81 Annex K Huffman tables, optional 2x2 chroma subsampling and
-restart intervals). Its job is to be the stdlib-only round-trip
-partner for the decoder in tests and fixtures — with ``quant=1`` the
-decode error is bounded by DCT/color rounding (a few grey levels), so
-fixture tests can assert tight tolerances without shipping binary
-blobs.
+Architecture: every scan decodes into per-component COEFFICIENT
+buffers (zigzag order); dequantization + IDCT + upsampling + color
+conversion run once at the end. Sequential scans are the degenerate
+single-pass case of the same machinery.
 
-Everything here implements the public ITU-T T.81 (JPEG) spec; the
-Huffman tables are the spec's own Annex K "typical" tables. The
-reference engine (osalvador/ReplicaDB) never decodes payloads — it
-replicates LOB bytes losslessly (OrcFileManager.java:298-324); this
-module is part of the beyond-reference multimodal surface.
+Encoder: a minimal baseline encoder plus a progressive encoder
+(spec-shaped scan script: shifted DC first scan, per-component
+spectral-selection AC first scans with EOB-run coding, AC refinement
+scans with correction-bit buffering, DC refinement) — the stdlib-only
+round-trip partners for the decoder in tests and fixtures. With the
+same quantization both encoders produce the SAME coefficients, so
+tests can assert progressive decode == baseline decode bit-for-bit.
+
+Everything here implements the public ITU-T T.81 (JPEG) spec (Annex F
+sequential, Annex G progressive; Huffman tables are Annex K's
+"typical" tables). The reference engine (osalvador/ReplicaDB) never
+decodes payloads — it replicates LOB bytes losslessly
+(OrcFileManager.java:298-324); this module is part of the
+beyond-reference multimodal surface.
 
 Scale note: decode runs inside Arrow-batched ``mapInPandas`` workers
 (see functions/multimodal.py) — payload bytes never leave the executor
@@ -109,6 +117,20 @@ AC_CHR = (
      0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
      0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+# Progressive AC scans additionally need the EOBn symbols (0x10..0xE0,
+# run-length-of-end-of-band), which the Kraft-FULL Annex K tables have
+# no room for (their code space is exactly exhausted). Real progressive
+# encoders ship custom per-scan tables in DHT; this one flat canonical
+# table (every symbol at 9 bits: EOB0..EOB14, ZRL, all (run, size)
+# pairs with size 1..10) is such a table — correct, if not compact.
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]            # EOB0..EOB14
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
 )
 
 
@@ -206,7 +228,6 @@ class _BitWriter:
 # --- decoder ---------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG (SOF2)",
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -220,21 +241,125 @@ _SOF_UNSUPPORTED = {
 }
 
 
+def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy data from ``start``: unstuff 0xFF00, split at RSTn.
+    Returns (segments, position of the terminating marker's 0xFF)."""
+    n = len(payload)
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            m = payload[i + 1] if i + 1 < n else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # any other marker ends the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _refine_nonzero(reader: _BitReader, block, k: int, p1: int, m1: int):
+    """Append a correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3 / the decoder side of correction-bit buffering)."""
+    if reader.read_bit():
+        v = int(block[k])
+        if (v & p1) == 0:
+            block[k] = v + (p1 if v >= 0 else m1)
+
+
+def _decode_ac_first(reader, block, ac_tbl, ss, se, al, eobrun: int) -> int:
+    """AC first scan for one block (G.1.2.2, EOB-run coding)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.decode(ac_tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band")
+            block[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        else:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun
+            k += 16  # ZRL
+    return 0
+
+
+def _decode_ac_refine(reader, block, ac_tbl, ss, se, al, eobrun: int) -> int:
+    """AC refinement scan for one block (G.1.2.3): new ±1·2^Al
+    coefficients interleaved with correction bits for known-nonzero
+    positions passed while skipping."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.decode(ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            new_val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break  # rest of band handled by the correction tail
+                # r == 15: ZRL — skip 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement magnitude != 1")
+                new_val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if int(block[k]) != 0:
+                    _refine_nonzero(reader, block, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if new_val and k <= se:
+                block[k] = new_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if int(block[k]) != 0:
+                _refine_nonzero(reader, block, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) JPEG to (h, w, 3) uint8 RGB.
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
+    (h, w, 3) uint8 RGB.
 
     Grayscale decodes to a replicated-channel RGB array, matching the
-    other decoders in functions/codecs.py. Non-baseline frames raise
-    :class:`UnsupportedMediaError` naming the variant.
+    other decoders in functions/codecs.py. Lossless/arithmetic frames
+    raise :class:`UnsupportedMediaError` naming the variant.
     """
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan_comps = None
-    scan_data_start = None
+    scans: list[dict] = []
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -266,7 +391,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nv])
                 htables[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise UnsupportedMediaError(f"{prec}-bit JPEG")
@@ -281,51 +407,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            scan_comps = [
+            sc = [
                 {"id": seg[1 + 2 * j], "td": seg[2 + 2 * j] >> 4,
                  "ta": seg[2 + 2 * j] & 0x0F}
                 for j in range(ns)
             ]
-            scan_data_start = pos + 2 + seg_len
-            break
+            ss_, se_, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            segments, next_pos = _split_entropy(payload, pos + 2 + seg_len)
+            scans.append({
+                "comps": sc, "ss": ss_, "se": se_,
+                "ah": ahal >> 4, "al": ahal & 0x0F,
+                "segments": segments,
+                "htables": dict(htables),  # tables active AT this scan
+                "ri": restart_interval,
+            })
+            pos = next_pos
+            continue
         pos += 2 + seg_len
-    if frame is None or scan_comps is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    if len(scan_comps) != len(frame["comps"]):
-        raise UnsupportedMediaError("multi-scan (non-interleaved) JPEG")
-    if len(frame["comps"]) not in (1, 3):
-        raise UnsupportedMediaError(
-            f"{len(frame['comps'])}-component JPEG (CMYK?)"
-        )
-
-    # split entropy data into restart segments, removing byte stuffing
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = scan_data_start
-    while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            m = payload[i + 1] if i + 1 < n else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # any other marker ends the scan
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
     comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise UnsupportedMediaError(
+            f"{len(comps)}-component JPEG (CMYK?)"
+        )
     fh, fw = frame["h"], frame["w"]
     if len(comps) == 1:
-        # single-component scans are never interleaved (T.81 A.2.3)
-        for c in comps:
-            c["h"] = c["v"] = 1
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -335,64 +443,44 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
+    by_id = {c["id"]: j for j, c in enumerate(comps)}
+    # coefficient buffers (zigzag order) over the padded interleaved grid
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32) for c in comps
+    ]
+    # non-interleaved block grids cover ceil(component size / 8)
+    nblocks = [
+        (
+            -(-(-(-fh * c["v"] // vmax)) // 8),
+            -(-(-(-fw * c["h"] // hmax)) // 8),
+        )
         for c in comps
     ]
-    by_id = {c["id"]: j for j, c in enumerate(comps)}
-    order = []  # (comp_idx, dc_table, ac_table, qtable)
-    for sc in scan_comps:
-        j = by_id[sc["id"]]
-        for tbl in ((0, sc["td"]), (1, sc["ta"])):
-            if tbl not in htables:
-                raise ValueError(f"JPEG missing Huffman table {tbl}")
-        tq = comps[j]["tq"]
-        if tq not in qtables:
-            raise ValueError(f"JPEG missing quant table {tq}")
-        order.append(
-            (j, htables[(0, sc["td"])], htables[(1, sc["ta"])], qtables[tq])
+
+    for scan in scans:
+        _decode_scan(
+            scan, comps, by_id, coefs, nblocks, mcux, mcuy,
+            progressive, qtables,
         )
 
-    total_mcus = mcux * mcuy
-    per_seg = restart_interval or total_mcus
-    mcu = 0
-    for seg_bytes in segments:
-        if mcu >= total_mcus:
-            break
-        reader = _BitReader(seg_bytes)
-        preds = [0] * len(comps)
-        for _ in range(min(per_seg, total_mcus - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for j, dc_tbl, ac_tbl, qt in order:
-                ch, cv = comps[j]["h"], comps[j]["v"]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, np.int32)
-                        s = reader.decode(dc_tbl)
-                        diff = _extend(reader.receive(s), s)
-                        preds[j] += diff
-                        zz[0] = preds[j]
-                        k = 1
-                        while k < 64:
-                            sym = reader.decode(ac_tbl)
-                            r, s = sym >> 4, sym & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block")
-                            zz[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        coef = np.zeros(64, np.float64)
-                        coef[ZIGZAG] = zz * qt
-                        block = _DCT.T @ coef.reshape(8, 8) @ _DCT
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[j][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu += 1
+    planes = []
+    for j, c in enumerate(comps):
+        if c["tq"] not in qtables:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        qt = qtables[c["tq"]]
+        bh, bw = coefs[j].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[j][by, bx]
+                if not zz.any():
+                    continue
+                coef = np.zeros(64, np.float64)
+                coef[ZIGZAG] = zz * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ coef.reshape(8, 8) @ _DCT
+                )
+        planes.append(plane)
 
     full = []
     for j, c in enumerate(comps):
@@ -412,6 +500,114 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+def _decode_scan(
+    scan, comps, by_id, coefs, nblocks, mcux, mcuy, progressive, qtables
+) -> None:
+    """Decode one scan's entropy segments into the coefficient buffers."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    htables = scan["htables"]
+    sc = scan["comps"]
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    dc_scan = ss == 0
+    ac_scan = not (ss == 0 and se == 0)
+    if progressive and ss > 0 and len(sc) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if progressive and dc_scan and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+
+    order = []  # (comp_idx, dc_table, ac_table)
+    for s in sc:
+        j = by_id[s["id"]]
+        dc_tbl = ac_tbl = None
+        if dc_scan and ah == 0:
+            dc_tbl = htables.get((0, s["td"]))
+            if dc_tbl is None:
+                raise ValueError(f"JPEG missing DC Huffman table {s['td']}")
+        if ac_scan:
+            ac_tbl = htables.get((1, s["ta"]))
+            if ac_tbl is None:
+                raise ValueError(f"JPEG missing AC Huffman table {s['ta']}")
+        order.append((j, dc_tbl, ac_tbl))
+
+    interleaved = len(sc) > 1
+    if interleaved:
+        total_units = mcux * mcuy
+    else:
+        j = order[0][0]
+        bh, bw = nblocks[j]
+        total_units = bh * bw
+    ri = scan["ri"] or total_units
+    unit = 0
+    for seg_bytes in scan["segments"]:
+        if unit >= total_units:
+            break
+        reader = _BitReader(seg_bytes)
+        preds = [0] * len(comps)
+        eobrun = 0
+        for _ in range(min(ri, total_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for j, dc_tbl, ac_tbl in order:
+                    ch, cv = comps[j]["h"], comps[j]["v"]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            block = coefs[j][my * cv + by, mx * ch + bx]
+                            preds[j], eobrun = _decode_block(
+                                reader, block, dc_tbl, ac_tbl, ss, se,
+                                ah, al, preds[j], eobrun, progressive,
+                            )
+            else:
+                j, dc_tbl, ac_tbl = order[0]
+                bh, bw = nblocks[j]
+                by, bx = divmod(unit, bw)
+                block = coefs[j][by, bx]
+                preds[j], eobrun = _decode_block(
+                    reader, block, dc_tbl, ac_tbl, ss, se, ah, al,
+                    preds[j], eobrun, progressive,
+                )
+            unit += 1
+
+
+def _decode_block(
+    reader, block, dc_tbl, ac_tbl, ss, se, ah, al, pred, eobrun, progressive
+):
+    """Decode one block's contribution for the current scan type."""
+    if not progressive:
+        s = reader.decode(dc_tbl)
+        pred += _extend(reader.receive(s), s)
+        block[0] = pred
+        k = 1
+        while k <= 63:
+            sym = reader.decode(ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block")
+            block[k] = _extend(reader.receive(s), s)
+            k += 1
+        return pred, 0
+    if ss == 0 and se == 0:  # DC scan
+        if ah == 0:
+            s = reader.decode(dc_tbl)
+            pred += _extend(reader.receive(s), s)
+            block[0] = pred << al
+        else:  # DC refinement: one raw bit
+            if reader.read_bit():
+                block[0] = int(block[0]) | (1 << al)
+        return pred, eobrun
+    if ah == 0:
+        eobrun = _decode_ac_first(reader, block, ac_tbl, ss, se, al, eobrun)
+    else:
+        eobrun = _decode_ac_refine(reader, block, ac_tbl, ss, se, al, eobrun)
+    return pred, eobrun
+
+
 # --- encoder ---------------------------------------------------------------
 
 
@@ -424,8 +620,7 @@ def _encode_block(
     ac_tbl: dict,
 ) -> int:
     """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
-    coef = _DCT @ (block - 128.0) @ _DCT.T
-    zz = np.rint(coef.reshape(64)[ZIGZAG] / qt).astype(np.int64)
+    zz = _quantize_block(block, qt)
     dc = int(zz[0])
     diff = dc - pred
     mag = abs(diff)
@@ -457,6 +652,75 @@ def _encode_block(
     return dc
 
 
+def _quantize_block(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one 8x8 spatial block to zigzag coefficients."""
+    coef = _DCT @ (block - 128.0) @ _DCT.T
+    return np.rint(coef.reshape(64)[ZIGZAG] / qt).astype(np.int64)
+
+
+def _color_planes(rgb: np.ndarray, subsample: bool):
+    """RGB/grayscale input → (planes, sampling factors)."""
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    if gray:
+        return [rgb.astype(np.float64)], [(1, 1)]
+    x = rgb.astype(np.float64)
+    r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        pcb = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+        pcr = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+        cb = pcb.reshape(pcb.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+        cr = pcr.reshape(pcr.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+        return [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+    return [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+
+
+def _pad_planes(planes, samp, mcux, mcuy):
+    out = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * 8 * sv, mcux * 8 * sh
+        out.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
+    return out
+
+
+def _jpeg_headers(
+    h: int, w: int, samp, qt, ntab: int, sof_marker: int,
+    restart_interval: int, ac_tables=(AC_LUM, AC_CHR),
+) -> bytearray:
+    """SOI..tables..SOFn(..DRI) common to both encoders."""
+    nplanes = len(samp)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumbnail
+    for t in range(ntab):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, t)
+        out += bytes(int(v) for v in qt)
+    out += bytes((0xFF, sof_marker)) + struct.pack(
+        ">HBHHB", 8 + 3 * nplanes, 8, h, w, nplanes
+    )
+    for j, (sh, sv) in enumerate(samp):
+        out += struct.pack("BBB", j + 1, (sh << 4) | sv, min(j, ntab - 1))
+    for tc, tables in ((0, (DC_LUM, DC_CHR)), (1, ac_tables)):
+        for th in range(ntab):
+            bits, vals = tables[th]
+            out += b"\xff\xc4" + struct.pack(
+                ">HB", 19 + len(vals), (tc << 4) | th
+            )
+            out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
 def encode_jpeg(
     rgb: np.ndarray,
     quant: int = 1,
@@ -471,69 +735,22 @@ def encode_jpeg(
     every that many MCUs — together these exercise every decoder path.
     """
     rgb = np.asarray(rgb)
-    gray = rgb.ndim == 2
     h, w = rgb.shape[:2]
     if not 1 <= quant <= 255:
         raise ValueError("quant must be in 1..255")
     qt = np.full(64, quant, np.int64)
-
-    if gray:
-        planes = [rgb.astype(np.float64)]
-        samp = [(1, 1)]
-    else:
-        x = rgb.astype(np.float64)
-        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            # pad to even, 2x2 box-mean the chroma planes
-            pcb = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
-            pcr = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
-            cb = pcb.reshape(pcb.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
-            cr = pcr.reshape(pcr.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
-
+    planes, samp = _color_planes(rgb, subsample)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    padded = []
-    for p, (sh, sv) in zip(planes, samp):
-        th, tw = mcuy * 8 * sv, mcux * 8 * sh
-        padded.append(
-            np.pad(
-                p,
-                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
-                mode="edge",
-            )
-        )
+    padded = _pad_planes(planes, samp, mcux, mcuy)
 
-    ntab = 1 if gray else 2
+    ntab = 1 if len(planes) == 1 else 2
     dc_enc = [_huff_encode_table(*DC_LUM), _huff_encode_table(*DC_CHR)]
     ac_enc = [_huff_encode_table(*AC_LUM), _huff_encode_table(*AC_CHR)]
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumbnail
-    for t in range(ntab):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, t)
-        out += bytes(int(v) for v in qt)
-    out += b"\xff\xc0" + struct.pack(
-        ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
-    )
-    for j, (sh, sv) in enumerate(samp):
-        out += struct.pack("BBB", j + 1, (sh << 4) | sv, min(j, ntab - 1))
-    for tc, tables in ((0, (DC_LUM, DC_CHR)), (1, (AC_LUM, AC_CHR))):
-        for th in range(ntab):
-            bits, vals = tables[th]
-            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
-            out += bytes(bits) + bytes(vals)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = _jpeg_headers(h, w, samp, qt, ntab, 0xC0, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
     for j in range(len(planes)):
         t = min(j, ntab - 1)
@@ -565,5 +782,258 @@ def encode_jpeg(
                     )
     writer.pad_to_byte()
     out += bytes(writer.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder ---------------------------------------------------
+
+
+class _ProgState:
+    """Per-scan EOB-run + correction-bit buffering (T.81 G.1.2.2-3)."""
+
+    def __init__(self, writer: _BitWriter, ac_tbl: "dict | None"):
+        self.writer = writer
+        self.ac_tbl = ac_tbl
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.ac_tbl[nbits << 4]
+            self.writer.write(code, length)
+            if nbits:
+                self.writer.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.writer.write(b, 1)
+        self.pending = []
+
+
+def _enc_dc_prog(writer, zz, pred, dc_tbl, ah, al) -> int:
+    """Progressive DC: first scan (Huffman diff of dc >> Al) or
+    refinement (one raw bit)."""
+    dc = int(zz[0]) >> al  # DC point transform: arithmetic shift
+    if ah == 0:
+        diff = dc - pred
+        s = int(abs(diff)).bit_length()
+        code, length = dc_tbl[s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return dc
+    writer.write(dc & 1, 1)
+    return pred
+
+
+def _enc_ac_first(state: _ProgState, zz, ss, se, al) -> None:
+    """AC first scan for one block with EOB-run folding."""
+    w = state.writer
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al  # AC point transform rounds toward zero
+        if t == 0:
+            r += 1
+            continue
+        state.flush_eobrun()
+        while r > 15:
+            code, length = state.ac_tbl[0xF0]
+            w.write(code, length)
+            r -= 16
+        v2 = t if v >= 0 else -t
+        s = t.bit_length()
+        code, length = state.ac_tbl[(r << 4) | s]
+        w.write(code, length)
+        w.write(v2 if v2 >= 0 else v2 + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.flush_eobrun()
+
+
+def _enc_ac_refine(state: _ProgState, zz, ss, se, al) -> None:
+    """AC refinement scan for one block: newly-nonzero ±1·2^Al
+    coefficients plus buffered correction bits (T.81 G.1.2.3)."""
+    w = state.writer
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            state.flush_eobrun()
+            code, length = state.ac_tbl[0xF0]
+            w.write(code, length)
+            r -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        state.flush_eobrun()
+        code, length = state.ac_tbl[(r << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.eobrun += 1
+        state.pending.extend(br)
+        if state.eobrun == 0x7FFF:
+            state.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as a progressive
+    (SOF2) JPEG with a spec-shaped scan script:
+
+    1. interleaved DC first scan at Al=1;
+    2. per component, AC first scans for bands 1-5 and 6-63 at Al=2
+       (spectral selection + EOB-run coding);
+    3. per component, AC refinement 1-63 from Ah=2 to Al=1, then
+       Ah=1 to Al=0 (correction-bit buffering);
+    4. DC refinement scan (raw bits) from Ah=1 to Al=0.
+
+    Identical quantization to :func:`encode_jpeg` produces identical
+    coefficients, so ``decode(progressive) == decode(baseline)``
+    exactly — the fixture contract tests rely on. ``restart_interval``
+    emits DRI + per-scan RSTn markers (EOB runs flushed at every
+    restart), exercising the decoder's progressive restart paths."""
+    rgb = np.asarray(rgb)
+    h, w = rgb.shape[:2]
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in 1..255")
+    qt = np.full(64, quant, np.int64)
+    planes, samp = _color_planes(rgb, subsample)
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = _pad_planes(planes, samp, mcux, mcuy)
+
+    # quantized coefficients for every block, padded interleaved grid
+    coefs = []
+    for j, (sh, sv) in enumerate(samp):
+        bh, bw = mcuy * sv, mcux * sh
+        arr = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                arr[by, bx] = _quantize_block(
+                    padded[j][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt
+                )
+        coefs.append(arr)
+    # non-interleaved grids (ceil of component size / 8)
+    nblocks = [
+        (
+            -(-(-(-h * sv // vmax)) // 8),
+            -(-(-(-w * sh // hmax)) // 8),
+        )
+        for sh, sv in samp
+    ]
+
+    ntab = 1 if ncomp == 1 else 2
+    dc_enc = [_huff_encode_table(*DC_LUM), _huff_encode_table(*DC_CHR)]
+    prog_ac = _huff_encode_table(*PROG_AC)
+    ac_enc = [prog_ac, prog_ac]
+
+    out = _jpeg_headers(
+        h, w, samp, qt, ntab, 0xC2, restart_interval,
+        ac_tables=(PROG_AC, PROG_AC),
+    )
+
+    script: list[dict] = [
+        {"comps": list(range(ncomp)), "ss": 0, "se": 0, "ah": 0, "al": 1}
+    ]
+    for j in range(ncomp):
+        script.append({"comps": [j], "ss": 1, "se": 5, "ah": 0, "al": 2})
+        script.append({"comps": [j], "ss": 6, "se": 63, "ah": 0, "al": 2})
+    for j in range(ncomp):
+        script.append({"comps": [j], "ss": 1, "se": 63, "ah": 2, "al": 1})
+    for j in range(ncomp):
+        script.append({"comps": [j], "ss": 1, "se": 63, "ah": 1, "al": 0})
+    script.append(
+        {"comps": list(range(ncomp)), "ss": 0, "se": 0, "ah": 1, "al": 0}
+    )
+
+    for scan in script:
+        sjs, ss, se = scan["comps"], scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(sjs), len(sjs))
+        for j in sjs:
+            t = min(j, ntab - 1)
+            out += struct.pack("BB", j + 1, (t << 4) | t)
+        out += struct.pack("BBB", ss, se, (ah << 4) | al)
+
+        interleaved = len(sjs) > 1
+        if interleaved:
+            total_units = mcux * mcuy
+        else:
+            bh, bw = nblocks[sjs[0]]
+            total_units = bh * bw
+        ri = restart_interval or total_units
+        writer = _BitWriter()
+        state = _ProgState(
+            writer, ac_enc[min(sjs[0], ntab - 1)] if ss else None
+        )
+        preds = [0] * ncomp
+        rst = 0
+        unit = 0
+        while unit < total_units:
+            if restart_interval and unit and unit % ri == 0:
+                state.flush_eobrun()
+                writer.pad_to_byte()
+                out += bytes(writer.out)
+                out += bytes((0xFF, 0xD0 + (rst & 7)))
+                rst += 1
+                writer = _BitWriter()
+                state = _ProgState(writer, state.ac_tbl)
+                preds = [0] * ncomp
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for j in sjs:
+                    sh, sv = samp[j]
+                    t = min(j, ntab - 1)
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = coefs[j][my * sv + by, mx * sh + bx]
+                            preds[j] = _enc_dc_prog(
+                                writer, zz, preds[j], dc_enc[t], ah, al
+                            )
+            else:
+                j = sjs[0]
+                bh, bw = nblocks[j]
+                by, bx = divmod(unit, bw)
+                zz = coefs[j][by, bx]
+                if ss == 0:
+                    t = min(j, ntab - 1)
+                    preds[j] = _enc_dc_prog(
+                        writer, zz, preds[j], dc_enc[t], ah, al
+                    )
+                elif ah == 0:
+                    _enc_ac_first(state, zz, ss, se, al)
+                else:
+                    _enc_ac_refine(state, zz, ss, se, al)
+            unit += 1
+        state.flush_eobrun()
+        writer.pad_to_byte()
+        out += bytes(writer.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
