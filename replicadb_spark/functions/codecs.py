@@ -100,8 +100,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6) / PGM (P5), maxval <= 255, to (h, w, 3)
-    uint8 RGB."""
+    """Decode a binary PPM (P6) / PGM (P5), any maxval 1..65535
+    (two-byte big-endian samples above 255, per the Netpbm spec), to
+    (h, w, 3) uint8 RGB."""
     if payload[:2] not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM payload")
     gray = payload[:2] == b"P5"
@@ -121,14 +122,22 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = tokens
-    if maxval > 255:
-        raise UnsupportedMediaError("16-bit PPM")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"PPM maxval {maxval} outside the Netpbm range")
     nch = 1 if gray else 3
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
-    if maxval < 255:
+    if maxval > 255:  # two-byte big-endian samples
+        px = np.frombuffer(
+            payload, dtype=">u2", count=w * h * nch, offset=pos
+        ).astype(np.float64)
+    else:
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h * nch, offset=pos
+        ).astype(np.float64)
+    if maxval != 255:
         # Netpbm samples are relative to maxval — rescale to full-range
         # uint8 so e.g. a maxval=15 image doesn't decode near-black
-        px = np.rint(px.astype(np.float64) * (255.0 / maxval)).astype(np.uint8)
+        px = np.rint(px * (255.0 / maxval))
+    px = px.astype(np.uint8)
     if gray:
         return np.repeat(px.reshape(h, w, 1), 3, axis=2)
     return px.reshape(h, w, 3).copy()
@@ -317,11 +326,11 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP, PPM/PGM, PNG
-    (all depths, interlaced or not) and baseline/progressive JPEG
-    decode for real (see functions/jpeg.py); only exotic variants
-    (lossless/arithmetic JPEG, 16-bit PPM, …) raise
-    UnsupportedMediaError."""
+    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP, PPM/PGM (any
+    maxval), PNG (all depths, interlaced or not) and
+    baseline/progressive JPEG decode for real (see functions/jpeg.py);
+    only genuinely exotic variants (lossless/arithmetic JPEG,
+    compressed BMP, …) raise UnsupportedMediaError."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)

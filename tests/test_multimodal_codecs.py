@@ -107,6 +107,23 @@ def test_ppm_maxval_rescaled_to_full_range():
     np.testing.assert_array_equal(out[0, :, 0], [255, 136])
 
 
+def test_ppm_16bit_samples():
+    """maxval > 255: two-byte big-endian samples, rescaled by maxval —
+    65535 → 255, 32768 → 128; the P5 gray variant replicates."""
+    import struct as _s
+
+    payload = (b"P6\n2 1\n65535\n"
+               + _s.pack(">6H", 65535, 0, 32768, 257, 514, 65535))
+    out = codecs.decode_ppm(payload)
+    np.testing.assert_array_equal(
+        out, [[[255, 0, 128], [1, 2, 255]]]
+    )
+    pgm = b"P5\n1 1\n1023\n" + _s.pack(">H", 1023)
+    np.testing.assert_array_equal(codecs.decode_ppm(pgm), [[[255, 255, 255]]])
+    with pytest.raises(ValueError, match="maxval"):
+        codecs.decode_ppm(b"P6\n1 1\n70000\n" + b"\x00" * 6)
+
+
 def test_ppm_encode_decode_roundtrip():
     np.testing.assert_array_equal(
         codecs.decode_ppm(codecs.encode_ppm(TEST_RGB)), TEST_RGB
