@@ -49,15 +49,15 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r9_window_is_the_r06_block():
-    """The r9 rotation (VERDICT r8 item 1 / ROUND7.md arithmetic): the
-    driver window is exactly the 50 r6-gated queries, bounded by its
-    prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "dedup_simhash"
-    assert E._GATE_FIRST[-1] == "copurchase_degree_profile"
-    assert "cdc_apply_changelog" in E._GATE_FIRST
-    # the two blocks that rotated out lead _GATE_LAST in r10/r11 order
-    assert E._GATE_LAST[0] == "dedup_containment"          # r7-gated block
+def test_r10_window_is_the_r07_block():
+    """The r10 rotation (ROUND9.md "Round-10 gate plan", executed
+    verbatim): the driver window is exactly the 50 r7-gated queries,
+    bounded by its prescribed endpoints."""
+    assert E._GATE_FIRST[0] == "dedup_containment"
+    assert E._GATE_FIRST[-1] == "events_tumbling_agg"
+    assert "q1_pricing_summary" in E._GATE_FIRST
+    # the two blocks that rotated out sit in _GATE_LAST in r12/r11 order
+    assert E._GATE_LAST[0] == "dedup_simhash"              # r9-gated block
     assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r8-gated block
     assert E._GATE_LAST[-14:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
