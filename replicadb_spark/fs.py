@@ -12,11 +12,16 @@ the same FS instance Spark's own scan planning uses, so credentials,
 Design notes (mirrors Delta's LogStore contract):
 
 - **Commit point = rename-without-overwrite.** ``rename_no_overwrite``
-  raises if the destination exists, which on HDFS/local is an atomic
-  put-if-absent — exactly the single-writer publish the snapshot table
-  needs. On S3 a rename is copy+delete and NOT atomic; as with Delta on
-  S3, multi-writer safety there needs an external coordinator — the
-  single-writer replication contract (SURVEY §2.3) holds regardless.
+  raises if the destination exists. The atomicity of that put-if-absent
+  is HDFS's: its namespace rename is one metadata op that fails on an
+  existing destination. On ``file://`` Hadoop's rename also refuses an
+  existing destination (verified against the bundled Hadoop: returns
+  false, no overwrite) and we add a best-effort exists() pre-check, but
+  POSIX rename(2) underneath CAN overwrite, so local concurrent-writer
+  detection is best-effort only — the single-writer replication
+  contract (SURVEY §2.3) is what actually carries it. On S3 a rename is
+  copy+delete and NOT atomic; as with Delta on S3, multi-writer safety
+  there needs an external coordinator — same single-writer contract.
 - **Caller-prefix path form.** Every path this module RETURNS keeps the
   exact prefix the caller used for the table root (plain ``/tmp/t``,
   ``file:///tmp/t``, ``s3a://bucket/t`` …): listings are re-anchored
@@ -78,6 +83,16 @@ class TableFS:
             return self.root + qualified[len(self._qual_root):]
         return qualified
 
+    def qualify(self, p: str) -> str:
+        """Hadoop's fully-qualified form of ``p`` — the spelling-free
+        identity used to check that two differently-written prefixes
+        (``/tmp/t`` vs ``file:///tmp/t``) name the same location."""
+        return self._fs.makeQualified(self._jpath(p)).toString().rstrip("/")
+
+    @property
+    def qualified_root(self) -> str:
+        return self._qual_root
+
     # -- predicates ------------------------------------------------------
     def exists(self, p: str) -> bool:
         return bool(self._fs.exists(self._jpath(p)))
@@ -137,10 +152,19 @@ class TableFS:
             out.close()
 
     def rename_no_overwrite(self, src: str, dst: str) -> None:
-        """THE commit point: atomic publish on HDFS/local, put-if-absent
-        (Hadoop rename returns false when ``dst`` exists on HDFS) —
-        failure here means a concurrent writer broke the single-writer
-        contract, or the FS refused the move."""
+        """THE commit point: publish by renaming onto a name that must
+        not exist. Put-if-absent is ATOMIC on HDFS (namespace rename
+        fails on an existing destination); on ``file://`` Hadoop's
+        rename also returns false for an existing destination and the
+        exists() pre-check below adds a second best-effort guard, but
+        neither closes the POSIX rename(2) overwrite race — local and
+        object stores rely on the single-writer contract (module
+        docstring)."""
+        if self.exists(dst):
+            raise IOError(
+                f"commit rename {src} -> {dst} failed: destination "
+                "already exists (concurrent writer?)"
+            )
         if not self._fs.rename(self._jpath(src), self._jpath(dst)):
             detail = (
                 "destination already exists (concurrent writer?)"
@@ -155,12 +179,26 @@ class TableFS:
 
 # -- executor-side helpers (no JVM gateway in Arrow tasks) ----------------
 
+def pyarrow_uri(path: str) -> str:
+    """Translate a Hadoop-spelled URI into the spelling pyarrow's
+    ``FileSystem.from_uri`` understands: Hadoop says ``s3a://`` (and
+    legacy ``s3n://``) where pyarrow only registers ``s3://``. Other
+    schemes pass through unchanged — ``hdfs://`` matches pyarrow's own
+    name; ``abfs://``/``gs://`` support depends on the pyarrow build
+    and surfaces as from_uri's loud unrecognized-scheme error."""
+    for hadoop_scheme in ("s3a://", "s3n://"):
+        if path.startswith(hadoop_scheme):
+            return "s3://" + path[len(hadoop_scheme):]
+    return path
+
+
 def pyarrow_fs_for(path: str):
     """``(pyarrow FileSystem, fs-local path)`` for one file string in
     caller-prefix form — local paths and ``file:`` URIs resolve to the
     LocalFileSystem, other schemes through ``FileSystem.from_uri``
-    (S3/HDFS support depends on the pyarrow build, surfacing as a loud
-    import-style error, never silent data loss)."""
+    after ``pyarrow_uri`` scheme translation (support for a scheme
+    depends on the pyarrow build, surfacing as a loud
+    unrecognized-scheme error, never silent data loss)."""
     import pyarrow.fs as pafs
 
     if path.startswith("file:"):
@@ -169,7 +207,7 @@ def pyarrow_fs_for(path: str):
             local = local[1:]
         return pafs.LocalFileSystem(), local
     if "://" in path:
-        return pafs.FileSystem.from_uri(path)
+        return pafs.FileSystem.from_uri(pyarrow_uri(path))
     return pafs.LocalFileSystem(), path
 
 

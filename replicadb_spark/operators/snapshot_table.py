@@ -26,9 +26,11 @@ replicadb_spark.fs — the session's Hadoop ``FileSystem`` on the driver
 and pyarrow filesystems inside Arrow tasks — so the table root may be
 any Spark-readable URI (``file://``, ``hdfs://``, ``s3a://``), not just
 the driver's local disk. The commit point is rename-without-overwrite:
-atomic put-if-absent on HDFS/local; on S3 (non-atomic rename) the
-single-writer contract below is load-bearing, as with Delta's S3
-LogStore.
+ATOMIC put-if-absent on HDFS; on local FS Hadoop's rename refuses an
+existing destination plus a best-effort pre-check (but POSIX rename(2)
+can overwrite, so detection there is best-effort); on S3 (non-atomic
+rename) nothing detects a racer — in both cases the single-writer
+contract below is load-bearing, as with Delta's S3 LogStore.
 
 Single-writer contract (the reference's replication jobs are
 single-writer per sink table too — SURVEY §2.3); concurrent readers
@@ -72,6 +74,19 @@ def _snap_ids(fs: TableFS) -> list[int]:
 
 def _manifest_path(path: str, sid: int) -> str:
     return join(path, "manifests", f"m-{sid:06d}")
+
+
+def _delete_file_quiet(f: str) -> None:
+    """Delete one data file inside an executor task, treating
+    already-missing as success: GC deletes are driven by a
+    side-effecting mapInPandas, so a retried or speculative task must
+    be able to re-delete a file its first attempt already removed
+    without failing the job."""
+    pfs, local = pyarrow_fs_for(f)
+    try:
+        pfs.delete_file(local)
+    except FileNotFoundError:
+        pass
 
 
 def _publish(fs: TableFS, path: str, rec: dict) -> None:
@@ -233,12 +248,42 @@ def snapshot_expire(
     ids = _snap_ids(fs)
     keep = set(ids[-keep_last:]) if keep_last > 0 else set()
     if keep:
-        referenced = (
+        # Manifest rows carry whatever root SPELLING their committer
+        # used (/tmp/t vs file:///tmp/t vs file:/tmp/t); the on-disk
+        # listing below is re-anchored onto THIS call's spelling. Left
+        # unreconciled, a spelling mismatch makes every live file miss
+        # the anti-join and be deleted — so re-anchor every stored path
+        # onto this call's root, after proving (via Hadoop's qualified
+        # form) that each stored prefix names this very table root.
+        marker = "/data/snap-"
+        stored = (
             spark.read.schema(_MANIFEST_SCHEMA)
             .parquet(*[_manifest_path(path, sid) for sid in keep])
             .select("file")
             .distinct()
         )
+        # O(distinct root spellings) ≤ O(snapshots) — bounded driver set
+        prefixes = [
+            r[0]
+            for r in stored.select(
+                F.expr(
+                    f"substring(file, 1, instr(file, '{marker}') - 1)"
+                ).alias("p")
+            ).distinct().collect()
+        ]
+        for p in prefixes:
+            if not p or fs.qualify(p) != fs.qualified_root:
+                raise ValueError(
+                    f"snapshot_expire: kept manifest references files "
+                    f"under {p!r}, which does not resolve to this "
+                    f"table root {fs.qualified_root!r} — refusing to GC"
+                )
+        referenced = stored.select(
+            F.concat(
+                F.lit(fs.root),
+                F.expr(f"substring(file, instr(file, '{marker}'))"),
+            ).alias("file")
+        ).distinct()
     else:
         referenced = spark.createDataFrame([], "file string")
 
@@ -279,8 +324,7 @@ def snapshot_expire(
             for pdf in batches:
                 done = []
                 for f in pdf["file"].values:
-                    pfs, local = pyarrow_fs_for(f)
-                    pfs.delete_file(local)
+                    _delete_file_quiet(f)
                     done.append(f)
                 yield pd.DataFrame({"file": done})
 
