@@ -135,6 +135,11 @@ _GATE_LAST = (
     # r9 local-evidence addition (ROUND9.md): the bucketed-snapshot
     # bridge — time travel + zero-Exchange joins from one commit path
     "snapshot_bucketed_join_gate",
+    # r10 local-evidence additions (ROUND10.md): schema evolution
+    # (add-column with zero data rewrite, pinned per-snapshot schemas)
+    # and the z-order layout commit (box predicates prune on BOTH
+    # clustered dimensions after one rewrite)
+    "snapshot_evolution_gate", "snapshot_zorder_gate",
 )
 
 

@@ -20,6 +20,11 @@ mechanics a 100 TB table needs and the flat parquet sinks can't give:
   is listed per-directory INSIDE executor tasks and diffed against the
   kept manifests with one distributed anti-join; deletes run in the
   same tasks — nothing O(table-files) ever sits on the driver.
+- **Schema evolution**: every commit record pins the table schema;
+  ``snapshot_commit(evolve=True)`` accepts additive columns and
+  same-family numeric widening without rewriting a single data file —
+  reads request the pinned schema and the parquet reader null-fills /
+  up-casts older files. Time travel keeps each snapshot's own schema.
 
 ALL metadata I/O (commit log, listings, renames, deletes) goes through
 replicadb_spark.fs — the session's Hadoop ``FileSystem`` on the driver
@@ -89,6 +94,76 @@ def _delete_file_quiet(f: str) -> None:
         pass
 
 
+# Same-family widening chains the parquet reader accepts with an
+# explicit requested schema (verified on the bundled Spark: an int32
+# file column reads as long, a float as double; CROSS-family promotion
+# is not attempted). Tens digit = family, so rank//10 must match.
+_WIDENING_RANK = {
+    "byte": 0, "short": 1, "integer": 2, "long": 3,
+    "float": 10, "double": 11,
+}
+
+
+def _nullable(schema):
+    """Every field nullable — evolution fills old rows with null, so a
+    stored table schema can never promise non-null."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+
+
+def _merge_schemas(table, batch):
+    """Additive-evolution merge: table fields keep their position
+    (possibly widened to the batch's same-family wider type), batch-only
+    fields append. Returns ``(merged, changes)`` where ``changes`` lists
+    the human-readable evolutions; raises on a same-name type conflict
+    the parquet reader could not reconcile (cross-family, string vs
+    numeric, nested restructure)."""
+    from pyspark.sql.types import StructField, StructType
+
+    out, changes = [], []
+    bmap = {f.name: f for f in batch.fields}
+    for f in table.fields:
+        b = bmap.pop(f.name, None)
+        if b is None or b.dataType == f.dataType:
+            out.append(StructField(f.name, f.dataType, True))
+            continue
+        tr = _WIDENING_RANK.get(f.dataType.typeName())
+        br = _WIDENING_RANK.get(b.dataType.typeName())
+        if tr is not None and br is not None and tr // 10 == br // 10:
+            wide = f.dataType if tr >= br else b.dataType
+            if wide != f.dataType:
+                changes.append(
+                    f"widen {f.name}: {f.dataType.simpleString()}"
+                    f" -> {wide.simpleString()}"
+                )
+            out.append(StructField(f.name, wide, True))
+        else:
+            raise ValueError(
+                f"schema evolution cannot reconcile column {f.name!r}: "
+                f"table has {f.dataType.simpleString()}, batch has "
+                f"{b.dataType.simpleString()} — only additive columns "
+                "and same-family numeric widening are supported"
+            )
+    for name, b in bmap.items():
+        out.append(StructField(name, b.dataType, True))
+        changes.append(f"add {name} {b.dataType.simpleString()}")
+    return StructType(out), changes
+
+
+def snapshot_schema(path: str, snapshot_id: "int | None" = None):
+    """The table schema PINNED by a snapshot's commit record (a
+    StructType), or None for commits made before schema tracking — the
+    read path then falls back to parquet inference, exactly the old
+    behavior."""
+    from pyspark.sql.types import StructType
+
+    s = snapshot_record(path, snapshot_id).get("schema")
+    return StructType.fromJson(json.loads(s)) if s else None
+
+
 def _publish(fs: TableFS, path: str, rec: dict) -> None:
     """Write the commit record beside its final name and atomically
     rename it into place — THE commit point."""
@@ -111,13 +186,27 @@ def snapshot_commit(
     stat_columns: "list[str] | None" = None,
     mode: str = "append",
     meta: "dict | None" = None,
+    evolve: bool = False,
 ) -> int:
     """Commit ``df`` as the next snapshot; returns the snapshot id.
     ``mode='append'`` adds to the parent's visible set,
     ``'overwrite'`` logically replaces it (parent files stay on disk
     for time travel until expired). ``meta`` keys are stored in the
     commit record — stream_snapshot_ingest uses this to persist the
-    micro-batch id that makes replays exactly-once."""
+    micro-batch id that makes replays exactly-once.
+
+    Every commit record pins the table schema at that snapshot. An
+    appended batch whose schema DRIFTS from the table's is refused
+    unless ``evolve=True``, which accepts additive columns and
+    same-family numeric widening (int→long, float→double): the table
+    schema becomes the merge, old data files are never rewritten —
+    reads request the merged schema and the parquet reader fills
+    missing columns with null and up-casts narrow ones (the
+    Delta/Iceberg add-column shape: O(1) metadata, zero data movement).
+    A batch MISSING table columns needs no flag: the merge is a no-op
+    and its rows read back null there. Time travel keeps each
+    snapshot's own pinned schema. ``mode='overwrite'`` replaces the
+    schema outright with the batch's."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}: use 'append' or 'overwrite'")
     spark = df.sparkSession
@@ -126,6 +215,18 @@ def snapshot_commit(
     parent = ids[-1] if ids else None
     if parent is not None:
         _refuse_bucketed(path, parent, "snapshot_commit")
+    table_schema = _nullable(df.schema)
+    if parent is not None and mode == "append":
+        prev_schema = snapshot_schema(path, parent)
+        if prev_schema is not None:
+            merged, changes = _merge_schemas(prev_schema, table_schema)
+            if changes and not evolve:
+                raise ValueError(
+                    f"batch schema drifts from the table schema "
+                    f"({'; '.join(changes)}) — pass evolve=True to "
+                    "accept additive/widening evolution"
+                )
+            table_schema = merged
     snap_id = (parent or 0) + 1
     data_dir = join(path, "data", f"snap-{snap_id:06d}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -151,6 +252,7 @@ def snapshot_commit(
         "parent_id": parent,
         "operation": mode,
         "new_data_dir": data_dir,
+        "schema": table_schema.json(),
         **(meta or {}),
     })
     return snap_id
@@ -199,13 +301,19 @@ def snapshot_read(
     schema=None,
 ) -> DataFrame:
     """Scan a snapshot's visible files; ``prune=(column, lo, hi)``
-    applies manifest data skipping first. ``schema`` (optional) skips
-    inference for empty snapshots."""
-    m = snapshot_manifest(spark, path, snapshot_id)
+    applies manifest data skipping first. The scan requests the
+    snapshot's PINNED schema (commit record), so files written before
+    an additive evolution read back with null in the added columns and
+    widened numerics up-cast — pass ``schema`` to override, or for
+    empty legacy snapshots with no pinned schema."""
+    sid = _resolve(TableFS(spark, path), snapshot_id)
+    m = snapshot_manifest(spark, path, sid)
     if prune is not None:
         files = prune_files(m, *prune)
     else:
         files = sorted(r["file"] for r in m.select("file").distinct().collect())
+    if schema is None:
+        schema = snapshot_schema(path, sid)  # None on legacy commits
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -398,6 +506,8 @@ def snapshot_delete(
     fs = TableFS(spark, path)
     parent = _resolve(fs, None)
     _refuse_bucketed(path, parent, "snapshot_delete")
+    tschema = snapshot_schema(path, parent)
+    reader = spark.read.schema(tschema) if tschema is not None else spark.read
     m = snapshot_manifest(spark, path, parent)
     if prune is not None:
         victims = prune_files(m, *prune)
@@ -412,7 +522,7 @@ def snapshot_delete(
         for r in m.select("column").distinct().collect()
     ) or None
     if victims:
-        survivors = spark.read.parquet(*victims).where(~condition)
+        survivors = reader.parquet(*victims).where(~condition)
         survivors.write.mode("overwrite").parquet(data_dir)
         has_files = any(
             f.endswith(".parquet") for f in fs.list_names(data_dir)
@@ -434,6 +544,7 @@ def snapshot_delete(
         "operation": "delete",
         "new_data_dir": data_dir,
         "victim_files": len(victims),
+        **({"schema": tschema.json()} if tschema is not None else {}),
     })
     return snap_id
 
@@ -462,6 +573,8 @@ def snapshot_compact(
     fs = TableFS(spark, path)
     parent = _resolve(fs, None)
     _refuse_bucketed(path, parent, "snapshot_compact")
+    tschema = snapshot_schema(path, parent)
+    reader = spark.read.schema(tschema) if tschema is not None else spark.read
     m = snapshot_manifest(spark, path, parent)
     files = sorted(r["file"] for r in m.select("file").distinct().collect())
     sizes = dict(fs.glob(join(path, "data", "*", "*.parquet")))
@@ -479,7 +592,7 @@ def snapshot_compact(
     stat_cols = sorted(
         r["column"] for r in m.select("column").distinct().collect()
     ) or None
-    spark.read.parquet(*small).coalesce(n_out).write.mode(
+    reader.parquet(*small).coalesce(n_out).write.mode(
         "overwrite"
     ).parquet(data_dir)
     new_m = file_manifest(spark, data_dir, stat_cols)
@@ -493,6 +606,101 @@ def snapshot_compact(
         "operation": "compact",
         "new_data_dir": data_dir,
         "compacted_files": len(small),
+        **({"schema": tschema.json()} if tschema is not None else {}),
+    })
+    return snap_id
+
+
+def snapshot_zorder_compact(
+    spark: SparkSession,
+    path: str,
+    col_x: str,
+    col_y: str,
+    *,
+    target_files: "int | None" = None,
+    bits: int = 16,
+) -> int:
+    """Layout-optimizing commit (Delta's ``OPTIMIZE ZORDER BY`` shape):
+    rewrite the current snapshot's visible files clustered along the
+    Morton curve of two columns, so each new file's manifest [min, max]
+    box covers a compact square-ish region of (x, y) space instead of a
+    full-width stripe — after which a box predicate on EITHER column
+    prunes to O(box) files via ``snapshot_read(prune=...)``. Contents
+    are identical by construction (the changelog between parent and
+    this commit is empty); the parent still reads the old layout (time
+    travel) until expired.
+
+    100 TB shape: one ``repartitionByRange`` shuffle over the sampled
+    z-values (ordering.zorder_layout — Catalyst bit ops, whole-stage
+    codegen, no UDF), manifest rebuilt from footers only. The z-scale
+    is an affine map of each column onto [0, 2^bits) from one tiny
+    min/max aggregate — two scalars on the driver, nothing O(rows).
+    Returns the new snapshot id (parent unchanged if the table is
+    empty)."""
+    from replicadb_spark.operators.ordering import zorder_value
+
+    fs = TableFS(spark, path)
+    parent = _resolve(fs, None)
+    _refuse_bucketed(path, parent, "snapshot_zorder_compact")
+    tschema = snapshot_schema(path, parent)
+    m = snapshot_manifest(spark, path, parent)
+    files = sorted(r["file"] for r in m.select("file").distinct().collect())
+    if not files:
+        return parent
+    reader = spark.read.schema(tschema) if tschema is not None else spark.read
+    df = reader.parquet(*files)
+
+    lohi = df.agg(
+        F.min(col_x).cast("double").alias("x0"),
+        F.max(col_x).cast("double").alias("x1"),
+        F.min(col_y).cast("double").alias("y0"),
+        F.max(col_y).cast("double").alias("y1"),
+    ).collect()[0]
+    top = float((1 << bits) - 1)
+
+    def scaled(c: str, lo, hi):
+        if lo is None or hi is None or hi <= lo:
+            return F.lit(0)
+        return F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit((float(hi) - float(lo)))
+            * F.lit(top)
+        ).cast("long")
+
+    if target_files is None:
+        sizes = dict(fs.glob(join(path, "data", "*", "*.parquet")))
+        nbytes = sum(sizes.get(f, 0) for f in files)
+        import math
+
+        target_files = max(1, math.ceil(nbytes / (128 * 1024 * 1024)))
+    z = zorder_value(
+        scaled(col_x, lohi["x0"], lohi["x1"]),
+        scaled(col_y, lohi["y0"], lohi["y1"]),
+        bits=bits,
+    )
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    snap_id = parent + 1
+    data_dir = join(path, "data", f"snap-{snap_id:06d}")
+    clustered.write.mode("overwrite").parquet(data_dir)
+    stat_cols = sorted(
+        {r["column"] for r in m.select("column").distinct().collect()}
+        | {col_x, col_y}
+    )
+    new_m = file_manifest(spark, data_dir, stat_cols)
+    new_m.write.mode("overwrite").parquet(_manifest_path(path, snap_id))
+    _publish(fs, path, {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "operation": "zorder",
+        "new_data_dir": data_dir,
+        "zorder_by": [col_x, col_y],
+        "rewritten_files": len(files),
+        **({"schema": tschema.json()} if tschema is not None else {}),
     })
     return snap_id
 
@@ -587,7 +795,21 @@ def snapshot_changes(
         return spark.createDataFrame([], table.schema).select(
             *pk_columns, *vals, F.lit("noop").alias(change_col)
         )
-    cols = spark.read.parquet(*sample).columns
+    # Both candidate sets read through the TO snapshot's pinned schema:
+    # across an additive-evolution boundary the before-files lack the
+    # new column, which reads back null — so a value appearing in the
+    # added column classifies as an update, exactly CDF semantics.
+    to_sid = _resolve(TableFS(spark, path), to_snapshot)
+    tschema = snapshot_schema(path, to_sid)
+
+    def _rd(files: "list[str]") -> DataFrame:
+        r = spark.read.schema(tschema) if tschema is not None else spark.read
+        return r.parquet(*files)
+
+    cols = (
+        tschema.fieldNames() if tschema is not None
+        else spark.read.parquet(*sample).columns
+    )
     val_cols = [c for c in cols if c not in pk_columns]
 
     # pure-PK tables have no value payload: any rewrite of the same key
@@ -598,9 +820,11 @@ def snapshot_changes(
 
     def side(files: "list[str]", tag: str) -> DataFrame:
         src = (
-            spark.read.parquet(*files)
+            _rd(files)
             if files
-            else spark.createDataFrame([], spark.read.parquet(*sample).schema)
+            else spark.createDataFrame(
+                [], tschema if tschema is not None else _rd(sample).schema
+            )
         )
         # per-PK collapse + dup count in ONE aggregation; with n == 1
         # (the only legal case) first() IS the row's payload
@@ -693,6 +917,7 @@ def snapshot_upsert(
     fs = TableFS(spark, path)
     parent = _resolve(fs, None)
     _refuse_bucketed(path, parent, "snapshot_upsert")
+    tschema = snapshot_schema(path, parent)
     m = snapshot_manifest(spark, path, parent)
     staging = staging.persist()
     try:
@@ -743,15 +968,21 @@ def snapshot_upsert(
         data_dir = join(path, "data", f"snap-{snap_id:06d}")
         # the TABLE's columns are the merge schema: staging is projected
         # onto them (after the order_column compaction above), so extra
-        # batch columns can't poison the table's part-file schemas
-        table_files = sorted(
-            r["file"] for r in m.select("file").distinct().collect()
-        )
-        cols = (
-            spark.read.parquet(table_files[0]).columns
-            if table_files
-            else staging_c.columns
-        )
+        # batch columns can't poison the table's part-file schemas.
+        # The pinned snapshot schema is authoritative (a single file's
+        # footer may predate an additive evolution); legacy tables
+        # without one fall back to a file footer.
+        if tschema is not None:
+            cols = tschema.fieldNames()
+        else:
+            table_files = sorted(
+                r["file"] for r in m.select("file").distinct().collect()
+            )
+            cols = (
+                spark.read.parquet(table_files[0]).columns
+                if table_files
+                else staging_c.columns
+            )
         missing = [c for c in cols if c not in staging_c.columns]
         if missing:
             raise ValueError(
@@ -763,8 +994,13 @@ def snapshot_upsert(
         ) or None
         if victims:
             keys = staging_c.select(*pk_columns).distinct()
+            vreader = (
+                spark.read.schema(tschema)
+                if tschema is not None
+                else spark.read
+            )
             survivors = (
-                spark.read.parquet(*victims)
+                vreader.parquet(*victims)
                 .select(*cols)
                 .join(F.broadcast(keys), pk_columns, "left_anti")
             )
@@ -783,6 +1019,7 @@ def snapshot_upsert(
             "operation": "upsert",
             "new_data_dir": data_dir,
             "victim_files": len(victims),
+            **({"schema": tschema.json()} if tschema is not None else {}),
             **(meta or {}),
         })
         return snap_id

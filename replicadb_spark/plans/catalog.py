@@ -8522,3 +8522,208 @@ def snapshot_bucketed_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS `{tt_name}`")
         spark.sql(f"DROP TABLE IF EXISTS `{cur_name}`")
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "snapshot_evolution_gate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), delta AS (
+      SELECT o_orderkey + 300000000 AS o_orderkey, o_custkey, o_totalprice,
+             CAST(floor(o_totalprice / 100000) AS BIGINT) AS o_band
+      FROM base WHERE o_custkey = 9
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS BIGINT) AS o_band,
+           TRUE AS drift_refused_ok, TRUE AS old_rows_null_ok,
+           TRUE AS time_travel_schema_ok
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_band,
+           TRUE, TRUE, TRUE
+    FROM delta
+    """,
+)
+def snapshot_evolution_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for snapshot-table SCHEMA EVOLUTION
+    (operators/snapshot_table.snapshot_commit(evolve=True) — the
+    Delta/Iceberg add-column shape: O(1) metadata, zero data files
+    rewritten, reads null-fill through the pinned schema): commit
+    orders as snapshot 1, append a delta carrying an ADDED o_band
+    column under evolve=True, and hash the ENTIRE evolved table
+    against the SQL union (old rows NULL in the added column) — with
+    three booleans folded into every hashed row:
+
+    - ``drift_refused_ok``: the same drifting batch WITHOUT
+      evolve=True raises (accidental schema drift cannot slip in —
+      the reference refuses sink column-list drift the same way);
+    - ``old_rows_null_ok``: every pre-evolution row reads back NULL
+      in o_band and every delta row non-NULL — no file was rewritten,
+      the parquet reader fills the gap from the pinned schema;
+    - ``time_travel_schema_ok``: snapshot 1 still reads with its OWN
+      pinned pre-evolution schema (no o_band column).
+
+    Scale: evolution cost is one commit-record write — at 100 TB the
+    table's billions of rows gain a column with zero data movement."""
+    import os
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    delta = base.where(F.col("o_custkey") == 9).select(
+        (F.col("o_orderkey") + 300000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 100000).cast("long").alias("o_band"),
+    )
+    work = tempfile.mkdtemp(prefix="snap_evo_gate_")
+    path = os.path.join(work, "tbl")
+    try:
+        s1 = snapshot_commit(base, path, stat_columns=["o_orderkey"])
+        drift_refused_ok = False
+        try:
+            snapshot_commit(delta, path, stat_columns=["o_orderkey"])
+        except ValueError:
+            drift_refused_ok = True
+        s2 = snapshot_commit(
+            delta, path, stat_columns=["o_orderkey"], evolve=True
+        )
+        cur = snapshot_read(spark, path)
+        old_rows_null_ok = (
+            cur.where(
+                (F.col("o_orderkey") < 300000000)
+                & F.col("o_band").isNotNull()
+            ).count() == 0
+            and cur.where(
+                (F.col("o_orderkey") >= 300000000)
+                & F.col("o_band").isNull()
+            ).count() == 0
+        )
+        time_travel_schema_ok = (
+            snapshot_read(spark, path, snapshot_id=s1).columns
+            == ["o_orderkey", "o_custkey", "o_totalprice"]
+            and cur.columns
+            == ["o_orderkey", "o_custkey", "o_totalprice", "o_band"]
+            and s2 == s1 + 1
+        )
+        rows = cur.collect()  # materialize before the temp layout drops
+        return spark.createDataFrame(
+            [
+                (
+                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
+                    r["o_band"], drift_refused_ok, old_rows_null_ok,
+                    time_travel_schema_ok,
+                )
+                for r in rows
+            ],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "o_band bigint, drift_refused_ok boolean, "
+            "old_rows_null_ok boolean, time_travel_schema_ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "snapshot_zorder_gate",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey % 1024 AS x,
+           (o_orderkey * 7919) % 1024 AS y,
+           TRUE AS prune_x_ok, TRUE AS prune_y_ok,
+           TRUE AS content_identical_ok
+    FROM orders
+    """,
+)
+def snapshot_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for the layout-optimizing Z-ORDER commit
+    (operators/snapshot_table.snapshot_zorder_compact — Delta's
+    OPTIMIZE ZORDER BY as one snapshot commit): commit orders with two
+    derived cluster keys under a round-robin layout where EVERY file
+    spans the full (x, y) domain (no range predicate can skip
+    anything), z-order-compact on (x, y), and hash the ENTIRE table —
+    with three booleans folded into every hashed row:
+
+    - ``prune_x_ok``: before the rewrite a box predicate on x prunes
+      NOTHING (all files intersect); after it, STRICTLY fewer files
+      survive pruning — and the pruned scan still returns exactly the
+      filtered rows;
+    - ``prune_y_ok``: the same contract on y — the Morton interleave
+      buys skipping on BOTH dimensions from one layout;
+    - ``content_identical_ok``: the rewrite changed no row (the
+      parent→zorder changelog is empty and counts match).
+
+    Scale: this is the 100 TB scan-reduction lever — a box predicate
+    touches O(box) files instead of O(table), with the clustering paid
+    once as a single repartitionByRange shuffle."""
+    import os
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.manifest import prune_files
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_changes,
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_zorder_compact,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    df = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 1024).alias("x"),
+        ((F.col("o_orderkey") * 7919) % 1024).alias("y"),
+    )
+    work = tempfile.mkdtemp(prefix="snap_z_gate_")
+    path = os.path.join(work, "tbl")
+    try:
+        s1 = snapshot_commit(
+            df.repartition(16), path, stat_columns=["x", "y"]
+        )
+        m0 = snapshot_manifest(spark, path, s1)
+        n_files = m0.select("file").distinct().count()
+        pre_x = len(prune_files(m0, "x", 100.0, 200.0))
+        pre_y = len(prune_files(m0, "y", 100.0, 200.0))
+        s2 = snapshot_zorder_compact(spark, path, "x", "y", target_files=16)
+        m1 = snapshot_manifest(spark, path, s2)
+        post_x = len(prune_files(m1, "x", 100.0, 200.0))
+        post_y = len(prune_files(m1, "y", 100.0, 200.0))
+        in_x = (F.col("x") >= 100) & (F.col("x") <= 200)
+        prune_x_ok = (
+            pre_x == n_files
+            and post_x < pre_x
+            and snapshot_read(spark, path, prune=("x", 100.0, 200.0))
+            .where(in_x).count()
+            == df.where(in_x).count()
+        )
+        prune_y_ok = pre_y == n_files and post_y < pre_y
+        cur = snapshot_read(spark, path)
+        content_identical_ok = (
+            cur.count() == df.count()
+            and snapshot_changes(
+                spark, path, pk_columns=["o_orderkey"],
+                from_snapshot=s1, to_snapshot=s2,
+            ).count() == 0
+        )
+        rows = cur.collect()  # materialize before the temp layout drops
+        return spark.createDataFrame(
+            [
+                (
+                    r["o_orderkey"], r["x"], r["y"],
+                    prune_x_ok, prune_y_ok, content_identical_ok,
+                )
+                for r in rows
+            ],
+            "o_orderkey bigint, x bigint, y bigint, prune_x_ok boolean, "
+            "prune_y_ok boolean, content_identical_ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -59,7 +59,7 @@ def test_r10_window_is_the_r07_block():
     # the two blocks that rotated out sit in _GATE_LAST in r12/r11 order
     assert E._GATE_LAST[0] == "dedup_simhash"              # r9-gated block
     assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r8-gated block
-    assert E._GATE_LAST[-14:] == (
+    assert E._GATE_LAST[-16:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -68,4 +68,6 @@ def test_r10_window_is_the_r07_block():
         "snapshot_delete_gate",
         # r9 local-evidence addition
         "snapshot_bucketed_join_gate",
+        # r10 local-evidence additions
+        "snapshot_evolution_gate", "snapshot_zorder_gate",
     )

@@ -203,3 +203,58 @@ def test_snapshot_upsert_merge_semantics_and_pruned_victims(spark, tmp_path):
         snapshot_upsert(
             spark, path, staging, pk_columns=["id"], prune_column="v"
         )
+
+
+def test_zorder_compact_tightens_pruning_both_columns(spark, tmp_path):
+    """snapshot_zorder_compact: identical contents, strictly fewer
+    files scanned for a box predicate on EITHER clustered column —
+    Delta OPTIMIZE ZORDER BY semantics as one snapshot commit."""
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_changes,
+        snapshot_record,
+        snapshot_zorder_compact,
+    )
+
+    path = "file://" + str(tmp_path / "zt")
+    # rows shuffled so every initial file spans the full (x, y) domain:
+    # any range predicate must scan ALL files before clustering
+    df = (
+        spark.range(0, 40_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 200).alias("x"),
+            ((F.col("id") * 7919) % 200).alias("y"),
+        )
+        .repartition(16)  # round-robin: all files cover all ranges
+    )
+    parent = snapshot_commit(df, path, stat_columns=["x", "y"])
+    m0 = snapshot_manifest(spark, path, parent)
+    from replicadb_spark.operators.manifest import prune_files
+
+    n_files = m0.select("file").distinct().count()
+    assert n_files >= 8
+    pre_x = len(prune_files(m0, "x", 10.0, 20.0))
+    pre_y = len(prune_files(m0, "y", 10.0, 20.0))
+    assert pre_x == n_files and pre_y == n_files  # stripe layout: no skip
+
+    sid = snapshot_zorder_compact(spark, path, "x", "y", target_files=16)
+    rec = snapshot_record(path, sid)
+    assert rec["operation"] == "zorder" and rec["zorder_by"] == ["x", "y"]
+    m1 = snapshot_manifest(spark, path, sid)
+    post_x = len(prune_files(m1, "x", 10.0, 20.0))
+    post_y = len(prune_files(m1, "y", 10.0, 20.0))
+    assert post_x < pre_x and post_y < pre_y  # both dims now skip
+    # pruned scan still returns exactly the matching rows
+    got = (
+        snapshot_read(spark, path, prune=("x", 10.0, 20.0))
+        .where("x between 10 and 20")
+        .count()
+    )
+    want = df.where("x between 10 and 20").count()
+    assert got == want
+    # identical contents: the layout commit's changelog is empty and
+    # the parent still reads the old layout
+    assert snapshot_changes(
+        spark, path, pk_columns=["id"], from_snapshot=parent, to_snapshot=sid
+    ).count() == 0
+    assert snapshot_read(spark, path, snapshot_id=parent).count() == 40_000
