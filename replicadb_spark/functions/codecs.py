@@ -1,11 +1,12 @@
 """Pure-stdlib media codecs for the multimodal kernels.
 
 Real decoders for the container-friendly formats that need no codec
-library: uncompressed BMP (24/32-bit, 8-bit grayscale), PPM "P6"
-images via struct/numpy, PNG (all bit depths 1-16, sequential and
-Adam7-interlaced) via stdlib ``zlib``, and PCM WAV audio via the
-stdlib ``wave`` module. Formats that
-genuinely need external codecs (JPEG/MP3/…)
+library: BMP (24/32-bit BGR(A), 1/4/8-bit paletted, BI_RLE8/BI_RLE4
+runs) and PPM "P6" images via struct/numpy, PNG (all bit depths 1-16,
+sequential and Adam7-interlaced) via stdlib ``zlib``, PCM WAV audio
+via the stdlib ``wave`` module, and baseline/progressive JPEG in
+functions/jpeg.py. Formats that genuinely need external codecs
+(MP3, video containers, arithmetic-coded JPEG, …)
 still raise NotImplementedError with the library they'd require —
 functions/multimodal.py dispatches on magic bytes and falls through to
 that error, keeping the stub surface honest while making the decode
@@ -52,10 +53,68 @@ def sniff_format(payload: bytes | None) -> str:
     return "unknown"
 
 
+def _bmp_rle_decode(data: bytes, h: int, w: int, rle4: bool) -> np.ndarray:
+    """Decode a BI_RLE8/BI_RLE4 pixel stream into an (h, w) uint8 index
+    array in BOTTOM-UP row order (RLE bitmaps are always bottom-up).
+    Pixels skipped by end-of-line/delta escapes are undefined per the
+    spec; they decode as palette index 0, matching common rasterizers."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    pos = x = y = 0
+    n = len(data)
+    while pos + 1 < n:
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run
+            end = min(x + count, w)
+            if rle4:
+                run = np.empty(end - x, dtype=np.uint8)
+                run[0::2] = val >> 4
+                run[1::2] = val & 0x0F
+            else:
+                run = np.full(end - x, val, dtype=np.uint8)
+            if y < h:
+                idx[y, x:end] = run
+            x = end
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta: skip (dx, dy)
+            if pos + 1 >= n:
+                raise ValueError("truncated BMP RLE delta")
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: `val` literal pixels, word-aligned
+            npix = val
+            nbytes = ((npix + 1) // 2 if rle4 else npix)
+            nbytes += nbytes & 1  # pad to 2-byte boundary
+            if pos + nbytes > n:
+                raise ValueError("truncated BMP RLE absolute run")
+            raw = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=pos)
+            if rle4:
+                lit = np.empty(2 * len(raw), dtype=np.uint8)
+                lit[0::2] = raw >> 4
+                lit[1::2] = raw & 0x0F
+                lit = lit[:npix]
+            else:
+                lit = raw[:npix]
+            end = min(x + npix, w)
+            if y < h:
+                idx[y, x:end] = lit[: end - x]
+            x = end
+            pos += nbytes
+        if y >= h and val not in (1,):
+            break
+    return idx[::-1]  # bottom-up → top-down
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed BMP (BITMAPINFOHEADER; 24/32-bit BGR(A) or
-    8-bit paletted) to an (h, w, 3) uint8 RGB array. 8-bit pixels go
-    through the BGRA color table (biClrUsed entries, 256 when 0)."""
+    """Decode a BMP (BITMAPINFOHEADER+; 24/32-bit BGR(A), or 1/4/8-bit
+    paletted, uncompressed or BI_RLE8/BI_RLE4) to an (h, w, 3) uint8
+    RGB array. Paletted pixels go through the BGRA color table
+    (biClrUsed entries, 2^bpp when 0)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -65,12 +124,35 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise UnsupportedMediaError(f"compressed BMP (type {compression})")
-    if bpp not in (8, 24, 32):
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"BI_RLE8 requires 8-bit pixels, got {bpp}")
+    if compression == 2 and bpp != 4:
+        raise ValueError(f"BI_RLE4 requires 4-bit pixels, got {bpp}")
+    if bpp not in (1, 4, 8, 24, 32):
         raise UnsupportedMediaError(f"{bpp}-bit BMP")
     bottom_up = height > 0
     h, w = abs(height), width
+
+    def palette(n_default: int) -> np.ndarray:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or n_default
+        pal_off = 14 + hdr_size
+        if len(payload) < pal_off + 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        return np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA -> RGB
+
+    if compression in (1, 2):
+        if not bottom_up:
+            raise ValueError("RLE BMP must be bottom-up (positive height)")
+        pal = palette(1 << bpp)
+        idx = _bmp_rle_decode(payload[data_off:], h, w, compression == 2)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("BMP pixel index outside color table")
+        return np.ascontiguousarray(pal[idx])
+
     row_size = ((bpp * w + 31) // 32) * 4
     need = data_off + row_size * h
     if len(payload) < need:
@@ -78,16 +160,18 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=data_off
     ).reshape(h, row_size)
-    if bpp == 8:
-        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
-        pal_off = 14 + hdr_size
-        if len(payload) < pal_off + 4 * n_colors:
-            raise ValueError("truncated BMP color table")
-        pal = np.frombuffer(
-            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
-        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA -> RGB
-        idx = rows[:, :w]
-        if idx.max(initial=0) >= n_colors:
+    if bpp <= 8:
+        pal = palette(1 << bpp)
+        if bpp == 8:
+            idx = rows[:, :w]
+        elif bpp == 4:
+            nib = np.empty((h, 2 * row_size), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :w]
+        else:  # 1-bit: MSB-first bit unpacking
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        if idx.max(initial=0) >= len(pal):
             raise ValueError("BMP pixel index outside color table")
         rgb = pal[idx]
     else:
@@ -330,7 +414,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     maxval), PNG (all depths, interlaced or not) and
     baseline/progressive JPEG decode for real (see functions/jpeg.py);
     only genuinely exotic variants (lossless/arithmetic JPEG,
-    compressed BMP, …) raise UnsupportedMediaError."""
+    BITFIELDS/core-header BMP, …) raise UnsupportedMediaError."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)

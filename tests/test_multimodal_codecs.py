@@ -81,13 +81,99 @@ def test_bmp_32bit_alpha_dropped():
     np.testing.assert_array_equal(out, TEST_RGB)
 
 
-def test_bmp_rejects_compressed_and_truncated():
+def test_bmp_rejects_bitfields_and_truncated():
     raw = bytearray(make_bmp(TEST_RGB))
-    struct.pack_into("<I", raw, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", raw, 30, 3)  # BI_BITFIELDS
     with pytest.raises(NotImplementedError):
+        codecs.decode_bmp(bytes(raw))
+    # RLE8 on a 24-bit image is malformed, not unsupported
+    struct.pack_into("<I", raw, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="RLE8"):
         codecs.decode_bmp(bytes(raw))
     with pytest.raises(ValueError):
         codecs.decode_bmp(make_bmp(TEST_RGB)[:40])
+
+
+def make_pal_bmp(
+    w: int,
+    h: int,
+    bpp: int,
+    pal_rgb: list,
+    pixel_data: bytes,
+    *,
+    compression: int = 0,
+) -> bytes:
+    """Paletted BMP builder (test-only): BGRA color table + raw pixel
+    stream (pre-padded rows for compression=0, an RLE stream for 1/2)."""
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal_rgb)
+    off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(pixel_data),
+        2835, 2835, len(pal_rgb), 0,
+    )
+    return header + info + pal + pixel_data
+
+
+PAL8 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9), (7, 7, 7), (5, 5, 5)]
+
+
+def test_bmp_rle8_runs_absolute_delta_and_eol():
+    """BI_RLE8: encoded runs, absolute mode (word-aligned), delta skip
+    (undefined pixels → index 0), end-of-line, end-of-bitmap."""
+    # stream rows are bottom-up: first stream row = BOTTOM image row
+    stream = bytes(
+        [3, 1]            # run: 1,1,1
+        + [0, 3, 2, 0, 1, 0]  # absolute: 2,0,1 (+1 pad byte to word)
+        + [0, 0]          # end of line
+        + [2, 2]          # run: 2,2
+        + [0, 2, 2, 0]    # delta: skip 2 right (undefined → 0)
+        + [2, 5]          # run: 5,5
+        + [0, 1]          # end of bitmap
+    )
+    out = codecs.decode_bmp(make_pal_bmp(6, 2, 8, PAL8, stream, compression=1))
+    pal = np.array(PAL8, np.uint8)
+    want_idx = np.array(
+        [[2, 2, 0, 0, 5, 5],   # top row = second stream row
+         [1, 1, 1, 2, 0, 1]],  # bottom row = first stream row
+    )
+    np.testing.assert_array_equal(out, pal[want_idx])
+
+
+def test_bmp_rle4_nibble_runs_and_absolute():
+    """BI_RLE4: run pixels alternate the byte's high/low nibbles;
+    absolute mode packs two pixels per byte, word-aligned."""
+    stream = bytes(
+        [5, 0x12]          # run of 5: 1,2,1,2,1
+        + [0, 3, 0x34, 0x50]  # absolute 3 px: 3,4,5 (2 bytes, aligned)
+        + [0, 0]           # end of line
+        + [8, 0x05]        # run of 8: 0,5,0,5,...
+        + [0, 1]           # end of bitmap
+    )
+    out = codecs.decode_bmp(make_pal_bmp(8, 2, 4, PAL8, stream, compression=2))
+    pal = np.array(PAL8, np.uint8)
+    want_idx = np.array(
+        [[0, 5, 0, 5, 0, 5, 0, 5],
+         [1, 2, 1, 2, 1, 3, 4, 5]],
+    )
+    np.testing.assert_array_equal(out, pal[want_idx])
+
+
+def test_bmp_uncompressed_4bit_and_1bit():
+    # 4-bit: 3 px/row → 2 data bytes, padded to 4; rows bottom-up
+    rows4 = bytes([0x12, 0x00, 0, 0]) + bytes([0x30, 0x40, 0, 0])
+    out4 = codecs.decode_bmp(make_pal_bmp(3, 2, 4, PAL8, rows4))
+    pal = np.array(PAL8, np.uint8)
+    np.testing.assert_array_equal(out4, pal[np.array([[3, 0, 4], [1, 2, 0]])])
+    # 1-bit: MSB-first; 0b10110000 → px 1,0,1,1 (w=4)
+    rows1 = bytes([0b10110000, 0, 0, 0])
+    out1 = codecs.decode_bmp(
+        make_pal_bmp(4, 1, 1, [(0, 0, 0), (255, 255, 255)], rows1)
+    )
+    np.testing.assert_array_equal(
+        out1, np.array([[[0, 0, 0], [255, 255, 255]][i]
+                        for i in [1, 0, 1, 1]], np.uint8).reshape(1, 4, 3)
+    )
 
 
 def test_ppm_decode_with_comment_header():
