@@ -324,6 +324,52 @@ def snapshot_read(
     return reader.parquet(*files)
 
 
+def snapshot_metadata_agg(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    *,
+    snapshot_id: "int | None" = None,
+) -> DataFrame:
+    """Metadata-only aggregation (Iceberg's metadata scan shape):
+    ``count(*)``, ``min(column)``, ``max(column)`` for a snapshot
+    answered ENTIRELY from its manifest — zero data files opened. At
+    100 TB this turns a full-table aggregate into an O(files) read of
+    one small parquet manifest.
+
+    Sound because data files are immutable and every commit path
+    (append/overwrite/delete/compact/upsert/zorder) rebuilds manifests
+    from rewritten files' footers: per-file parquet stats are EXACT
+    min/max for numeric columns, and n_rows is exact always. The column
+    must have manifest stats (was in ``stat_columns``) and parse as
+    numeric — otherwise min/max come back null (count stays exact) so a
+    caller can fall back to a data scan, never get a wrong answer."""
+    m = snapshot_manifest(spark, path, snapshot_id)
+    per_file = m.groupBy("file").agg(F.first("n_rows").alias("n_rows"))
+    stats = m.where(F.col("column") == column).select(
+        F.col("min_s").try_cast("double").alias("mn"),
+        F.col("max_s").try_cast("double").alias("mx"),
+        F.lit(1).alias("has"),
+    )
+    n_files = per_file.count()
+    agg = stats.agg(
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("mx_v"),
+        F.sum(F.when(F.col("mn").isNull() | F.col("mx").isNull(), 1)
+              .otherwise(0)).alias("bad"),
+        F.count("has").alias("covered"),
+    )
+    total = per_file.agg(F.sum("n_rows").alias("n")).crossJoin(agg)
+    # a file without a stats row for the column, or with unparseable
+    # stats, makes min/max unknowable from metadata — null them
+    complete = (F.col("bad") == 0) & (F.col("covered") == F.lit(n_files))
+    return total.select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("count_rows"),
+        F.when(complete, F.col("min_v")).alias("min_value"),
+        F.when(complete, F.col("mx_v")).alias("max_value"),
+    )
+
+
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     fs = TableFS(spark, path)
     rows = [

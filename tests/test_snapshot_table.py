@@ -258,3 +258,36 @@ def test_zorder_compact_tightens_pruning_both_columns(spark, tmp_path):
         spark, path, pk_columns=["id"], from_snapshot=parent, to_snapshot=sid
     ).count() == 0
     assert snapshot_read(spark, path, snapshot_id=parent).count() == 40_000
+
+
+def test_metadata_agg_answers_from_manifest_only(spark, tmp_path):
+    """count/min/max from the manifest alone — exact across commits and
+    COW rewrites, null min/max (never wrong) when stats are missing."""
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_delete,
+        snapshot_metadata_agg,
+    )
+
+    path = str(tmp_path / "ma")
+    snapshot_commit(_batch(spark, 0, 500), path, stat_columns=["id"])
+    snapshot_commit(_batch(spark, 500, 800), path, stat_columns=["id"])
+    r = snapshot_metadata_agg(spark, path, "id").first()
+    assert (r["count_rows"], r["min_value"], r["max_value"]) == (800, 0.0, 799.0)
+    # a COW delete rewrites victims; metadata stays exact
+    snapshot_delete(spark, path, F.col("id") < 10, prune=("id", 0.0, 9.0))
+    r2 = snapshot_metadata_agg(spark, path, "id").first()
+    assert (r2["count_rows"], r2["min_value"], r2["max_value"]) == (790, 10.0, 799.0)
+    # time travel aggregates the OLD manifest
+    r3 = snapshot_metadata_agg(spark, path, "id", snapshot_id=1).first()
+    assert (r3["count_rows"], r3["min_value"], r3["max_value"]) == (500, 0.0, 499.0)
+    # column without manifest stats: count exact, min/max null
+    r4 = snapshot_metadata_agg(spark, path, "nope").first()
+    assert r4["count_rows"] == 790
+    assert r4["min_value"] is None and r4["max_value"] is None
+    # physical claim: every data file can vanish and the answer stands
+    # (nothing but the manifest is read)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ma" / "data"))
+    r5 = snapshot_metadata_agg(spark, path, "id").first()
+    assert (r5["count_rows"], r5["min_value"], r5["max_value"]) == (790, 10.0, 799.0)
