@@ -1,15 +1,17 @@
 """JPEG codec — pure stdlib ``struct`` + numpy, no libjpeg.
 
-Decoder: baseline sequential (SOF0/SOF1, interleaved or multi-scan)
-AND full progressive (SOF2: spectral selection + successive
-approximation, DC/AC first and refinement scans, EOB runs) with
-Huffman entropy coding — together the format of essentially every JPEG
-in a web-scale training corpus. Handles grayscale and YCbCr
-3-component images, arbitrary integer sampling factors (4:4:4, 4:2:2,
-4:2:0, ...), restart markers in every scan type, 16-bit quantization
-tables, multi-table DQT/DHT segments and between-scan table
-redefinition. Lossless, hierarchical and arithmetic-coded variants
-raise :class:`UnsupportedMediaError` loudly — no silent garbage.
+Decoder: baseline sequential (SOF0/SOF1, interleaved or multi-scan),
+full progressive (SOF2: spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs), AND
+lossless (SOF3: Annex H predictors 1-7, point transform, 2-16 bit
+samples) with Huffman entropy coding — together the format of
+essentially every JPEG in a web-scale training corpus. Handles
+grayscale and YCbCr 3-component images, arbitrary integer sampling
+factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers in every scan
+type, 16-bit quantization tables, multi-table DQT/DHT segments and
+between-scan table redefinition. Hierarchical and arithmetic-coded
+variants raise :class:`UnsupportedMediaError` loudly — no silent
+garbage.
 
 Architecture: every scan decodes into per-component COEFFICIENT
 buffers (zigzag order); dequantization + IDCT + upsampling + color
@@ -228,7 +230,6 @@ class _BitWriter:
 # --- decoder ---------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
     0xC7: "differential lossless JPEG (SOF7)",
@@ -344,13 +345,105 @@ def _decode_ac_refine(reader, block, ac_tbl, ss, se, al, eobrun: int) -> int:
     return eobrun
 
 
+def _predict_lossless(a: int, b: int, c: int, sel: int) -> int:
+    """T.81 table H.1 predictors over (a=left, b=above, c=above-left)."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def _decode_lossless(frame, scans) -> np.ndarray:
+    """Lossless (SOF3) process: Huffman-coded prediction differences,
+    no DCT/quantization, sample precision 2-16. Components carry no
+    defined color space (T.81 leaves it out; libjpeg applies none), so
+    3-component frames are returned as RGB directly. Prediction rules
+    per H.1.2: default 2^(P-Pt-1) at scan start and after every
+    restart; predictor 1 along the first line; predictor 2 for the
+    first sample of other lines; the scan's selector elsewhere; all
+    diff arithmetic modulo 2^16."""
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise UnsupportedMediaError(f"{len(comps)}-component lossless JPEG")
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise UnsupportedMediaError("subsampled lossless JPEG")
+    fh, fw, prec = frame["h"], frame["w"], frame["prec"]
+    planes = [np.zeros((fh, fw), np.int64) for _ in comps]
+    by_id = {c["id"]: j for j, c in enumerate(comps)}
+    out_shift = 0
+    for scan in scans:
+        sel, pt = scan["ss"], scan["al"]
+        out_shift = pt
+        if not 1 <= sel <= 7:
+            raise ValueError(f"lossless JPEG predictor {sel}")
+        order = []
+        for s in scan["comps"]:
+            tbl = scan["htables"].get((0, s["td"]))
+            if tbl is None:
+                raise ValueError(f"JPEG missing DC Huffman table {s['td']}")
+            order.append((by_id[s["id"]], tbl))
+        default = 1 << (prec - pt - 1)
+        total = fh * fw
+        ri = scan["ri"] or total
+        unit = 0
+        for seg_bytes in scan["segments"]:
+            if unit >= total:
+                break
+            reader = _BitReader(seg_bytes)
+            fresh = True  # first sample after scan start / restart
+            for _ in range(min(ri, total - unit)):
+                y, x = divmod(unit, fw)
+                for j, tbl in order:
+                    p = planes[j]
+                    if fresh:
+                        pred = default
+                    elif y == 0:
+                        pred = int(p[0, x - 1])
+                    elif x == 0:
+                        pred = int(p[y - 1, 0])
+                    else:
+                        pred = _predict_lossless(
+                            int(p[y, x - 1]), int(p[y - 1, x]),
+                            int(p[y - 1, x - 1]), sel,
+                        )
+                    s_ = reader.decode(tbl)
+                    diff = 32768 if s_ == 16 else _extend(reader.receive(s_), s_)
+                    p[y, x] = (pred + diff) & 0xFFFF
+                fresh = False
+                unit += 1
+    maxv = (1 << prec) - 1
+    full = []
+    for p in planes:
+        v = (p << out_shift).astype(np.float64)
+        if prec == 8 and out_shift == 0:
+            full.append(p.astype(np.uint8))
+        else:
+            full.append(
+                np.clip(np.rint(v * 255.0 / maxv), 0, 255).astype(np.uint8)
+            )
+    if len(full) == 1:
+        return np.ascontiguousarray(np.repeat(full[0][:, :, None], 3, axis=2))
+    return np.ascontiguousarray(np.stack(full, axis=2))
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
-    (h, w, 3) uint8 RGB.
+    """Decode a baseline (SOF0/SOF1), progressive (SOF2), or lossless
+    (SOF3) JPEG to (h, w, 3) uint8 RGB (lossless planes above 8-bit
+    precision are rescaled to the uint8 range).
 
     Grayscale decodes to a replicated-channel RGB array, matching the
-    other decoders in functions/codecs.py. Lossless/arithmetic frames
-    raise :class:`UnsupportedMediaError` naming the variant.
+    other decoders in functions/codecs.py. Arithmetic-coded and
+    differential frames raise :class:`UnsupportedMediaError` naming
+    the variant.
     """
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
@@ -358,6 +451,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    lossless = False
     restart_interval = 0
     scans: list[dict] = []
     pos = 2
@@ -391,16 +485,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nv])
                 htables[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # DCT frames + lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"lossless JPEG precision {prec}")
+            elif prec != 8:
                 raise UnsupportedMediaError(f"{prec}-bit JPEG")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec}
         elif marker in _SOF_UNSUPPORTED:
             raise UnsupportedMediaError(_SOF_UNSUPPORTED[marker])
         elif marker == 0xDD:  # DRI
@@ -426,6 +524,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if lossless:
+        return _decode_lossless(frame, scans)
     comps = frame["comps"]
     if len(comps) not in (1, 3):
         raise UnsupportedMediaError(
@@ -1035,5 +1135,111 @@ def encode_jpeg_progressive(
         state.flush_eobrun()
         writer.pad_to_byte()
         out += bytes(writer.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- lossless (SOF3) encoder ------------------------------------------------
+
+# One DC-class Huffman table covering every diff category 0..16 at a
+# flat 5-bit code length (Kraft sum 17/32; the all-ones code unused).
+_LOSSLESS_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_LOSSLESS_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    *,
+    point_transform: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB integer samples as a
+    LOSSLESS (SOF3) JPEG — the round-trip partner pinning the decoder:
+    with ``point_transform=0``, decode(encode(x)) == x bit-for-bit.
+
+    ``predictor`` selects T.81 table H.1 (1-7); ``point_transform``
+    shifts samples down Pt bits before prediction (decode returns them
+    shifted back up); ``precision`` is the sample bit depth 2-16
+    (values must already fit). Components are written as-is — lossless
+    JPEG defines no color transform. Restart intervals (in samples)
+    reset the prediction to 2^(P-Pt-1), mirroring the decoder."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.int64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        planes = [img[:, :, j].astype(np.int64) for j in range(3)]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 3) samples")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if any(int(p.max(initial=0)) >= (1 << precision) for p in planes):
+        raise ValueError(f"samples exceed {precision}-bit precision")
+    h, w = planes[0].shape
+    pt = point_transform
+    shifted = [p >> pt for p in planes]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * len(planes), precision, h, w, len(planes)
+    )
+    for j in range(len(planes)):
+        out += struct.pack("BBB", j + 1, 0x11, 0)  # 1x1 sampling, Tq unused
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(_LOSSLESS_VALS), 0x00)
+    out += bytes(_LOSSLESS_BITS) + bytes(_LOSSLESS_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
+    for j in range(len(planes)):
+        out += struct.pack("BB", j + 1, 0x00)
+    out += struct.pack("BBB", predictor, 0, pt)  # Ss=sel, Se=0, AhAl=0|Pt
+
+    enc = _huff_encode_table(_LOSSLESS_BITS, _LOSSLESS_VALS)
+    default = 1 << (precision - pt - 1)
+    writer = _BitWriter()
+    total = h * w
+    ri = restart_interval or total
+    unit = 0
+    rst = 0
+    while unit < total:
+        if unit:  # restart boundary between intervals
+            writer.pad_to_byte()
+            out += bytes(writer.out)
+            out += bytes((0xFF, 0xD0 + (rst & 7)))
+            rst += 1
+            writer = _BitWriter()
+        fresh = True
+        for _ in range(min(ri, total - unit)):
+            y, x = divmod(unit, w)
+            for p in shifted:
+                if fresh:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _predict_lossless(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), predictor,
+                    )
+                diff = ((int(p[y, x]) - pred + 32768) & 0xFFFF) - 32768
+                if diff == -32768:  # encoded as SSSS=16, no extra bits
+                    code, length = enc[16]
+                    writer.write(code, length)
+                    continue
+                s = abs(diff).bit_length()
+                code, length = enc[s]
+                writer.write(code, length)
+                if s:
+                    v = diff if diff >= 0 else diff + (1 << s) - 1
+                    writer.write(v, s)
+            fresh = False
+            unit += 1
+    writer.pad_to_byte()
+    out += bytes(writer.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)

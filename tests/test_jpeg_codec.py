@@ -15,6 +15,7 @@ from replicadb_spark.functions import multimodal as MM
 from replicadb_spark.functions.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_lossless,
     encode_jpeg_progressive,
 )
 
@@ -149,11 +150,52 @@ def test_honest_gates_for_non_baseline():
     enc[sof + 1] = 0xC9  # arithmetic-coded
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(enc))
-    enc[sof + 1] = 0xC3  # lossless
-    with pytest.raises(NotImplementedError, match="lossless"):
+    enc[sof + 1] = 0xC5  # differential sequential
+    with pytest.raises(NotImplementedError, match="differential"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_lossless_roundtrip_every_predictor():
+    """SOF3 decode(encode(x)) == x bit-for-bit for all seven Annex H
+    predictors, grayscale and RGB (lossless JPEG has no color
+    transform — components pass through)."""
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    for pred in range(1, 8):
+        g = decode_jpeg(encode_jpeg_lossless(gray, pred))
+        np.testing.assert_array_equal(g, np.repeat(gray[:, :, None], 3, 2))
+        c = decode_jpeg(encode_jpeg_lossless(rgb, pred))
+        np.testing.assert_array_equal(c, rgb)
+
+
+def test_lossless_restart_point_transform_and_12bit():
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(rgb, 4, restart_interval=7))
+    np.testing.assert_array_equal(out, rgb)
+    # point transform Pt: decoder returns (x >> Pt) << Pt
+    gray = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(gray, 1, point_transform=2))
+    np.testing.assert_array_equal(out[:, :, 0], (gray >> 2) << 2)
+    # 12-bit samples rescale to the uint8 surface
+    g12 = rng.integers(0, 4096, (8, 8)).astype(np.int64)
+    out = decode_jpeg(encode_jpeg_lossless(g12, 4, precision=12))
+    want = np.clip(np.rint(g12 * 255.0 / 4095), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out[:, :, 0], want)
+
+
+def test_lossless_rejects_malformed():
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(np.zeros((4, 4), np.uint8), 0)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_lossless(np.zeros((4, 4), np.uint8), 1, precision=17)
+    with pytest.raises(ValueError, match="exceed"):
+        encode_jpeg_lossless(
+            np.full((4, 4), 300, np.int64), 1, precision=8
+        )
 
 
 def test_progressive_equals_baseline_bit_for_bit():
