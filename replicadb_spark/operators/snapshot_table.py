@@ -920,6 +920,7 @@ def snapshot_upsert(
     prune_column: "str | None" = None,
     order_column: "str | None" = None,
     meta: "dict | None" = None,
+    evolve: bool = False,
 ) -> int:
     """PK upsert (the reference's incremental MERGE, M3 —
     SqlManager.java:503-512) as ONE copy-on-write commit on the
@@ -948,7 +949,16 @@ def snapshot_upsert(
     Replay-idempotent by construction (same staging rows → same final
     table state), so stream_snapshot_replica needs no extra guard for
     correctness — it still uses the batch-id guard to avoid burning
-    no-op snapshots. Returns the new snapshot id."""
+    no-op snapshots. Returns the new snapshot id.
+
+    ``evolve=True`` is MERGE WITH SCHEMA EVOLUTION (Delta's
+    mergeSchema-on-MERGE shape): staging columns beyond the table's
+    are ADDED to the pinned schema (same-family widening included)
+    instead of dropped — untouched files gain the column as null on
+    read, only the victim rewrite materializes it. The order column,
+    if not itself a table column, stays a staging-side implementation
+    detail and is never evolved in. Staging still must carry every
+    PRE-EXISTING table column."""
     if not pk_columns:
         raise ValueError("snapshot upsert requires pk columns")
     if prune_column is not None and prune_column not in pk_columns:
@@ -1018,6 +1028,20 @@ def snapshot_upsert(
         # The pinned snapshot schema is authoritative (a single file's
         # footer may predate an additive evolution); legacy tables
         # without one fall back to a file footer.
+        if evolve and tschema is not None:
+            from pyspark.sql.types import StructType
+
+            stg_fields = [
+                f for f in _nullable(staging_c.schema).fields
+                if not (
+                    order_column is not None
+                    and f.name == order_column
+                    and order_column not in tschema.fieldNames()
+                )
+            ]
+            tschema, _changes = _merge_schemas(
+                tschema, StructType(stg_fields)
+            )
         if tschema is not None:
             cols = tschema.fieldNames()
         else:

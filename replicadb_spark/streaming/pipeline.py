@@ -1953,6 +1953,7 @@ def stream_snapshot_replica(
     prune_column: "str | None" = None,
     order_column: "str | None" = None,
     available_now: bool = True,
+    evolve: bool = False,
 ) -> StreamingQuery:
     """Twin #26: continuous PK replication into the SNAPSHOT table —
     the reference's incremental mode (M3) with
@@ -1971,7 +1972,10 @@ def stream_snapshot_replica(
 
     Readers get what no other merge sink gives: time travel to the
     table AS OF any batch boundary plus data-skipping reads between
-    commits."""
+    commits. ``evolve=True`` forwards MERGE-with-schema-evolution to
+    snapshot_upsert, so a stream RESTARTED against a source that grew
+    a column absorbs the drift instead of dying — prior snapshots keep
+    their own pinned schemas."""
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
         last_committed_batch_id,
@@ -2010,6 +2014,7 @@ def stream_snapshot_replica(
             prune_column=prune_column,
             order_column=None,  # batch already compacted above
             meta={"batch_id": batch_id},
+            evolve=evolve,
         )
 
     writer = (

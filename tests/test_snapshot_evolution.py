@@ -180,3 +180,38 @@ def test_cow_ops_work_across_evolution_boundary(spark, tmp_path):
             pk_columns=["id"],
         )
     assert s2 == 2  # ids stayed dense through the whole chain
+
+
+def test_upsert_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: staging columns beyond the table's
+    are added to the pinned schema (widening included); the order
+    column stays staging-side; untouched rows read the new column as
+    null; without the flag the extra column is dropped as before."""
+    path = _t(tmp_path, "ue")
+    snapshot_commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v int"), path,
+        stat_columns=["id"],
+    )
+    staging = spark.createDataFrame(
+        [(2, 21, 9, "x"), (2, 22, 10, "y"), (3, 30, 1, "z")],
+        "id long, v long, seq long, tag string",
+    )
+    # strict mode: extra columns dropped, no evolution
+    snapshot_upsert(
+        spark, path, staging, pk_columns=["id"], order_column="seq"
+    )
+    assert snapshot_read(spark, path).columns == ["id", "v"]
+
+    sid = snapshot_upsert(
+        spark, path, staging, pk_columns=["id"], order_column="seq",
+        evolve=True,
+    )
+    cur = snapshot_read(spark, path)
+    # tag added, v widened int->long, seq (the order column) NOT evolved in
+    assert cur.columns == ["id", "v", "tag"]
+    assert dict(cur.dtypes)["v"] == "bigint"
+    got = {r["id"]: (r["v"], r["tag"]) for r in cur.collect()}
+    assert got == {1: (10, None), 2: (22, "y"), 3: (30, "z")}
+    assert snapshot_schema(path, sid).fieldNames() == ["id", "v", "tag"]
+    # prior snapshots keep their own schema
+    assert snapshot_read(spark, path, snapshot_id=1).columns == ["id", "v"]

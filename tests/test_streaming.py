@@ -1779,3 +1779,64 @@ def test_stream_snapshot_replica_converges_time_travels_and_replays(spark, tmp_p
     run("ck2")
     assert current_snapshot(table) == 3
     assert {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()} == want
+
+
+def test_stream_snapshot_replica_absorbs_schema_evolution(spark, tmp_path):
+    """Twin #26 across a stream RESTART whose source grew a column:
+    evolve=True forwards MERGE-with-schema-evolution to the snapshot
+    upsert — older snapshots keep their pinned schemas, untouched rows
+    read the new column as null, and the batch-id guard still holds."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+        snapshot_schema,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "evo_src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())}),
+        src / "f0.parquet",
+    )
+    table = str(tmp_path / "evo_replica")
+    ck = str(tmp_path / "evo_ck")
+    q = P.stream_snapshot_replica(
+        spark.readStream.schema("k long, v long").parquet(str(src)),
+        table, ck, pk_columns=["k"], prune_column="k",
+    )
+    q.awaitTermination(300)
+    assert current_snapshot(table) == 1
+
+    # a new file lands with a grown 'tag' column; the stream restarts
+    # on the SAME checkpoint (batch ids continue) with the wider schema
+    pq.write_table(
+        pa.table({"k": pa.array([2, 4], pa.int64()),
+                  "v": pa.array([22, 40], pa.int64()),
+                  "tag": pa.array(["x", "y"], pa.string())}),
+        src / "f1.parquet",
+    )
+    time.sleep(1.05)
+    os.utime(src / "f1.parquet")
+    q = P.stream_snapshot_replica(
+        spark.readStream.schema("k long, v long, tag string")
+        .parquet(str(src)),
+        table, ck, pk_columns=["k"], prune_column="k",
+        evolve=True,
+    )
+    q.awaitTermination(300)
+    assert current_snapshot(table) == 2
+    cur = snapshot_read(spark, table)
+    assert cur.columns == ["k", "v", "tag"]
+    got = {r["k"]: (r["v"], r["tag"]) for r in cur.collect()}
+    assert got == {1: (10, None), 2: (22, "x"), 3: (30, None), 4: (40, "y")}
+    # snapshot 1 keeps its pre-evolution pinned schema
+    assert snapshot_schema(table, 1).fieldNames() == ["k", "v"]
+    assert snapshot_read(spark, table, snapshot_id=1).columns == ["k", "v"]
