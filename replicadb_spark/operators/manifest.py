@@ -32,9 +32,13 @@ def file_manifest(
     path: str,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """(file, n_rows, column, min_s, max_s) for every parquet part-file
-    under ``path``. min/max are stringified (heterogeneous column types
-    stack in one schema; numeric compare re-casts on use).
+    """(file, n_rows, column, min_s, max_s, n_nulls) for every parquet
+    part-file under ``path``. min/max are stringified (heterogeneous
+    column types stack in one schema; numeric compare re-casts on use);
+    ``n_nulls`` is the column's exact null count when every row group
+    records one, else null (unknown ≠ zero). A column that is entirely
+    null in a file still gets a row (null min/max, n_nulls == n_rows) —
+    that row is what IS-NOT-NULL pruning skips on.
 
     The directory listing is driver-side metadata (same as Spark's own
     scan planning — one Hadoop glob round trip per nesting depth);
@@ -56,11 +60,14 @@ def file_manifest(
         import pyarrow.parquet as pq
 
         for pdf in batches:
-            out = {"file": [], "n_rows": [], "column": [], "min_s": [], "max_s": []}
+            out = {"file": [], "n_rows": [], "column": [],
+                   "min_s": [], "max_s": [], "n_nulls": []}
             for fname in pdf["file"].values:
                 md = pq.ParquetFile(pyarrow_open(fname)).metadata
                 lo: dict = {}
                 hi: dict = {}
+                nul: dict = {}  # name -> exact count, or None once unknown
+                bad_mm: set = set()  # min/max not covering every row group
                 n_rows = md.num_rows
                 for rg in range(md.num_row_groups):
                     row = md.row_group(rg)
@@ -70,22 +77,37 @@ def file_manifest(
                         if columns is not None and name not in columns:
                             continue
                         st = col.statistics
-                        if st is None or not st.has_min_max:
+                        if st is None:
+                            nul[name] = None
+                            bad_mm.add(name)
+                            continue
+                        if st.null_count is None or nul.get(name, 0) is None:
+                            nul[name] = None
+                        else:
+                            nul[name] = nul.get(name, 0) + st.null_count
+                        if not st.has_min_max:
+                            # all-null row group: contributes no values,
+                            # so existing min/max still cover the file
+                            if st.null_count != row.num_rows:
+                                bad_mm.add(name)
                             continue
                         lo[name] = min(lo[name], st.min) if name in lo else st.min
                         hi[name] = max(hi[name], st.max) if name in hi else st.max
-                for name in lo:
+                for name in sorted(set(lo) | set(nul)):
+                    ok = name in lo and name not in bad_mm
                     out["file"].append(fname)
                     out["n_rows"].append(n_rows)
                     out["column"].append(name)
-                    out["min_s"].append(str(lo[name]))
-                    out["max_s"].append(str(hi[name]))
+                    out["min_s"].append(str(lo[name]) if ok else None)
+                    out["max_s"].append(str(hi[name]) if ok else None)
+                    out["n_nulls"].append(nul.get(name))
             yield pd.DataFrame(out)
 
     width = spark.sparkContext.defaultParallelism
     return fdf.repartition(min(width, len(files))).mapInPandas(
         read_footers,
-        schema="file string, n_rows long, column string, min_s string, max_s string",
+        schema="file string, n_rows long, column string, "
+               "min_s string, max_s string, n_nulls long",
     )
 
 
@@ -124,5 +146,26 @@ def prune_files(
         )
         .select("file")
         .distinct()
+    )
+    return sorted(r.file for r in keep.collect())
+
+
+def prune_files_not_null(manifest: DataFrame, column: str) -> list[str]:
+    """Files that may hold a NON-NULL value of ``column`` — the
+    candidate set for an ``IS NOT NULL`` scan (the dominant filter of
+    sparse/optional columns at 100 TB: files whose column is entirely
+    null are skipped without being opened). Conservative: a file is
+    dropped ONLY when its manifest row proves n_nulls == n_rows;
+    missing rows, unknown null counts, and legacy manifests without
+    the n_nulls column all keep the file."""
+    stats = manifest.where(F.col("column") == column).select(
+        "file", "n_rows", "n_nulls"
+    )
+    all_null = stats.where(
+        F.col("n_nulls").isNotNull() & (F.col("n_nulls") == F.col("n_rows"))
+    ).select("file")
+    keep = (
+        manifest.select("file").distinct()
+        .join(all_null, "file", "left_anti")
     )
     return sorted(r.file for r in keep.collect())

@@ -51,9 +51,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from replicadb_spark.fs import TableFS, join, pyarrow_fs_for
-from replicadb_spark.operators.manifest import file_manifest, prune_files
+from replicadb_spark.operators.manifest import (
+    file_manifest,
+    prune_files,
+    prune_files_not_null,
+)
 
-_MANIFEST_SCHEMA = "file string, n_rows long, column string, min_s string, max_s string"
+# n_nulls arrived in round 10; manifests written before then read back
+# with a null n_nulls through this explicit schema — every consumer
+# treats unknown as not-excludable, so old tables stay correct.
+_MANIFEST_SCHEMA = (
+    "file string, n_rows long, column string, "
+    "min_s string, max_s string, n_nulls long"
+)
 
 
 def _table_fs(path: str, spark: "SparkSession | None" = None) -> TableFS:
@@ -298,20 +308,26 @@ def snapshot_read(
     *,
     snapshot_id: "int | None" = None,
     prune: "tuple[str, float, float] | None" = None,
+    prune_not_null: "str | None" = None,
     schema=None,
 ) -> DataFrame:
     """Scan a snapshot's visible files; ``prune=(column, lo, hi)``
-    applies manifest data skipping first. The scan requests the
-    snapshot's PINNED schema (commit record), so files written before
-    an additive evolution read back with null in the added columns and
-    widened numerics up-cast — pass ``schema`` to override, or for
-    empty legacy snapshots with no pinned schema."""
+    applies manifest data skipping first, and ``prune_not_null=col``
+    additionally drops files whose manifest proves the column entirely
+    null (the IS NOT NULL scan of a sparse column). The scan requests
+    the snapshot's PINNED schema (commit record), so files written
+    before an additive evolution read back with null in the added
+    columns and widened numerics up-cast — pass ``schema`` to override,
+    or for empty legacy snapshots with no pinned schema."""
     sid = _resolve(TableFS(spark, path), snapshot_id)
     m = snapshot_manifest(spark, path, sid)
     if prune is not None:
         files = prune_files(m, *prune)
     else:
         files = sorted(r["file"] for r in m.select("file").distinct().collect())
+    if prune_not_null is not None:
+        nn = set(prune_files_not_null(m, prune_not_null))
+        files = [f for f in files if f in nn]
     if schema is None:
         schema = snapshot_schema(path, sid)  # None on legacy commits
     reader = spark.read
@@ -340,33 +356,53 @@ def snapshot_metadata_agg(
     Sound because data files are immutable and every commit path
     (append/overwrite/delete/compact/upsert/zorder) rebuilds manifests
     from rewritten files' footers: per-file parquet stats are EXACT
-    min/max for numeric columns, and n_rows is exact always. The column
-    must have manifest stats (was in ``stat_columns``) and parse as
-    numeric — otherwise min/max come back null (count stays exact) so a
-    caller can fall back to a data scan, never get a wrong answer."""
+    min/max for numeric columns, n_rows and null counts exact always.
+    The column must have manifest stats (was in ``stat_columns``) and
+    parse as numeric — otherwise min/max come back null (count stays
+    exact) so a caller can fall back to a data scan, never get a wrong
+    answer. A file whose column is entirely null (n_nulls == n_rows)
+    legitimately contributes no min/max; ``null_count`` is the exact
+    null total when every file records one, else null."""
     m = snapshot_manifest(spark, path, snapshot_id)
     per_file = m.groupBy("file").agg(F.first("n_rows").alias("n_rows"))
     stats = m.where(F.col("column") == column).select(
         F.col("min_s").try_cast("double").alias("mn"),
         F.col("max_s").try_cast("double").alias("mx"),
+        "n_rows",
+        "n_nulls",
         F.lit(1).alias("has"),
     )
     n_files = per_file.count()
+    all_null = F.col("n_nulls").isNotNull() & (
+        F.col("n_nulls") == F.col("n_rows")
+    )
     agg = stats.agg(
         F.min("mn").alias("min_v"),
         F.max("mx").alias("mx_v"),
-        F.sum(F.when(F.col("mn").isNull() | F.col("mx").isNull(), 1)
-              .otherwise(0)).alias("bad"),
+        F.sum(
+            F.when(
+                (F.col("mn").isNull() | F.col("mx").isNull()) & ~all_null,
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
         F.count("has").alias("covered"),
+        F.sum(F.when(F.col("n_nulls").isNull(), 1).otherwise(0))
+        .alias("nul_unknown"),
+        F.sum("n_nulls").alias("nul_sum"),
     )
     total = per_file.agg(F.sum("n_rows").alias("n")).crossJoin(agg)
     # a file without a stats row for the column, or with unparseable
-    # stats, makes min/max unknowable from metadata — null them
+    # stats that is not provably all-null, makes min/max unknowable
     complete = (F.col("bad") == 0) & (F.col("covered") == F.lit(n_files))
     return total.select(
         F.coalesce(F.col("n"), F.lit(0)).alias("count_rows"),
         F.when(complete, F.col("min_v")).alias("min_value"),
         F.when(complete, F.col("mx_v")).alias("max_value"),
+        F.when(
+            (F.col("nul_unknown") == 0)
+            & (F.col("covered") == F.lit(n_files)),
+            F.coalesce(F.col("nul_sum"), F.lit(0)),
+        ).alias("null_count"),
     )
 
 

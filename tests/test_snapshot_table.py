@@ -291,3 +291,74 @@ def test_metadata_agg_answers_from_manifest_only(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "ma" / "data"))
     r5 = snapshot_metadata_agg(spark, path, "id").first()
     assert (r5["count_rows"], r5["min_value"], r5["max_value"]) == (790, 10.0, 799.0)
+
+
+def test_null_count_stats_and_is_not_null_pruning(spark, tmp_path):
+    """Manifest n_nulls: exact per-file null counts, rows emitted for
+    entirely-null columns (null min/max), IS-NOT-NULL pruning skips
+    provably-all-null files and keeps everything unknown — including
+    legacy 5-column manifests read through the widened schema."""
+    from replicadb_spark.operators.manifest import (
+        file_manifest,
+        prune_files,
+        prune_files_not_null,
+    )
+    from replicadb_spark.operators.snapshot_table import (
+        _MANIFEST_SCHEMA,
+        snapshot_manifest,
+        snapshot_metadata_agg,
+    )
+
+    path = str(tmp_path / "nn")
+    # snap 1: label entirely null; snap 2: label partially null
+    snapshot_commit(
+        spark.createDataFrame(
+            [(i, None) for i in range(10)], "id long, label string"
+        ),
+        path, stat_columns=["id", "label"],
+    )
+    snapshot_commit(
+        spark.createDataFrame(
+            [(10, "x"), (11, None), (12, "y")], "id long, label string"
+        ).coalesce(1),
+        path, stat_columns=["id", "label"],
+    )
+    m = snapshot_manifest(spark, path)
+    rows = {(r["file"], r["column"]): r for r in m.collect()}
+    files = sorted({f for f, _ in rows})
+    snap1 = [f for f in files if "snap-000001" in f]
+    snap2 = [f for f in files if "snap-000002" in f]
+    assert snap1 and len(snap2) == 1
+    # all-null column: row present, null min/max, n_nulls == n_rows
+    for f in snap1:
+        r = rows[(f, "label")]
+        assert r["min_s"] is None and r["n_nulls"] == r["n_rows"]
+    r2 = rows[(snap2[0], "label")]
+    assert r2["n_nulls"] == 1 and r2["min_s"] == "x" and r2["max_s"] == "y"
+
+    # IS NOT NULL pruning: only snap 2's file may hold non-null labels
+    kept = prune_files_not_null(m, "label")
+    assert kept == snap2
+    got = snapshot_read(spark, path, prune_not_null="label").where(
+        "label is not null"
+    )
+    assert {r["label"] for r in got.collect()} == {"x", "y"}
+    # range pruning still keeps all-null-stat files conservatively
+    assert set(prune_files(m, "label", 0.0, 1.0)) == set(files)
+
+    # metadata agg: exact null_count; all-null files don't poison min/max
+    r = snapshot_metadata_agg(spark, path, "label").first()
+    assert r["count_rows"] == 13 and r["null_count"] == 11
+    ra = snapshot_metadata_agg(spark, path, "id").first()
+    assert (ra["min_value"], ra["max_value"], ra["null_count"]) == (0.0, 12.0, 0)
+
+    # legacy manifest (no n_nulls column) reads back conservatively
+    legacy = m.select("file", "n_rows", "column", "min_s", "max_s")
+    legacy_path = str(tmp_path / "legacy_m")
+    legacy.write.parquet(legacy_path)
+    m_old = spark.read.schema(_MANIFEST_SCHEMA).parquet(legacy_path)
+    assert set(prune_files_not_null(m_old, "label")) == set(files)  # keep all
+
+    # file_manifest over a plain directory agrees with the snapshot view
+    fm = file_manifest(spark, path + "/data", ["label"])
+    assert fm.where(F.col("n_nulls").isNull()).count() == 0
