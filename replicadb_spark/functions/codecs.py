@@ -457,23 +457,69 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def _riff_chunks(payload: bytes) -> tuple[bytes, bytes]:
+    """(fmt chunk body, data chunk body) from a RIFF/WAVE container —
+    the fallback framing parser for formats the stdlib ``wave`` module
+    refuses (IEEE float). Chunk sizes are word-padded per RIFF."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
 def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode PCM WAV to (mono float64 samples in [-1, 1], sample_rate,
+    """Decode WAV to (mono float64 samples in [-1, 1], sample_rate,
     sample_width_bytes).
 
-    8-bit WAV is unsigned (offset 128), 16/32-bit signed little-endian
-    — the stdlib ``wave`` module parses the RIFF framing; numpy does
-    the sample math. Multi-channel audio is mixed down by mean."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        nch = wf.getnchannels()
-        sw = wf.getsampwidth()
-        rate = wf.getframerate()
-        raw = wf.readframes(wf.getnframes())
+    Integer PCM: 8-bit unsigned (offset 128), 16/24/32-bit signed
+    little-endian — the stdlib ``wave`` module parses the RIFF framing;
+    numpy does the sample math. IEEE float WAV (format code 3, 32/64
+    bit), which the stdlib refuses, goes through the fallback RIFF
+    parser; compressed formats (ADPCM, mu-law, …) stay honest
+    UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error:
+        fmt, raw = _riff_chunks(payload)
+        code, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+        bits = struct.unpack_from("<H", fmt, 14)[0]
+        if code == 3 and bits in (32, 64):
+            x = np.frombuffer(raw, dtype=f"<f{bits // 8}").astype(np.float64)
+            x = np.clip(x, -1.0, 1.0)  # float WAV nominal range
+        else:
+            raise UnsupportedMediaError(
+                f"WAV format code {code} ({bits}-bit)"
+            )
+        if nch > 1:
+            x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+        return x, rate, bits // 8
     if sw == 1:
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
     elif sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / 8388608.0
     elif sw == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:

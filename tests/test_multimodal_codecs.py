@@ -563,3 +563,51 @@ def test_png_random_filter_fuzz():
         filters = [int(rng.randint(0, 5)) for _ in range(h)]
         png = _make_png(rgb.reshape(h, w * 3), filters)
         np.testing.assert_array_equal(codecs.decode_png(png), rgb)
+
+
+def make_float_wav(samples: np.ndarray, rate: int = 8000, bits: int = 32) -> bytes:
+    """IEEE-float WAV builder (format code 3) — the stdlib wave module
+    can't write these, so the RIFF framing is laid out by hand."""
+    data = samples.astype(f"<f{bits // 8}").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * bits // 8, bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_float32_and_float64_decode():
+    t = np.linspace(0, 1, 800, endpoint=False)
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t))
+    for bits in (32, 64):
+        x, rate, sw = codecs.decode_wav_full(make_float_wav(sig, bits=bits))
+        assert rate == 8000 and sw == bits // 8
+        tol = 1e-6 if bits == 32 else 0.0
+        assert np.abs(x - sig).max() <= tol
+
+
+def test_wav_24bit_pcm_decode():
+    t = np.linspace(0, 1, 400, endpoint=False)
+    sig = 0.25 * np.sin(2 * np.pi * 220 * t)
+    ints = np.clip(np.rint(sig * 8388608), -8388608, 8388607).astype(np.int64)
+    frames = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in ints
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(frames)
+    x, rate, sw = codecs.decode_wav_full(buf.getvalue())
+    assert (rate, sw) == (8000, 3)
+    np.testing.assert_allclose(x, ints / 8388608.0, atol=0)
+
+
+def test_wav_compressed_formats_stay_honest():
+    # mu-law (format code 7) must raise, not decode garbage
+    data = bytes(64)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    with pytest.raises(NotImplementedError, match="format code 7"):
+        codecs.decode_wav_full(b"RIFF" + struct.pack("<I", len(body)) + body)
