@@ -49,16 +49,16 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r10_window_is_the_r07_block():
-    """The r10 rotation (ROUND9.md "Round-10 gate plan", executed
-    verbatim): the driver window is exactly the 50 r7-gated queries,
+def test_r11_window_is_the_r08_block():
+    """The r11 rotation (ROUND10.md "Round-11 gate plan", executed
+    verbatim): the driver window is exactly the 50 r8-gated queries,
     bounded by its prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "dedup_containment"
-    assert E._GATE_FIRST[-1] == "events_tumbling_agg"
-    assert "q1_pricing_summary" in E._GATE_FIRST
-    # the two blocks that rotated out sit in _GATE_LAST in r12/r11 order
-    assert E._GATE_LAST[0] == "dedup_simhash"              # r9-gated block
-    assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r8-gated block
+    assert E._GATE_FIRST[0] == "basket_jaccard_customers"
+    assert E._GATE_FIRST[-1] == "q18_large_orders"
+    assert "repl_incremental_upsert" in E._GATE_FIRST
+    # the two blocks that rotated out sit in _GATE_LAST in r13/r12 order
+    assert E._GATE_LAST[0] == "dedup_containment"  # r10-gated block
+    assert E._GATE_LAST[50] == "dedup_simhash"     # r9-gated block
     assert E._GATE_LAST[-16:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
