@@ -34,14 +34,24 @@ the driver's local disk. The commit point is rename-without-overwrite:
 ATOMIC put-if-absent on HDFS; on local FS Hadoop's rename refuses an
 existing destination plus a best-effort pre-check (but POSIX rename(2)
 can overwrite, so detection there is best-effort); on S3 (non-atomic
-rename) nothing detects a racer — in both cases the single-writer
-contract below is load-bearing, as with Delta's S3 LogStore.
+rename) nothing detects a racer — there the single-writer contract is
+load-bearing, as with Delta's S3 LogStore.
 
-Single-writer contract (the reference's replication jobs are
-single-writer per sink table too — SURVEY §2.3); concurrent readers
-are isolated by construction. Manifest cost is O(files) footer reads;
-commit cost is O(batch) + one manifest union, never O(table).
-"""
+**Optimistic concurrency** (where put-if-absent detection exists):
+every commit ATTEMPT writes its data files and manifest under its own
+uuid token (two writers never share a write location), and the
+commit-record rename decides the winner. A losing appender re-derives
+its manifest union against the new tip and retries; a losing COW op
+(delete/compact/zorder/upsert) retries only after validating its read
+set (victim files still visible, schema pin uncontested) and otherwise
+refuses loudly — Delta-style conflict semantics for the concurrent
+ingest+compaction reality. ``snapshot_expire`` remains a maintenance
+op that must not run concurrently with in-flight commits (it would GC
+their not-yet-published files as orphans). Bucketed snapshot commits
+(operators/snapshot_bucketed) keep the documented single-writer
+contract. Concurrent readers are isolated by construction. Manifest
+cost is O(files) footer reads; commit cost is O(batch) + one manifest
+union, never O(table)."""
 
 from __future__ import annotations
 
@@ -114,14 +124,34 @@ _WIDENING_RANK = {
 }
 
 
-def _nullable(schema):
-    """Every field nullable — evolution fills old rows with null, so a
-    stored table schema can never promise non-null."""
-    from pyspark.sql.types import StructField, StructType
+def _nullable_type(dt):
+    """``dt`` with EVERY nullability flag forced true, recursively:
+    struct fields, array ``containsNull``, map ``valueContainsNull``.
+    Two structurally identical nested columns must compare equal in
+    :func:`_merge_schemas` even when only an inner flag differs —
+    evolution fills old rows with null, so a stored table schema can
+    never promise non-null at any depth."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
-    return StructType(
-        [StructField(f.name, f.dataType, True) for f in schema.fields]
-    )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullable_type(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    return dt
+
+
+def _nullable(schema):
+    """Every field nullable at every nesting depth (see _nullable_type)."""
+    return _nullable_type(schema)
 
 
 def _merge_schemas(table, batch):
@@ -134,6 +164,11 @@ def _merge_schemas(table, batch):
     from pyspark.sql.types import StructField, StructType
 
     out, changes = [], []
+    # normalize nested nullability on BOTH sides before any comparison:
+    # a stored legacy schema (or a batch straight off a source) may pin
+    # non-null flags deep inside struct/array/map types, and a flag-only
+    # difference must read as "same type", not spurious drift
+    table, batch = _nullable(table), _nullable(batch)
     bmap = {f.name: f for f in batch.fields}
     for f in table.fields:
         b = bmap.pop(f.name, None)
@@ -174,14 +209,53 @@ def snapshot_schema(path: str, snapshot_id: "int | None" = None):
     return StructType.fromJson(json.loads(s)) if s else None
 
 
-def _publish(fs: TableFS, path: str, rec: dict) -> None:
+# Publish-retry cap for optimistic concurrency: each retry means a
+# whole other writer landed a commit in our window, so >5 consecutive
+# losses is contention worth surfacing, not retrying forever.
+_OCC_RETRIES = 5
+
+
+def _commit_token() -> str:
+    """Uniquifier for one commit ATTEMPT's write locations (data dir,
+    manifest dir). Two concurrent writers derive the same next snapshot
+    id, so id-derived paths alone would make them clobber each other's
+    files BEFORE either reaches the commit point — every attempt writes
+    under its own suffix (the Delta/Iceberg uuid-file shape) and only
+    the commit-record rename decides who wins."""
+    import uuid
+
+    return uuid.uuid4().hex[:8]
+
+
+def _try_publish(fs: TableFS, path: str, rec: dict) -> bool:
     """Write the commit record beside its final name and atomically
-    rename it into place — THE commit point."""
+    rename it into place — THE commit point. True if this writer won
+    the snapshot id; False if a concurrent writer took it first (the
+    caller may re-derive against the new tip and retry)."""
     fs.mkdirs(join(path, "snapshots"))
     sid = rec["snapshot_id"]
+    final = join(path, "snapshots", f"s-{sid:06d}.json")
     tmp = join(path, "snapshots", f".s-{sid:06d}.json.tmp")
     fs.write_text(tmp, json.dumps(rec))
-    fs.rename_no_overwrite(tmp, join(path, "snapshots", f"s-{sid:06d}.json"))
+    try:
+        fs.rename_no_overwrite(tmp, final)
+    except IOError:
+        fs.delete(tmp)
+        if fs.exists(final):
+            return False  # lost the race to a concurrent committer
+        raise  # genuine filesystem failure, not contention
+    return True
+
+
+def _publish(fs: TableFS, path: str, rec: dict) -> None:
+    """Single-shot publish for paths without an OCC retry (bucketed
+    commits keep the documented single-writer contract): loses loudly."""
+    if not _try_publish(fs, path, rec):
+        raise IOError(
+            f"commit of snapshot {rec['snapshot_id']} lost to a "
+            "concurrent writer and this operation does not retry — "
+            "re-run against the new table tip"
+        )
 
 
 def current_snapshot(path: str) -> "int | None":
@@ -237,8 +311,9 @@ def snapshot_commit(
                     "accept additive/widening evolution"
                 )
             table_schema = merged
+    token = _commit_token()
     snap_id = (parent or 0) + 1
-    data_dir = join(path, "data", f"snap-{snap_id:06d}")
+    data_dir = join(path, "data", f"snap-{snap_id:06d}-{token}")
     df.write.mode("overwrite").parquet(data_dir)
 
     has_files = any(
@@ -248,24 +323,48 @@ def snapshot_commit(
         new_m = file_manifest(spark, data_dir, stat_columns)
     else:  # empty batch: a legal no-op/overwrite-to-empty commit
         new_m = spark.createDataFrame([], _MANIFEST_SCHEMA)
-    if mode == "append" and parent is not None:
-        prev = spark.read.schema(_MANIFEST_SCHEMA).parquet(
-            _manifest_path(path, parent)
-        )
-        full = prev.unionByName(new_m)
-    else:
-        full = new_m
-    full.write.mode("overwrite").parquet(_manifest_path(path, snap_id))
-
-    _publish(fs, path, {
-        "snapshot_id": snap_id,
-        "parent_id": parent,
-        "operation": mode,
-        "new_data_dir": data_dir,
-        "schema": table_schema.json(),
-        **(meta or {}),
-    })
-    return snap_id
+    # OCC publish loop: appends always COMPOSE with a concurrent commit
+    # (this batch's files are under their own token — re-derive the
+    # manifest union against the new tip and retry), modulo the same
+    # schema-drift rule re-checked against the new parent's pin.
+    for _ in range(_OCC_RETRIES + 1):
+        mpath = join(path, "manifests", f"m-{snap_id:06d}-{token}")
+        if mode == "append" and parent is not None:
+            full = snapshot_manifest(spark, path, parent).unionByName(new_m)
+        else:
+            full = new_m
+        full.write.mode("overwrite").parquet(mpath)
+        if _try_publish(fs, path, {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "operation": mode,
+            "new_data_dir": data_dir,
+            "manifest": mpath,
+            "schema": table_schema.json(),
+            **(meta or {}),
+        }):
+            return snap_id
+        fs.delete(mpath, recursive=True)  # orphaned loser manifest
+        parent = _snap_ids(fs)[-1]
+        snap_id = parent + 1
+        if mode == "append":
+            prev_schema = snapshot_schema(path, parent)
+            if prev_schema is not None:
+                merged, changes = _merge_schemas(
+                    prev_schema, _nullable(df.schema)
+                )
+                if changes and not evolve:
+                    raise ValueError(
+                        f"batch schema drifts from the (concurrently "
+                        f"committed) table schema ({'; '.join(changes)})"
+                        " — pass evolve=True to accept additive/widening"
+                        " evolution"
+                    )
+                table_schema = merged
+    raise IOError(
+        f"snapshot_commit: lost the publish race {_OCC_RETRIES + 1} "
+        "times in a row"
+    )
 
 
 def _refuse_bucketed(path: str, sid: int, op: str) -> None:
@@ -293,12 +392,113 @@ def _resolve(fs: TableFS, snapshot_id: "int | None") -> int:
     return snapshot_id
 
 
+def _manifest_location(fs: TableFS, path: str, sid: int) -> str:
+    """The manifest a snapshot's commit record points at. OCC writers
+    name manifests with their attempt token (commit record is the
+    authoritative pointer); records from before that carry no
+    ``manifest`` key and fall back to the legacy id-derived path."""
+    rec = json.loads(
+        fs.read_text(join(path, "snapshots", f"s-{sid:06d}.json"))
+    )
+    return rec.get("manifest") or _manifest_path(path, sid)
+
+
 def snapshot_manifest(
     spark: SparkSession, path: str, snapshot_id: "int | None" = None
 ) -> DataFrame:
-    sid = _resolve(TableFS(spark, path), snapshot_id)
+    fs = TableFS(spark, path)
+    sid = _resolve(fs, snapshot_id)
     return spark.read.schema(_MANIFEST_SCHEMA).parquet(
-        _manifest_path(path, sid)
+        _manifest_location(fs, path, sid)
+    )
+
+
+def _cow_publish(
+    spark: SparkSession,
+    fs: TableFS,
+    path: str,
+    parent: int,
+    victims: "list[str]",
+    new_m: DataFrame,
+    rec: dict,
+    *,
+    op: str,
+    token: str,
+) -> int:
+    """Publish a copy-on-write commit (delete / compact / zorder /
+    upsert) with optimistic-concurrency retry — the Delta-style OCC
+    loop for the concurrent ingest+maintenance reality:
+
+    - manifest = parent's manifest minus ``victims`` plus ``new_m``,
+      written under this attempt's token so no concurrent writer shares
+      the location; the commit record points at it.
+    - on a lost publish race, re-read the new tip and VALIDATE the read
+      set: every victim file must still be visible there (a concurrent
+      commit that rewrote/removed any of them invalidates this op's
+      rewrite — refuse loudly, the caller re-runs on fresh state) and
+      the pinned schema must be unchanged (a concurrent evolution would
+      otherwise be silently un-pinned). A concurrent pure APPEND passes
+      both checks and serializes as happening after this op — its new
+      files flow into the retried manifest untouched.
+    - retry with the new parent; cap at ``_OCC_RETRIES`` consecutive
+      losses."""
+    victims_set = set(victims)
+    for _ in range(_OCC_RETRIES + 1):
+        snap_id = parent + 1
+        mpath = join(path, "manifests", f"m-{snap_id:06d}-{token}")
+        m = snapshot_manifest(spark, path, parent)
+        kept = m.where(~F.col("file").isin(victims)) if victims else m
+        kept.unionByName(new_m).write.mode("overwrite").parquet(mpath)
+        if _try_publish(fs, path, {
+            **rec,
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "manifest": mpath,
+        }):
+            return snap_id
+        fs.delete(mpath, recursive=True)  # orphaned loser manifest
+        new_parent = _snap_ids(fs)[-1]
+        visible = {
+            r["file"]
+            for r in snapshot_manifest(spark, path, new_parent)
+            .select("file")
+            .distinct()
+            .collect()
+        }
+        gone = sorted(victims_set - visible)
+        if gone:
+            raise IOError(
+                f"{op}: a concurrent commit rewrote or removed "
+                f"{len(gone)} file(s) this operation also rewrote "
+                f"(e.g. {gone[:2]}) — refusing to publish a stale "
+                "rewrite; re-run against the new snapshot"
+            )
+        if rec.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            ours = StructType.fromJson(json.loads(rec["schema"]))
+            theirs = snapshot_schema(path, new_parent)
+            if theirs is not None:
+                # safe iff OUR pin already covers the tip's (equal, or
+                # we are the evolver and ours is a superset/widening of
+                # theirs). If the tip pins columns/widths ours lacks,
+                # republishing ours would silently un-pin a concurrent
+                # evolution — refuse loudly instead.
+                try:
+                    covered, _ = _merge_schemas(theirs, ours)
+                except ValueError:
+                    covered = None
+                if covered is None or _nullable(covered).json() != (
+                    _nullable(ours).json()
+                ):
+                    raise IOError(
+                        f"{op}: a concurrent commit evolved the table "
+                        "schema — refusing to republish the old pin; "
+                        "re-run against the new snapshot"
+                    )
+        parent = new_parent
+    raise IOError(
+        f"{op}: lost the publish race {_OCC_RETRIES + 1} times in a row"
     )
 
 
@@ -445,10 +645,14 @@ def snapshot_expire(
         # the anti-join and be deleted — so re-anchor every stored path
         # onto this call's root, after proving (via Hadoop's qualified
         # form) that each stored prefix names this very table root.
-        marker = "/data/snap-"
+        # The marker match is GREEDY-anchored to the path tail (the
+        # LAST "/data/snap-NNNNNN[-token]/" occurrence): a table root
+        # that itself contains "/data/snap-" must split at the data
+        # dir this table wrote, not at the root's own substring.
+        marker_re = r"/data/snap-\d{6,}(-[0-9a-f]{8})?/"
         stored = (
             spark.read.schema(_MANIFEST_SCHEMA)
-            .parquet(*[_manifest_path(path, sid) for sid in keep])
+            .parquet(*[_manifest_location(fs, path, sid) for sid in keep])
             .select("file")
             .distinct()
         )
@@ -456,8 +660,8 @@ def snapshot_expire(
         prefixes = [
             r[0]
             for r in stored.select(
-                F.expr(
-                    f"substring(file, 1, instr(file, '{marker}') - 1)"
+                F.regexp_extract(
+                    "file", f"^(.*){marker_re}", 1
                 ).alias("p")
             ).distinct().collect()
         ]
@@ -471,7 +675,7 @@ def snapshot_expire(
         referenced = stored.select(
             F.concat(
                 F.lit(fs.root),
-                F.expr(f"substring(file, instr(file, '{marker}'))"),
+                F.regexp_extract("file", f"^.*({marker_re}.*)$", 1),
             ).alias("file")
         ).distinct()
     else:
@@ -521,10 +725,23 @@ def snapshot_expire(
         removed_files = doomed.mapInPandas(delete_batch, "file string").count()
 
     # expired commit records + manifests: O(expired) metadata deletes
+    # (manifest location resolved from each record BEFORE the record
+    # goes — OCC commits name manifests by attempt token, not id)
     for sid in ids:
         if sid not in keep:
+            doomed_m = _manifest_location(fs, path, sid)
             fs.delete(join(path, "snapshots", f"s-{sid:06d}.json"))
-            fs.delete(_manifest_path(path, sid), recursive=True)
+            fs.delete(doomed_m, recursive=True)
+    # manifests referenced by NO live record — crashed OCC losers that
+    # never retried — are unreachable by construction: sweep them.
+    # O(commits) names on the driver, same bound as the snapshot list.
+    live_m = {
+        _manifest_location(fs, path, sid).rstrip("/").rsplit("/", 1)[-1]
+        for sid in keep
+    }
+    for name in fs.list_names(join(path, "manifests")):
+        if name.startswith("m-") and name not in live_m:
+            fs.delete(join(path, "manifests", name), recursive=True)
     # drop snap dirs left with no data files (write markers only) —
     # check two levels deep: bucketed snap dirs keep their parquet in
     # bkt=K/ subdirectories
@@ -597,8 +814,8 @@ def snapshot_delete(
         victims = sorted(
             r["file"] for r in m.select("file").distinct().collect()
         )
-    snap_id = parent + 1
-    data_dir = join(path, "data", f"snap-{snap_id:06d}")
+    token = _commit_token()
+    data_dir = join(path, "data", f"snap-{parent + 1:06d}-{token}")
     stat_cols = sorted(
         r["column"]
         for r in m.select("column").distinct().collect()
@@ -616,19 +833,12 @@ def snapshot_delete(
         )
     else:
         new_m = spark.createDataFrame([], _MANIFEST_SCHEMA)
-    kept = m.where(~F.col("file").isin(victims)) if victims else m
-    kept.unionByName(new_m).write.mode("overwrite").parquet(
-        _manifest_path(path, snap_id)
-    )
-    _publish(fs, path, {
-        "snapshot_id": snap_id,
-        "parent_id": parent,
+    return _cow_publish(spark, fs, path, parent, victims, new_m, {
         "operation": "delete",
         "new_data_dir": data_dir,
         "victim_files": len(victims),
         **({"schema": tschema.json()} if tschema is not None else {}),
-    })
-    return snap_id
+    }, op="snapshot_delete", token=token)
 
 
 def snapshot_compact(
@@ -667,8 +877,8 @@ def snapshot_compact(
     ]
     if len(small) < 2:
         return parent  # nothing to do — no empty commit
-    snap_id = parent + 1
-    data_dir = join(path, "data", f"snap-{snap_id:06d}")
+    token = _commit_token()
+    data_dir = join(path, "data", f"snap-{parent + 1:06d}-{token}")
     nbytes = sum(sizes[f] for f in small)
     n_out = target_files or max(1, math.ceil(nbytes / (128 * 1024 * 1024)))
     stat_cols = sorted(
@@ -678,19 +888,12 @@ def snapshot_compact(
         "overwrite"
     ).parquet(data_dir)
     new_m = file_manifest(spark, data_dir, stat_cols)
-    kept = m.where(~F.col("file").isin(small))
-    kept.unionByName(new_m).write.mode("overwrite").parquet(
-        _manifest_path(path, snap_id)
-    )
-    _publish(fs, path, {
-        "snapshot_id": snap_id,
-        "parent_id": parent,
+    return _cow_publish(spark, fs, path, parent, small, new_m, {
         "operation": "compact",
         "new_data_dir": data_dir,
         "compacted_files": len(small),
         **({"schema": tschema.json()} if tschema is not None else {}),
-    })
-    return snap_id
+    }, op="snapshot_compact", token=token)
 
 
 def snapshot_zorder_compact(
@@ -766,25 +969,21 @@ def snapshot_zorder_compact(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    snap_id = parent + 1
-    data_dir = join(path, "data", f"snap-{snap_id:06d}")
+    token = _commit_token()
+    data_dir = join(path, "data", f"snap-{parent + 1:06d}-{token}")
     clustered.write.mode("overwrite").parquet(data_dir)
     stat_cols = sorted(
         {r["column"] for r in m.select("column").distinct().collect()}
         | {col_x, col_y}
     )
     new_m = file_manifest(spark, data_dir, stat_cols)
-    new_m.write.mode("overwrite").parquet(_manifest_path(path, snap_id))
-    _publish(fs, path, {
-        "snapshot_id": snap_id,
-        "parent_id": parent,
+    return _cow_publish(spark, fs, path, parent, files, new_m, {
         "operation": "zorder",
         "new_data_dir": data_dir,
         "zorder_by": [col_x, col_y],
         "rewritten_files": len(files),
         **({"schema": tschema.json()} if tschema is not None else {}),
-    })
-    return snap_id
+    }, op="snapshot_zorder_compact", token=token)
 
 
 def snapshot_changed_files(
@@ -1056,28 +1255,45 @@ def snapshot_upsert(
             victims = sorted(
                 r["file"] for r in m.select("file").distinct().collect()
             )
-        snap_id = parent + 1
-        data_dir = join(path, "data", f"snap-{snap_id:06d}")
+        token = _commit_token()
+        data_dir = join(path, "data", f"snap-{parent + 1:06d}-{token}")
         # the TABLE's columns are the merge schema: staging is projected
         # onto them (after the order_column compaction above), so extra
         # batch columns can't poison the table's part-file schemas.
         # The pinned snapshot schema is authoritative (a single file's
         # footer may predate an additive evolution); legacy tables
-        # without one fall back to a file footer.
-        if evolve and tschema is not None:
+        # without one fall back to a file footer — including under
+        # evolve=True, where ignoring evolution silently would
+        # contradict the documented MERGE-with-evolution contract.
+        if evolve:
             from pyspark.sql.types import StructType
 
+            if tschema is None:
+                table_files = sorted(
+                    r["file"]
+                    for r in m.select("file").distinct().collect()
+                )
+                if table_files:
+                    tschema = _nullable(
+                        spark.read.parquet(table_files[0]).schema
+                    )
             stg_fields = [
                 f for f in _nullable(staging_c.schema).fields
                 if not (
                     order_column is not None
                     and f.name == order_column
-                    and order_column not in tschema.fieldNames()
+                    and (
+                        tschema is None
+                        or order_column not in tschema.fieldNames()
+                    )
                 )
             ]
-            tschema, _changes = _merge_schemas(
-                tschema, StructType(stg_fields)
-            )
+            if tschema is not None:
+                tschema, _changes = _merge_schemas(
+                    tschema, StructType(stg_fields)
+                )
+            else:  # empty legacy table: staging DEFINES the schema
+                tschema = _nullable(StructType(stg_fields))
         if tschema is not None:
             cols = tschema.fieldNames()
         else:
@@ -1095,6 +1311,25 @@ def snapshot_upsert(
                 f"staging batch lacks table columns {missing}"
             )
         staging_c = staging_c.select(*cols)
+        if tschema is not None:
+            # name match alone is not enough: a staging batch carrying a
+            # WIDENED type under evolve=False would union-coerce into
+            # wide physical files while the record still pins the narrow
+            # schema — every later read of the snapshot then fails
+            # ('Parquet column cannot be converted'). Same-family drift
+            # is cast DOWN to the pin (ANSI mode — Spark 4's default —
+            # makes a lossy cast fail loudly at write time, never a
+            # silently unreadable snapshot); cross-family drift raises
+            # inside _merge_schemas. Under evolve=True the merge above
+            # already widened tschema, so no cast occurs.
+            _, drift = _merge_schemas(tschema, _nullable(staging_c.schema))
+            if drift:
+                staging_c = staging_c.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in tschema.fields
+                    ]
+                )
         stat_cols = sorted(
             r["column"] for r in m.select("column").distinct().collect()
         ) or None
@@ -1115,19 +1350,12 @@ def snapshot_upsert(
             merged = staging_c
         merged.write.mode("overwrite").parquet(data_dir)
         new_m = file_manifest(spark, data_dir, stat_cols)
-        kept = m.where(~F.col("file").isin(victims)) if victims else m
-        kept.unionByName(new_m).write.mode("overwrite").parquet(
-            _manifest_path(path, snap_id)
-        )
-        _publish(fs, path, {
-            "snapshot_id": snap_id,
-            "parent_id": parent,
+        return _cow_publish(spark, fs, path, parent, victims, new_m, {
             "operation": "upsert",
             "new_data_dir": data_dir,
             "victim_files": len(victims),
             **({"schema": tschema.json()} if tschema is not None else {}),
             **(meta or {}),
-        })
-        return snap_id
+        }, op="snapshot_upsert", token=token)
     finally:
         staging.unpersist()

@@ -177,8 +177,10 @@ def test_expire_refuses_manifest_under_foreign_root(spark, tmp_path):
         spark.createDataFrame([(1, 1)], "id long, v long"), path,
         stat_columns=["id"],
     )
-    # corrupt the kept manifest: rewrite its file paths under an alien root
-    mpath = join(path, "manifests", "m-000001")
+    # corrupt the kept manifest: rewrite its file paths under an alien
+    # root (location resolved from the commit record — OCC commits name
+    # manifests by attempt token)
+    mpath = snap_mod._manifest_location(TableFS(spark, path), path, 1)
     rewritten = (
         spark.read.parquet(mpath)
         .withColumn(
@@ -195,7 +197,7 @@ def test_expire_refuses_manifest_under_foreign_root(spark, tmp_path):
         snapshot_expire(spark, path, keep_last=1)
     # nothing was deleted before the refusal (the corrupted manifest
     # makes snapshot_read useless here, so check the files directly)
-    assert fs.glob(join(path, "data", "snap-000001", "*.parquet"))
+    assert fs.glob(join(path, "data", "snap-000001*", "*.parquet"))
 
 
 def test_gc_delete_is_idempotent(tmp_path):

@@ -1,0 +1,268 @@
+"""Optimistic-concurrency commits on the snapshot table (VERDICT r10
+item 4) plus the ADVICE r10 schema/GC hardening.
+
+The interleaving harness patches the module-level ``_try_publish`` so a
+REAL concurrent commit lands between a writer's manifest derivation and
+its publish — exactly the window the commit-record rename guards. The
+loser must re-derive against the new tip and land (appends, read-set-
+intact COW ops) or refuse loudly (COW ops whose victims were rewritten
+underneath them). Reference parity note: ReplicaDB delegates this
+atomicity to the sink database's transaction (SqlManager.java:404-434);
+this is the lakehouse-layout equivalent.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from replicadb_spark.fs import TableFS, join
+from replicadb_spark.operators import snapshot_table as snap_mod
+from replicadb_spark.operators.snapshot_table import (
+    snapshot_commit,
+    snapshot_delete,
+    snapshot_expire,
+    snapshot_history,
+    snapshot_read,
+    snapshot_schema,
+    snapshot_upsert,
+)
+
+
+def _uri(tmp_path, name: str) -> str:
+    return "file://" + str(tmp_path / name)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+def _race_once(monkeypatch, concurrent):
+    """Patch _try_publish so the FIRST publish attempt is preceded by a
+    real concurrent commit (run unpatched), forcing the caller into its
+    OCC retry path."""
+    real = snap_mod._try_publish
+    state = {"raced": False}
+
+    def racy(fs, path, rec):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snap_mod, "_try_publish", real)
+            concurrent()
+            monkeypatch.setattr(snap_mod, "_try_publish", racy)
+        return real(fs, path, rec)
+
+    monkeypatch.setattr(snap_mod, "_try_publish", racy)
+
+
+def test_append_retries_after_concurrent_append(spark, tmp_path, monkeypatch):
+    """Two appends race: the loser re-derives its manifest union against
+    the winner's tip and lands as the NEXT snapshot — no rows lost, no
+    files clobbered (per-attempt uuid write locations)."""
+    path = _uri(tmp_path, "occ_aa")
+    snapshot_commit(_df(spark, [(1, 1)]), path, stat_columns=["id"])
+
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_commit(
+            _df(spark, [(2, 2)]), path, stat_columns=["id"]
+        ),
+    )
+    sid = snapshot_commit(_df(spark, [(3, 3)]), path, stat_columns=["id"])
+    assert sid == 3  # bumped past the winner's id 2
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    # the winner's snapshot is intact and readable on its own
+    assert {r["id"] for r in
+            snapshot_read(spark, path, snapshot_id=2).collect()} == {1, 2}
+    hist = {r["snapshot_id"]: r["operation"]
+            for r in snapshot_history(spark, path).collect()}
+    assert hist == {1: "append", 2: "append", 3: "append"}
+
+
+def test_cow_upsert_retries_after_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """An upsert racing a PURE APPEND passes read-set validation (its
+    victims are still visible at the tip) and lands with the appended
+    files flowing untouched into its manifest — the append serializes
+    after the upsert."""
+    path = _uri(tmp_path, "occ_ua")
+    snapshot_commit(_df(spark, [(1, 1), (2, 2)]), path, stat_columns=["id"])
+
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_commit(
+            _df(spark, [(9, 9)]), path, stat_columns=["id"]
+        ),
+    )
+    sid = snapshot_upsert(
+        spark, path, _df(spark, [(2, 22), (5, 55)]), pk_columns=["id"]
+    )
+    assert sid == 3
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1: 1, 2: 22, 5: 55, 9: 9}
+
+
+def test_cow_refuses_when_victims_rewritten_underneath(
+    spark, tmp_path, monkeypatch
+):
+    """Two COW ops racing over the SAME files: the loser's rewrite is
+    stale (its victims vanished from the tip's manifest) — it must
+    refuse loudly, never publish."""
+    path = _uri(tmp_path, "occ_dd")
+    snapshot_commit(_df(spark, [(i, i) for i in range(6)]), path,
+                    stat_columns=["id"])
+
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_delete(spark, path, F.col("id") == 0),
+    )
+    with pytest.raises(IOError, match="refusing to publish a stale"):
+        snapshot_delete(spark, path, F.col("id") == 5)
+    # the winner's delete is the table tip; the loser published nothing
+    got = {r["id"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1, 2, 3, 4, 5}
+    hist = {r["snapshot_id"]: r["operation"]
+            for r in snapshot_history(spark, path).collect()}
+    assert hist == {1: "append", 2: "delete"}
+
+
+def test_cow_refuses_when_schema_evolved_underneath(
+    spark, tmp_path, monkeypatch
+):
+    """A COW op racing a schema EVOLUTION must not republish the old
+    pin (which would silently drop the new column from the table tip)."""
+    path = _uri(tmp_path, "occ_se")
+    snapshot_commit(_df(spark, [(1, 1)]), path, stat_columns=["id"])
+
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_commit(
+            spark.createDataFrame([(2, 2, "x")], "id long, v long, tag string"),
+            path, stat_columns=["id"], evolve=True,
+        ),
+    )
+    with pytest.raises(IOError, match="evolved the table schema"):
+        snapshot_upsert(spark, path, _df(spark, [(1, 11)]), pk_columns=["id"])
+    assert snapshot_read(spark, path).columns == ["id", "v", "tag"]
+
+
+def test_expire_sweeps_orphaned_loser_manifests(spark, tmp_path):
+    """A crashed OCC loser's manifest (written, never referenced by any
+    commit record) is unreachable — expire removes it."""
+    path = _uri(tmp_path, "occ_gc")
+    snapshot_commit(_df(spark, [(1, 1)]), path, stat_columns=["id"])
+    fs = TableFS(spark, path)
+    orphan = join(path, "manifests", "m-000002-deadbeef")
+    snap_mod.snapshot_manifest(spark, path).write.parquet(orphan)
+    snapshot_expire(spark, path, keep_last=1)
+    assert not fs.exists(orphan)
+    assert snapshot_read(spark, path).count() == 1
+
+
+def test_expire_on_root_containing_data_snap_marker(spark, tmp_path):
+    """ADVICE r10: a table root that itself contains '/data/snap-NNNNNN'
+    must still GC — the marker split anchors on the LAST occurrence, so
+    the extracted prefix is the true table root, not the root's own
+    substring."""
+    root = tmp_path / "data" / "snap-000777" / "tbl"
+    root.parent.mkdir(parents=True)
+    path = str(root)
+    snapshot_commit(_df(spark, [(1, 1), (2, 2)]), path, stat_columns=["id"])
+    snapshot_commit(_df(spark, [(3, 3)]), path, stat_columns=["id"])
+    # crash orphan — the only legitimate GC victim
+    orphan_dir = join(path, "data", "snap-000009")
+    _df(spark, [(9, 9)]).write.parquet(orphan_dir)
+    res = snapshot_expire(spark, path, keep_last=2)
+    assert res["kept"] == [1, 2]
+    assert res["data_files_removed"] >= 1
+    fs = TableFS(spark, path)
+    assert not fs.exists(orphan_dir)
+    assert snapshot_read(spark, path).count() == 3
+    assert snapshot_read(spark, path, snapshot_id=1).count() == 2
+
+
+def test_nested_nullability_is_not_schema_drift(spark, tmp_path):
+    """ADVICE r10: two structurally identical struct/array columns
+    differing only in nested nullability flags must merge as the SAME
+    type — not fall through to a spurious 'cannot reconcile'."""
+    from pyspark.sql import types as T
+
+    path = _uri(tmp_path, "occ_nn")
+    s_strict = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField(
+            "props",
+            T.StructType([T.StructField("a", T.LongType(), False)]),
+            False,
+        ),
+        T.StructField("xs", T.ArrayType(T.LongType(), False), False),
+    ])
+    s_loose = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField(
+            "props",
+            T.StructType([T.StructField("a", T.LongType(), True)]),
+            True,
+        ),
+        T.StructField("xs", T.ArrayType(T.LongType(), True), True),
+    ])
+    snapshot_commit(
+        spark.createDataFrame([(1, (10,), [1, 2])], s_strict), path
+    )
+    # append with inverted nullability at every depth: NOT drift
+    sid = snapshot_commit(
+        spark.createDataFrame([(2, (20,), [3])], s_loose), path
+    )
+    assert sid == 2
+    got = sorted(r["id"] for r in snapshot_read(spark, path).collect())
+    assert got == [1, 2]
+
+
+def test_strict_upsert_with_wider_staging_stays_readable(spark, tmp_path):
+    """ADVICE r10 (medium): evolve=False upsert with a WIDENED staging
+    type must not write wide physical files under a narrow pin — the
+    staging batch is cast down to the pinned schema and every
+    subsequent read of the new snapshot works."""
+    path = _uri(tmp_path, "occ_wn")
+    snapshot_commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v int"), path,
+        stat_columns=["id"],
+    )
+    snapshot_upsert(
+        spark, path,
+        spark.createDataFrame([(2, 22), (3, 33)], "id long, v long"),
+        pk_columns=["id"],
+    )
+    cur = snapshot_read(spark, path)
+    assert dict(cur.dtypes)["v"] == "int"  # pin unchanged
+    got = {r["id"]: r["v"] for r in cur.collect()}  # actually READS files
+    assert got == {1: 10, 2: 22, 3: 33}
+    assert snapshot_schema(path).fieldNames() == ["id", "v"]
+
+
+def test_upsert_evolves_legacy_table_without_pinned_schema(spark, tmp_path):
+    """ADVICE r10: evolve=True on a legacy table (commit record with no
+    pinned schema) derives the table schema from a data-file footer and
+    still evolves — never silently drops the new staging column."""
+    path = _uri(tmp_path, "occ_lg")
+    snapshot_commit(_df(spark, [(1, 1), (2, 2)]), path, stat_columns=["id"])
+    # strip the pinned schema to simulate a pre-evolution table
+    fs = TableFS(spark, path)
+    recp = join(path, "snapshots", "s-000001.json")
+    rec = json.loads(fs.read_text(recp))
+    rec.pop("schema")
+    fs.write_text(recp, json.dumps(rec))
+    assert snapshot_schema(path) is None
+
+    sid = snapshot_upsert(
+        spark, path,
+        spark.createDataFrame([(2, 22, "x")], "id long, v long, tag string"),
+        pk_columns=["id"], evolve=True,
+    )
+    cur = snapshot_read(spark, path)
+    assert cur.columns == ["id", "v", "tag"]
+    got = {r["id"]: (r["v"], r["tag"]) for r in cur.collect()}
+    assert got == {1: (1, None), 2: (22, "x")}
+    assert snapshot_schema(path, sid).fieldNames() == ["id", "v", "tag"]
