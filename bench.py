@@ -189,30 +189,46 @@ def main() -> int:
     print(f"# probes: py={probes['py']:.2f}s jvm={probes['jvm']:.2f}s "
           f"(runs {probe_runs})", file=sys.stderr)
 
-    # Each query runs TWICE, cache-cold both times (clearCache between
-    # runs evicts any frame the query persisted), and reports the MIN —
-    # single cold runs on this shared host swing up to 2x from ambient
-    # noise, which round-3 analysis misdiagnosed as regressions. Min of
-    # two cold runs keeps the cold-plan semantics while damping the
-    # noise to ~±20% across driver invocations.
+    # Each query runs TWICE, cache-cold both times (the per-run
+    # release_caches + clearCache evicts any frame the query
+    # persisted), and reports the MIN — single cold runs on this shared
+    # host swing up to 2x from ambient noise, which round-3 analysis
+    # misdiagnosed as regressions. Min of two cold runs keeps the
+    # cold-plan semantics while damping the noise to ~±20% across
+    # driver invocations.
+    #
+    # Cache hygiene is part of the artifact (VERDICT r10 item 6): after
+    # each query, release the session's tracked persists and record how
+    # many cached frames REMAIN (ground truth from the SQL
+    # CacheManager) — any nonzero residual is a persist() that slipped
+    # past the tracked_persist contract and would accrete executor
+    # storage in a long-lived pipeline service.
+    from replicadb_spark.cache import persisted_df_count, release_caches
+
     timings: dict[str, float] = {}
     raw_runs: dict[str, list] = {}
+    residual_caches: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         runs = []
         n = 0
+        resid = 0
         for _ in range(2):
-            spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
+            release_caches(spark)
+            resid = max(resid, persisted_df_count(spark))
+            spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
         raw_runs[name] = [round(r, 3) for r in runs] + [n]
+        if resid:
+            residual_caches[name] = resid
         print(
-            f"# {name}: {timings[name]:.2f}s (runs {runs[0]:.2f}/{runs[1]:.2f}, {n} rows)",
+            f"# {name}: {timings[name]:.2f}s (runs {runs[0]:.2f}/{runs[1]:.2f}, "
+            f"{n} rows, {resid} cached frames after release)",
             file=sys.stderr,
         )
-    spark.catalog.clearCache()
 
     # Sketch-quality gates at THIS scale factor: the driver's gate runs
     # them at sf0.01; re-measuring here proves recall holds on the
@@ -296,6 +312,9 @@ def main() -> int:
         "runs": raw_runs,
         "recall": recall,
         "probes": probe_runs,
+        # queries with cached frames remaining after release_caches —
+        # MUST stay empty (untracked persist = storage leak at scale)
+        "residual_caches": residual_caches,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from replicadb_spark.cache import tracked_persist
+
 MOD = 1_000_000_007
 
 
@@ -225,7 +227,7 @@ def _shingle_index(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    return sh.persist()
+    return tracked_persist(sh)
 
 
 def jaccard_pairs(
@@ -471,7 +473,7 @@ def minhash_lsh_candidates(
     # a BroadcastExchange can never reuse the probe side's pipeline — so
     # without this the sketch computation runs twice. One row per
     # (doc, band); the 100 TB form stages this to parquet instead.
-    buckets = buckets.persist()
+    buckets = tracked_persist(buckets)
     return (
         buckets.alias("l")
         .join(buckets.alias("r"), on=["band", "bucket"])
@@ -507,9 +509,9 @@ def minhash_dedup_pairs(
     candidate frames at every scale.)
     """
     # the candidate set is the one genuinely reused frame — persist it
-    cands = minhash_lsh_candidates(
+    cands = tracked_persist(minhash_lsh_candidates(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
-    ).persist()
+    ))
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
@@ -533,11 +535,10 @@ def minhash_dedup_pairs(
                 "ss": out_ss,
             })
 
-    ssets = (
+    ssets = tracked_persist(  # read by both pair sides; candidate-only, so tiny
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .join(cand_ids, "id", "left_semi")
         .mapInPandas(cand_sets, schema="id long, ss array<string>")
-        .persist()  # read by both pair sides; candidate-only, so tiny
     )
     joined = (
         cands.join(
@@ -597,16 +598,15 @@ def minhash_dedup_pairs_bipartite(
     # one sketch pass over corpus+batch; side echoed through per band.
     # persist: both sides of the bucket join read this frame (the 100 TB
     # form stages the existing side's rows to a table instead).
-    buckets = minhash_band_buckets(
+    buckets = tracked_persist(minhash_band_buckets(
         tagged, "id", "text", k=k, num_hashes=num_hashes, bands=bands, seed=seed,
         extras={"side": "int"},
-    ).persist()
-    cands = (
+    ))
+    cands = tracked_persist(
         buckets.where(F.col("side") == 0).alias("l")
         .join(buckets.where(F.col("side") == 1).alias("r"), on=["band", "bucket"])
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
-        .persist()
     )
     import pandas as pd
 
@@ -627,11 +627,10 @@ def minhash_dedup_pairs_bipartite(
         .distinct()
     )
     # disjoint ids → ONE shared shingle-set pass serves both join sides
-    ssets = (
+    ssets = tracked_persist(
         tagged.select("id", "text")
         .join(cand_ids, "id", "left_semi")
         .mapInPandas(cand_sets, schema="id long, ss array<string>")
-        .persist()
     )
     joined = (
         cands.join(ssets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a")
@@ -703,9 +702,11 @@ def simhash_pairs(
         )
         for i in range(nb)
     ])
-    buckets = sig.select("id", "sh", F.explode(bands_arr).alias("bb")).select(
+    buckets = tracked_persist(sig.select(
+        "id", "sh", F.explode(bands_arr).alias("bb")
+    ).select(
         "id", "sh", "bb.band", "bb.bucket"
-    ).persist()  # broadcast self-join recomputes the probe side otherwise
+    ))  # broadcast self-join recomputes the probe side otherwise
     return (
         buckets.alias("l").join(buckets.alias("r"), on=["band", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))

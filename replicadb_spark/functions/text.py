@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from replicadb_spark.cache import tracked_persist
+
 MOD = 1_000_000_007  # fits in int64 under (acc*31 + c) without overflow
 
 # Tiny per-language stopword lexicons for the n-gram/stopword heuristic
@@ -252,19 +254,21 @@ def bigram_logprob(df, id_col: str, text_col: str):
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    toks = tracked_persist(df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
         ).alias("pos", "term"),
-    ).persist()
+    ))
     w = Window.partitionBy("id").orderBy("pos")
     big = (
         toks.withColumn("w2", F.lead("term").over(w))
         .where(F.col("w2").isNotNull())
         .select("id", F.col("term").alias("w1"), "w2")
     )
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    bc = tracked_persist(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = toks.agg(F.countDistinct("term").alias("vocab"))
     return (

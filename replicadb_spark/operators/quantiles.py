@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from replicadb_spark.cache import tracked_persist
+
 
 def bottomk_sample(
     df: DataFrame,
@@ -66,10 +68,9 @@ def quantile_estimates(
     again for the join."""
     import math
 
-    cleaned = (
+    cleaned = tracked_persist(
         sample.select(F.col(value_col).alias("v"), "__rk")
         .where(F.col("v").isNotNull())
-        .persist()
     )
     n = cleaned.count()
     w = Window.orderBy(F.col("v").asc(), F.col("__rk").asc())

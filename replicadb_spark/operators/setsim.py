@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from replicadb_spark.cache import tracked_persist
+
 
 def set_jaccard_pairs(
     df: DataFrame,
@@ -66,7 +68,7 @@ def set_jaccard_pairs(
             .select("item")
         )
         pairs_src = pairs_src.join(hot, "item", "left_anti")
-    pairs_src = pairs_src.persist()
+    pairs_src = tracked_persist(pairs_src)
     sizes = pairs_src.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs_src.alias("a")
@@ -205,7 +207,7 @@ def tfidf_cosine_pairs(
         docfreq = docfreq.crossJoin(F.broadcast(n)).where(
             F.col("df") <= max_term_df_frac * F.col("n")
         ).select("term", "df")
-    w = (
+    w = tracked_persist(  # feeds the norm aggregate AND both join sides
         tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
@@ -213,7 +215,6 @@ def tfidf_cosine_pairs(
             "term",
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
         )
-        .persist()  # feeds the norm aggregate AND both join sides
     )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     dots = (

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from replicadb_spark.cache import tracked_persist
+
 
 def entropy_by_key(
     df: DataFrame,
@@ -124,9 +126,9 @@ def chi2_independence(
     partial) feeds everything; marginals broadcast; the float sum runs
     over |a|·|b| cells.
     """
-    obs = df.groupBy(
+    obs = tracked_persist(df.groupBy(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).agg(F.count(F.lit(1)).alias("o")).persist()
+    ).agg(F.count(F.lit(1)).alias("o")))
     rt = obs.groupBy("a").agg(F.sum("o").alias("row_tot"))
     ct = obs.groupBy("b").agg(F.sum("o").alias("col_tot"))
     n = obs.agg(F.sum("o").alias("total"))
@@ -236,10 +238,12 @@ def mad_outlier_profile(
             return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
         return F.median(col)
 
-    base = df.select(
+    base = tracked_persist(df.select(
         F.col(key_col).alias("key"), F.col(value_col).alias("x")
-    ).persist()
-    med = base.groupBy("key").agg(_median(F.col("x")).alias("med")).persist()
+    ))
+    med = tracked_persist(
+        base.groupBy("key").agg(_median(F.col("x")).alias("med"))
+    )
     spread = (
         base.join(med, "key")
         .groupBy("key")

@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from replicadb_spark.cache import tracked_persist
 from replicadb_spark.functions import dedup as D
 from replicadb_spark.functions import multimodal as MM
 from replicadb_spark.functions import similarity as S
@@ -3450,11 +3451,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE division then MIN over the same set). Ties keep all
     winning suppliers — deterministic without a tiebreak."""
     t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
-    offer = (
+    offer = tracked_persist(
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
-        .persist()
     )
     best = offer.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
     return (
@@ -4078,7 +4078,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the reduced (doc,term) frame: df_ and the join both read
     # it — without this Catalyst duplicates the explode+agg subtree
     # under each consumer (the q2_min_cost_supplier lesson)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = tracked_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -4133,7 +4135,9 @@ def unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: cf, tot, and the join all read the reduced tf frame —
     # unpersisted, the explode+agg subtree would run three times
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = tracked_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     tot = tf.agg(F.sum("tf").alias("total"))
     return (
@@ -4893,21 +4897,20 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
     # dl feeds both the avgdl aggregate and the scored join — persist so
     # the corpus tokenization scan runs once (the tf persist's sibling)
-    dl = (
+    dl = tracked_persist(
         d.select("doc_id", F.size(toks_arr).alias("dl"))
         .where(F.col("dl") > 0)
-        .persist()
     )
     stats = dl.agg(
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    tf = (
+    tf = tracked_persist(
         d.select("doc_id", F.explode(toks_arr).alias("term"))
         .where(F.col("term").isin(*query_terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).persist()
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     contrib = idf * F.col("tf") * (k1 + 1.0) / (
@@ -5191,9 +5194,9 @@ def kfold_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per_user feeds both the leakage check and the per-fold counts —
     # persist so the events scan + user groupBy run once (the chi2 obs
     # precedent)
-    per_user = assigned.groupBy("user_id").agg(
+    per_user = tracked_persist(assigned.groupBy("user_id").agg(
         F.countDistinct("fold").alias("nf"), F.first("fold").alias("fold")
-    ).persist()
+    ))
     leak = per_user.agg(F.max("nf").alias("max_nf"))
     per_fold = per_user.groupBy("fold").agg(F.count(F.lit(1)).alias("n_users"))
     return (
@@ -5759,14 +5762,14 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is a hash-checkable constant row. Scale notes live on the
     operator: per-cell work only, n_cells grows with the corpus."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    verdict = D.semantic_dedup(
+    verdict = tracked_persist(D.semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.30
-    ).persist()
+    ))
     # pairs feeds BOTH invariant counts below — persist so the per-cell
     # Gram matrices (the gate's dominant cost) run once, not twice
-    pairs = D.semantic_cell_pairs(
+    pairs = tracked_persist(D.semantic_cell_pairs(
         e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
-    ).persist()
+    ))
     try:
         n_total = e.count()
         vstats = verdict.agg(

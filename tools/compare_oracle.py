@@ -156,9 +156,13 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-        # queries that persist() intermediates (shingle index, tf frame,
+        # queries that persist intermediates (shingle index, tf frame,
         # q2 offer) would otherwise accrete executor storage across the
-        # ~100-query run — mirror bench.py's per-query cache hygiene
+        # ~100-query run — release the tracked ledger, then clearCache
+        # as the belt-and-braces sweep (mirrors bench.py)
+        from replicadb_spark.cache import release_caches
+
+        release_caches(spark)
         spark.catalog.clearCache()
     spark.stop()
     if json_path:
