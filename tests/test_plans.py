@@ -553,3 +553,29 @@ def test_equidepth_split_gate_rank_path_is_partitioned(spark):
     assert "BroadcastExchange IdentityBroadcastMode" in plan
     # the exact side's gated ntile is the ONLY full-data global window
     assert plan.count("ntile(8)") == 1
+
+
+def test_basket_jaccard_shape_is_pinned(spark):
+    """basket_jaccard_customers (the r10 driver bench flagged a
+    2.76→4.0 s move here with no code change on the path — diagnosed
+    round 11: steady-state quiet-host runs reproduce the r9 value, see
+    ROUND11.md): pin the properties that make the inverted-index plan
+    sound so a REAL plan flip can never hide behind host noise again.
+    The pair join must stay an equi-join on item (no cartesian), the
+    capped basket frame is the single cached input feeding the sizes
+    agg and both join sides, and the hot-item cap runs as an anti-join
+    BEFORE pairing."""
+    df = QUERIES["basket_jaccard_customers"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # inverted-index pair generation: an equi-join keyed on item
+    assert "item" in plan
+    # the persisted basket frame is reused (sizes + both pair sides)
+    assert "InMemoryTableScan" in plan
+    # per-pair intersection is a partial-aggregated count, not a window
+    assert plan.count("HashAggregate") >= 2
+    from replicadb_spark.cache import release_caches
+
+    release_caches(spark)
