@@ -232,10 +232,17 @@ def _try_publish(fs: TableFS, path: str, rec: dict) -> bool:
     rename it into place — THE commit point. True if this writer won
     the snapshot id; False if a concurrent writer took it first (the
     caller may re-derive against the new tip and retry)."""
+    import time
+
     fs.mkdirs(join(path, "snapshots"))
     sid = rec["snapshot_id"]
     final = join(path, "snapshots", f"s-{sid:06d}.json")
     tmp = join(path, "snapshots", f".s-{sid:06d}.json.tmp")
+    # wall-clock commit stamp — the TIMESTAMP AS OF resolution anchor.
+    # Written at the publish choke point so every commit path gets one;
+    # monotonicity across writers is the host clock's (same caveat as
+    # Delta: time travel by timestamp trusts the committers' clocks).
+    rec = {**rec, "committed_at_ms": int(time.time() * 1000)}
     fs.write_text(tmp, json.dumps(rec))
     try:
         fs.rename_no_overwrite(tmp, final)
@@ -614,20 +621,93 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         [
-            (r["snapshot_id"], r["parent_id"], r["operation"])
+            (
+                r["snapshot_id"],
+                r["parent_id"],
+                r["operation"],
+                r.get("committed_at_ms"),
+            )
             for r in rows
         ],
-        "snapshot_id int, parent_id int, operation string",
+        "snapshot_id int, parent_id int, operation string, "
+        "committed_at_ms long",
     )
 
 
+def snapshot_as_of(path: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest retained snapshot whose
+    ``committed_at_ms`` stamp is ≤ ``ts_ms`` (Delta/Iceberg time-travel
+    by timestamp). Commits from before stamping (no ``committed_at_ms``
+    in the record) are treated as older-than-everything — resolvable by
+    any timestamp at or after the first stamped commit. Raises when the
+    table has no snapshot old enough (all stamps exceed ``ts_ms``)."""
+    fs = _table_fs(path)
+    best = None
+    for sid in _snap_ids(fs):
+        stamp = snapshot_record(path, sid).get("committed_at_ms")
+        if stamp is None or stamp <= ts_ms:
+            best = sid
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path} committed at or before {ts_ms} — "
+            "the earliest retained commit is newer (or expired)"
+        )
+    return best
+
+
+def snapshot_restore(
+    spark: SparkSession, path: str, snapshot_id: int
+) -> int:
+    """Delta RESTORE: publish a NEW commit whose visible file set and
+    pinned schema are exactly those of retained ``snapshot_id`` —
+    O(metadata) only, zero data files moved or rewritten (they are
+    immutable and still on disk; the restore just points the tip back
+    at them). History is preserved: the pre-restore tip remains
+    time-travelable until expired, ``snapshot_changes`` across the
+    restore yields the net undo, and a post-restore ``expire`` GCs the
+    rolled-back commits' files once they age out of ``keep_last``.
+
+    Restores are maintenance ops: a concurrent commit landing in the
+    publish window makes the restore REFUSE loudly (retrying would
+    silently discard the concurrent write — restore-over-new-data must
+    be a human decision). Returns the new snapshot id; a restore to the
+    current tip is a no-op returning the tip."""
+    fs = TableFS(spark, path)
+    parent = _resolve(fs, None)
+    _refuse_bucketed(path, parent, "snapshot_restore")
+    target = _resolve(fs, snapshot_id)
+    if target == parent:
+        return parent
+    token = _commit_token()
+    snap_id = parent + 1
+    mpath = join(path, "manifests", f"m-{snap_id:06d}-{token}")
+    snapshot_manifest(spark, path, target).write.mode("overwrite").parquet(
+        mpath
+    )
+    tschema = snapshot_schema(path, target)
+    _publish(fs, path, {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "operation": "restore",
+        "restored_from": target,
+        "manifest": mpath,
+        **({"schema": tschema.json()} if tschema is not None else {}),
+    })
+    return snap_id
+
+
 def snapshot_expire(
-    spark: SparkSession, path: str, *, keep_last: int = 1
+    spark: SparkSession, path: str, *, keep_last: int = 1,
+    dry_run: bool = False,
 ) -> dict:
     """GC: drop all but the newest ``keep_last`` snapshots and delete
     every data file not referenced by a KEPT manifest — including
     orphans from crashed (never-published) commits. Kept snapshots stay
     byte-identical; reading an expired id raises by name.
+    ``dry_run=True`` reports the same summary (ids that would expire,
+    count of data files that would go) without touching a byte — the
+    VACUUM DRY RUN an operator runs before pointing GC at a 100 TB
+    table.
 
     100 TB shape: per-snapshot-directory listing AND the deletes run
     inside executor tasks (pyarrow filesystems); the doomed set is the
@@ -722,8 +802,20 @@ def snapshot_expire(
                     done.append(f)
                 yield pd.DataFrame({"file": done})
 
-        removed_files = doomed.mapInPandas(delete_batch, "file string").count()
+        if dry_run:
+            removed_files = doomed.count()
+        else:
+            removed_files = doomed.mapInPandas(
+                delete_batch, "file string"
+            ).count()
 
+    if dry_run:
+        return {
+            "kept": sorted(keep),
+            "expired": [i for i in ids if i not in keep],
+            "data_files_removed": removed_files,
+            "dry_run": True,
+        }
     # expired commit records + manifests: O(expired) metadata deletes
     # (manifest location resolved from each record BEFORE the record
     # goes — OCC commits name manifests by attempt token, not id)

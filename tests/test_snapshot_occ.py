@@ -266,3 +266,87 @@ def test_upsert_evolves_legacy_table_without_pinned_schema(spark, tmp_path):
     got = {r["id"]: (r["v"], r["tag"]) for r in cur.collect()}
     assert got == {1: (1, None), 2: (22, "x")}
     assert snapshot_schema(path, sid).fieldNames() == ["id", "v", "tag"]
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
+    """snapshot_restore points the tip back at a retained snapshot's
+    exact file set + schema with zero data movement; the rolled-back
+    tip stays time-travelable; the changelog across the restore is the
+    net undo; expire then GCs the rolled-back files."""
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_changes,
+        snapshot_restore,
+    )
+
+    path = _uri(tmp_path, "rst")
+    s1 = snapshot_commit(
+        _df(spark, [(1, 1), (2, 2)]), path, stat_columns=["id"]
+    )
+    s2 = snapshot_upsert(
+        spark, path, _df(spark, [(2, 22), (3, 33)]), pk_columns=["id"]
+    )
+    s3 = snapshot_restore(spark, path, s1)
+    assert s3 == 3
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1: 1, 2: 2}  # back to s1's content
+    # pre-restore tip still readable (history preserved)
+    got2 = {r["id"]: r["v"]
+            for r in snapshot_read(spark, path, snapshot_id=s2).collect()}
+    assert got2 == {1: 1, 2: 22, 3: 33}
+    # the changelog across the restore is the net undo of the upsert
+    log = {
+        (r["id"], r["_change_type"])
+        for r in snapshot_changes(
+            spark, path, pk_columns=["id"], from_snapshot=s2, to_snapshot=s3
+        ).collect()
+    }
+    assert log == {(2, "update"), (3, "delete")}
+    hist = {r["snapshot_id"]: r["operation"]
+            for r in snapshot_history(spark, path).collect()}
+    assert hist == {1: "append", 2: "upsert", 3: "restore"}
+    # restore to the current tip: no-op
+    assert snapshot_restore(spark, path, s3) == s3
+    # expire drops the rolled-back upsert's files; the restored content
+    # (physically s1's files, referenced by the s3 manifest) survives
+    res = snapshot_expire(spark, path, keep_last=1)
+    assert res["expired"] == [1, 2]
+    assert {r["id"] for r in snapshot_read(spark, path).collect()} == {1, 2}
+
+
+def test_expire_dry_run_touches_nothing(spark, tmp_path):
+    path = _uri(tmp_path, "dry")
+    snapshot_commit(_df(spark, [(1, 1)]), path, stat_columns=["id"])
+    snapshot_commit(_df(spark, [(2, 2)]), path, stat_columns=["id"])
+    fs = TableFS(spark, path)
+    orphan_dir = join(path, "data", "snap-000009")
+    _df(spark, [(9, 9)]).write.parquet(orphan_dir)
+    res = snapshot_expire(spark, path, keep_last=1, dry_run=True)
+    assert res["dry_run"] and res["expired"] == [1]
+    assert res["data_files_removed"] >= 1  # would remove the orphan
+    # nothing actually went: both snapshots and the orphan still exist
+    assert fs.exists(orphan_dir)
+    assert snapshot_read(spark, path, snapshot_id=1).count() == 1
+    assert snapshot_read(spark, path).count() == 2
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_as_of,
+        snapshot_record,
+    )
+
+    path = _uri(tmp_path, "tsr")
+    s1 = snapshot_commit(_df(spark, [(1, 1)]), path, stat_columns=["id"])
+    s2 = snapshot_commit(_df(spark, [(2, 2)]), path, stat_columns=["id"])
+    t1 = snapshot_record(path, s1)["committed_at_ms"]
+    t2 = snapshot_record(path, s2)["committed_at_ms"]
+    assert t1 <= t2
+    assert snapshot_as_of(path, t1) == s1 or t1 == t2
+    assert snapshot_as_of(path, t2) == s2
+    assert snapshot_as_of(path, t2 + 10_000) == s2
+    with pytest.raises(ValueError, match="committed at or before"):
+        snapshot_as_of(path, t1 - 10_000)
+    # history surfaces the stamps
+    stamps = {r["snapshot_id"]: r["committed_at_ms"]
+              for r in snapshot_history(spark, path).collect()}
+    assert stamps == {1: t1, 2: t2}
