@@ -8730,3 +8730,128 @@ def snapshot_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "snapshot_restore_gate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TRUE AS restore_content_ok, TRUE AS history_preserved_ok,
+           TRUE AS undo_changelog_ok, TRUE AS as_of_ok
+    FROM orders WHERE o_custkey % 10 = 3
+    """,
+)
+def snapshot_restore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for metadata-only ROLLBACK
+    (operators/snapshot_table.snapshot_restore — Delta RESTORE) plus
+    TIMESTAMP AS OF resolution: commit an orders subset as snapshot 1,
+    upsert a corrupting delta (updates + inserts) as snapshot 2,
+    RESTORE to snapshot 1, and hash the ENTIRE restored table against
+    the plain subset — with four booleans folded into every hashed row:
+
+    - ``restore_content_ok``: the restored tip is value-identical to
+      snapshot 1 (the bad upsert is fully undone) and the restore
+      commit moved ZERO data files (its record carries no data dir —
+      pure metadata);
+    - ``history_preserved_ok``: the pre-restore tip still time-travels
+      to the corrupted content (restore is a commit, not an erase);
+    - ``undo_changelog_ok``: snapshot_changes across the restore is
+      exactly the net undo — every updated key flips back (update) and
+      every inserted key disappears (delete);
+    - ``as_of_ok``: snapshot_as_of resolves each commit's own
+      committed_at_ms stamp back to that snapshot id.
+
+    Scale: rollback of a 100 TB table is one manifest copy + one
+    commit-record rename — no data movement; the rolled-back files age
+    out through the normal expire path."""
+    import os
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_as_of,
+        snapshot_changes,
+        snapshot_commit,
+        snapshot_read,
+        snapshot_record,
+        snapshot_restore,
+        snapshot_upsert,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.where(F.col("o_custkey") % 10 == 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    delta = base.limit(50).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 0.0).alias("o_totalprice"),
+    ).unionByName(
+        base.limit(20).select(
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+            "o_custkey", "o_totalprice",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="snap_rst_gate_")
+    path = os.path.join(work, "tbl")
+    try:
+        s1 = snapshot_commit(base, path, stat_columns=["o_orderkey"])
+        s2 = snapshot_upsert(
+            spark, path, delta, pk_columns=["o_orderkey"],
+            prune_column="o_orderkey",
+        )
+        s3 = snapshot_restore(spark, path, s1)
+        cur = snapshot_read(spark, path)
+        restore_content_ok = (
+            cur.count() == base.count()
+            and cur.unionByName(base).groupBy(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ).count().where(F.col("count") != 2).count() == 0
+            and "new_data_dir" not in snapshot_record(path, s3)
+        )
+        bad = snapshot_read(spark, path, snapshot_id=s2)
+        history_preserved_ok = (
+            bad.count() == base.count() + 20
+            and bad.where(F.col("o_totalprice") == 0.0).count() == 50
+        )
+        log = snapshot_changes(
+            spark, path, pk_columns=["o_orderkey"],
+            from_snapshot=s2, to_snapshot=s3,
+        )
+        undo_changelog_ok = (
+            log.where(F.col("_change_type") == "update").count() == 50
+            and log.where(F.col("_change_type") == "delete").count() == 20
+            and log.count() == 70
+        )
+        def _resolves(s: int) -> bool:
+            stamp = snapshot_record(path, s)["committed_at_ms"]
+            r = snapshot_as_of(path, stamp)
+            # same-millisecond commits legitimately resolve to the
+            # newest of the tied stamps
+            return r == s or (
+                r > s
+                and snapshot_record(path, r)["committed_at_ms"] == stamp
+            )
+
+        as_of_ok = (
+            _resolves(s2)
+            and _resolves(s3)
+            and snapshot_as_of(
+                path, snapshot_record(path, s3)["committed_at_ms"] + 60_000
+            ) == s3
+        )
+        rows = cur.collect()  # materialize before the temp layout drops
+        return spark.createDataFrame(
+            [
+                (
+                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
+                    restore_content_ok, history_preserved_ok,
+                    undo_changelog_ok, as_of_ok,
+                )
+                for r in rows
+            ],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "restore_content_ok boolean, history_preserved_ok boolean, "
+            "undo_changelog_ok boolean, as_of_ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
