@@ -350,3 +350,53 @@ def test_timestamp_as_of_resolution(spark, tmp_path):
     stamps = {r["snapshot_id"]: r["committed_at_ms"]
               for r in snapshot_history(spark, path).collect()}
     assert stamps == {1: t1, 2: t2}
+
+
+def test_concurrent_ingest_and_compaction_both_land(
+    spark, tmp_path, monkeypatch
+):
+    """The scenario VERDICT r10 named as the real-pipeline reality:
+    ingest (append) and compaction racing. Both directions land —
+    a compaction stealing the append's publish window makes the append
+    retry onto the compacted tip; an append stealing the compaction's
+    window passes read-set validation (appends remove nothing) and the
+    compaction retries with the appended files flowing through."""
+    from replicadb_spark.operators.snapshot_table import snapshot_compact
+
+    path = _uri(tmp_path, "occ_ic")
+    # fragmented base: 8 one-row files → compaction has victims
+    snapshot_commit(
+        _df(spark, [(i, i) for i in range(8)]).repartition(8),
+        path, stat_columns=["id"],
+    )
+
+    # direction 1: append loses to a concurrent compaction
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_compact(spark, path, small_mb=16, target_files=1),
+    )
+    sid = snapshot_commit(_df(spark, [(100, 100)]), path, stat_columns=["id"])
+    assert sid == 3  # compaction took 2, append retried onto it
+    got = {r["id"] for r in snapshot_read(spark, path).collect()}
+    assert got == set(range(8)) | {100}
+
+    # direction 2: compaction loses to a concurrent append — fragment
+    # again so there is something to compact
+    snapshot_commit(
+        _df(spark, [(200 + i, 0) for i in range(4)]).repartition(4),
+        path, stat_columns=["id"],
+    )
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_commit(
+            _df(spark, [(300, 300)]), path, stat_columns=["id"]
+        ),
+    )
+    sid2 = snapshot_compact(spark, path, small_mb=16, target_files=1)
+    assert sid2 == 6  # append took 5, compaction retried onto it
+    got2 = {r["id"] for r in snapshot_read(spark, path).collect()}
+    assert got2 == set(range(8)) | {100} | {200, 201, 202, 203} | {300}
+    hist = {r["snapshot_id"]: r["operation"]
+            for r in snapshot_history(spark, path).collect()}
+    assert hist == {1: "append", 2: "compact", 3: "append",
+                    4: "append", 5: "append", 6: "compact"}
