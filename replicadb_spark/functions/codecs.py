@@ -3,9 +3,12 @@
 Real decoders for the container-friendly formats that need no codec
 library: BMP (24/32-bit BGR(A), 1/4/8-bit paletted, BI_RLE8/BI_RLE4
 runs) and PPM "P6" images via struct/numpy, PNG (all bit depths 1-16,
-sequential and Adam7-interlaced) via stdlib ``zlib``, PCM WAV audio
-via the stdlib ``wave`` module, and baseline/progressive JPEG in
-functions/jpeg.py. Formats that genuinely need external codecs
+sequential and Adam7-interlaced) via stdlib ``zlib``, GIF87a/89a
+(variable-width LZW, interlacing, local palettes, and ANIMATION —
+frame compositing with GCE transparency + disposal 0/1/2/3), WAV
+audio (integer PCM via the stdlib ``wave`` module; IEEE-float and
+G.711 mu-law/A-law via the fallback RIFF parser), and
+baseline/progressive JPEG in functions/jpeg.py. Formats that genuinely need external codecs
 (MP3, video containers, arithmetic-coded JPEG, …)
 still raise NotImplementedError with the library they'd require —
 functions/multimodal.py dispatches on magic bytes and falls through to
@@ -50,6 +53,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -412,8 +417,9 @@ def encode_png(rgb: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB. BMP, PPM/PGM (any
     maxval), PNG (all depths, interlaced or not) and
-    baseline/progressive JPEG decode for real (see functions/jpeg.py);
-    only genuinely exotic variants (lossless/arithmetic JPEG,
+    baseline/progressive JPEG decode for real (see functions/jpeg.py),
+    as does GIF (first composited frame; decode_gif_frames for the
+    animation); only genuinely exotic variants (arithmetic JPEG,
     BITFIELDS/core-header BMP, …) raise UnsupportedMediaError."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
@@ -422,6 +428,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     if fmt == "jpeg":
         from replicadb_spark.functions.jpeg import decode_jpeg
 
@@ -487,8 +495,9 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
     little-endian — the stdlib ``wave`` module parses the RIFF framing;
     numpy does the sample math. IEEE float WAV (format code 3, 32/64
     bit), which the stdlib refuses, goes through the fallback RIFF
-    parser; compressed formats (ADPCM, mu-law, …) stay honest
-    UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
+    parser, as do G.711 mu-law/A-law telephony WAVs (format codes 7/6
+    — the CCITT segment expansion, vectorized); remaining compressed
+    formats (ADPCM, MP3-in-WAV, …) stay honest UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             nch = wf.getnchannels()
@@ -502,6 +511,10 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
         if code == 3 and bits in (32, 64):
             x = np.frombuffer(raw, dtype=f"<f{bits // 8}").astype(np.float64)
             x = np.clip(x, -1.0, 1.0)  # float WAV nominal range
+        elif code == 7 and bits == 8:  # G.711 mu-law
+            x = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8))
+        elif code == 6 and bits == 8:  # G.711 A-law
+            x = _alaw_decode(np.frombuffer(raw, dtype=np.uint8))
         else:
             raise UnsupportedMediaError(
                 f"WAV format code {code} ({bits}-bit)"
@@ -527,3 +540,210 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     return x, rate, sw
+
+
+def _mulaw_decode(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes → float64 in [-1, 1] (CCITT segment
+    expansion: complement, 3-bit exponent / 4-bit mantissa, bias 0x84;
+    full scale ±32124 on the 16-bit lattice). Vectorized — no
+    per-sample Python."""
+    v = (~u).astype(np.int64) & 0xFF
+    t = (((v & 0x0F) << 3) + 0x84) << ((v & 0x70) >> 4)
+    x = np.where(v & 0x80, 0x84 - t, t - 0x84)
+    return x.astype(np.float64) / 32768.0
+
+
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → float64 in [-1, 1] (CCITT: XOR 0x55,
+    segmented expansion; full scale ±32256 on the 16-bit lattice)."""
+    v = (a.astype(np.int64)) ^ 0x55
+    t = (v & 0x0F) << 4
+    seg = (v & 0x70) >> 4
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    x = np.where(v & 0x80, t, -t)
+    return x.astype(np.float64) / 32768.0
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
+    """GIF's variable-width LZW (3–12 bit codes, little-endian bit
+    packing, clear/EOI, deferred-clear table cap at 4096) → exactly
+    ``npix`` palette indices. The loop is per-CODE, not per-pixel —
+    each dictionary hit emits its whole run."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + width <= total and len(out) < npix:
+        i = bitpos >> 3
+        word = int.from_bytes(data[i : i + 3], "little")
+        code = (word >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW stream (non-literal start)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < npix:
+        raise ValueError(
+            f"GIF LZW stream ended early ({len(out)}/{npix} pixels)"
+        )
+    return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_parse(payload: bytes):
+    """(screen_w, screen_h, bg_index, global_palette|None, frames) —
+    frames are dicts with placement, decoded index raster, local
+    palette, and the preceding graphic-control (transparency/disposal/
+    delay) state. Plain-text/comment/application extensions skip."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    gce = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
+            pos += 2
+            blocks = []
+            while payload[pos] != 0:
+                sz = payload[pos]
+                blocks.append(payload[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            pos += 1
+            if label == 0xF9 and blocks:
+                b = blocks[0]
+                gce = {
+                    "disposal": (b[0] >> 2) & 0x07,
+                    "transparent": b[3] if (b[0] & 1) else None,
+                    "delay_ms": struct.unpack_from("<H", b, 1)[0] * 10,
+                }
+            continue
+        if b0 == 0x2C:  # image descriptor
+            x, y, iw, ih, ifl = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            lct = None
+            if ifl & 0x80:
+                n = 2 << (ifl & 0x07)
+                lct = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                sz = payload[pos]
+                data += payload[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), mcs, iw * ih).reshape(ih, iw)
+            if ifl & 0x40:  # interlaced: stored rows land on pass order
+                dest = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, ih, step)
+                ]
+                full = np.empty_like(idx)
+                full[np.asarray(dest, dtype=np.int64)] = idx
+                idx = full
+            frames.append(
+                {"x": x, "y": y, "idx": idx, "lct": lct, "gce": gce}
+            )
+            gce = None
+            continue
+        raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return w, h, bg, gct, frames
+
+
+def decode_gif_frames(payload: bytes) -> "list[np.ndarray]":
+    """Decode EVERY frame of a (possibly animated) GIF87a/89a to
+    composited (screen_h, screen_w, 3) uint8 RGB rasters — LZW,
+    interlacing, local palettes, GCE transparency, and disposal
+    methods 0/1 (leave), 2 (restore background), 3 (restore previous)
+    all handled; this is the real decode step behind GIF frame
+    sampling (functions/multimodal.sample_video_frames keeps the
+    Spark-side plumbing, this supplies the pixels)."""
+    w, h, bg, gct, frames = _gif_parse(payload)
+    if gct is not None and bg < len(gct):
+        bg_rgb = gct[bg]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    out = []
+    for f in frames:
+        pal = f["lct"] if f["lct"] is not None else gct
+        if pal is None:
+            raise ValueError("GIF frame with no palette")
+        gce = f["gce"] or {}
+        disposal = gce.get("disposal", 0)
+        transparent = gce.get("transparent")
+        idx = f["idx"]
+        ih, iw = idx.shape
+        y0, x0 = f["y"], f["x"]
+        y1, x1 = min(y0 + ih, h), min(x0 + iw, w)
+        idx = idx[: y1 - y0, : x1 - x0]
+        before = canvas.copy() if disposal == 3 else None
+        rect = canvas[y0:y1, x0:x1]
+        px = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent is not None:
+            keep = (idx == transparent)[:, :, None]
+            rect[:] = np.where(keep, rect, px)
+        else:
+            rect[:] = px
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[y0:y1, x0:x1] = bg_rgb
+        elif disposal == 3:
+            canvas = before
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame of a GIF as (h, w, 3) uint8 RGB."""
+    return decode_gif_frames(payload)[0]

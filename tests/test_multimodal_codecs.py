@@ -225,8 +225,12 @@ def test_sniff_and_dispatch():
     # but malformed JPEG payload is a data error, not a missing codec
     with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+    # GIF decodes for real now; a sniffed-but-malformed GIF payload is
+    # a data error, not a missing codec
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"GIF89a not a real gif")
     with pytest.raises(NotImplementedError):
-        codecs.decode_image(b"GIF89a not supported here")
+        codecs.decode_image(b"\x00\x00unknown container")
 
 
 def test_resize_nearest_identity_and_downscale():
@@ -604,10 +608,239 @@ def test_wav_24bit_pcm_decode():
 
 
 def test_wav_compressed_formats_stay_honest():
-    # mu-law (format code 7) must raise, not decode garbage
+    # G.711 mu-law/A-law decode for real now; IMA ADPCM (format code
+    # 17) remains an honest gate — it must raise, not decode garbage
     data = bytes(64)
-    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4055, 256, 4)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
-    with pytest.raises(NotImplementedError, match="format code 7"):
+    with pytest.raises(NotImplementedError, match="format code 17"):
         codecs.decode_wav_full(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------- GIF + G.711
+
+
+def _lzw_encode(indices, mcs):
+    """Greedy longest-match GIF LZW encoder (test-side independent
+    implementation): clear, matches, EOI; grows the code width exactly
+    when the NEXT table entry would overflow it."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    run = b""
+    for px in bytes(indices):
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder appends one entry per data code AFTER the
+            # first (its table = our next_code - 1), and widens when
+            # ITS table reaches 2^width — mirror that exact point
+            # (giflib/PIL convention)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        run = bytes([px])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(w, h, palette, frames, bg=0, interlace_frame=None):
+    """Assemble a GIF89a: global palette (padded to a power of two),
+    one image block per (x, y, iw, ih, indices, gce) frame."""
+    import struct as st
+
+    n = 2
+    while n < len(palette):
+        n *= 2
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    depth = n.bit_length() - 2  # field stores size-1 exponent
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | depth, bg, 0)
+    for r, g, b in pal:
+        out += bytes([r, g, b])
+    for i, (x, y, iw, ih, idx, gce) in enumerate(frames):
+        if gce is not None:
+            flags = (gce.get("disposal", 0) << 2) | (
+                1 if gce.get("transparent") is not None else 0
+            )
+            out += bytes([0x21, 0xF9, 4, flags])
+            out += st.pack("<H", gce.get("delay_cs", 0))
+            out += bytes([gce.get("transparent") or 0, 0])
+        ifl = 0x40 if interlace_frame == i else 0
+        out += b"\x2c" + st.pack("<HHHHB", x, y, iw, ih, ifl)
+        mcs = max(2, (n - 1).bit_length())
+        out += bytes([mcs])
+        data = _lzw_encode(bytes(idx), mcs)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+
+
+def test_gif_single_frame_roundtrip():
+    from replicadb_spark.functions.codecs import decode_gif, sniff_format
+
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 1, 1]  # 4x3
+    payload = _gif_bytes(4, 3, PAL4, [(0, 0, 4, 3, idx, None)])
+    assert sniff_format(payload) == "gif"
+    rgb = decode_gif(payload)
+    assert rgb.shape == (3, 4, 3)
+    flat = rgb.reshape(-1, 3)
+    for i, want in enumerate(idx):
+        assert tuple(flat[i]) == PAL4[want], i
+
+
+def test_gif_lzw_dictionary_growth_and_wide_codes():
+    """A long repetitive raster forces real dictionary growth (codes
+    beyond the literal range, incl. the code==next_code self-reference)
+    and at least one width increase."""
+    import numpy as np
+
+    from replicadb_spark.functions.codecs import decode_gif
+
+    rng = [0, 0, 1, 1, 2, 2, 3, 3] * 32  # 16x16 with long runs
+    payload = _gif_bytes(16, 16, PAL4, [(0, 0, 16, 16, rng, None)])
+    rgb = decode_gif(payload)
+    want = np.array([PAL4[i] for i in rng], dtype="uint8").reshape(16, 16, 3)
+    assert (rgb == want).all()
+
+
+def test_gif_interlaced_rows_reorder():
+    import numpy as np
+
+    from replicadb_spark.functions.codecs import decode_gif
+
+    # 8 rows, 2 cols; dest row r gets color index r % 4. Stored order
+    # for interlace: passes 0,8 / 4,8 / 2,4 / 1,2 → dest rows
+    # [0,4,2,6,1,3,5,7] — supply indices in THAT storage order.
+    dest_order = [0, 4, 2, 6, 1, 3, 5, 7]
+    stored = []
+    for r in dest_order:
+        stored += [r % 4, r % 4]
+    payload = _gif_bytes(
+        2, 8, PAL4, [(0, 0, 2, 8, stored, None)], interlace_frame=0
+    )
+    rgb = decode_gif(payload)
+    want = np.array(
+        [[PAL4[r % 4]] * 2 for r in range(8)], dtype="uint8"
+    )
+    assert (rgb == want).all()
+
+
+def test_gif_animation_transparency_and_disposal():
+    import numpy as np
+
+    from replicadb_spark.functions.codecs import decode_gif_frames
+
+    # frame 1: full 4x4 of color 0; frame 2: 2x2 patch at (1,1) where
+    # one pixel is transparent (shows frame 1 through), disposal=2
+    # (restore background = color 0 here, bg index 0); frame 3: full
+    # color 1 — must not show the patch.
+    f1 = [0] * 16
+    f2 = [3, 2, 2, 2]
+    frames = [
+        (0, 0, 4, 4, f1, None),
+        (1, 1, 2, 2, f2, {"disposal": 2, "transparent": 3}),
+        (0, 0, 4, 4, [1] * 16, None),
+    ]
+    payload = _gif_bytes(4, 4, PAL4, frames)
+    out = decode_gif_frames(payload)
+    assert len(out) == 3
+    assert (out[0] == np.array(PAL4[0], dtype="uint8")).all()
+    # frame 2: patch visible except the transparent corner
+    assert tuple(out[1][1, 1]) == PAL4[0]  # transparent → frame 1 shows
+    assert tuple(out[1][1, 2]) == PAL4[2]
+    assert tuple(out[1][2, 1]) == PAL4[2]
+    assert tuple(out[1][0, 0]) == PAL4[0]
+    assert (out[2] == np.array(PAL4[1], dtype="uint8")).all()
+
+
+def _mulaw_ref(b):
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_ref(b):
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def test_g711_expansion_matches_scalar_reference_everywhere():
+    import numpy as np
+
+    from replicadb_spark.functions.codecs import _alaw_decode, _mulaw_decode
+
+    all_bytes = np.arange(256, dtype=np.uint8)
+    mu = _mulaw_decode(all_bytes)
+    al = _alaw_decode(all_bytes)
+    for b in range(256):
+        assert mu[b] == _mulaw_ref(b) / 32768.0, f"mu-law byte {b}"
+        assert al[b] == _alaw_ref(b) / 32768.0, f"A-law byte {b}"
+    # canonical identities: 0xFF is mu-law digital zero; full scale hit
+    assert mu[0xFF] == 0.0
+    assert abs(mu).max() * 32768 == 32124
+    assert abs(al).max() * 32768 == 32256
+
+
+def _g711_wav(code: int, data: bytes, rate=8000, nch=1) -> bytes:
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", code, nch, rate, rate * nch, nch, 8)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_g711_wav_decode_end_to_end():
+    from replicadb_spark.functions.codecs import decode_wav_full
+
+    data = bytes([0xFF, 0x7F, 0x00, 0x80, 0x55, 0xAA])
+    x, rate, sw = decode_wav_full(_g711_wav(7, data))
+    assert rate == 8000 and sw == 1 and len(x) == 6
+    assert x[0] == 0.0  # mu-law digital zero
+    assert x[0] == _mulaw_ref(0xFF) / 32768.0
+    xa, _, _ = decode_wav_full(_g711_wav(6, data))
+    assert xa[0] == _alaw_ref(0xFF) / 32768.0
+    # stereo mixdown path
+    xs, _, _ = decode_wav_full(_g711_wav(7, data, nch=2))
+    assert len(xs) == 3
