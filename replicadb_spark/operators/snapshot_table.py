@@ -45,9 +45,11 @@ its manifest union against the new tip and retries; a losing COW op
 (delete/compact/zorder/upsert) retries only after validating its read
 set (victim files still visible, schema pin uncontested) and otherwise
 refuses loudly — Delta-style conflict semantics for the concurrent
-ingest+compaction reality. ``snapshot_expire`` remains a maintenance
-op that must not run concurrently with in-flight commits (it would GC
-their not-yet-published files as orphans). Bucketed snapshot commits
+ingest+compaction reality. ``snapshot_expire`` defaults to a
+maintenance-window op (an in-flight commit's not-yet-published files
+look like orphans); its ``orphan_grace_ms`` spares unreferenced files
+younger than the grace — the Delta-VACUUM-retention analog that makes
+GC safe to run beside live writers. Bucketed snapshot commits
 (operators/snapshot_bucketed) keep the documented single-writer
 contract. Concurrent readers are isolated by construction. Manifest
 cost is O(files) footer reads; commit cost is O(batch) + one manifest
@@ -698,7 +700,7 @@ def snapshot_restore(
 
 def snapshot_expire(
     spark: SparkSession, path: str, *, keep_last: int = 1,
-    dry_run: bool = False,
+    dry_run: bool = False, orphan_grace_ms: int = 0,
 ) -> dict:
     """GC: drop all but the newest ``keep_last`` snapshots and delete
     every data file not referenced by a KEPT manifest — including
@@ -708,6 +710,17 @@ def snapshot_expire(
     count of data files that would go) without touching a byte — the
     VACUUM DRY RUN an operator runs before pointing GC at a 100 TB
     table.
+
+    ``orphan_grace_ms`` is the Delta-VACUUM-retention analog for the
+    OCC world: an UNREFERENCED file younger than the grace (by
+    filesystem mtime) is spared, because it may belong to an in-flight
+    commit that has written data but not yet published its record —
+    without a grace, expire racing a live writer GCs the writer's
+    files and its publish lands pointing at deleted data. Deployments
+    running expire concurrently with writers should set this ≥ the
+    longest plausible commit duration (Delta defaults to 7 days for
+    the same reason); 0 keeps the maintenance-window behavior where
+    every orphan goes immediately.
 
     100 TB shape: per-snapshot-directory listing AND the deletes run
     inside executor tasks (pyarrow filesystems); the doomed set is the
@@ -771,6 +784,11 @@ def snapshot_expire(
     if snap_dirs:
         dirs_df = spark.createDataFrame([(d,) for d in snap_dirs], "dir string")
 
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        grace = int(orphan_grace_ms)
+
         def list_parquet(batches):
             import pandas as pd
 
@@ -782,9 +800,18 @@ def snapshot_expire(
 
                     sel = pafs.FileSelector(local, recursive=True)
                     for info in pfs.get_file_info(sel):
-                        if info.is_file and info.path.endswith(".parquet"):
-                            # re-anchor onto the caller-prefix dir form
-                            files.append(d + info.path[len(local):])
+                        if not (
+                            info.is_file and info.path.endswith(".parquet")
+                        ):
+                            continue
+                        if grace > 0 and info.mtime is not None:
+                            age = now_ms - int(
+                                info.mtime.timestamp() * 1000
+                            )
+                            if age < grace:
+                                continue  # possibly an in-flight commit
+                        # re-anchor onto the caller-prefix dir form
+                        files.append(d + info.path[len(local):])
                 yield pd.DataFrame({"file": files})
 
         on_disk = dirs_df.repartition(

@@ -400,3 +400,44 @@ def test_concurrent_ingest_and_compaction_both_land(
             for r in snapshot_history(spark, path).collect()}
     assert hist == {1: "append", 2: "compact", 3: "append",
                     4: "append", 5: "append", 6: "compact"}
+
+
+def test_expire_orphan_grace_spares_young_files(spark, tmp_path):
+    """orphan_grace_ms (the VACUUM-retention analog): an unreferenced
+    file younger than the grace survives — it may be an in-flight
+    commit's data — while old orphans still go; grace 0 keeps the
+    sweep-everything maintenance behavior."""
+    import os
+    import time
+
+    from replicadb_spark.operators.snapshot_table import snapshot_manifest
+
+    path = _uri(tmp_path, "grace")
+    snapshot_commit(_df(spark, [(1, 1)]), path, stat_columns=["id"])
+    # young orphan: just written (an "in-flight commit")
+    young_dir = join(path, "data", "snap-000050")
+    _df(spark, [(50, 50)]).write.parquet(young_dir)
+    # old orphan: backdate its mtime beyond the grace
+    old_dir = join(path, "data", "snap-000060")
+    _df(spark, [(60, 60)]).write.parquet(old_dir)
+    local_old = old_dir[len("file://"):]
+    past = time.time() - 3600
+    for root, _dirs, files in os.walk(local_old):
+        for f in files:
+            os.utime(os.path.join(root, f), (past, past))
+
+    res = snapshot_expire(
+        spark, path, keep_last=1, orphan_grace_ms=10 * 60 * 1000
+    )
+    fs = TableFS(spark, path)
+    assert fs.glob(join(young_dir, "*.parquet"))  # spared
+    assert not fs.glob(join(old_dir, "*.parquet"))  # swept
+    assert res["data_files_removed"] >= 1
+    assert snapshot_read(spark, path).count() == 1
+    # referenced files are never grace-gated: the table itself intact
+    assert snapshot_manifest(spark, path).select("file").distinct().count() >= 1
+
+    # grace 0: the young orphan goes too
+    res2 = snapshot_expire(spark, path, keep_last=1)
+    assert not fs.glob(join(young_dir, "*.parquet"))
+    assert res2["data_files_removed"] >= 1
