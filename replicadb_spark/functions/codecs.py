@@ -7,7 +7,9 @@ sequential and Adam7-interlaced) via stdlib ``zlib``, GIF87a/89a
 (variable-width LZW, interlacing, local palettes, and ANIMATION —
 frame compositing with GCE transparency + disposal 0/1/2/3), WAV
 audio (integer PCM via the stdlib ``wave`` module; IEEE-float and
-G.711 mu-law/A-law via the fallback RIFF parser), and
+G.711 mu-law/A-law via the fallback RIFF parser), baseline TIFF
+(strips; none/LZW/PackBits compression, horizontal predictor,
+gray/RGB/palette, both byte orders, 8/16-bit), and
 baseline/progressive JPEG in functions/jpeg.py. Formats that genuinely need external codecs
 (MP3, video containers, arithmetic-coded JPEG, …)
 still raise NotImplementedError with the library they'd require —
@@ -55,6 +57,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -430,6 +434,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if fmt == "gif":
         return decode_gif(payload)
+    if fmt == "tiff":
+        return decode_tiff(payload)
     if fmt == "jpeg":
         from replicadb_spark.functions.jpeg import decode_jpeg
 
@@ -747,3 +753,183 @@ def decode_gif_frames(payload: bytes) -> "list[np.ndarray]":
 def decode_gif(payload: bytes) -> np.ndarray:
     """First composited frame of a GIF as (h, w, 3) uint8 RGB."""
     return decode_gif_frames(payload)[0]
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-flavor LZW (spec §13): 8-bit symbols, codes MSB-first
+    big-endian, 256=ClearCode, 257=EOI, and the EARLY code-width
+    change (width grows when the next entry would be 2^width - 1,
+    one code sooner than GIF)."""
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    width = 9
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + width <= total and len(out) < max_out:
+        i = bitpos >> 3
+        word = int.from_bytes(data[i : i + 3].ljust(3, b"\x00"), "big")
+        code = (word >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= CLEAR:
+                raise ValueError("corrupt TIFF LZW stream")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        # EARLY change: the writer widens one code before the table
+        # actually fills (TIFF spec: "add 1 to the code size when the
+        # next code would be 2^width - 1")
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out[:max_out])
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n in 0..127 → copy
+    n+1 literals; n in -127..-1 → repeat next byte 1-n times; -128 is
+    a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < max_out:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out[:max_out])
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF 6.0 → (h, w, 3) uint8 RGB: both byte orders,
+    strip organization, compression 1 (none) / 5 (LZW, with the
+    horizontal-differencing predictor) / 32773 (PackBits), photometric
+    gray (incl. WhiteIsZero), RGB(A), and palette-color; 8-bit and
+    16-bit samples (16-bit scales down). Tiled layout, other
+    compressions (JPEG-in-TIFF, Deflate, CCITT fax) and exotic sample
+    layouts raise UnsupportedMediaError by name — the honest-gate
+    convention."""
+    if payload[:4] == b"II*\x00":
+        en = "<"
+    elif payload[:4] == b"MM\x00*":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    ifd_off = struct.unpack_from(en + "I", payload, 4)[0]
+    n_entries = struct.unpack_from(en + "H", payload, ifd_off)[0]
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    _TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(en + "HHI", payload, off)
+        if typ not in _TYPE_FMT:
+            continue  # rationals and ASCII are metadata we don't need
+        size = _TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            vo = off + 8
+        else:
+            vo = struct.unpack_from(en + "I", payload, off + 8)[0]
+        tags[tag] = list(
+            struct.unpack_from(en + str(cnt) + _TYPE_FMT[typ], payload, vo)
+        )
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if tags.get(322) or tags.get(323):
+        raise UnsupportedMediaError("tiled TIFF")
+    if comp not in (1, 5, 32773):
+        raise UnsupportedMediaError(f"TIFF compression {comp}")
+    if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
+        raise UnsupportedMediaError(f"TIFF bits-per-sample {bits}")
+    depth = bits[0] // 8
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+    predictor = one(317, 1)
+
+    stride = w * spp * depth
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        body = payload[so : so + sc]
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        want = nrows * stride
+        if comp == 5:
+            body = _tiff_lzw_decode(body, want)
+        elif comp == 32773:
+            body = _packbits_decode(body, want)
+        if len(body) < want:
+            raise ValueError("TIFF strip ended early")
+        raw += body[:want]
+
+    if depth == 2:
+        arr = np.frombuffer(bytes(raw), dtype=en + "u2").astype(np.int64)
+    else:
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+    arr = arr.reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing, per sample per row
+        arr = np.cumsum(arr, axis=1) & ((1 << bits[0]) - 1)
+    elif predictor != 1:
+        raise UnsupportedMediaError(f"TIFF predictor {predictor}")
+    if depth == 2:
+        arr = arr >> 8  # scale 16-bit samples to 8
+    arr = arr.astype(np.uint8)
+
+    if photo in (0, 1):  # gray (0 = WhiteIsZero)
+        g = arr[:, :, 0]
+        if photo == 0:
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if photo == 2:  # RGB(A) — extra samples dropped
+        if spp < 3:
+            raise ValueError("RGB TIFF with <3 samples per pixel")
+        return np.ascontiguousarray(arr[:, :, :3])
+    if photo == 3:  # palette-color: ColorMap is 16-bit, R then G then B
+        cmap = tags.get(320)
+        if not cmap:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        pal = (
+            np.array(cmap, dtype=np.int64).reshape(3, n).T >> 8
+        ).astype(np.uint8)
+        idx = np.minimum(arr[:, :, 0].astype(np.int64), n - 1)
+        return pal[idx]
+    raise UnsupportedMediaError(f"TIFF photometric {photo}")

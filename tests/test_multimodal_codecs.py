@@ -844,3 +844,219 @@ def test_g711_wav_decode_end_to_end():
     # stereo mixdown path
     xs, _, _ = decode_wav_full(_g711_wav(7, data, nch=2))
     assert len(xs) == 3
+
+
+# -------------------------------------------------------------------- TIFF
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Greedy TIFF-flavor LZW encoder (test-side): MSB-first packing,
+    256/257 clear/EOI, width grows in step with the decoder's EARLY
+    change (decoder table = our next_code - 1; it widens when its
+    table reaches 2^width - 1)."""
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(CLEAR, width)
+    run = b""
+    for px in data:
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        run = bytes([px])
+    if run:
+        emit(table[run], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Naive PackBits: runs of >=3 as repeats, else literal chunks."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and j - i < 127 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+        else:
+            k = i
+            while (
+                k < len(data)
+                and k - i < 127
+                and not (
+                    k + 2 < len(data)
+                    and data[k] == data[k + 1] == data[k + 2]
+                )
+            ):
+                k += 1
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+    return bytes(out)
+
+
+def _tiff_bytes(order, w, h, photo, spp, bits, comp, rows_per_strip,
+                strips, extra_tags=()):
+    """Assemble a single-IFD TIFF: header, strip data, out-of-line
+    values, IFD. ``strips`` are ALREADY encoded per ``comp``."""
+    import struct as st
+
+    e = "<" if order == "II" else ">"
+    out = bytearray(b"II*\x00" if order == "II" else b"MM\x00*")
+    out += b"\x00\x00\x00\x00"  # IFD offset, patched below
+    offs = []
+    for sdat in strips:
+        offs.append(len(out))
+        out += sdat
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, list(bits)),
+        (259, 3, [comp]), (262, 3, [photo]), (273, 4, offs),
+        (277, 3, [spp]), (278, 3, [rows_per_strip]),
+        (279, 4, [len(s) for s in strips]),
+    ] + list(extra_tags)
+    entries.sort()
+    tsz = {1: 1, 3: 2, 4: 4}
+    tfm = {1: "B", 3: "H", 4: "I"}
+    ext = bytearray()
+    ext_base = len(out)
+    ifd_off = None
+    packed = []
+    for tag, typ, vals in entries:
+        size = tsz[typ] * len(vals)
+        if size <= 4:
+            vb = st.pack(e + str(len(vals)) + tfm[typ], *vals).ljust(4, b"\x00")
+        else:
+            vb = None  # out-of-line; offset assigned now
+            voff = ext_base + len(ext)
+            ext += st.pack(e + str(len(vals)) + tfm[typ], *vals)
+            vb = st.pack(e + "I", voff)
+        packed.append(st.pack(e + "HHI", tag, typ, len(vals)) + vb)
+    out += ext
+    ifd_off = len(out)
+    out += st.pack(e + "H", len(packed))
+    for pb in packed:
+        out += pb
+    out += st.pack(e + "I", 0)
+    st.pack_into(e + "I", out, 4, ifd_off)
+    return bytes(out)
+
+
+TIFF_RGB = np.array(
+    [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+     [[0, 0, 0], [128, 128, 128], [255, 255, 255], [1, 2, 3]],
+     [[50, 60, 70], [5, 5, 5], [200, 100, 0], [0, 200, 100]]],
+    dtype=np.uint8,
+)  # 3 rows x 4 cols
+
+
+def test_tiff_uncompressed_both_endians_multi_strip():
+    for order in ("II", "MM"):
+        raw = TIFF_RGB.tobytes()
+        stride = 4 * 3
+        strips = [raw[:2 * stride], raw[2 * stride:]]  # 2 rows + 1 row
+        payload = _tiff_bytes(order, 4, 3, 2, 3, (8, 8, 8), 1, 2, strips)
+        assert codecs.sniff_format(payload) == "tiff"
+        out = codecs.decode_tiff(payload)
+        np.testing.assert_array_equal(out, TIFF_RGB)
+        np.testing.assert_array_equal(codecs.decode_image(payload), TIFF_RGB)
+
+
+def test_tiff_packbits_gray_and_whiteiszero():
+    g = np.array([[0, 0, 0, 0, 7, 9], [255, 255, 255, 255, 255, 1]],
+                 dtype=np.uint8)
+    strip = _packbits_encode(g.tobytes())
+    payload = _tiff_bytes("II", 6, 2, 1, 1, (8,), 32773, 2, [strip])
+    out = codecs.decode_tiff(payload)
+    np.testing.assert_array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+    # WhiteIsZero inverts
+    payload0 = _tiff_bytes("II", 6, 2, 0, 1, (8,), 32773, 2, [strip])
+    np.testing.assert_array_equal(
+        codecs.decode_tiff(payload0),
+        np.repeat((255 - g)[:, :, None], 3, axis=2),
+    )
+
+
+def test_tiff_lzw_with_horizontal_predictor():
+    # predictor 2: strip stores per-row horizontal deltas mod 256
+    arr = TIFF_RGB.astype(np.int64)
+    deltas = arr.copy()
+    deltas[:, 1:] = (arr[:, 1:] - arr[:, :-1]) & 0xFF
+    strip = _tiff_lzw_encode(deltas.astype(np.uint8).tobytes())
+    payload = _tiff_bytes(
+        "II", 4, 3, 2, 3, (8, 8, 8), 5, 3, [strip],
+        extra_tags=[(317, 3, [2])],
+    )
+    np.testing.assert_array_equal(codecs.decode_tiff(payload), TIFF_RGB)
+
+
+def test_tiff_lzw_long_runs_exercise_table_growth():
+    # >256 distinct pairs → real dictionary growth beyond 9-bit codes
+    g = np.tile(np.arange(256, dtype=np.uint8), 24).reshape(8, 768)
+    strip = _tiff_lzw_encode(g.tobytes())
+    payload = _tiff_bytes("II", 768, 8, 1, 1, (8,), 5, 8, [strip])
+    out = codecs.decode_tiff(payload)
+    np.testing.assert_array_equal(out[:, :, 0], g)
+
+
+def test_tiff_palette_color():
+    pal_r = [65535, 0, 0, 30000]
+    pal_g = [0, 65535, 0, 20000]
+    pal_b = [0, 0, 65535, 10000]
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    payload = _tiff_bytes(
+        "MM", 2, 2, 3, 1, (8,), 1, 2, [idx.tobytes()],
+        extra_tags=[(320, 3, pal_r + pal_g + pal_b)],
+    )
+    out = codecs.decode_tiff(payload)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [30000 >> 8, 20000 >> 8, 10000 >> 8]]],
+        dtype=np.uint8,
+    )
+    np.testing.assert_array_equal(out, want)
+
+
+def test_tiff_16bit_scales_down():
+    hi = (TIFF_RGB.astype(np.uint16) << 8) | 0x7F
+    for order, en in (("II", "<"), ("MM", ">")):
+        payload = _tiff_bytes(
+            order, 4, 3, 2, 3, (16, 16, 16), 1, 3,
+            [hi.astype(en + "u2").tobytes()],
+        )
+        np.testing.assert_array_equal(codecs.decode_tiff(payload), TIFF_RGB)
+
+
+def test_tiff_honest_gates():
+    strip = TIFF_RGB.tobytes()
+    jpeg_in_tiff = _tiff_bytes("II", 4, 3, 2, 3, (8, 8, 8), 7, 3, [strip])
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        codecs.decode_tiff(jpeg_in_tiff)
+    tiled = _tiff_bytes(
+        "II", 4, 3, 2, 3, (8, 8, 8), 1, 3, [strip],
+        extra_tags=[(322, 3, [16]), (323, 3, [16])],
+    )
+    with pytest.raises(NotImplementedError, match="tiled"):
+        codecs.decode_tiff(tiled)
