@@ -707,13 +707,15 @@ def _gif_parse(payload: bytes):
     return w, h, bg, gct, frames
 
 
-def decode_gif_frames(payload: bytes) -> "list[np.ndarray]":
+def decode_gif_animation(
+    payload: bytes,
+) -> "list[tuple[np.ndarray, int]]":
     """Decode EVERY frame of a (possibly animated) GIF87a/89a to
-    composited (screen_h, screen_w, 3) uint8 RGB rasters — LZW,
-    interlacing, local palettes, GCE transparency, and disposal
+    ``(composited (screen_h, screen_w, 3) uint8 RGB, delay_ms)`` —
+    LZW, interlacing, local palettes, GCE transparency, and disposal
     methods 0/1 (leave), 2 (restore background), 3 (restore previous)
     all handled; this is the real decode step behind GIF frame
-    sampling (functions/multimodal.sample_video_frames keeps the
+    sampling (functions/multimodal.extract_gif_frames keeps the
     Spark-side plumbing, this supplies the pixels)."""
     w, h, bg, gct, frames = _gif_parse(payload)
     if gct is not None and bg < len(gct):
@@ -742,12 +744,17 @@ def decode_gif_frames(payload: bytes) -> "list[np.ndarray]":
             rect[:] = np.where(keep, rect, px)
         else:
             rect[:] = px
-        out.append(canvas.copy())
+        out.append((canvas.copy(), gce.get("delay_ms", 0)))
         if disposal == 2:
             canvas[y0:y1, x0:x1] = bg_rgb
         elif disposal == 3:
             canvas = before
     return out
+
+
+def decode_gif_frames(payload: bytes) -> "list[np.ndarray]":
+    """Composited RGB rasters only (see decode_gif_animation)."""
+    return [rgb for rgb, _delay in decode_gif_animation(payload)]
 
 
 def decode_gif(payload: bytes) -> np.ndarray:

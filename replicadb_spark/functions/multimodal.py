@@ -277,3 +277,64 @@ def extract_audio_features(
     return df.select("media_id", "payload", "duration_ms").mapInPandas(
         run, AUDIO_FEATURE_SCHEMA
     )
+
+
+GIF_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("delay_ms", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+
+def extract_gif_frames(
+    df: DataFrame,
+    *,
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL animated-frame sampling: decode every ``every_n``-th
+    composited frame of each GIF payload (functions/codecs.
+    decode_gif_animation — LZW, transparency, disposal all real) into
+    one feature row per sampled frame. This is sample_video_frames'
+    plumbing with an actual decoder behind it — the one animation
+    container a pure-stdlib environment can open; video containers
+    (mp4/webm) stay behind the honest codec gate.
+
+    Scale: payload bytes never leave the executor that scanned them
+    (mapInPandas, Arrow batches); one input row fans out to its
+    sampled frames worker-side, so there is no explode shuffle; only
+    the small feature rows move. Non-GIF payloads yield zero rows —
+    callers pre-filter on kind/magic for clearer accounting."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from replicadb_spark.functions import codecs
+
+        for pdf in batches:
+            rows = {k.name: [] for k in GIF_FRAME_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or codecs.sniff_format(bytes(p)) != "gif":
+                    continue
+                frames = codecs.decode_gif_animation(bytes(p))
+                for i in range(0, len(frames), every_n):
+                    rgb, delay = frames[i]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(len(frames))
+                    rows["delay_ms"].append(delay)
+                    rows["height"].append(rgb.shape[0])
+                    rows["width"].append(rgb.shape[1])
+                    rows["mean_r"].append(float(rgb[:, :, 0].mean()))
+                    rows["mean_g"].append(float(rgb[:, :, 1].mean()))
+                    rows["mean_b"].append(float(rgb[:, :, 2].mean()))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, GIF_FRAME_SCHEMA
+    )

@@ -84,3 +84,37 @@ def test_extract_audio_features_fake(spark):
     assert got[1]["peak"] == 30
     assert got[1]["rms"] == pytest.approx(math.sqrt((100 + 400 + 900) / 3))
     assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0
+
+
+def test_extract_gif_frames_real_decode(spark):
+    """extract_gif_frames: real animated-GIF decode behind the frame-
+    sampling plumbing — per-frame rows with composited means, delays,
+    every_n sampling; non-GIF payloads contribute zero rows."""
+    import numpy as np
+
+    from replicadb_spark.functions.multimodal import extract_gif_frames
+    from tests.test_multimodal_codecs import PAL4, _gif_bytes
+
+    frames = [
+        (0, 0, 2, 2, [0, 0, 0, 0], {"delay_cs": 10}),
+        (0, 0, 2, 2, [1, 1, 1, 1], {"delay_cs": 20}),
+        (0, 0, 2, 2, [2, 2, 2, 2], {"delay_cs": 30}),
+    ]
+    gif = _gif_bytes(2, 2, PAL4, frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"not a gif")), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = extract_gif_frames(df).collect()
+    assert {r["media_id"] for r in out} == {1}
+    rows = sorted(out, key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert all(r["n_frames"] == 3 for r in rows)
+    assert [r["delay_ms"] for r in rows] == [100, 200, 300]
+    assert rows[0]["width"] == 2 and rows[0]["height"] == 2
+    want = [PAL4[0], PAL4[1], PAL4[2]]
+    for r, (wr, wg, wb) in zip(rows, want):
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (wr, wg, wb)
+
+    sampled = extract_gif_frames(df, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
