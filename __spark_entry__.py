@@ -140,9 +140,10 @@ _GATE_LAST = (
     # and the z-order layout commit (box predicates prune on BOTH
     # clustered dimensions after one rewrite)
     "snapshot_evolution_gate", "snapshot_zorder_gate",
-    # r11 local-evidence addition (ROUND11.md): metadata-only RESTORE
-    # rollback + TIMESTAMP AS OF resolution over the OCC commit log
-    "snapshot_restore_gate",
+    # r11 local-evidence additions (ROUND11.md): metadata-only RESTORE
+    # rollback + TIMESTAMP AS OF resolution over the OCC commit log,
+    # and the byte-level BPE tokenizer's invariant gate
+    "snapshot_restore_gate", "bpe_tokenize_gate",
 )
 
 

@@ -8855,3 +8855,69 @@ def snapshot_restore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "bpe_tokenize_gate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             coalesce(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x != ''),
+               []
+             ) AS ws
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(ws)) AS BIGINT) AS total_words,
+           CAST(sum(coalesce(
+             list_aggregate(list_transform(ws, x -> strlen(x)), 'sum'), 0
+           )) AS BIGINT) AS total_word_bytes,
+           TRUE AS tokens_le_bytes_ok, TRUE AS tokens_ge_words_ok,
+           TRUE AS roundtrip_ok, TRUE AS vocab_ok
+    FROM w
+    """,
+)
+def bpe_tokenize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for the byte-level BPE tokenizer
+    (functions/bpe — train on a bounded hash-deterministic sample,
+    broadcast merge ranks, apply in Arrow workers): train 80 merges
+    on the documents corpus, tokenize EVERY document, and hash one
+    summary row whose counts the oracle recomputes independently
+    (docs, whitespace words, UTF-8 word bytes — the SQL tokenization
+    twin) with four invariant booleans folded in:
+
+    - ``tokens_le_bytes_ok``: merging never inflates — every doc's
+      token count ≤ its word-byte count (equality iff no merge fires);
+    - ``tokens_ge_words_ok``: ≥ one token per word, always;
+    - ``roundtrip_ok``: byte-level BPE is unknown-token-free —
+      re-concatenating every word's tokens reproduces the word's
+      bytes exactly, for every word of every document;
+    - ``vocab_ok``: the corpus sustains the full 80 requested merges
+      (the trainer's frequency-2 floor never tripped — the synthetic
+      vocabulary saturates at 89, every frequent word fully merged).
+
+    Scale: training cost is bounded by the sample (the sentencepiece
+    deployment shape); the apply is map-only — text never leaves the
+    executor that scanned it, one summary row reaches the driver."""
+    from replicadb_spark.functions.bpe import bpe_tokenize, train_bpe
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    merges = train_bpe(
+        d, "text", "doc_id", n_merges=80, sample_docs=200, seed=42
+    )
+    tok = bpe_tokenize(d, "doc_id", "text", merges)
+    return tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bytes").cast("long").alias("total_word_bytes"),
+        F.min(F.col("n_tokens") <= F.col("n_bytes")).alias(
+            "tokens_le_bytes_ok"
+        ),
+        F.min(F.col("n_tokens") >= F.col("n_words")).alias(
+            "tokens_ge_words_ok"
+        ),
+        F.min("roundtrip_ok").alias("roundtrip_ok"),
+        F.lit(len(merges) == 80).alias("vocab_ok"),
+    )

@@ -1,0 +1,88 @@
+"""Byte-level BPE (functions/bpe.py): deterministic training on the
+classic low/lower corpus, exact round-trip, compression monotonicity,
+and the distributed apply path."""
+
+import pytest
+
+from replicadb_spark.functions.bpe import (
+    _encode_word,
+    _words,
+    bpe_tokenize,
+    train_bpe,
+)
+
+
+def _corpus_df(spark):
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest"),
+        (4, "widest widest widest"),
+        (5, "low lower lowest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_learns_frequent_pairs_deterministically(spark):
+    df = _corpus_df(spark)
+    m1 = train_bpe(df, "text", "doc_id", n_merges=10, sample_docs=100)
+    m2 = train_bpe(df, "text", "doc_id", n_merges=10, sample_docs=100)
+    assert m1 == m2  # pure function of the sampled multiset
+    assert len(m1) == 10
+    # the dominant pairs of this corpus must be learned early:
+    # "es"+"t" chains and "lo"/"low" chains both appear
+    joined = {a + b for a, b in m1}
+    assert b"lo" in joined or b"ow" in joined
+    assert b"es" in joined or b"st" in joined
+
+
+def test_encode_word_merges_by_rank_and_roundtrips():
+    merges = [(b"l", b"o"), (b"lo", b"w"), (b"e", b"s"), (b"es", b"t"),
+              (b"n", b"e"), (b"w", b"est")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_word(b"low", ranks) == [b"low"]
+    assert _encode_word(b"lowest", ranks) == [b"low", b"est"]
+    assert _encode_word(b"newest", ranks) == [b"ne", b"west"]
+    for w in (b"low", b"lowest", b"newest", b"zzz", b"xyzzy"):
+        assert b"".join(_encode_word(w, ranks)) == w  # byte-level: exact
+
+
+def test_no_merges_tokenizes_to_bytes():
+    assert _encode_word(b"abc", {}) == [b"a", b"b", b"c"]
+    assert _words("  Hello   WORLD ") == [b"hello", b"world"]
+
+
+def test_spark_apply_counts_and_compression(spark):
+    df = _corpus_df(spark)
+    merges = train_bpe(df, "text", "doc_id", n_merges=30, sample_docs=100)
+    out = {r["id"]: r for r in bpe_tokenize(df, "doc_id", "text", merges).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for r in out.values():
+        assert r["roundtrip_ok"]
+        assert r["n_tokens"] <= r["n_bytes"]  # merging never inflates
+        assert r["n_tokens"] >= r["n_words"]  # >= one token per word
+    # doc 1 is five copies of a fully-merged word → exactly 5 tokens
+    assert out[1]["n_tokens"] == 5
+    # zero merges = byte tokenization: n_tokens == n_bytes
+    raw = {r["id"]: r for r in bpe_tokenize(df, "doc_id", "text", []).collect()}
+    for i, r in raw.items():
+        assert r["n_tokens"] == r["n_bytes"], i
+
+
+def test_unicode_safe_byte_level(spark):
+    df = spark.createDataFrame(
+        [(1, "héllo wörld héllo"), (2, "日本語 テスト 日本語")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, "text", "doc_id", n_merges=20, sample_docs=10)
+    out = bpe_tokenize(df, "doc_id", "text", merges).collect()
+    assert all(r["roundtrip_ok"] for r in out)
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == len("héllo".encode()) * 2 + len("wörld".encode())
+
+
+def test_merge_floor_stops_on_singletons(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    # every word is one byte: no pair ever reaches frequency 2
+    merges = train_bpe(df, "text", "doc_id", n_merges=50, sample_docs=10)
+    assert merges == []

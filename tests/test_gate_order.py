@@ -59,7 +59,7 @@ def test_r11_window_is_the_r08_block():
     # the two blocks that rotated out sit in _GATE_LAST in r13/r12 order
     assert E._GATE_LAST[0] == "dedup_containment"  # r10-gated block
     assert E._GATE_LAST[50] == "dedup_simhash"     # r9-gated block
-    assert E._GATE_LAST[-17:] == (
+    assert E._GATE_LAST[-18:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -70,6 +70,6 @@ def test_r11_window_is_the_r08_block():
         "snapshot_bucketed_join_gate",
         # r10 local-evidence additions
         "snapshot_evolution_gate", "snapshot_zorder_gate",
-        # r11 local-evidence addition
-        "snapshot_restore_gate",
+        # r11 local-evidence additions
+        "snapshot_restore_gate", "bpe_tokenize_gate",
     )
