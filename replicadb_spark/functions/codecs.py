@@ -835,7 +835,8 @@ def _packbits_decode(data: bytes, max_out: int) -> bytes:
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF 6.0 → (h, w, 3) uint8 RGB: both byte orders,
     strip organization, compression 1 (none) / 5 (LZW, with the
-    horizontal-differencing predictor) / 32773 (PackBits), photometric
+    horizontal-differencing predictor) / 8 (Adobe Deflate) / 32773
+    (PackBits), photometric
     gray (incl. WhiteIsZero), RGB(A), and palette-color; 8-bit and
     16-bit samples (16-bit scales down). Tiled layout, other
     compressions (JPEG-in-TIFF, Deflate, CCITT fax) and exotic sample
@@ -881,7 +882,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     bits = tags.get(258, [8] * spp)
     if tags.get(322) or tags.get(323):
         raise UnsupportedMediaError("tiled TIFF")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise UnsupportedMediaError(f"TIFF compression {comp}")
     if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
         raise UnsupportedMediaError(f"TIFF bits-per-sample {bits}")
@@ -901,6 +902,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         want = nrows * stride
         if comp == 5:
             body = _tiff_lzw_decode(body, want)
+        elif comp == 8:  # Adobe Deflate: plain zlib per strip
+            import zlib
+
+            body = zlib.decompress(bytes(body))
         elif comp == 32773:
             body = _packbits_decode(body, want)
         if len(body) < want:

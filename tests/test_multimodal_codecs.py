@@ -1060,3 +1060,17 @@ def test_tiff_honest_gates():
     )
     with pytest.raises(NotImplementedError, match="tiled"):
         codecs.decode_tiff(tiled)
+
+
+def test_tiff_deflate_with_predictor():
+    import zlib
+
+    arr = TIFF_RGB.astype(np.int64)
+    deltas = arr.copy()
+    deltas[:, 1:] = (arr[:, 1:] - arr[:, :-1]) & 0xFF
+    strip = zlib.compress(deltas.astype(np.uint8).tobytes())
+    payload = _tiff_bytes(
+        "MM", 4, 3, 2, 3, (8, 8, 8), 8, 3, [strip],
+        extra_tags=[(317, 3, [2])],
+    )
+    np.testing.assert_array_equal(codecs.decode_tiff(payload), TIFF_RGB)
