@@ -471,13 +471,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
-def _riff_chunks(payload: bytes) -> tuple[bytes, bytes]:
-    """(fmt chunk body, data chunk body) from a RIFF/WAVE container —
-    the fallback framing parser for formats the stdlib ``wave`` module
-    refuses (IEEE float). Chunk sizes are word-padded per RIFF."""
+def _riff_chunks(payload: bytes) -> "tuple[bytes, bytes, bytes | None]":
+    """(fmt body, data body, fact body|None) from a RIFF/WAVE
+    container — the fallback framing parser for formats the stdlib
+    ``wave`` module refuses (IEEE float, G.711, ADPCM). Chunk sizes
+    are word-padded per RIFF; ``fact`` carries the true sample count
+    for block-compressed formats."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    fmt = data = None
+    fmt = data = fact = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -487,10 +489,12 @@ def _riff_chunks(payload: bytes) -> tuple[bytes, bytes]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         pos += 8 + sz + (sz & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return fmt, data
+    return fmt, data, fact
 
 
 def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
@@ -502,8 +506,10 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
     numpy does the sample math. IEEE float WAV (format code 3, 32/64
     bit), which the stdlib refuses, goes through the fallback RIFF
     parser, as do G.711 mu-law/A-law telephony WAVs (format codes 7/6
-    — the CCITT segment expansion, vectorized); remaining compressed
-    formats (ADPCM, MP3-in-WAV, …) stay honest UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
+    — the CCITT segment expansion, vectorized) and mono IMA/DVI ADPCM
+    (format 17: per-block state machine, fact-chunk sample trim);
+    remaining compressed formats (stereo ADPCM, MP3-in-WAV, …) stay
+    honest UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             nch = wf.getnchannels()
@@ -511,8 +517,9 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
             rate = wf.getframerate()
             raw = wf.readframes(wf.getnframes())
     except wave.Error:
-        fmt, raw = _riff_chunks(payload)
+        fmt, raw, fact = _riff_chunks(payload)
         code, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+        block_align = struct.unpack_from("<H", fmt, 12)[0]
         bits = struct.unpack_from("<H", fmt, 14)[0]
         if code == 3 and bits in (32, 64):
             x = np.frombuffer(raw, dtype=f"<f{bits // 8}").astype(np.float64)
@@ -521,6 +528,14 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
             x = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8))
         elif code == 6 and bits == 8:  # G.711 A-law
             x = _alaw_decode(np.frombuffer(raw, dtype=np.uint8))
+        elif code == 17 and bits == 4:  # IMA/DVI ADPCM
+            if nch != 1:
+                raise UnsupportedMediaError("IMA ADPCM stereo WAV")
+            n_samp = (
+                struct.unpack_from("<I", fact, 0)[0] if fact else None
+            )
+            x = _ima_adpcm_decode(raw, block_align, n_samp)
+            return x, rate, 2  # reconstructs a 16-bit lattice
         else:
             raise UnsupportedMediaError(
                 f"WAV format code {code} ({bits}-bit)"
@@ -945,3 +960,55 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         idx = np.minimum(arr[:, :, 0].astype(np.int64), n - 1)
         return pal[idx]
     raise UnsupportedMediaError(f"TIFF photometric {photo}")
+
+
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode_block(block: bytes) -> "list[int]":
+    """One mono IMA ADPCM block → int16 samples. The 4-byte header's
+    predictor IS the first output sample; each following byte carries
+    two 4-bit codes, LOW nibble first (IMA/DVI convention)."""
+    pred = struct.unpack_from("<h", block, 0)[0]
+    index = min(max(block[2], 0), 88)
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = _IMA_STEPS[index]
+            vpdiff = step >> 3
+            if nib & 4:
+                vpdiff += step
+            if nib & 2:
+                vpdiff += step >> 1
+            if nib & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if nib & 8 else pred + vpdiff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX[nib]))
+            out.append(pred)
+    return out
+
+
+def _ima_adpcm_decode(raw: bytes, block_align: int, n_samples: "int | None") -> np.ndarray:
+    """Mono IMA ADPCM data chunk → float64 in [-1, 1]. Blocks are
+    independent (each restarts from its own header), so a partial
+    trailing block decodes as far as its bytes go; ``n_samples`` (the
+    WAV ``fact`` chunk total) trims codec padding when present."""
+    samples: list[int] = []
+    for off in range(0, len(raw), block_align):
+        block = raw[off : off + block_align]
+        if len(block) < 5:
+            break
+        samples.extend(_ima_adpcm_decode_block(block))
+    if n_samples is not None:
+        samples = samples[:n_samples]
+    return np.asarray(samples, dtype=np.float64) / 32768.0

@@ -608,14 +608,20 @@ def test_wav_24bit_pcm_decode():
 
 
 def test_wav_compressed_formats_stay_honest():
-    # G.711 mu-law/A-law decode for real now; IMA ADPCM (format code
-    # 17) remains an honest gate — it must raise, not decode garbage
+    # G.711 and mono IMA ADPCM decode for real now; MS ADPCM (format
+    # code 2) and STEREO IMA remain honest gates — raise, not garbage
     data = bytes(64)
-    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4055, 256, 4)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    with pytest.raises(NotImplementedError, match="format code 17"):
-        codecs.decode_wav_full(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    def wav(code, nch, bits, align=256):
+        fmt = struct.pack("<HHIIHH", code, nch, 8000, 4055, align, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(NotImplementedError, match="format code 2"):
+        codecs.decode_wav_full(wav(2, 1, 4))
+    with pytest.raises(NotImplementedError, match="stereo"):
+        codecs.decode_wav_full(wav(17, 2, 4))
 
 
 # ---------------------------------------------------------------- GIF + G.711
@@ -1074,3 +1080,86 @@ def test_tiff_deflate_with_predictor():
         extra_tags=[(317, 3, [2])],
     )
     np.testing.assert_array_equal(codecs.decode_tiff(payload), TIFF_RGB)
+
+
+# -------------------------------------------------------------- IMA ADPCM
+
+
+def _ima_encode(samples_i16, block_samples=505):
+    """Test-side mono IMA ADPCM encoder mirroring the decoder's state
+    machine; returns (blocks bytes, block_align, the encoder's own
+    reconstruction) — decode must equal the reconstruction EXACTLY."""
+    from replicadb_spark.functions.codecs import _IMA_INDEX, _IMA_STEPS
+
+    out = bytearray()
+    recon = []
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    i = 0
+    index = 0
+    while i < len(samples_i16):
+        chunk = samples_i16[i : i + block_samples]
+        i += block_samples
+        pred = int(chunk[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        recon.append(pred)
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[index]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            vpdiff = step >> 3
+            if nib & 4:
+                vpdiff += step
+            if nib & 2:
+                vpdiff += step >> 1
+            if nib & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if nib & 8 else pred + vpdiff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX[nib]))
+            recon.append(pred)
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)  # codec padding (trimmed via fact chunk)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            out += bytes([lo | (hi << 4)])
+        pad = block_align - 4 - len(nibs) // 2
+        out += bytes(max(0, pad))
+    return bytes(out), block_align, recon
+
+
+def test_ima_adpcm_wav_roundtrip():
+    import numpy as np
+
+    t = np.arange(1200)
+    wave_i16 = (
+        12000 * np.sin(2 * np.pi * 440 * t / 8000)
+        + 3000 * np.sin(2 * np.pi * 97 * t / 8000)
+    ).astype(np.int64)
+    data, align, recon = _ima_encode(wave_i16, block_samples=505)
+    fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 4055, align, 4, 2, 505)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(wave_i16))[:8]
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    x, rate, sw = codecs.decode_wav_full(payload)
+    assert rate == 8000 and sw == 2
+    assert len(x) == len(wave_i16)  # fact-chunk trim: no codec padding
+    got = np.round(x * 32768).astype(np.int64)
+    # decoder state machine == encoder's tracked reconstruction, bit-exact
+    np.testing.assert_array_equal(got, np.array(recon[: len(wave_i16)]))
+    # and the reconstruction is a faithful ADPCM of the source
+    err = np.abs(got - wave_i16)
+    assert float(np.mean(err)) < 600  # ~2% of full scale on a smooth tone
