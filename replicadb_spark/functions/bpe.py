@@ -178,3 +178,36 @@ def bpe_tokenize(
         "id long, n_words long, n_bytes long, n_tokens long, "
         "roundtrip_ok boolean",
     )
+
+
+def save_bpe(spark, merges: "list[tuple[bytes, bytes]]", path: str) -> None:
+    """Persist a merge list as one JSON artifact (hex-encoded byte
+    pairs) through the Hadoop-FS layer — the tokenizer is trained once
+    and applied by every later job, so it must live wherever the
+    tables live (``file://``, ``hdfs://``, ``s3a://``), not on one
+    driver's local disk."""
+    import json
+
+    from replicadb_spark.fs import TableFS
+
+    fs = TableFS(spark, path.rsplit("/", 1)[0] or path)
+    fs.write_text(
+        path,
+        json.dumps({
+            "format": "bpe-merges-v1",
+            "merges": [[a.hex(), b.hex()] for a, b in merges],
+        }),
+    )
+
+
+def load_bpe(spark, path: str) -> "list[tuple[bytes, bytes]]":
+    """Load a merge list written by :func:`save_bpe`."""
+    import json
+
+    from replicadb_spark.fs import TableFS
+
+    fs = TableFS(spark, path.rsplit("/", 1)[0] or path)
+    doc = json.loads(fs.read_text(path))
+    if doc.get("format") != "bpe-merges-v1":
+        raise ValueError(f"not a BPE merges artifact: {path}")
+    return [(bytes.fromhex(a), bytes.fromhex(b)) for a, b in doc["merges"]]

@@ -506,10 +506,10 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
     numpy does the sample math. IEEE float WAV (format code 3, 32/64
     bit), which the stdlib refuses, goes through the fallback RIFF
     parser, as do G.711 mu-law/A-law telephony WAVs (format codes 7/6
-    — the CCITT segment expansion, vectorized) and mono IMA/DVI ADPCM
-    (format 17: per-block state machine, fact-chunk sample trim);
-    remaining compressed formats (stereo ADPCM, MP3-in-WAV, …) stay
-    honest UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
+    — the CCITT segment expansion, vectorized) and IMA/DVI ADPCM
+    (format 17, mono or interleaved multi-channel: per-block state
+    machines, fact-chunk sample trim); remaining compressed formats
+    (MS ADPCM, MP3-in-WAV, …) stay honest UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             nch = wf.getnchannels()
@@ -528,13 +528,11 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
             x = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8))
         elif code == 6 and bits == 8:  # G.711 A-law
             x = _alaw_decode(np.frombuffer(raw, dtype=np.uint8))
-        elif code == 17 and bits == 4:  # IMA/DVI ADPCM
-            if nch != 1:
-                raise UnsupportedMediaError("IMA ADPCM stereo WAV")
+        elif code == 17 and bits == 4:  # IMA/DVI ADPCM, any channels
             n_samp = (
                 struct.unpack_from("<I", fact, 0)[0] if fact else None
             )
-            x = _ima_adpcm_decode(raw, block_align, n_samp)
+            x = _ima_adpcm_decode(raw, block_align, nch, n_samp)
             return x, rate, 2  # reconstructs a 16-bit lattice
         else:
             raise UnsupportedMediaError(
@@ -974,41 +972,61 @@ _IMA_STEPS = (
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
 
-def _ima_adpcm_decode_block(block: bytes) -> "list[int]":
-    """One mono IMA ADPCM block → int16 samples. The 4-byte header's
-    predictor IS the first output sample; each following byte carries
-    two 4-bit codes, LOW nibble first (IMA/DVI convention)."""
-    pred = struct.unpack_from("<h", block, 0)[0]
-    index = min(max(block[2], 0), 88)
-    out = [pred]
-    for byte in block[4:]:
-        for nib in (byte & 0x0F, byte >> 4):
-            step = _IMA_STEPS[index]
-            vpdiff = step >> 3
-            if nib & 4:
-                vpdiff += step
-            if nib & 2:
-                vpdiff += step >> 1
-            if nib & 1:
-                vpdiff += step >> 2
-            pred = pred - vpdiff if nib & 8 else pred + vpdiff
-            pred = max(-32768, min(32767, pred))
-            index = max(0, min(88, index + _IMA_INDEX[nib]))
-            out.append(pred)
-    return out
+def _ima_adpcm_decode_block(block: bytes, nch: int) -> "list[list[int]]":
+    """One IMA ADPCM block → per-channel int16 samples. Each channel's
+    4-byte header predictor IS its first output sample; the data
+    region is 4-byte words round-robin per channel (so 8 consecutive
+    samples of one channel per word), each byte carrying two 4-bit
+    codes LOW nibble first (IMA/DVI convention)."""
+    preds, idxs, outs = [], [], []
+    for ch in range(nch):
+        preds.append(struct.unpack_from("<h", block, 4 * ch)[0])
+        idxs.append(min(max(block[4 * ch + 2], 0), 88))
+        outs.append([preds[ch]])
+    pos = 4 * nch
+    while pos < len(block):
+        for ch in range(nch):
+            word = block[pos : pos + 4]
+            pos += 4
+            if not word:
+                break
+            pred, index = preds[ch], idxs[ch]
+            for byte in word:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _IMA_STEPS[index]
+                    vpdiff = step >> 3
+                    if nib & 4:
+                        vpdiff += step
+                    if nib & 2:
+                        vpdiff += step >> 1
+                    if nib & 1:
+                        vpdiff += step >> 2
+                    pred = pred - vpdiff if nib & 8 else pred + vpdiff
+                    pred = max(-32768, min(32767, pred))
+                    index = max(0, min(88, index + _IMA_INDEX[nib]))
+                    outs[ch].append(pred)
+            preds[ch], idxs[ch] = pred, index
+    return outs
 
 
-def _ima_adpcm_decode(raw: bytes, block_align: int, n_samples: "int | None") -> np.ndarray:
-    """Mono IMA ADPCM data chunk → float64 in [-1, 1]. Blocks are
-    independent (each restarts from its own header), so a partial
-    trailing block decodes as far as its bytes go; ``n_samples`` (the
-    WAV ``fact`` chunk total) trims codec padding when present."""
-    samples: list[int] = []
+def _ima_adpcm_decode(
+    raw: bytes, block_align: int, nch: int, n_samples: "int | None"
+) -> np.ndarray:
+    """IMA ADPCM data chunk → mono float64 in [-1, 1] (multi-channel
+    mixed down by mean, the module's convention). Blocks are
+    independent (each restarts from its own headers), so a partial
+    trailing block decodes as far as its bytes go; ``n_samples`` per
+    channel (the WAV ``fact`` chunk) trims codec padding when
+    present."""
+    chans: list[list[int]] = [[] for _ in range(nch)]
     for off in range(0, len(raw), block_align):
         block = raw[off : off + block_align]
-        if len(block) < 5:
+        if len(block) < 4 * nch + 1:
             break
-        samples.extend(_ima_adpcm_decode_block(block))
+        for ch, got in enumerate(_ima_adpcm_decode_block(block, nch)):
+            chans[ch].extend(got)
+    n = min(len(c) for c in chans)
     if n_samples is not None:
-        samples = samples[:n_samples]
-    return np.asarray(samples, dtype=np.float64) / 32768.0
+        n = min(n, n_samples)
+    x = np.asarray([c[:n] for c in chans], dtype=np.float64)
+    return x.mean(axis=0) / 32768.0

@@ -86,3 +86,22 @@ def test_merge_floor_stops_on_singletons(spark):
     # every word is one byte: no pair ever reaches frequency 2
     merges = train_bpe(df, "text", "doc_id", n_merges=50, sample_docs=10)
     assert merges == []
+
+
+def test_save_load_roundtrip_on_file_uri(spark, tmp_path):
+    from replicadb_spark.functions.bpe import load_bpe, save_bpe
+
+    df = _corpus_df(spark)
+    merges = train_bpe(df, "text", "doc_id", n_merges=12, sample_docs=100)
+    path = "file://" + str(tmp_path / "tok" / "merges.json")
+    save_bpe(spark, merges, path)
+    assert load_bpe(spark, path) == merges
+    # applying the loaded artifact matches applying the in-memory one
+    a = bpe_tokenize(df, "doc_id", "text", merges).collect()
+    b = bpe_tokenize(df, "doc_id", "text", load_bpe(spark, path)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="not a BPE merges artifact"):
+        bad = "file://" + str(tmp_path / "tok" / "bad.json")
+        from replicadb_spark.fs import TableFS
+        TableFS(spark, str(tmp_path)).write_text(bad, "{}")
+        load_bpe(spark, bad)

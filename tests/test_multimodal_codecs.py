@@ -619,9 +619,7 @@ def test_wav_compressed_formats_stay_honest():
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
     with pytest.raises(NotImplementedError, match="format code 2"):
-        codecs.decode_wav_full(wav(2, 1, 4))
-    with pytest.raises(NotImplementedError, match="stereo"):
-        codecs.decode_wav_full(wav(17, 2, 4))
+        codecs.decode_wav_full(wav(2, 1, 4))  # MS ADPCM stays gated
 
 
 # ---------------------------------------------------------------- GIF + G.711
@@ -1163,3 +1161,29 @@ def test_ima_adpcm_wav_roundtrip():
     # and the reconstruction is a faithful ADPCM of the source
     err = np.abs(got - wave_i16)
     assert float(np.mean(err)) < 600  # ~2% of full scale on a smooth tone
+
+
+def test_ima_adpcm_stereo_mixdown():
+    """Stereo IMA ADPCM: per-channel headers + 4-byte-word channel
+    round-robin; the decoder mixes down by mean. Build a block whose
+    channels are constant-zero nibbles from different predictors —
+    the mean is then exactly the predictor average at every sample."""
+    import numpy as np
+
+    from replicadb_spark.functions.codecs import _IMA_STEPS
+
+    # nib 0 on index 0: vpdiff = step>>3 = 0 (step 7) — pred stays put
+    blk = bytearray()
+    blk += struct.pack("<hBB", 1000, 0, 0)   # ch0 header
+    blk += struct.pack("<hBB", -2000, 0, 0)  # ch1 header
+    blk += bytes(8)  # one word per channel: 8 zero nibbles each
+    assert _IMA_STEPS[0] >> 3 == 0
+    align = len(blk)
+    fmt = struct.pack("<HHIIHHHH", 17, 2, 8000, 8110, align, 4, 2, 9)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, 9)
+    body += b"data" + struct.pack("<I", len(blk)) + bytes(blk)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    x, rate, sw = codecs.decode_wav_full(payload)
+    assert rate == 8000 and len(x) == 9
+    np.testing.assert_allclose(x, (1000 - 2000) / 2 / 32768.0)
