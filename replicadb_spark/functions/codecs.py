@@ -508,8 +508,9 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
     parser, as do G.711 mu-law/A-law telephony WAVs (format codes 7/6
     — the CCITT segment expansion, vectorized) and IMA/DVI ADPCM
     (format 17, mono or interleaved multi-channel: per-block state
-    machines, fact-chunk sample trim); remaining compressed formats
-    (MS ADPCM, MP3-in-WAV, …) stay honest UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
+    machines, fact-chunk sample trim) and MS ADPCM (format 2, custom
+    coefficient tables honored); remaining compressed formats
+    (MP3-in-WAV, GSM, …) stay honest UnsupportedMediaError. Multi-channel audio is mixed down by mean."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             nch = wf.getnchannels()
@@ -528,6 +529,22 @@ def decode_wav_full(payload: bytes) -> tuple[np.ndarray, int, int]:
             x = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8))
         elif code == 6 and bits == 8:  # G.711 A-law
             x = _alaw_decode(np.frombuffer(raw, dtype=np.uint8))
+        elif code == 2 and bits == 4:  # MS ADPCM
+            # fmt extension: cbSize, samples-per-block, nCoefs, coef pairs
+            spb = nco = None
+            coefs = _MS_COEFS
+            if len(fmt) >= 22:
+                spb, nco = struct.unpack_from("<HH", fmt, 18)
+                if nco and len(fmt) >= 22 + 4 * nco:
+                    coefs = [
+                        struct.unpack_from("<hh", fmt, 22 + 4 * k)
+                        for k in range(nco)
+                    ]
+            n_samp = (
+                struct.unpack_from("<I", fact, 0)[0] if fact else None
+            )
+            x = _ms_adpcm_decode(raw, block_align, nch, coefs, spb, n_samp)
+            return x, rate, 2  # reconstructs a 16-bit lattice
         elif code == 17 and bits == 4:  # IMA/DVI ADPCM, any channels
             n_samp = (
                 struct.unpack_from("<I", fact, 0)[0] if fact else None
@@ -1025,6 +1042,90 @@ def _ima_adpcm_decode(
             break
         for ch, got in enumerate(_ima_adpcm_decode_block(block, nch)):
             chans[ch].extend(got)
+    n = min(len(c) for c in chans)
+    if n_samples is not None:
+        n = min(n, n_samples)
+    x = np.asarray([c[:n] for c in chans], dtype=np.float64)
+    return x.mean(axis=0) / 32768.0
+
+
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+
+def _ms_adpcm_decode_block(block: bytes, nch: int, coefs) -> "list[list[int]]":
+    """One MS ADPCM block → per-channel int16 samples. Header:
+    per-channel predictor index (1B each), per-channel initial delta
+    (int16), per-channel sample1, per-channel sample2; sample2 is the
+    EARLIER of the two seed samples, so output order per channel is
+    (sample2, sample1, decoded…). Data nibbles are HIGH nibble first
+    and round-robin across channels PER NIBBLE."""
+    preds = []
+    pos = 0
+    for ch in range(nch):
+        pi = block[pos]
+        pos += 1
+        if pi >= len(coefs):
+            raise ValueError(f"MS ADPCM predictor index {pi}")
+        preds.append(coefs[pi])
+    deltas = [
+        struct.unpack_from("<h", block, pos + 2 * ch)[0] for ch in range(nch)
+    ]
+    pos += 2 * nch
+    s1 = [
+        struct.unpack_from("<h", block, pos + 2 * ch)[0] for ch in range(nch)
+    ]
+    pos += 2 * nch
+    s2 = [
+        struct.unpack_from("<h", block, pos + 2 * ch)[0] for ch in range(nch)
+    ]
+    pos += 2 * nch
+    outs = [[s2[ch], s1[ch]] for ch in range(nch)]
+    ch = 0
+    for byte in block[pos:]:
+        for nib in (byte >> 4, byte & 0x0F):
+            c1, c2 = preds[ch]
+            signed = nib - 16 if nib >= 8 else nib
+            pred = (s1[ch] * c1 + s2[ch] * c2) >> 8
+            sample = pred + deltas[ch] * signed
+            sample = max(-32768, min(32767, sample))
+            outs[ch].append(sample)
+            deltas[ch] = max(16, (_MS_ADAPT[nib] * deltas[ch]) >> 8)
+            s2[ch], s1[ch] = s1[ch], sample
+            ch = (ch + 1) % nch
+    return outs
+
+
+def _ms_adpcm_decode(
+    raw: bytes,
+    block_align: int,
+    nch: int,
+    coefs,
+    samples_per_block: "int | None",
+    n_samples: "int | None",
+) -> np.ndarray:
+    """MS ADPCM data chunk → mono float64 in [-1, 1] (multi-channel
+    mixed down by mean). Blocks restart from their own headers;
+    ``samples_per_block`` (fmt extension) bounds each block's output
+    and ``n_samples`` (fact chunk) trims the total."""
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    header = 7 * nch
+    for off in range(0, len(raw), block_align):
+        block = raw[off : off + block_align]
+        if len(block) < header:
+            break
+        got = _ms_adpcm_decode_block(block, nch, coefs)
+        for ch in range(nch):
+            g = got[ch]
+            if samples_per_block is not None:
+                g = g[:samples_per_block]
+            chans[ch].extend(g)
     n = min(len(c) for c in chans)
     if n_samples is not None:
         n = min(n, n_samples)

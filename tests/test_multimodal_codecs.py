@@ -618,8 +618,8 @@ def test_wav_compressed_formats_stay_honest():
         body += b"data" + struct.pack("<I", len(data)) + data
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
-    with pytest.raises(NotImplementedError, match="format code 2"):
-        codecs.decode_wav_full(wav(2, 1, 4))  # MS ADPCM stays gated
+    with pytest.raises(NotImplementedError, match="format code 85"):
+        codecs.decode_wav_full(wav(0x55, 1, 0))  # MP3-in-WAV stays gated
 
 
 # ---------------------------------------------------------------- GIF + G.711
@@ -1187,3 +1187,65 @@ def test_ima_adpcm_stereo_mixdown():
     x, rate, sw = codecs.decode_wav_full(payload)
     assert rate == 8000 and len(x) == 9
     np.testing.assert_allclose(x, (1000 - 2000) / 2 / 32768.0)
+
+
+def _ms_encode(samples_i16, block_samples, predictor=0):
+    """Test-side mono MS ADPCM encoder mirroring the decoder state
+    machine (fixed predictor); returns (blocks, block_align, recon)."""
+    from replicadb_spark.functions.codecs import _MS_ADAPT, _MS_COEFS
+
+    c1, c2 = _MS_COEFS[predictor]
+    out = bytearray()
+    recon = []
+    n_data = block_samples - 2
+    block_align = 7 + (n_data + 1) // 2
+    i = 0
+    while i < len(samples_i16):
+        chunk = [int(v) for v in samples_i16[i : i + block_samples]]
+        i += block_samples
+        if len(chunk) < 2:
+            break
+        s2, s1 = chunk[0], chunk[1]
+        delta = 400
+        out += bytes([predictor]) + struct.pack("<hhh", delta, s1, s2)
+        recon += [s2, s1]
+        nibs = []
+        for s in chunk[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            signed = max(-8, min(7, int(round((s - pred) / delta))))
+            nib = signed + 16 if signed < 0 else signed
+            sample = max(-32768, min(32767, pred + delta * signed))
+            recon.append(sample)
+            nibs.append(nib)
+            delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+            s2, s1 = s1, sample
+        if len(nibs) % 2:
+            nibs.append(0)
+        for hi, lo in zip(nibs[0::2], nibs[1::2]):
+            out += bytes([(hi << 4) | lo])
+        out += bytes(block_align - 7 - len(nibs) // 2)
+    return bytes(out), block_align, recon
+
+
+def test_ms_adpcm_wav_roundtrip():
+    import numpy as np
+
+    t = np.arange(900)
+    wave_i16 = (
+        9000 * np.sin(2 * np.pi * 330 * t / 8000)
+    ).astype(np.int64)
+    spb = 300
+    data, align, recon = _ms_encode(wave_i16, spb)
+    fmt = struct.pack("<HHIIHHHHH", 2, 1, 8000, 4055, align, 4, 4, spb, 0)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(wave_i16))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    x, rate, sw = codecs.decode_wav_full(payload)
+    assert rate == 8000 and sw == 2
+    assert len(x) == len(wave_i16)
+    got = np.round(x * 32768).astype(np.int64)
+    np.testing.assert_array_equal(got, np.array(recon[: len(wave_i16)]))
+    err = np.abs(got - wave_i16)
+    assert float(np.mean(err)) < 900  # faithful on a smooth tone
