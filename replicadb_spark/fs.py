@@ -176,6 +176,30 @@ class TableFS:
     def delete(self, p: str, recursive: bool = False) -> bool:
         return bool(self._fs.delete(self._jpath(p), recursive))
 
+    def mtime_ms(self, p: str) -> int:
+        """Modification time of ``p`` in epoch milliseconds. For a
+        directory, the max of the directory's own mtime and its direct
+        children's (a fresh child marks the tree recent even on schemes
+        whose dir mtime is lazy) — the age signal snapshot_expire's
+        ``orphan_grace_ms`` sweeps use to spare in-flight OCC commits.
+        Missing path → 0 (treated as ancient; a racing delete already
+        won)."""
+        try:
+            st = self._fs.getFileStatus(self._jpath(p))
+        except Exception as e:
+            if _is_not_found(e):
+                return 0
+            raise
+        newest = int(st.getModificationTime())
+        if st.isDirectory():
+            try:
+                for child in self._fs.listStatus(self._jpath(p)):
+                    newest = max(newest, int(child.getModificationTime()))
+            except Exception as e:
+                if not _is_not_found(e):
+                    raise
+        return newest
+
 
 # -- executor-side helpers (no JVM gateway in Arrow tasks) ----------------
 

@@ -433,6 +433,7 @@ def _cow_publish(
     *,
     op: str,
     token: str,
+    pk_guard: "dict | None" = None,
 ) -> int:
     """Publish a copy-on-write commit (delete / compact / zorder /
     upsert) with optimistic-concurrency retry — the Delta-style OCC
@@ -449,6 +450,16 @@ def _cow_publish(
       otherwise be silently un-pinned). A concurrent pure APPEND passes
       both checks and serializes as happening after this op — its new
       files flow into the retried manifest untouched.
+    - ``pk_guard`` (merge-on-key committers, i.e. snapshot_upsert):
+      ``{"pk_columns", "keys_df", "schema", "orig_files"}``. A
+      concurrent commit that ADDED files since this op's original
+      parent passes the two checks above, but if those files carry any
+      of this op's staging PKs, the retried publish would keep them
+      alongside this op's own rows — duplicate PKs, violating the
+      merge-on-key invariant (Delta raises ConcurrentAppendException
+      for exactly this). The guard semi-joins the added files' PK
+      columns against the broadcast staging keys and refuses loudly on
+      overlap. Disjoint concurrent appends still compose.
     - retry with the new parent; cap at ``_OCC_RETRIES`` consecutive
       losses."""
     victims_set = set(victims)
@@ -504,6 +515,33 @@ def _cow_publish(
                         f"{op}: a concurrent commit evolved the table "
                         "schema — refusing to republish the old pin; "
                         "re-run against the new snapshot"
+                    )
+        if pk_guard is not None:
+            added = sorted(visible - pk_guard["orig_files"])
+            if added:
+                reader = (
+                    spark.read.schema(pk_guard["schema"])
+                    if pk_guard["schema"] is not None
+                    else spark.read
+                )
+                overlap = (
+                    reader.parquet(*added)
+                    .select(*pk_guard["pk_columns"])
+                    .join(
+                        F.broadcast(pk_guard["keys_df"]),
+                        pk_guard["pk_columns"],
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if overlap:
+                    raise IOError(
+                        f"{op}: a concurrent commit added rows sharing "
+                        "primary keys with this batch (concurrent "
+                        "append/upsert of the same keys) — retrying "
+                        "would publish duplicate PK rows; re-run "
+                        "against the new snapshot"
                     )
         parent = new_parent
     raise IOError(
@@ -774,6 +812,11 @@ def snapshot_expire(
     else:
         referenced = spark.createDataFrame([], "file string")
 
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    grace = int(orphan_grace_ms)
+
     data_root = join(path, "data")
     snap_dirs = [
         join(data_root, d)
@@ -783,11 +826,6 @@ def snapshot_expire(
     removed_files = 0
     if snap_dirs:
         dirs_df = spark.createDataFrame([(d,) for d in snap_dirs], "dir string")
-
-        import time as _time
-
-        now_ms = int(_time.time() * 1000)
-        grace = int(orphan_grace_ms)
 
         def list_parquet(batches):
             import pandas as pd
@@ -854,17 +892,29 @@ def snapshot_expire(
     # manifests referenced by NO live record — crashed OCC losers that
     # never retried — are unreachable by construction: sweep them.
     # O(commits) names on the driver, same bound as the snapshot list.
+    # The orphan grace applies HERE too: an in-flight OCC commit writes
+    # its m-NNNNNN-token manifest BEFORE _try_publish, so a manifest
+    # younger than the grace may belong to a live writer whose publish
+    # has not landed yet — deleting it would let that publish succeed
+    # pointing at a deleted manifest (unreadable tip). Crashed-loser
+    # manifests older than the grace still go.
     live_m = {
         _manifest_location(fs, path, sid).rstrip("/").rsplit("/", 1)[-1]
         for sid in keep
     }
     for name in fs.list_names(join(path, "manifests")):
         if name.startswith("m-") and name not in live_m:
-            fs.delete(join(path, "manifests", name), recursive=True)
+            mdir = join(path, "manifests", name)
+            if grace > 0 and now_ms - fs.mtime_ms(mdir) < grace:
+                continue  # possibly an in-flight commit's manifest
+            fs.delete(mdir, recursive=True)
     # drop snap dirs left with no data files (write markers only) —
     # check two levels deep: bucketed snap dirs keep their parquet in
-    # bkt=K/ subdirectories
+    # bkt=K/ subdirectories. Same grace: a live writer's dir may hold
+    # markers now and parquet a moment later.
     for d in snap_dirs:
+        if grace > 0 and now_ms - fs.mtime_ms(d) < grace:
+            continue
         if not fs.glob(join(d, "*.parquet")) and not fs.glob(
             join(d, "*", "*.parquet")
         ):
@@ -1469,12 +1519,20 @@ def snapshot_upsert(
             merged = staging_c
         merged.write.mode("overwrite").parquet(data_dir)
         new_m = file_manifest(spark, data_dir, stat_cols)
+        orig_files = {
+            r["file"] for r in m.select("file").distinct().collect()
+        }
         return _cow_publish(spark, fs, path, parent, victims, new_m, {
             "operation": "upsert",
             "new_data_dir": data_dir,
             "victim_files": len(victims),
             **({"schema": tschema.json()} if tschema is not None else {}),
             **(meta or {}),
-        }, op="snapshot_upsert", token=token)
+        }, op="snapshot_upsert", token=token, pk_guard={
+            "pk_columns": list(pk_columns),
+            "keys_df": staging_c.select(*pk_columns).distinct(),
+            "schema": tschema,
+            "orig_files": orig_files,
+        })
     finally:
         staging.unpersist()

@@ -441,3 +441,110 @@ def test_expire_orphan_grace_spares_young_files(spark, tmp_path):
     res2 = snapshot_expire(spark, path, keep_last=1)
     assert not fs.glob(join(young_dir, "*.parquet"))
     assert res2["data_files_removed"] >= 1
+
+
+def _backdate(uri: str, seconds: float = 3600) -> None:
+    import os
+    import time
+
+    local = uri[len("file://"):]
+    past = time.time() - seconds
+    for root, _dirs, files in os.walk(local):
+        for f in files:
+            os.utime(os.path.join(root, f), (past, past))
+        os.utime(root, (past, past))
+
+
+def test_expire_manifest_sweep_respects_orphan_grace(spark, tmp_path):
+    """ADVICE r11 (high): an in-flight OCC commit writes its manifest
+    BEFORE _try_publish, so expire's unreferenced-manifest sweep must
+    apply the same mtime grace as the data sweep — otherwise an expire
+    racing a live writer deletes the manifest and the writer's publish
+    lands pointing at nothing (unreadable tip). Old crashed-loser
+    manifests still go; grace 0 keeps the sweep-everything behavior."""
+    from replicadb_spark.operators.snapshot_table import snapshot_manifest
+
+    path = _uri(tmp_path, "mgrace")
+    snapshot_commit(_df(spark, [(1, 1)]), path, stat_columns=["id"])
+    fs = TableFS(spark, path)
+    # young manifest: a live writer mid-commit (written, not published)
+    young = join(path, "manifests", "m-000002-cafe0001")
+    snapshot_manifest(spark, path).write.parquet(young)
+    # old manifest: a crashed loser from a past maintenance window
+    old = join(path, "manifests", "m-000002-dead0002")
+    snapshot_manifest(spark, path).write.parquet(old)
+    _backdate(old)
+
+    snapshot_expire(spark, path, keep_last=1, orphan_grace_ms=10 * 60 * 1000)
+    assert fs.exists(young)  # spared — may belong to the live writer
+    assert not fs.exists(old)  # crashed loser swept
+
+    # the live writer's publish now lands pointing at the spared
+    # manifest and the tip is readable — the exact failure mode the
+    # grace closes
+    assert snap_mod._try_publish(fs, path, {
+        "snapshot_id": 2, "parent_id": 1, "operation": "append",
+        "manifest": young,
+    })
+    assert snapshot_read(spark, path).count() == 1
+
+    # grace 0 on a now-expired id 1: manifest sweep reverts to eager
+    leftover = join(path, "manifests", "m-000003-feed0003")
+    snapshot_manifest(spark, path).write.parquet(leftover)
+    snapshot_expire(spark, path, keep_last=1)
+    assert not fs.exists(leftover)
+
+
+def test_upsert_refuses_concurrent_append_of_same_key(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): a concurrent commit that ADDS rows sharing
+    this upsert's staging PKs passes victim-visibility and schema
+    validation (appends remove nothing), but retrying would publish
+    duplicate PK rows — the pk_guard must refuse loudly (Delta's
+    ConcurrentAppendException shape)."""
+    path = _uri(tmp_path, "occ_pk")
+    snapshot_commit(_df(spark, [(1, 1), (2, 2)]), path, stat_columns=["id"])
+
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_commit(
+            _df(spark, [(5, 99)]), path, stat_columns=["id"]
+        ),
+    )
+    with pytest.raises(IOError, match="sharing primary keys"):
+        snapshot_upsert(
+            spark, path, _df(spark, [(2, 22), (5, 55)]), pk_columns=["id"]
+        )
+    # the winner's append is the tip; the loser published nothing —
+    # exactly one row per PK
+    rows = snapshot_read(spark, path).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 5]
+    assert {r["id"]: r["v"] for r in rows}[5] == 99
+
+
+def test_two_pruned_upserts_of_same_new_key_refuse(
+    spark, tmp_path, monkeypatch
+):
+    """Two racing upserts INSERTING the same new key, both stat-pruned
+    to zero victims (the key is outside every file's range): victim
+    validation has nothing to check, so only the pk_guard stands
+    between the retry and a duplicate-PK table."""
+    path = _uri(tmp_path, "occ_pk2")
+    snapshot_commit(_df(spark, [(1, 1), (2, 2)]), path, stat_columns=["id"])
+
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_upsert(
+            spark, path, _df(spark, [(7, 70)]),
+            pk_columns=["id"], prune_column="id",
+        ),
+    )
+    with pytest.raises(IOError, match="sharing primary keys"):
+        snapshot_upsert(
+            spark, path, _df(spark, [(7, 71)]),
+            pk_columns=["id"], prune_column="id",
+        )
+    rows = snapshot_read(spark, path).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 7]
+    assert {r["id"]: r["v"] for r in rows}[7] == 70  # the winner's row
