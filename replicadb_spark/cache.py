@@ -34,12 +34,17 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
-# One ledger per SparkSession, keyed by object identity. Entries live
-# until the matching release_caches(spark) pops them — the documented
-# query-boundary contract; a session stopped WITHOUT a final release
-# retains only driver-side wrapper objects (the JVM cache died with
-# the session).
-_LEDGER: "dict[int, list[DataFrame]]" = {}
+# One ledger per SparkSession, stored AS AN ATTRIBUTE on the session
+# object itself (ADVICE r11): a global map keyed by id(spark) would let
+# a new session inherit a dead session's entries after CPython id reuse,
+# and strong map entries would pin a session dropped without a final
+# release for the process lifetime. Attribute storage makes both
+# impossible structurally — the ledger's lifetime IS the session's.
+# Entries live until the matching release_caches(spark) pops them — the
+# documented query-boundary contract; a session stopped WITHOUT a final
+# release retains only its own driver-side wrapper objects until GC
+# (the JVM cache died with the session).
+_LEDGER_ATTR = "_replicadb_spark_cache_ledger"
 
 
 def tracked_persist(df: "DataFrame", storage_level=None) -> "DataFrame":
@@ -49,7 +54,12 @@ def tracked_persist(df: "DataFrame", storage_level=None) -> "DataFrame":
         df.persist(storage_level)
     else:
         df.persist()
-    _LEDGER.setdefault(id(df.sparkSession), []).append(df)
+    sess = df.sparkSession
+    ledger = getattr(sess, _LEDGER_ATTR, None)
+    if ledger is None:
+        ledger = []
+        setattr(sess, _LEDGER_ATTR, ledger)
+    ledger.append(df)
     return df
 
 
@@ -58,7 +68,11 @@ def release_caches(spark: "SparkSession") -> int:
     session; returns how many were released. Idempotent — frames a
     caller already unpersisted early (or that were never materialized)
     unpersist as a no-op."""
-    frames = _LEDGER.pop(id(spark), [])
+    frames = getattr(spark, _LEDGER_ATTR, None) or []
+    try:
+        delattr(spark, _LEDGER_ATTR)
+    except AttributeError:
+        pass
     for f in frames:
         try:
             f.unpersist()
@@ -69,7 +83,7 @@ def release_caches(spark: "SparkSession") -> int:
 
 def tracked_count(spark: "SparkSession") -> int:
     """Frames currently on this session's ledger (not yet released)."""
-    return len(_LEDGER.get(id(spark), []))
+    return len(getattr(spark, _LEDGER_ATTR, None) or [])
 
 
 def persisted_df_count(spark: "SparkSession") -> int:

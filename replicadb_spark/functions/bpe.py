@@ -138,11 +138,18 @@ def bpe_tokenize(
     word's tokens and compares to the word's bytes — byte-level BPE
     makes this exact by construction, so a False here is a decoder
     bug, not a data property (the gate folds it into the hash)."""
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    # a REAL broadcast (ADVICE r11): the ranks dict ships to each
+    # executor once per job instead of being pickled into every task's
+    # closure — the difference is invisible at toy vocab sizes and
+    # material at 50k merges × thousands of tasks
+    bc_ranks = df.sparkSession.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
 
     def run(batches: "Iterator"):
         import pandas as pd
 
+        ranks = bc_ranks.value
         for pdf in batches:
             cache: dict[bytes, list[bytes]] = {}
             ids, nw, nb, nt, ok = [], [], [], [], []

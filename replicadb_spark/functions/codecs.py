@@ -1092,7 +1092,12 @@ def _ms_adpcm_decode_block(block: bytes, nch: int, coefs) -> "list[list[int]]":
         for nib in (byte >> 4, byte & 0x0F):
             c1, c2 = preds[ch]
             signed = nib - 16 if nib >= 8 else nib
-            pred = (s1[ch] * c1 + s2[ch] * c2) >> 8
+            # C truncating division by 256 (the MS spec's and real
+            # encoders' semantics), NOT >> 8: floor division drifts
+            # 1 LSB low on negative products and the error feeds back
+            # through s1/s2 (ADVICE r11)
+            q = s1[ch] * c1 + s2[ch] * c2
+            pred = -((-q) >> 8) if q < 0 else q >> 8
             sample = pred + deltas[ch] * signed
             sample = max(-32768, min(32767, sample))
             outs[ch].append(sample)

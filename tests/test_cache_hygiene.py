@@ -70,6 +70,58 @@ def test_release_is_idempotent_with_early_unpersist(spark):
     assert persisted_df_count(spark) == 0
 
 
+class _StubSession:
+    pass
+
+
+class _StubDF:
+    """Minimal tracked_persist subject: the ledger mechanics are pure
+    Python, so id-reuse semantics are testable without a real JVM."""
+
+    def __init__(self, sess):
+        self.sparkSession = sess
+        self.released = False
+
+    def persist(self, *a):
+        return self
+
+    def unpersist(self):
+        self.released = True
+
+
+def test_ledger_survives_session_id_reuse():
+    """ADVICE r11: the ledger lives ON the session object, so a session
+    dropped WITHOUT a final release takes its entries with it — a later
+    session reusing the same CPython id() inherits nothing, and no
+    global map pins the dead session or its frames."""
+    import gc
+
+    s1 = _StubSession()
+    d1 = _StubDF(s1)
+    tracked_persist(d1)
+    assert tracked_count(s1) == 1
+    old_id = id(s1)
+    del s1, d1  # dropped without release_caches
+    gc.collect()
+    # churn allocations until one lands on the dead session's id — the
+    # exact aliasing a global id()-keyed map would confuse. Not
+    # guaranteed to hit, but the assertions must hold either way.
+    reused = None
+    for _ in range(10000):
+        cand = _StubSession()
+        if id(cand) == old_id:
+            reused = cand
+            break
+    s2 = reused if reused is not None else _StubSession()
+    assert tracked_count(s2) == 0  # no inherited entries
+    assert release_caches(s2) == 0  # no cross-session bleed
+    d2 = _StubDF(s2)
+    tracked_persist(d2)
+    assert tracked_count(s2) == 1
+    assert release_caches(s2) == 1
+    assert d2.released and tracked_count(s2) == 0
+
+
 @pytest.mark.parametrize("name", SLICE)
 def test_catalog_slice_leaves_storage_empty(spark, sf_dir, name):
     from replicadb_spark.plans.catalog import QUERIES

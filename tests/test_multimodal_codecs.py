@@ -1211,7 +1211,8 @@ def _ms_encode(samples_i16, block_samples, predictor=0):
         recon += [s2, s1]
         nibs = []
         for s in chunk[2:]:
-            pred = (s1 * c1 + s2 * c2) >> 8
+            q = s1 * c1 + s2 * c2  # C truncating division, like real
+            pred = -((-q) >> 8) if q < 0 else q >> 8  # encoders
             signed = max(-8, min(7, int(round((s - pred) / delta))))
             nib = signed + 16 if signed < 0 else signed
             sample = max(-32768, min(32767, pred + delta * signed))
@@ -1225,6 +1226,30 @@ def _ms_encode(samples_i16, block_samples, predictor=0):
             out += bytes([(hi << 4) | lo])
         out += bytes(block_align - 7 - len(nibs) // 2)
     return bytes(out), block_align, recon
+
+
+def test_ms_adpcm_truncating_predictor_division():
+    """ADVICE r11: the MS predictor divides by 256 with C truncation
+    toward zero, not floor. Hand-built known vector where they differ:
+    predictor 4 = (240, 0), seeds s1 = -1, s2 = 0 → q = -240, so
+    truncating pred = 0 where floor ('>> 8') would give -1 — and the
+    -1 would feed back through s1/s2. Independent of the mirror
+    encoder by construction."""
+    import numpy as np
+
+    blk = bytes([4]) + struct.pack("<hhh", 16, -1, 0) + bytes([0x00])
+    align = len(blk)
+    fmt = struct.pack("<HHIIHHHHH", 2, 1, 8000, 4000, align, 4, 4, 4, 0)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, 4)
+    body += b"data" + struct.pack("<I", len(blk)) + blk
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    x, rate, sw = codecs.decode_wav_full(payload)
+    assert rate == 8000 and sw == 2
+    got = np.round(x * 32768).astype(np.int64)
+    # order: sample2, sample1, then the two decoded zero-nibbles —
+    # both predict 0 under truncation ([-1, floor] would read -1)
+    np.testing.assert_array_equal(got, [0, -1, 0, 0])
 
 
 def test_ms_adpcm_wav_roundtrip():
