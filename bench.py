@@ -292,6 +292,7 @@ def main() -> int:
         wall = time.time() - t0
         n_rows = spark.read.parquet(f"{out}/lineitem").count()
         timings["repl_bulk_write_parquet"] = round(wall, 3)
+        raw_runs["repl_bulk_write_parquet"] = [round(wall, 3), n_rows]
         print(
             f"# repl_bulk_write_parquet: {wall:.2f}s "
             f"({n_rows} rows ≈ {n_rows / wall * 60:,.0f} rows/min)",
@@ -302,12 +303,42 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
 
+    # Probe-normalized companion total (VERDICT r11 item 2): r11's
+    # driver bench read 102.0 s against the same tree's quiet-host
+    # 85.7 s — a uniform 1.19x host tax only diagnosable by
+    # cross-referencing the committed sidecar. The probes make that
+    # split legible INSIDE one artifact: host_factor is the geometric
+    # mean of this run's probe pair over the pinned quiet-host
+    # reference pair (r11 final-tree calibration), and
+    # value_normalized = value / host_factor is what this run would
+    # have read on the reference host. A normalized total that moves
+    # while host_factor explains the raw delta is host load; a
+    # normalized total that moves on its own is a real plan change.
+    REF_PROBES = {"py": 0.777, "jvm": 0.161}
+    host_factor = round(
+        (
+            (probes["py"] / REF_PROBES["py"])
+            * (probes["jvm"] / REF_PROBES["jvm"])
+        )
+        ** 0.5,
+        3,
+    )
+    value_normalized = round(total / host_factor, 3)
+    print(
+        f"# total {total:.1f}s, host_factor {host_factor:.2f} vs quiet "
+        f"reference → normalized {value_normalized:.1f}s",
+        file=sys.stderr,
+    )
+
     # Full-precision payload (3-dp min-of-2, both raw runs + row counts,
     # full recall detail) goes to a sidecar the judge can read directly.
     sidecar = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "host_factor": host_factor,
+        "value_normalized": value_normalized,
+        "probes_ref": REF_PROBES,
         "queries": timings,
         "runs": raw_runs,
         "recall": recall,
@@ -327,14 +358,18 @@ def main() -> int:
     # 2000 bytes, "parsed" null — the full 96-query line ran 2700+
     # bytes even at 1 dp, so its head fell off the window). The stdout
     # line is therefore built to a HARD 1800-byte budget: headline
-    # total + recall booleans always, then per-query timings slowest-
-    # first until the budget is hit; "queries_benched" carries the true
-    # count and BENCH_LOCAL.json keeps every query at full precision.
+    # total, normalized total + host factor, recall booleans always,
+    # then per-query BOTH-RUN timings slowest-first until the budget is
+    # hit (two cold runs per query make noise spread visible in the
+    # driver tail itself); "queries_benched" carries the true count and
+    # BENCH_LOCAL.json keeps every query at full precision.
     def _line(qs: dict) -> str:
         return json.dumps({
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
+            "value_norm": value_normalized,
+            "host_factor": host_factor,
             "queries": qs,
             "queries_benched": len(timings),
             "recall": {k: v["ok"] for k, v in recall.items()},
@@ -347,7 +382,8 @@ def main() -> int:
     shown: dict = {}
     for name in by_cost:
         trial = dict(shown)
-        trial[name] = round(timings[name], 2)
+        # raw_runs = [run1(, run2), row_count] — show the runs only
+        trial[name] = [round(r, 2) for r in raw_runs[name][:-1]]
         if len(_line(trial)) > 1800:
             break
         shown = trial
