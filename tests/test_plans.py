@@ -294,6 +294,10 @@ def test_fuzzy_match_blocks_on_hashed_signature(spark):
     # exact verify stays JVM-side (codegen levenshtein), no Python eval
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the FastSS run-interval filter rides the join (r12): candidate
+    # rows carry the deletion-run interval and incompatible positions
+    # die on an integer compare before the levenshtein verify
+    assert "lo#" in plan and "hi#" in plan
 
 
 def test_interval_coalesce_single_key_shuffle_no_self_join(spark):
