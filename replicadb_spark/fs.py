@@ -11,17 +11,27 @@ the same FS instance Spark's own scan planning uses, so credentials,
 
 Design notes (mirrors Delta's LogStore contract):
 
-- **Commit point = rename-without-overwrite.** ``rename_no_overwrite``
-  raises if the destination exists. The atomicity of that put-if-absent
-  is HDFS's: its namespace rename is one metadata op that fails on an
-  existing destination. On ``file://`` Hadoop's rename also refuses an
-  existing destination (verified against the bundled Hadoop: returns
-  false, no overwrite) and we add a best-effort exists() pre-check, but
-  POSIX rename(2) underneath CAN overwrite, so local concurrent-writer
-  detection is best-effort only — the single-writer replication
-  contract (SURVEY §2.3) is what actually carries it. On S3 a rename is
-  copy+delete and NOT atomic; as with Delta on S3, multi-writer safety
-  there needs an external coordinator — same single-writer contract.
+- **Commit point = put-if-absent.** :meth:`TableFS.put_if_absent`
+  atomically creates a name that must not exist, per scheme:
+
+  * HDFS (and other rename-atomic schemes): tmp write +
+    ``rename_no_overwrite`` — the namespace rename is one metadata op
+    that fails on an existing destination.
+  * ``file://``: the same tmp+rename; Hadoop's local rename refuses an
+    existing destination and an exists() pre-check adds a second
+    best-effort guard, but POSIX rename(2) underneath CAN overwrite,
+    so local concurrent-writer detection is best-effort only — the
+    single-writer replication contract (SURVEY §2.3) is what actually
+    carries it (the OCC tests exercise real interleavings here).
+  * S3 (``s3a://``/``s3n://``): rename is copy+delete and NOT atomic,
+    so the commit point is a **conditional PUT (If-None-Match)** —
+    S3 supports it natively (2024+) and S3A exposes it behind
+    ``fs.s3a.create.conditional.enabled``. With the flag on, the
+    direct ``createFile().overwrite(false)`` build/close is the
+    atomic decision point (HTTP 412 = lost the race). Without it,
+    ``put_if_absent`` REFUSES to commit rather than silently running
+    a non-atomic rename — the Delta-on-S3 coordinator caveat turned
+    into enforced behavior instead of documentation.
 - **Caller-prefix path form.** Every path this module RETURNS keeps the
   exact prefix the caller used for the table root (plain ``/tmp/t``,
   ``file:///tmp/t``, ``s3a://bucket/t`` …): listings are re-anchored
@@ -152,14 +162,16 @@ class TableFS:
             out.close()
 
     def rename_no_overwrite(self, src: str, dst: str) -> None:
-        """THE commit point: publish by renaming onto a name that must
-        not exist. Put-if-absent is ATOMIC on HDFS (namespace rename
-        fails on an existing destination); on ``file://`` Hadoop's
-        rename also returns false for an existing destination and the
-        exists() pre-check below adds a second best-effort guard, but
-        neither closes the POSIX rename(2) overwrite race — local and
-        object stores rely on the single-writer contract (module
-        docstring)."""
+        """Publish by renaming onto a name that must not exist — the
+        put-if-absent building block for rename-atomic schemes (see
+        module docstring; COMMITTERS should call :meth:`put_if_absent`,
+        which picks the right primitive per scheme). ATOMIC on HDFS
+        (namespace rename fails on an existing destination); on
+        ``file://`` Hadoop's rename also returns false for an existing
+        destination and the exists() pre-check below adds a second
+        best-effort guard, but neither closes the POSIX rename(2)
+        overwrite race — local relies on the single-writer contract
+        (module docstring)."""
         if self.exists(dst):
             raise IOError(
                 f"commit rename {src} -> {dst} failed: destination "
@@ -175,6 +187,81 @@ class TableFS:
 
     def delete(self, p: str, recursive: bool = False) -> bool:
         return bool(self._fs.delete(self._jpath(p), recursive))
+
+    # -- the commit primitive --------------------------------------------
+    _S3_SCHEMES = ("s3a", "s3n", "s3")
+
+    @property
+    def scheme(self) -> str:
+        """URI scheme of the table root per Hadoop's qualified form
+        (``file``, ``hdfs``, ``s3a``, …)."""
+        q = self._qual_root
+        return q.split("://", 1)[0] if "://" in q else "file"
+
+    def _conditional_create(self, p: str, text: str) -> bool:
+        """S3 conditional PUT (If-None-Match) via the S3A createFile
+        builder: the build/close pair is the atomic decision point —
+        HTTP 412 (surfaced as RemoteFileChanged / FileAlreadyExists)
+        means a concurrent writer took the name first."""
+        try:
+            builder = self._fs.createFile(self._jpath(p))
+            out = builder.overwrite(False).build()
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+            return True
+        except Exception as e:
+            s = str(e)
+            if (
+                "FileAlreadyExistsException" in s
+                or "RemoteFileChangedException" in s
+                or "PreconditionFailed" in s
+                or "412" in s
+            ):
+                return False
+            raise
+
+    def _s3_conditional_enabled(self) -> bool:
+        return (
+            str(
+                self._conf.get("fs.s3a.create.conditional.enabled", "false")
+            ).lower()
+            == "true"
+        )
+
+    def put_if_absent(self, p: str, text: str) -> bool:
+        """THE commit point: atomically create ``p`` with ``text`` iff
+        no such name exists. True = this writer won the name; False =
+        a concurrent writer took it first (the caller may re-derive
+        and retry). Scheme dispatch per the module docstring:
+        rename-atomic schemes go tmp+rename; S3 goes conditional PUT
+        when ``fs.s3a.create.conditional.enabled`` is on, and REFUSES
+        otherwise — a silent non-atomic commit on S3 could publish two
+        winners for one snapshot id, which is strictly worse than
+        failing loudly."""
+        if self.scheme in self._S3_SCHEMES:
+            if not self._s3_conditional_enabled():
+                raise IOError(
+                    f"commit of {p} refused: scheme {self.scheme!r} has "
+                    "no atomic rename-without-overwrite and conditional "
+                    "writes are off — enable "
+                    "fs.s3a.create.conditional.enabled=true (S3 "
+                    "If-None-Match, Hadoop 3.4.1+) or route commits "
+                    "through a single writer"
+                )
+            return self._conditional_create(p, text)
+        d, name = p.rsplit("/", 1)
+        tmp = f"{d}/.{name}.tmp"
+        self.write_text(tmp, text)
+        try:
+            self.rename_no_overwrite(tmp, p)
+        except IOError:
+            self.delete(tmp)
+            if self.exists(p):
+                return False  # lost the race to a concurrent committer
+            raise  # genuine filesystem failure, not contention
+        return True
 
     def mtime_ms(self, p: str) -> int:
         """Modification time of ``p`` in epoch milliseconds. For a

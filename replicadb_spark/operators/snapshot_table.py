@@ -30,12 +30,14 @@ ALL metadata I/O (commit log, listings, renames, deletes) goes through
 replicadb_spark.fs — the session's Hadoop ``FileSystem`` on the driver
 and pyarrow filesystems inside Arrow tasks — so the table root may be
 any Spark-readable URI (``file://``, ``hdfs://``, ``s3a://``), not just
-the driver's local disk. The commit point is rename-without-overwrite:
-ATOMIC put-if-absent on HDFS; on local FS Hadoop's rename refuses an
+the driver's local disk. The commit point is ``TableFS.put_if_absent``:
+ATOMIC tmp+rename on HDFS; on local FS Hadoop's rename refuses an
 existing destination plus a best-effort pre-check (but POSIX rename(2)
 can overwrite, so detection there is best-effort); on S3 (non-atomic
-rename) nothing detects a racer — there the single-writer contract is
-load-bearing, as with Delta's S3 LogStore.
+rename) the commit is a conditional PUT (If-None-Match) behind
+``fs.s3a.create.conditional.enabled`` — and with the flag OFF, publish
+REFUSES rather than silently racing, so a lakehouse on S3 either has a
+real atomic decision point or no multi-writer commits at all.
 
 **Optimistic concurrency** (where put-if-absent detection exists):
 every commit ATTEMPT writes its data files and manifest under its own
@@ -230,30 +232,24 @@ def _commit_token() -> str:
 
 
 def _try_publish(fs: TableFS, path: str, rec: dict) -> bool:
-    """Write the commit record beside its final name and atomically
-    rename it into place — THE commit point. True if this writer won
-    the snapshot id; False if a concurrent writer took it first (the
-    caller may re-derive against the new tip and retry)."""
+    """Atomically claim the commit record's final name — THE commit
+    point, delegated to :meth:`TableFS.put_if_absent` which picks the
+    scheme-correct primitive (tmp+rename on rename-atomic schemes,
+    conditional PUT on S3, loud refusal where neither exists). True if
+    this writer won the snapshot id; False if a concurrent writer took
+    it first (the caller may re-derive against the new tip and
+    retry)."""
     import time
 
     fs.mkdirs(join(path, "snapshots"))
     sid = rec["snapshot_id"]
     final = join(path, "snapshots", f"s-{sid:06d}.json")
-    tmp = join(path, "snapshots", f".s-{sid:06d}.json.tmp")
     # wall-clock commit stamp — the TIMESTAMP AS OF resolution anchor.
     # Written at the publish choke point so every commit path gets one;
     # monotonicity across writers is the host clock's (same caveat as
     # Delta: time travel by timestamp trusts the committers' clocks).
     rec = {**rec, "committed_at_ms": int(time.time() * 1000)}
-    fs.write_text(tmp, json.dumps(rec))
-    try:
-        fs.rename_no_overwrite(tmp, final)
-    except IOError:
-        fs.delete(tmp)
-        if fs.exists(final):
-            return False  # lost the race to a concurrent committer
-        raise  # genuine filesystem failure, not contention
-    return True
+    return fs.put_if_absent(final, json.dumps(rec))
 
 
 def _publish(fs: TableFS, path: str, rec: dict) -> None:

@@ -136,6 +136,98 @@ def test_commit_point_is_put_if_absent(spark, tmp_path):
         fs.rename_no_overwrite(tmp, dst)
 
 
+def test_put_if_absent_winner_loser_on_file(spark, tmp_path):
+    """The commit primitive: first claimant wins, second reads False
+    (lost race, not an exception), winner's content is what persists,
+    and the loser's tmp is cleaned up."""
+    path = _uri(tmp_path, "pia")
+    fs = TableFS(spark, path)
+    fs.mkdirs(join(path, "snapshots"))
+    dst = join(path, "snapshots", "s-000001.json")
+    assert fs.put_if_absent(dst, '{"w": 1}') is True
+    assert fs.put_if_absent(dst, '{"w": 2}') is False
+    assert json.loads(fs.read_text(dst)) == {"w": 1}
+    assert fs.list_names(join(path, "snapshots")) == ["s-000001.json"]
+    assert fs.scheme == "file"
+
+
+def test_put_if_absent_refuses_s3_without_conditional_writes(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 item 4: on S3 schemes rename is copy+delete (not
+    atomic) — with conditional writes off, the commit point must
+    refuse loudly instead of silently best-efforting, converting the
+    documented Delta-on-S3 caveat into enforced behavior."""
+    path = _uri(tmp_path, "s3ref")
+    fs = TableFS(spark, path)
+    monkeypatch.setattr(TableFS, "scheme", property(lambda self: "s3a"))
+    with pytest.raises(IOError, match="refused.*conditional"):
+        fs.put_if_absent(join(path, "snapshots", "s-000001.json"), "{}")
+
+
+class _FakeStream:
+    def __init__(self, store, key, conflict):
+        self._store, self._key, self._conflict = store, key, conflict
+        self._buf = bytearray()
+
+    def write(self, data):
+        self._buf += bytes(data)
+
+    def close(self):
+        # S3 semantics: the object materializes at close; If-None-Match
+        # makes a concurrent existing object surface as HTTP 412
+        if self._conflict and self._key in self._store:
+            raise Exception(
+                "org.apache.hadoop.fs.s3a.RemoteFileChangedException: "
+                "PUT returned 412 Precondition Failed"
+            )
+        self._store[self._key] = bytes(self._buf)
+
+
+class _FakeBuilder:
+    def __init__(self, store, key):
+        self._store, self._key = store, key
+
+    def overwrite(self, flag):
+        assert flag is False  # If-None-Match only makes sense this way
+        return self
+
+    def build(self):
+        return _FakeStream(self._store, self._key, conflict=True)
+
+
+class _FakeJFS:
+    """Injected JVM-FS stand-in simulating S3 conditional-put
+    semantics: create succeeds iff the key is absent at close."""
+
+    def __init__(self):
+        self.store: dict = {}
+
+    def createFile(self, jpath):
+        return _FakeBuilder(self.store, jpath.toString())
+
+
+def test_put_if_absent_conditional_put_winner_loser(
+    spark, tmp_path, monkeypatch
+):
+    """With conditional writes enabled, the S3 commit point is the
+    createFile(If-None-Match) build/close: winner True, loser False —
+    the same contract the rename path gives HDFS."""
+    path = _uri(tmp_path, "s3cp")
+    fs = TableFS(spark, path)
+    fake = _FakeJFS()
+    monkeypatch.setattr(TableFS, "scheme", property(lambda self: "s3a"))
+    monkeypatch.setattr(
+        TableFS, "_s3_conditional_enabled", lambda self: True
+    )
+    monkeypatch.setattr(fs, "_fs", fake)
+    dst = join(path, "snapshots", "s-000001.json")
+    assert fs.put_if_absent(dst, '{"w": 1}') is True
+    assert fs.put_if_absent(dst, '{"w": 2}') is False
+    key = [k for k in fake.store][0]
+    assert json.loads(fake.store[key].decode()) == {"w": 1}
+
+
 def test_expire_with_different_root_spelling_preserves_live_files(
     spark, tmp_path
 ):
