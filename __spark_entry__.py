@@ -144,6 +144,9 @@ _GATE_LAST = (
     # rollback + TIMESTAMP AS OF resolution over the OCC commit log,
     # and the byte-level BPE tokenizer's invariant gate
     "snapshot_restore_gate", "bpe_tokenize_gate",
+    # r12 local-evidence addition (ROUND12.md): token-ID emission +
+    # real-BPE shard packing through pack_shards, six invariants
+    "bpe_pack_gate",
 )
 
 

@@ -112,6 +112,22 @@ def train_bpe(
     return merges
 
 
+def bpe_vocab(merges: "list[tuple[bytes, bytes]]"):
+    """``(tok2id, id2bytes)`` for a merge list: ids 0–255 are the raw
+    byte values, merge ``j`` mints id ``256 + j`` for its concatenated
+    product. Two merges CAN mint the same byte string (("ab","c") and
+    ("a","bc") both yield "abc"); the FIRST minting wins the lookup id
+    — deterministic, and decode stays exact because ``id2bytes`` keeps
+    every id's own bytes."""
+    id2bytes = [bytes([b]) for b in range(256)]
+    tok2id = {bytes([b]): b for b in range(256)}
+    for j, (a, b) in enumerate(merges):
+        prod = a + b
+        id2bytes.append(prod)
+        tok2id.setdefault(prod, 256 + j)
+    return tok2id, id2bytes
+
+
 def _encode_word(w: bytes, ranks) -> "list[bytes]":
     syms = [bytes([b]) for b in w]
     while len(syms) > 1:
@@ -132,12 +148,21 @@ def bpe_tokenize(
     id_col: str,
     text_col: str,
     merges: "list[tuple[bytes, bytes]]",
+    *,
+    with_ids: bool = False,
 ) -> DataFrame:
     """(id, n_words, n_bytes, n_tokens, roundtrip_ok) per document:
     the distributed apply. ``roundtrip_ok`` re-concatenates every
     word's tokens and compares to the word's bytes — byte-level BPE
     makes this exact by construction, so a False here is a decoder
-    bug, not a data property (the gate folds it into the hash)."""
+    bug, not a data property (the gate folds it into the hash).
+
+    ``with_ids=True`` adds ``token_ids: array<int>`` — the document's
+    full token-ID sequence under :func:`bpe_vocab`'s numbering
+    (``len(token_ids) == n_tokens``), which is what a training
+    pipeline actually packs into shards; counts-only stays the default
+    because the ids column is ~4 bytes/token of shuffle weight the
+    accounting queries never read."""
     # a REAL broadcast (ADVICE r11): the ranks dict ships to each
     # executor once per job instead of being pickled into every task's
     # closure — the difference is invisible at toy vocab sizes and
@@ -145,18 +170,26 @@ def bpe_tokenize(
     bc_ranks = df.sparkSession.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)}
     )
+    bc_tok2id = (
+        df.sparkSession.sparkContext.broadcast(bpe_vocab(merges)[0])
+        if with_ids
+        else None
+    )
 
     def run(batches: "Iterator"):
         import pandas as pd
 
         ranks = bc_ranks.value
+        tok2id = bc_tok2id.value if bc_tok2id is not None else None
         for pdf in batches:
             cache: dict[bytes, list[bytes]] = {}
             ids, nw, nb, nt, ok = [], [], [], [], []
+            tid: list[list[int]] = []
             for doc_id, text in zip(pdf["id"], pdf["text"]):
                 words = _words(text or "")
                 tokens = 0
                 good = True
+                doc_ids: list[int] = []
                 for w in words:
                     toks = cache.get(w)
                     if toks is None:
@@ -165,26 +198,35 @@ def bpe_tokenize(
                     tokens += len(toks)
                     if b"".join(toks) != w:
                         good = False
+                    if tok2id is not None:
+                        doc_ids.extend(tok2id[t] for t in toks)
                 ids.append(doc_id)
                 nw.append(len(words))
                 nb.append(sum(len(w) for w in words))
                 nt.append(tokens)
                 ok.append(good)
-            yield pd.DataFrame({
+                if tok2id is not None:
+                    tid.append(doc_ids)
+            out = {
                 "id": pd.Series(ids, dtype="int64"),
                 "n_words": pd.Series(nw, dtype="int64"),
                 "n_bytes": pd.Series(nb, dtype="int64"),
                 "n_tokens": pd.Series(nt, dtype="int64"),
                 "roundtrip_ok": pd.Series(ok, dtype="bool"),
-            })
+            }
+            if tok2id is not None:
+                out["token_ids"] = pd.Series(tid, dtype="object")
+            yield pd.DataFrame(out)
 
+    schema = (
+        "id long, n_words long, n_bytes long, n_tokens long, "
+        "roundtrip_ok boolean"
+    )
+    if with_ids:
+        schema += ", token_ids array<int>"
     return df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).mapInPandas(
-        run,
-        "id long, n_words long, n_bytes long, n_tokens long, "
-        "roundtrip_ok boolean",
-    )
+    ).mapInPandas(run, schema)
 
 
 def save_bpe(spark, merges: "list[tuple[bytes, bytes]]", path: str) -> None:

@@ -8921,3 +8921,139 @@ def bpe_tokenize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("roundtrip_ok").alias("roundtrip_ok"),
         F.lit(len(merges) == 80).alias("vocab_ok"),
     )
+
+
+@register(
+    "bpe_pack_gate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             coalesce(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x != ''),
+               []
+             ) AS ws
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(ws)) AS BIGINT) AS total_words,
+           CAST(sum(coalesce(
+             list_aggregate(list_transform(ws, x -> strlen(x)), 'sum'), 0
+           )) AS BIGINT) AS total_word_bytes,
+           TRUE AS ids_len_ok, TRUE AS ids_bytes_ok, TRUE AS ids_range_ok,
+           TRUE AS pack_partition_ok, TRUE AS pack_boundary_ok,
+           TRUE AS pack_cover_ok
+    FROM w
+    """,
+)
+def bpe_pack_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for token-ID emission + REAL-BPE shard
+    packing (VERDICT r11 item 5): train the same deterministic 80
+    merges as bpe_tokenize_gate, tokenize every document WITH
+    ``token_ids``, pack shards by the real BPE token counts through
+    operators/ordering.pack_shards (budget 2048 — the packing a
+    training pipeline runs on model-consumed tokens, not the regex
+    proxy shard_pack_tokens' exact oracle uses), and hash one summary
+    row: counts the oracle recomputes independently (docs, whitespace
+    words, UTF-8 word bytes) plus six invariant booleans —
+
+    - ``ids_len_ok``: ``size(token_ids) == n_tokens`` per doc;
+    - ``ids_bytes_ok``: summing each id's byte length through a
+      JVM-side vocab lookup table reproduces ``n_bytes`` per doc (the
+      ids faithfully encode the bytes — checked OUTSIDE the Python
+      kernel that produced them);
+    - ``ids_range_ok``: every id in [0, 256 + n_merges);
+    - ``pack_partition_ok``: per shard, max(running) − min(start) ==
+      sum(n_tokens) — shards are contiguous runs of the doc order;
+    - ``pack_boundary_ok``: per shard, ``start div budget`` == shard
+      id (the greedy-packing contract);
+    - ``pack_cover_ok``: shard token ranges tile [0, total) exactly.
+
+    Scale: the apply is map-only Arrow with broadcast ranks + vocab;
+    the ids column adds ~4 B/token but never shuffles (both aggregates
+    consume it map-side); the packing prefix sum is the range-bucketed
+    shape whose only SinglePartition exchange sees n/4096 rows."""
+    from replicadb_spark.cache import tracked_persist
+    from replicadb_spark.functions.bpe import (
+        bpe_tokenize,
+        bpe_vocab,
+        train_bpe,
+    )
+    from replicadb_spark.operators.ordering import pack_shards
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    merges = train_bpe(
+        d, "text", "doc_id", n_merges=80, sample_docs=200, seed=42
+    )
+    _, id2bytes = bpe_vocab(merges)
+    n_vocab = len(id2bytes)
+    lens = F.array(*[F.lit(len(b)) for b in id2bytes])
+    budget = 2048
+    tok = tracked_persist(
+        bpe_tokenize(d, "doc_id", "text", merges, with_ids=True)
+    )
+    doc_agg = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bytes").cast("long").alias("total_word_bytes"),
+        F.min(F.size("token_ids") == F.col("n_tokens")).alias("ids_len_ok"),
+        F.min(
+            F.aggregate(
+                F.transform(
+                    F.col("token_ids"),
+                    lambda i: F.element_at(lens, i + F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            == F.col("n_bytes")
+        ).alias("ids_bytes_ok"),
+        F.min(
+            F.forall(
+                F.col("token_ids"),
+                lambda i: (i >= 0) & (i < F.lit(n_vocab)),
+            )
+        ).alias("ids_range_ok"),
+        F.sum("n_tokens").cast("long").alias("_total_tokens"),
+    )
+    packed = pack_shards(
+        tok.select("id", "n_tokens"),
+        "id",
+        "n_tokens",
+        budget=budget,
+        running_col="running",
+    )
+    shard_agg = (
+        packed.groupBy("shard")
+        .agg(
+            (F.min(F.col("running") - F.col("n_tokens"))).alias("start"),
+            F.max("running").alias("end"),
+            F.sum("n_tokens").alias("tok"),
+        )
+        .agg(
+            F.min(F.col("end") - F.col("start") == F.col("tok")).alias(
+                "pack_partition_ok"
+            ),
+            F.min(
+                F.expr(f"start div {budget}") == F.col("shard")
+            ).alias("pack_boundary_ok"),
+            F.min("start").alias("_min_start"),
+            F.max("end").alias("_max_end"),
+            F.sum("tok").alias("_sum_tok"),
+        )
+    )
+    return doc_agg.crossJoin(F.broadcast(shard_agg)).select(
+        "n_docs",
+        "total_words",
+        "total_word_bytes",
+        "ids_len_ok",
+        "ids_bytes_ok",
+        "ids_range_ok",
+        "pack_partition_ok",
+        "pack_boundary_ok",
+        (
+            (F.col("_min_start") == 0)
+            & (F.col("_max_end") == F.col("_total_tokens"))
+            & (F.col("_sum_tok") == F.col("_total_tokens"))
+        ).alias("pack_cover_ok"),
+    )

@@ -105,3 +105,47 @@ def test_save_load_roundtrip_on_file_uri(spark, tmp_path):
         from replicadb_spark.fs import TableFS
         TableFS(spark, str(tmp_path)).write_text(bad, "{}")
         load_bpe(spark, bad)
+
+
+def test_token_ids_decode_exactly(spark):
+    """with_ids=True: decoding token_ids through bpe_vocab's id2bytes
+    reproduces each document's word bytes exactly, and the ids column
+    is length- and range-consistent with the counts."""
+    from replicadb_spark.functions.bpe import bpe_vocab
+
+    df = _corpus_df(spark)
+    merges = train_bpe(df, "text", "doc_id", n_merges=30, sample_docs=100)
+    _, id2bytes = bpe_vocab(merges)
+    out = {
+        r["id"]: r
+        for r in bpe_tokenize(
+            df, "doc_id", "text", merges, with_ids=True
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    for i, r in out.items():
+        ids = r["token_ids"]
+        assert len(ids) == r["n_tokens"]
+        assert all(0 <= t < len(id2bytes) for t in ids)
+        decoded = b"".join(id2bytes[t] for t in ids)
+        assert decoded == b"".join(_words(texts[i]))
+    # counts-only mode keeps the narrow schema
+    narrow = bpe_tokenize(df, "doc_id", "text", merges)
+    assert "token_ids" not in narrow.columns
+
+
+def test_bpe_vocab_duplicate_products_first_minting_wins():
+    """("ab","c") and ("a","bc") both mint "abc": lookup resolves to the
+    FIRST id, decode keeps both ids' own bytes — encode/decode exact."""
+    from replicadb_spark.functions.bpe import bpe_vocab
+
+    merges = [
+        (b"a", b"b"),   # 256: "ab"
+        (b"b", b"c"),   # 257: "bc"
+        (b"ab", b"c"),  # 258: "abc"
+        (b"a", b"bc"),  # 259: "abc" (duplicate product)
+    ]
+    tok2id, id2bytes = bpe_vocab(merges)
+    assert tok2id[b"abc"] == 258
+    assert id2bytes[258] == b"abc" and id2bytes[259] == b"abc"
+    assert tok2id[b"a"] == ord("a") and id2bytes[ord("a")] == b"a"
