@@ -91,12 +91,23 @@ def train_bpe(
     for t in texts:
         for w in _words(t):
             word_freq[w] = word_freq.get(w, 0) + 1
-    vocab = {
-        tuple(bytes([b]) for b in w): f for w, f in word_freq.items()
-    }
+    # Incremental pair maintenance (VERDICT r11): recomputing the full
+    # pair-count table per merge is O(n_merges x sample vocab); real
+    # 50k-merge training updates only the words the last merge touched.
+    # State: words[i]/freqs[i], the live pair-count table, and an
+    # occurrence index pair -> {word idx} — all three updated exactly
+    # for the touched words, so the counts equal a from-scratch
+    # recount at every step (the determinism contract is unchanged).
+    words = [tuple(bytes([b]) for b in w) for w in word_freq]
+    freqs = list(word_freq.values())
+    counts: dict[tuple[bytes, bytes], int] = {}
+    where: dict[tuple[bytes, bytes], set[int]] = {}
+    for i, syms in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + freqs[i]
+            where.setdefault(p, set()).add(i)
     merges: list[tuple[bytes, bytes]] = []
     for _ in range(n_merges):
-        counts = _pair_counts(vocab)
         if not counts:
             break
         # max frequency, ties broken on the smallest pair — the
@@ -105,9 +116,23 @@ def train_bpe(
         if counts[best] < 2:
             break  # nothing left worth merging
         joined = best[0] + best[1]
-        vocab = {
-            _merge_word(syms, best, joined): f for syms, f in vocab.items()
-        }
+        for i in sorted(where.get(best, ())):
+            old, f = words[i], freqs[i]
+            new = _merge_word(old, best, joined)
+            for p in zip(old, old[1:]):
+                left = counts[p] - f
+                if left:
+                    counts[p] = left
+                else:
+                    del counts[p]
+                    where.pop(p, None)
+                w = where.get(p)
+                if w is not None:
+                    w.discard(i)
+            for p in zip(new, new[1:]):
+                counts[p] = counts.get(p, 0) + f
+                where.setdefault(p, set()).add(i)
+            words[i] = new
         merges.append(best)
     return merges
 
