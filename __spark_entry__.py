@@ -144,9 +144,12 @@ _GATE_LAST = (
     # rollback + TIMESTAMP AS OF resolution over the OCC commit log,
     # and the byte-level BPE tokenizer's invariant gate
     "snapshot_restore_gate", "bpe_tokenize_gate",
-    # r12 local-evidence addition (ROUND12.md): token-ID emission +
-    # real-BPE shard packing through pack_shards, six invariants
-    "bpe_pack_gate",
+    # r12 local-evidence additions (ROUND12.md): token-ID emission +
+    # real-BPE shard packing through pack_shards (six invariants), and
+    # two full oracle pairs past the rotation ceiling — hybrid
+    # BM25+cosine retrieval fused by RRF, and DSIR hashed-n-gram
+    # importance weights
+    "bpe_pack_gate", "hybrid_rrf_search", "dsir_importance_weights",
 )
 
 

@@ -501,3 +501,90 @@ def gopher_screen(df, *, id_cols=("doc_id", "source"), text_col="text"):
         *[c.alias(a) for c, a in rules],
         keep.alias("keep"),
     )
+
+
+def dsir_importance(
+    df,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    n_buckets: int = 256,
+    term_pattern: str = "[a-z0-9]+",
+):
+    """Data Selection via Importance Resampling weights (DSIR, Xie et
+    al. 2023): score every document by how much more likely its hashed
+    n-gram features are under a TARGET distribution than under the raw
+    corpus — the published recipe for tilting a web-scale corpus
+    toward a quality/domain target without training a classifier.
+
+    Features are term occurrences hashed into ``n_buckets`` buckets by
+    the portable 31-fold poly hash (the oracle replays bucket ids
+    bit-for-bit; DSIR's own hashing trick, engine-portable here). Both
+    bucket distributions are add-one smoothed over the bucket space,
+    and each document's weight is
+
+        w(d) = Σ_b count_d(b) · [ln p̂_target(b) − ln p̂_raw(b)]
+
+    — the log importance ratio of the doc's feature vector. Returns
+    (id, n_terms, weight_raw) with the weight UNROUNDED; callers round
+    for display (the catalog entry rounds to 4 dp, the
+    bigram_logprob margin precedent).
+
+    Scale: the vocabulary of DISTINCT terms is hashed once and
+    broadcast back onto the token stream (the per-character
+    interpreted hash never runs per occurrence); per-doc bucket counts
+    are one map-side-combined aggregate; both global distributions are
+    ``n_buckets``-row aggregates of it (target via the is_target
+    flag); the log-ratio table is ``n_buckets`` rows BROADCAST into
+    the per-doc sum. One real shuffle (doc, bucket) end to end."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(term_pattern), 0)
+        ).alias("term"),
+        is_target.alias("is_target"),
+    )
+    vocab = base.select("term").distinct()
+    from replicadb_spark.functions.dedup import poly_hash
+
+    bucketed = vocab.select(
+        "term", (poly_hash(F.col("term")) % n_buckets).cast("int").alias("b")
+    )
+    dc = tracked_persist(
+        base.join(F.broadcast(bucketed), "term")
+        .groupBy("id", "b", "is_target")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = dc.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = dc.where("is_target").groupBy("b").agg(F.sum("c").alias("ct"))
+    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+        )
+    )
+    lr = (
+        raw.join(tgt, "b", "left_outer")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("cr") + 1.0)
+                    / (F.col("nr") + F.lit(float(n_buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_terms"),
+            F.sum(F.col("c") * F.col("lr")).alias("weight_raw"),
+        )
+    )

@@ -9057,3 +9057,197 @@ def bpe_pack_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_sum_tok") == F.col("_total_tokens"))
         ).alias("pack_cover_ok"),
     )
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ), qt AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 5
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), lexs AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+             ), 6) AS lex_score
+      FROM tf JOIN qt USING (term) JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      WHERE tf.doc_id <> qt.query_id
+      GROUP BY 1, 2
+    ), lex AS (
+      SELECT query_id, doc_id, lex_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY lex_score DESC, doc_id) AS lex_rank
+      FROM lexs QUALIFY lex_rank <= 50
+    ), dpairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+             q.embedding AS qv, e.embedding AS ev
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    ), dexp AS (
+      SELECT query_id, doc_id, CAST(unnest(qv) AS DOUBLE) AS qx,
+             CAST(unnest(ev) AS DOUBLE) AS ex
+      FROM dpairs
+    ), dscore AS (
+      SELECT query_id, doc_id,
+             round(SUM(qx * ex)
+                   / (sqrt(SUM(qx * qx)) * sqrt(SUM(ex * ex))), 6)
+               AS dense_score
+      FROM dexp GROUP BY 1, 2
+    ), dense AS (
+      SELECT query_id, doc_id, dense_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dense_score DESC, doc_id)
+               AS dense_rank
+      FROM dscore QUALIFY dense_rank <= 50
+    ), fused AS (
+      SELECT query_id, doc_id,
+             coalesce(1.0 / (60 + l.lex_rank), 0.0)
+               + coalesce(1.0 / (60 + d.dense_rank), 0.0) AS rrf_raw,
+             l.lex_rank IS NOT NULL AS in_lex,
+             d.dense_rank IS NOT NULL AS in_dense
+      FROM lex l FULL OUTER JOIN dense d USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, round(rrf_raw, 6) AS rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_raw DESC, doc_id) AS INT)
+             AS rrf_rank,
+           in_lex, in_dense
+    FROM fused QUALIFY rrf_rank <= 10
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid related-document retrieval (functions/retrieval): for 5
+    query documents, fuse an Okapi-BM25 lexical ranking (query = the
+    doc's own distinct terms) with an embedding-cosine dense ranking
+    (doc_id ⇔ vec_id) by Reciprocal Rank Fusion (k=60, top-50
+    candidates per leg, top-10 fused) — the two-tower retrieval shape
+    behind related-doc mining and hard-negative sourcing, and the
+    fusion step that makes the repo's BM25 + kNN primitives one
+    ranker.
+
+    Determinism: each leg ranks on its 6-dp-ROUNDED score with a
+    doc_id tiebreak; the fused score consumes only the INTEGER ranks
+    (Σ 1/(60+rank) — RRF's defining property), so both engines add
+    identical doubles in identical order. At sf0.1 the corpora
+    diverge by design (5000 docs, 2000 embeddings): docs without a
+    vector simply never enter the dense leg, the standard partial-
+    coverage treatment RRF absorbs.
+
+    Scale: lexical leg filters the corpus token stream against the
+    broadcast query-term set BEFORE its tf aggregate shuffles; dense
+    leg broadcasts 5 query vectors and streams the corpus through one
+    zip_with dot product; fusion is a full-outer join of two ≤50-row-
+    per-query frames."""
+    from replicadb_spark.functions.retrieval import (
+        bm25_related_docs,
+        cosine_related_docs,
+        rrf_fuse,
+    )
+
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    lex = bm25_related_docs(
+        t["documents"], "doc_id", "text", qids, top_k=50
+    )
+    dense = cosine_related_docs(
+        t["embeddings"], "vec_id", "embedding", qids, top_k=50
+    )
+    return rrf_fuse(lex, dense, k=60, top_k=10)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS term
+      FROM documents
+    ), vocab AS (
+      SELECT DISTINCT term FROM toks
+    ), bk AS (
+      SELECT term,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ascii(c) AS BIGINT) FOR c IN string_split(term, '')]),
+               (acc, c) -> (acc * 31 + c) % 1000000007
+             ) % 256 AS INT) AS b
+      FROM vocab
+    ), dc AS (
+      SELECT t.doc_id, bk.b, COUNT(*) AS c
+      FROM toks t JOIN bk USING (term) GROUP BY 1, 2
+    ), raw AS (SELECT b, SUM(c) AS cr FROM dc GROUP BY 1),
+    tgt AS (
+      SELECT dc.b, SUM(dc.c) AS ct FROM dc
+      JOIN documents d ON d.doc_id = dc.doc_id
+      WHERE d.source = 'src0' GROUP BY 1
+    ), tots AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS nr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt
+    ), lr AS (
+      SELECT raw.b,
+             ln((COALESCE(tgt.ct, 0) + 1.0) / (tots.nt + 256.0))
+               - ln((raw.cr + 1.0) / (tots.nr + 256.0)) AS lr
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+    ), w AS (
+      SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_terms,
+             SUM(dc.c * lr.lr) AS wr
+      FROM dc JOIN lr USING (b) GROUP BY 1
+    )
+    SELECT doc_id, n_terms, round(wr, 4) AS weight,
+           CAST(row_number() OVER (ORDER BY round(wr, 4) DESC, doc_id)
+                AS INT) AS rank
+    FROM w QUALIFY rank <= 100
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (functions/text.dsir_importance; Xie et
+    al. 2023): the top-100 documents by hashed-n-gram log importance
+    ratio toward the src0 target distribution — the published recipe
+    for tilting a raw corpus toward a domain/quality target without a
+    trained classifier, next to the repo's heuristic (quality_score)
+    and rule-based (gopher) filters.
+
+    Determinism: bucket ids come from the portable 31-fold poly hash
+    over the DISTINCT vocabulary (the oracle replays them exactly);
+    the per-doc weight is rounded to 4 dp (bigram_logprob's margin
+    precedent) and the rank orders on the ROUNDED weight with a
+    doc_id tiebreak. The final global window is 1 row per doc of 3
+    integers+1 double — single-partition safe at any corpus size that
+    fits a ranking (real pipelines threshold instead of ranking; the
+    weight computation itself is fully distributed).
+
+    Scale: the per-character interpreted hash runs once per DISTINCT
+    term (broadcast back onto the token stream), never per occurrence;
+    per-doc bucket counts are one map-side-combined aggregate; both
+    global distributions are 256-row aggregates and the log-ratio
+    table broadcasts into the per-doc sum."""
+    from replicadb_spark.functions.text import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = dsir_importance(
+        d, "doc_id", "text", F.col("source") == "src0", n_buckets=256
+    )
+    w = Window.orderBy(F.round("weight_raw", 4).desc(), "id")
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_terms",
+            F.round("weight_raw", 4).alias("weight"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= 100)
+    )
