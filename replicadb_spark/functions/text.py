@@ -538,6 +538,31 @@ def dsir_importance(
     ``n_buckets``-row aggregates of it (target via the is_target
     flag); the log-ratio table is ``n_buckets`` rows BROADCAST into
     the per-doc sum. One real shuffle (doc, bucket) end to end."""
+    dc, lr = _dsir_parts(
+        df, id_col, text_col, is_target,
+        n_buckets=n_buckets, term_pattern=term_pattern,
+    )
+    return (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_terms"),
+            F.sum(F.col("c") * F.col("lr")).alias("weight_raw"),
+        )
+    )
+
+
+def _dsir_parts(
+    df,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    n_buckets: int,
+    term_pattern: str,
+):
+    """(per-doc bucket counts, log-ratio table) — the shared core of
+    :func:`dsir_importance` and :func:`dsir_logratio_table`."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -580,11 +605,45 @@ def dsir_importance(
             ).alias("lr"),
         )
     )
+    return dc, lr
+
+
+def dsir_logratio_table(
+    df,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    n_buckets: int = 256,
+    term_pattern: str = "[a-z0-9]+",
+):
+    """The trained DSIR model itself: the ``n_buckets``-row
+    ``(b, lr)`` log-importance-ratio table, DENSE over the bucket
+    space (buckets no corpus term hashed into carry the pure-smoothing
+    ratio, so a stream-side term hashing into one scores the same as
+    it would have in batch). This is the artifact a deployment
+    persists once and applies everywhere — the streaming screen
+    (streaming/pipeline.stream_dsir_screen) broadcasts it as a lookup
+    array into a map-only projection."""
+    spark = df.sparkSession
+    dc, lr = _dsir_parts(
+        df, id_col, text_col, is_target,
+        n_buckets=n_buckets, term_pattern=term_pattern,
+    )
+    all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("b"))
+    # unseen buckets: ct = cr = 0 → lr = ln((1)/(nt+B)) - ln((1)/(nr+B))
+    # = ln(nr+B) - ln(nt+B), with nt/nr from the same counts frame
+    tots = dc.agg(
+        F.sum("c").alias("nr"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+            "nt"
+        ),
+    )
+    fill = F.log(F.col("nr") + F.lit(float(n_buckets))) - F.log(
+        F.col("nt") + F.lit(float(n_buckets))
+    )
     return (
-        dc.join(F.broadcast(lr), "b")
-        .groupBy("id")
-        .agg(
-            F.sum("c").cast("long").alias("n_terms"),
-            F.sum(F.col("c") * F.col("lr")).alias("weight_raw"),
-        )
+        all_b.join(lr, "b", "left_outer")
+        .crossJoin(F.broadcast(tots))
+        .select("b", F.coalesce(F.col("lr"), fill).alias("lr"))
     )

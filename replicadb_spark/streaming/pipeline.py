@@ -2099,3 +2099,67 @@ def stream_bucketed_snapshot_replica(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dsir_screen(
+    source: DataFrame,
+    lr_table: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    threshold: float = 0.0,
+    term_pattern: str = "[a-z0-9]+",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #29: DSIR importance SCREENING applied continuously — the
+    deployment shape of functions/text.dsir_importance: the log-ratio
+    table is trained ONCE offline (dsir_logratio_table, persisted like
+    the BPE merges or the MinHash index), and the stream scores each
+    arriving document against it as a pure map-only projection: hash
+    each term to its bucket (the same portable 31-fold poly hash),
+    look the bucket up in the broadcast-as-literal 256-entry table,
+    sum. Zero state, no watermark, exactly-once via the parquet sink's
+    commit log — the same contract as the Gopher screen twin.
+
+    Batch-equivalence caveat folded into the test: the stream sums
+    per-OCCURRENCE in token order where the batch sums per-bucket
+    (count x lr), so weights agree to float-jitter, not bit-for-bit —
+    the screen's keep/drop decisions use a threshold, not a hash.
+
+    Emits (id, n_terms, weight, keep)."""
+    from replicadb_spark.functions.dedup import poly_hash
+
+    rows = {r["b"]: r["lr"] for r in lr_table.collect()}  # n_buckets rows
+    lr_arr = F.array(
+        *[F.lit(float(rows.get(b, 0.0))) for b in range(n_buckets)]
+    )
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(term_pattern), 0
+    )
+    weight = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                lr_arr, (poly_hash(t) % n_buckets).cast("int") + F.lit(1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    screened = source.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_terms"),
+        weight.alias("weight"),
+    ).withColumn("keep", F.col("weight") >= F.lit(float(threshold)))
+    writer = (
+        screened.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

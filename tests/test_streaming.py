@@ -1840,3 +1840,67 @@ def test_stream_snapshot_replica_absorbs_schema_evolution(spark, tmp_path):
     # snapshot 1 keeps its pre-evolution pinned schema
     assert snapshot_schema(table, 1).fieldNames() == ["k", "v"]
     assert snapshot_read(spark, table, snapshot_id=1).columns == ["k", "v"]
+
+
+def test_stream_dsir_screen_equals_batch(spark, tmp_path):
+    """Twin #29: DSIR screening over 2 micro-batches reproduces the
+    batch dsir_importance weights (to float jitter — the stream sums
+    per occurrence, the batch per bucket) and identical keep verdicts
+    through the exactly-once file sink."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.functions.text import (
+        dsir_importance,
+        dsir_logratio_table,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "source", "text")
+    )
+    is_tgt = F.col("source") == "src0"
+    lr = dsir_logratio_table(docs, "doc_id", "text", is_tgt, n_buckets=64)
+    assert lr.count() == 64  # DENSE over the bucket space
+    batch = {
+        r["id"]: r
+        for r in dsir_importance(
+            docs, "doc_id", "text", is_tgt, n_buckets=64
+        ).collect()
+    }
+
+    src = tmp_path / "dsir_stream"
+    src.mkdir()
+    pdf = docs.orderBy("doc_id").toPandas()
+    cut = len(pdf) // 2
+    for i, chunk in enumerate((pdf[:cut], pdf[cut:])):
+        pq.write_table(pa.Table.from_pandas(chunk), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "dsir_screened")
+    q = P.stream_dsir_screen(
+        stream, lr, out, str(tmp_path / "dsck"), n_buckets=64, threshold=0.0
+    )
+    q.awaitTermination(300)
+    got = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(batch) and len(got) > 0
+    for i, b in batch.items():
+        s = got[i]
+        assert s["n_terms"] == b["n_terms"]
+        assert abs(s["weight"] - b["weight_raw"]) < 1e-9
+        assert s["keep"] == (b["weight_raw"] >= 0.0) or (
+            abs(b["weight_raw"]) < 1e-9
+        )
