@@ -583,3 +583,23 @@ def test_basket_jaccard_shape_is_pinned(spark):
     from replicadb_spark.cache import release_caches
 
     release_caches(spark)
+
+
+def test_hybrid_rrf_legs_are_broadcast_equijoins(spark):
+    plan = _plan(spark, "hybrid_rrf_search")
+    # both retrieval legs equi-join (term / id); the only nested-loop
+    # joins are the sanctioned 1-row stats/query-vector crossJoins
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # everything stays JVM-side — no Python eval anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_vocab_hash_broadcasts_not_per_occurrence(spark):
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "CartesianProduct" not in plan
+    # the interpreted poly hash runs on the DISTINCT vocabulary and is
+    # broadcast back onto the token stream; the log-ratio table
+    # broadcasts into the per-doc sum
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
