@@ -218,6 +218,98 @@ def edit1_pairs(
     return cand.where(F.col("dist") <= 1).distinct()
 
 
+def edit2_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_sig_df: int | None = None,
+) -> DataFrame:
+    """Pairs of rows whose strings are within Levenshtein distance 2
+    (excluding identical strings). Returns (id_a, id_b, dist) with
+    id_a < id_b, dist ∈ {1, 2} — the depth-2 FastSS blocking that
+    entity resolution reaches for when distance-1 recall is not enough
+    (two typos, a transposition = delete+insert, …).
+
+    Signatures: D₂(s) = {s} ∪ {one char deleted} ∪ {two chars
+    deleted}. ed(a,b) ≤ 2 ⟹ D₂(a) ∩ D₂(b) ≠ ∅ (align the edit
+    script; delete the ≤2 non-matching positions from each side). The
+    converse over-generates — candidates are verified with the codegen
+    ``levenshtein`` with an early-exit threshold. Distance-1's
+    run-interval refinement does not carry to depth 2 (two deletions
+    spread over two runs), so this operator keeps the plain
+    signature join + verify; the signature set is per-row DISTINCT
+    (byte-equal variants from repeated chars collapse), which is the
+    same multiset the oracle's DISTINCT builds.
+
+    Scale: ~len²/2 signatures per row — an order above edit1_pairs, so
+    this is the operator you point at a BLOCKED subset (a candidate
+    segment, one country, one zip prefix), not the raw 100 TB corpus;
+    ``max_sig_df`` caps viral signatures exactly as in edit1_pairs
+    (broadcast anti-join). One shuffle (the signature equi-join);
+    signatures shuffle as xxhash64 values, never variant strings."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    n = F.length("s")
+    del1 = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substring(F.col("s"), F.lit(1), (i - 1).cast("int")),
+            F.col("s").substr((i + 1).cast("int"), n),
+        ),
+    )
+    # delete positions i < j: prefix[1..i-1] + s[i+1..j-1] + s[j+1..]
+    del2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.concat(
+                    F.substring(F.col("s"), F.lit(1), (i - 1).cast("int")),
+                    F.col("s").substr(
+                        (i + 1).cast("int"), (j - i - 1).cast("int")
+                    ),
+                    F.col("s").substr((j + 1).cast("int"), n),
+                ),
+            ),
+        )
+    )
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("s")),
+            F.when(n >= 1, del1).otherwise(F.array().cast("array<string>")),
+            F.when(n >= 2, del2).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    sigs = tracked_persist(
+        base.select("id", "s", F.explode(variants).alias("variant")).select(
+            "id", "s", F.xxhash64("variant").alias("sig")
+        )
+    )
+    if max_sig_df is not None:
+        hot = (
+            sigs.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_sig_df)
+            .select("sig")
+        )
+        sigs = sigs.join(F.broadcast(hot), "sig", "left_anti")
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), "sig")
+        .where(
+            (F.col("a.id") < F.col("b.id")) & (F.col("a.s") != F.col("b.s"))
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s", 2).alias("dist"),
+        )
+    )
+    # levenshtein(threshold=2) returns -1 above the bound — the early
+    # exit keeps the verify O(len·k) per candidate instead of O(len²)
+    return cand.where(F.col("dist") >= 1).distinct()
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str,

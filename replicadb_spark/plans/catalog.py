@@ -9251,3 +9251,59 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 100)
     )
+
+
+@register(
+    "fuzzy_name_match_d2",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey < 400
+    ), d1 AS (
+      SELECT id, s, substr(s,1,i-1) || substr(s,i+1) AS v
+      FROM c, unnest(generate_series(1, length(s))) AS t1(i)
+    ), d2 AS (
+      SELECT id, s, substr(s,1,i-1) || substr(s,i+1,j-i-1) || substr(s,j+1)
+             AS v
+      FROM c,
+           unnest(generate_series(1, length(s)-1)) AS t1(i),
+           unnest(generate_series(i+1, length(s))) AS t2(j)
+    ), sigs AS (
+      SELECT DISTINCT id, s, v FROM (
+        SELECT id, s, s AS v FROM c
+        UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+      )
+    ), keep AS (
+      SELECT v FROM sigs GROUP BY v HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM sigs a JOIN keep k ON k.v = a.v JOIN sigs b ON a.v = b.v
+      WHERE a.id < b.id AND a.s <> b.s
+    )
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+    FROM cand WHERE levenshtein(sa, sb) <= 2
+    """,
+)
+def fuzzy_name_match_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤2 matching on a BLOCKED customer subset
+    (operators/setsim.edit2_pairs, c_custkey < 400) — the depth-2
+    FastSS neighborhood for two-typo/transposition recall that
+    distance-1 blocking misses, run the way a real pipeline runs it:
+    on a bounded candidate block, because the ~len²/2 signatures per
+    row are an order more than edit1's (the operator docstring's
+    stated contract; the fixed block also makes this query constant
+    work at every scale factor).
+
+    Metric contract: per-row DISTINCT deletion signatures (depth ≤ 2),
+    viral signatures with df > 1000 dropped on BOTH engines, every
+    candidate exact-verified with levenshtein (threshold-2 early-exit
+    form on Spark). Exact-equivalence gate: blocking false positives
+    never survive the verify."""
+    from replicadb_spark.operators.setsim import edit2_pairs
+
+    c = _t(spark, sf_dir, "customer")["customer"].where(
+        F.col("c_custkey") < 400
+    )
+    return edit2_pairs(c, "c_custkey", "c_name", max_sig_df=1000).withColumn(
+        "dist", F.col("dist").cast("int")
+    )

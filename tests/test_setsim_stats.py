@@ -520,3 +520,58 @@ def test_cusum_profile_alerts_on_planted_shift(spark):
     assert abs(got["drift"]["max_s"] - mx) < 1e-12
     assert abs(got["drift"]["final_s"] - fs) < 1e-12
     assert got["stable"]["n_alerts"] == 0 and got["stable"]["max_s"] == 0.0
+
+
+def test_edit2_pairs_brute_force_equivalence(spark):
+    """edit2_pairs == brute-force levenshtein ≤ 2 on a corpus mixing
+    substitutions, transpositions (= delete+insert), double typos, and
+    clear non-matches — including the d=2 pairs edit1 must NOT see."""
+    from replicadb_spark.operators.setsim import edit2_pairs
+
+    rows = [
+        (1, "karin"), (2, "karen"), (3, "karen!"), (4, "aren"),
+        (5, "zzzz"), (6, "krane"), (7, "kaern"), (8, "marens"),
+        (9, "ab"), (10, "ba"), (11, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    strs = dict(rows)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b, lev(strs[a], strs[b]))
+        for a in strs
+        for b in strs
+        if a < b and strs[a] != strs[b] and 1 <= lev(strs[a], strs[b]) <= 2
+    }
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit2_pairs(df, "id", "s").collect()
+    }
+    assert got == want
+    # sanity: the transposition pair (ab, ba) is d=2 and present
+    assert (9, 10, 2) in got
+
+
+def test_edit2_sig_cap_and_identical_exclusion(spark):
+    from replicadb_spark.operators.setsim import edit2_pairs
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "id int, s string"
+    )
+    assert edit2_pairs(df, "id", "s").count() == 0
+    # a viral signature shared by every row is dropped by the cap;
+    # here EVERY variant is shared, so the cap kills all candidates
+    many = spark.createDataFrame(
+        [(i, "aaaa") for i in range(30)] + [(99, "aaab")],
+        "id int, s string",
+    )
+    assert edit2_pairs(many, "id", "s", max_sig_df=5).count() == 0
