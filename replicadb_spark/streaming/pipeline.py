@@ -2163,3 +2163,37 @@ def stream_dsir_screen(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bpe_tokenize(
+    source: DataFrame,
+    merges: "list[tuple[bytes, bytes]]",
+    out_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_ids: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #30: BPE tokenization applied CONTINUOUSLY — the tokenizer
+    deployment shape end to end: merges are trained ONCE offline
+    (functions/bpe.train_bpe, persisted via save_bpe) and every
+    arriving document is tokenized by the same broadcast-ranks Arrow
+    kernel the batch path uses (bpe_tokenize IS map-only, so the
+    streaming form is the batch plan per micro-batch; zero state, no
+    watermark, exactly-once via the parquet sink's commit log).
+    ``with_ids=True`` streams the full token-ID arrays — the feed a
+    continuous shard-packer consumes."""
+    from replicadb_spark.functions.bpe import bpe_tokenize
+
+    tok = bpe_tokenize(source, id_col, text_col, merges, with_ids=with_ids)
+    writer = (
+        tok.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1904,3 +1904,58 @@ def test_stream_dsir_screen_equals_batch(spark, tmp_path):
         assert s["keep"] == (b["weight_raw"] >= 0.0) or (
             abs(b["weight_raw"]) < 1e-9
         )
+
+
+def test_stream_bpe_tokenize_equals_batch(spark, tmp_path):
+    """Twin #30: streamed BPE tokenization over 2 micro-batches equals
+    the batch apply exactly (same broadcast merges, same Arrow kernel),
+    including the token-ID arrays."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.functions.bpe import bpe_tokenize, train_bpe
+    from replicadb_spark.streaming import pipeline as P
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    merges = train_bpe(docs, "text", "doc_id", n_merges=40, sample_docs=100)
+    batch = {
+        r["id"]: (r["n_tokens"], r["roundtrip_ok"], tuple(r["token_ids"]))
+        for r in bpe_tokenize(
+            docs, "doc_id", "text", merges, with_ids=True
+        ).collect()
+    }
+
+    src = tmp_path / "bpe_stream"
+    src.mkdir()
+    pdf = docs.orderBy("doc_id").toPandas()
+    cut = len(pdf) // 2
+    for i, chunk in enumerate((pdf[:cut], pdf[cut:])):
+        pq.write_table(pa.Table.from_pandas(chunk), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "bpe_tokens")
+    q = P.stream_bpe_tokenize(
+        stream, merges, out, str(tmp_path / "bpck"), with_ids=True
+    )
+    q.awaitTermination(300)
+    got = {
+        r["id"]: (r["n_tokens"], r["roundtrip_ok"], tuple(r["token_ids"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch and len(got) > 0
+    assert all(v[1] for v in got.values())  # round-trip exact everywhere
