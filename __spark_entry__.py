@@ -150,8 +150,9 @@ _GATE_LAST = (
     # BM25+cosine retrieval fused by RRF, and DSIR hashed-n-gram
     # importance weights
     "bpe_pack_gate", "hybrid_rrf_search", "dsir_importance_weights",
-    # r12: depth-2 FastSS matching on a blocked subset (full oracle)
-    "fuzzy_name_match_d2",
+    # r12: depth-2 FastSS matching on a blocked subset (full oracle),
+    # and exact-substring duplication coverage (Lee et al. 2021)
+    "fuzzy_name_match_d2", "dup_span_coverage",
 )
 
 

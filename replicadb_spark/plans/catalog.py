@@ -9307,3 +9307,105 @@ def fuzzy_name_match_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit2_pairs(c, "c_custkey", "c_name", max_sig_df=1000).withColumn(
         "dist", F.col("dist").cast("int")
     )
+
+
+@register(
+    "dup_span_coverage",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i, substr(text, i, 30) AS gram
+      FROM documents, unnest(generate_series(1, length(text) - 29)) AS t(i)
+      WHERE length(text) >= 30
+    ), dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), pos AS (
+      SELECT doc_id, i AS s, i + 29 AS e FROM g JOIN dup USING (gram)
+    ), o AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM pos
+    ), isl AS (
+      SELECT *, SUM(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY s) AS island
+      FROM o
+    ), cov AS (
+      SELECT doc_id, CAST(SUM(mx - mn + 1) AS BIGINT) AS dup_chars FROM (
+        SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
+        FROM isl GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(cov.dup_chars, 0) AS dup_chars,
+           round(COALESCE(cov.dup_chars, 0) * 1.0 / d.n_chars, 6)
+             AS dup_frac
+    FROM documents d LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many of its characters sit inside a 30-char span
+    that also appears VERBATIM in another document — the exact-match
+    complement of the MinHash/SimHash near-dup family, and the signal
+    the published method thresholds to cut boilerplate/licensing
+    blocks out of training text. (Within-doc repetition is
+    text_repetition's job; the gram vote counts DISTINCT documents.)
+
+    Coverage is the INTERVAL UNION of the duplicated grams' [i, i+29]
+    spans (operators/relational.interval_coalesce — the same
+    gaps-and-islands reduction as interval_coalesce_user, so no
+    self-join and one keyed window; splitting vs merging touching
+    intervals cannot change the union length, so the two engines'
+    island conventions agree on dup_chars exactly).
+
+    Scale: the gram aggregate shuffles O(total chars) rows — at real
+    scale hash the grams (xxhash64) so shuffle rows stay narrow and
+    accept the collision epsilon, exactly as Lee et al.'s suffix-array
+    pipeline trades to fit memory; the coverage pass is one window on
+    doc_id. All-integer output plus one exact IEEE division, rounded
+    for display."""
+    from replicadb_spark.operators.relational import interval_coalesce
+
+    k = 30
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n = F.length("text")
+    grams = (
+        d.where(n >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), (n - (k - 1)).cast("int"))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", "i", F.col("text").substr(F.col("i"), F.lit(k)).alias("gram")
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    pos = grams.join(dup, "gram", "left_semi").select(
+        "doc_id", "i", (F.col("i") + (k - 1)).alias("e")
+    )
+    islands = interval_coalesce(pos, "doc_id", "i", "i", "e")
+    cov = islands.groupBy("key").agg(
+        F.sum(F.col("island_end") - F.col("island_start") + 1)
+        .cast("long")
+        .alias("dup_chars")
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(cov.withColumnRenamed("key", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) * 1.0 / F.col("n_chars"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -108,3 +108,47 @@ def test_dsir_weights_tilt_toward_target_vocabulary(spark):
     assert (out[0]["weight_raw"] / out[0]["n_terms"]) > (
         out[3]["weight_raw"] / out[3]["n_terms"]
     )
+
+
+def test_dup_span_coverage_hand_checked(spark, tmp_path, monkeypatch):
+    """dup_span_coverage on a hand-built corpus: verbatim cross-doc
+    spans count, within-doc-only repetition does NOT (distinct-doc
+    vote), overlapping duplicated grams union without double counting,
+    and a full duplicate covers 100%."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.plans.catalog import QUERIES
+
+    shared = "X" * 10 + "Y" * 10 + "Z" * 15  # 35 chars, shared verbatim
+    rows = [
+        # docs 1/2 share a 35-char block → union of the six 30-gram
+        # spans = the whole 35-char block in each
+        (1, "A" * 20 + shared),
+        (2, shared + "B" * 20),
+        # 3 repeats ITS OWN 30-gram twice but shares nothing: 0
+        (3, ("Q" * 30) * 2 + "R" * 5),
+        # 4/5: exact duplicates → full coverage
+        (4, "D" * 44),
+        (5, "D" * 44),
+        (6, "unique text with no repeats at all and some padding!!"),
+    ]
+    pdf = pa.Table.from_pylist(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)}
+            for i, t in rows
+        ]
+    )
+    d = tmp_path / "docs_dup"
+    d.mkdir()
+    pq.write_table(pdf, d / "documents.parquet")
+    got = {
+        r["doc_id"]: (r["dup_chars"], r["dup_frac"])
+        for r in QUERIES["dup_span_coverage"](spark, str(tmp_path / "docs_dup")).collect()
+    }
+    assert got[1] == (35, round(35 / 55, 6))
+    assert got[2] == (35, round(35 / 55, 6))
+    assert got[3] == (0, 0.0)  # within-doc repetition is not dup
+    assert got[4] == (44, 1.0) and got[5] == (44, 1.0)
+    assert got[6] == (0, 0.0)
