@@ -507,3 +507,120 @@ def test_wav_16bit_roundtrip_any_signal(samples, rate):
     assert got_rate == rate and len(got) == len(x)
     # 16-bit quantization: within 1 LSB of the original
     assert np.abs(got - np.round(x * 32767) / 32768.0).max() <= (1.5 / 32768)
+
+
+# ---------------------------------------------------------------------------
+# FastSS edit-distance blocking vs a reference Levenshtein (r12)
+# ---------------------------------------------------------------------------
+
+def _py_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+# tiny alphabet + short strings force dense collisions, repeated-char
+# runs (the run-interval filter's hard case), and empty strings
+_short_strings = st.lists(
+    st.text(alphabet="abc", max_size=5), min_size=2, max_size=10
+)
+
+
+@given(strs=_short_strings)
+@settings(max_examples=8, deadline=None)
+def test_edit1_pairs_matches_levenshtein_reference(spark, strs):
+    from replicadb_spark.operators.setsim import edit1_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(strs)), "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit1_pairs(df, "id", "s").collect()
+    }
+    want = {
+        (a, b, 1)
+        for a in range(len(strs))
+        for b in range(a + 1, len(strs))
+        if strs[a] != strs[b] and _py_lev(strs[a], strs[b]) == 1
+    }
+    assert got == want
+
+
+@given(strs=_short_strings)
+@settings(max_examples=8, deadline=None)
+def test_edit2_pairs_matches_levenshtein_reference(spark, strs):
+    from replicadb_spark.operators.setsim import edit2_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(strs)), "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit2_pairs(df, "id", "s").collect()
+    }
+    want = {
+        (a, b, _py_lev(strs[a], strs[b]))
+        for a in range(len(strs))
+        for b in range(a + 1, len(strs))
+        if strs[a] != strs[b] and 1 <= _py_lev(strs[a], strs[b]) <= 2
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE: round-trip + id fidelity on arbitrary text (pure, fast)
+# ---------------------------------------------------------------------------
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters=["\x00"]),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_roundtrips_any_text(texts, n_merges):
+    """decode(encode(w)) == w for EVERY word of arbitrary unicode text
+    under arbitrary merge budgets, and the id mapping preserves byte
+    lengths — the no-unknown-tokens property, driven wide (the trainer
+    runs on the same words, driver-side, no Spark)."""
+    from replicadb_spark.functions.bpe import (
+        _encode_word,
+        _merge_word,
+        _pair_counts,
+        _words,
+        bpe_vocab,
+    )
+
+    word_freq = {}
+    for t in texts:
+        for w in _words(t):
+            word_freq[w] = word_freq.get(w, 0) + 1
+    # naive trainer (the unit suite pins incremental == naive)
+    vocab = {tuple(bytes([b]) for b in w): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        joined = best[0] + best[1]
+        vocab = {_merge_word(s, best, joined): f for s, f in vocab.items()}
+        merges.append(best)
+    ranks = {p: i for i, p in enumerate(merges)}
+    tok2id, id2bytes = bpe_vocab(merges)
+    for w in word_freq:
+        toks = _encode_word(w, ranks)
+        assert b"".join(toks) == w
+        ids = [tok2id[t] for t in toks]
+        assert b"".join(id2bytes[i] for i in ids) == w
