@@ -151,8 +151,9 @@ _GATE_LAST = (
     # importance weights
     "bpe_pack_gate", "hybrid_rrf_search", "dsir_importance_weights",
     # r12: depth-2 FastSS matching on a blocked subset (full oracle),
-    # and exact-substring duplication coverage (Lee et al. 2021)
-    "fuzzy_name_match_d2", "dup_span_coverage",
+    # exact-substring duplication coverage (Lee et al. 2021), and the
+    # full-clause MERGE gate (WHEN MATCHED DELETE / NOT MATCHED INSERT)
+    "fuzzy_name_match_d2", "dup_span_coverage", "snapshot_merge_gate",
 )
 
 

@@ -1532,3 +1532,254 @@ def snapshot_upsert(
         })
     finally:
         staging.unpersist()
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    staging: DataFrame,
+    *,
+    pk_columns: "list[str]",
+    when_matched: "str | None" = "update",
+    when_not_matched: "str | None" = "insert",
+    not_matched_by_source: str = "keep",
+    prune_column: "str | None" = None,
+    order_column: "str | None" = None,
+    meta: "dict | None" = None,
+) -> int:
+    """Full MERGE semantics as ONE copy-on-write commit — the ANSI /
+    Delta-MERGE generalization of :func:`snapshot_upsert` (which is
+    exactly the ``("update", "insert", "keep")`` combination and
+    handles that case verbatim, pruning included):
+
+    - ``when_matched``: what happens to keys present in BOTH table and
+      staging — ``"update"`` (staging row replaces), ``"delete"``
+      (row removed), or ``None`` (table row kept, staging ignored);
+    - ``when_not_matched``: staging-only keys — ``"insert"`` or
+      ``None`` (ignored);
+    - ``not_matched_by_source``: table-only keys — ``"keep"`` or
+      ``"delete"`` (the replace-domain / full-sync clause; requires
+      scanning every file, so ``prune_column`` must be None for it).
+
+    The reference's MERGE family (M3a–f, SqlManager.java:503-512) is
+    the sink database's UPDATE+INSERT; these clauses are the modern
+    lakehouse surface over the same staging-batch shape. Clause
+    combinations that can never touch a row raise.
+
+    Mechanics mirror snapshot_upsert: victims = files that may contain
+    a staging key (per-key interval pruning) or all files under the
+    by-source clause; rows are re-partitioned among KEPT (victim rows
+    whose clause preserves them) and ADDED (staging rows whose clause
+    admits them — matched-key membership decided against the victim
+    rows, which by construction hold every staging key the table has);
+    manifest = parent minus victims plus the rewrite; publish is the
+    OCC loop with the pk_guard (a concurrent commit adding rows with
+    this batch's keys refuses rather than serializing wrongly).
+    Staging must carry every table column when rows can be ADDED; a
+    delete-only merge needs only ``pk_columns``. Schema evolution is
+    snapshot_upsert's job — evolve there, then merge. Returns the new
+    snapshot id."""
+    valid_m = (None, "update", "delete")
+    if when_matched not in valid_m:
+        raise ValueError(f"when_matched {when_matched!r}: use {valid_m}")
+    if when_not_matched not in (None, "insert"):
+        raise ValueError(
+            f"when_not_matched {when_not_matched!r}: use None or 'insert'"
+        )
+    if not_matched_by_source not in ("keep", "delete"):
+        raise ValueError(
+            f"not_matched_by_source {not_matched_by_source!r}: use "
+            "'keep' or 'delete'"
+        )
+    if (
+        when_matched is None
+        and when_not_matched is None
+        and not_matched_by_source == "keep"
+    ):
+        raise ValueError("merge with no active clause is a no-op")
+    if not pk_columns:
+        raise ValueError("snapshot merge requires pk columns")
+    if (when_matched, when_not_matched, not_matched_by_source) == (
+        "update", "insert", "keep",
+    ):
+        return snapshot_upsert(
+            spark, path, staging, pk_columns=pk_columns,
+            prune_column=prune_column, order_column=order_column, meta=meta,
+        )
+    if not_matched_by_source == "delete" and prune_column is not None:
+        raise ValueError(
+            "not_matched_by_source='delete' must examine every file — "
+            "prune_column cannot be combined with it"
+        )
+    if prune_column is not None and prune_column not in pk_columns:
+        raise ValueError(
+            f"prune_column {prune_column!r} must be one of pk_columns "
+            f"{pk_columns} — pruning on a mutable column can miss the "
+            "old version of an updated key"
+        )
+    fs = TableFS(spark, path)
+    parent = _resolve(fs, None)
+    _refuse_bucketed(path, parent, "snapshot_merge")
+    tschema = snapshot_schema(path, parent)
+    m = snapshot_manifest(spark, path, parent)
+    adds_rows = when_matched == "update" or when_not_matched == "insert"
+    staging = staging.persist()
+    try:
+        if order_column is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*pk_columns).orderBy(
+                F.col(order_column).desc()
+            )
+            staging_c = (
+                staging.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            staging_c = staging
+        if tschema is not None:
+            cols = tschema.fieldNames()
+        else:
+            table_files = sorted(
+                r["file"] for r in m.select("file").distinct().collect()
+            )
+            cols = (
+                spark.read.parquet(table_files[0]).columns
+                if table_files
+                else staging_c.columns
+            )
+        if adds_rows:
+            missing = [c for c in cols if c not in staging_c.columns]
+            if missing:
+                raise ValueError(
+                    f"staging batch lacks table columns {missing}"
+                )
+            staging_c = staging_c.select(*cols)
+            if tschema is not None:
+                # same-family drift casts DOWN to the pin (the
+                # snapshot_upsert strict-mode contract)
+                _, drift = _merge_schemas(
+                    tschema, _nullable(staging_c.schema)
+                )
+                if drift:
+                    staging_c = staging_c.select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in tschema.fields
+                        ]
+                    )
+        else:
+            missing = [c for c in pk_columns if c not in staging_c.columns]
+            if missing:
+                raise ValueError(f"staging batch lacks pk columns {missing}")
+            staging_c = staging_c.select(*pk_columns)
+        if prune_column is not None:
+            stats = m.where(F.col("column") == prune_column).select(
+                "file",
+                F.col("min_s").try_cast("double").alias("mn"),
+                F.col("max_s").try_cast("double").alias("mx"),
+            )
+            pk = staging_c.select(
+                F.col(prune_column).cast("double").alias("__k")
+            ).distinct()
+            hit = stats.join(
+                F.broadcast(pk),
+                (F.col("__k") >= F.col("mn")) & (F.col("__k") <= F.col("mx")),
+                "left_semi",
+            ).select("file")
+            unknown = (
+                m.select("file").distinct()
+                .join(stats.where(
+                    F.col("mn").isNotNull() & F.col("mx").isNotNull()
+                ).select("file"), "file", "left_anti")
+            )
+            victims = sorted(
+                r["file"]
+                for r in hit.unionByName(unknown).distinct().collect()
+            )
+        else:
+            victims = sorted(
+                r["file"] for r in m.select("file").distinct().collect()
+            )
+        token = _commit_token()
+        data_dir = join(path, "data", f"snap-{parent + 1:06d}-{token}")
+        stat_cols = sorted(
+            r["column"] for r in m.select("column").distinct().collect()
+        ) or None
+        keys = staging_c.select(*pk_columns).distinct()
+        vreader = (
+            spark.read.schema(tschema) if tschema is not None else spark.read
+        )
+        parts: "list[DataFrame]" = []
+        if victims:
+            vrows = vreader.parquet(*victims).select(*cols)
+            if not_matched_by_source == "keep":
+                parts.append(
+                    vrows.join(F.broadcast(keys), pk_columns, "left_anti")
+                )
+            if when_matched is None:
+                parts.append(
+                    vrows.join(F.broadcast(keys), pk_columns, "left_semi")
+                )
+            if adds_rows:
+                # keys the table actually has — victims hold every
+                # staging key present anywhere, so this is exact
+                matched_keys = (
+                    vrows.select(*pk_columns)
+                    .join(F.broadcast(keys), pk_columns, "left_semi")
+                    .distinct()
+                )
+                if when_matched == "update":
+                    parts.append(
+                        staging_c.join(
+                            F.broadcast(matched_keys), pk_columns, "left_semi"
+                        )
+                    )
+                if when_not_matched == "insert":
+                    parts.append(
+                        staging_c.join(
+                            F.broadcast(matched_keys), pk_columns, "left_anti"
+                        )
+                    )
+        elif when_not_matched == "insert":
+            parts.append(staging_c)
+        if parts:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+        else:
+            merged = spark.createDataFrame(
+                [], tschema if tschema is not None else staging_c.schema
+            )
+        merged.write.mode("overwrite").parquet(data_dir)
+        has_files = any(
+            f.endswith(".parquet") for f in fs.list_names(data_dir)
+        )
+        new_m = (
+            file_manifest(spark, data_dir, stat_cols)
+            if has_files
+            else spark.createDataFrame([], _MANIFEST_SCHEMA)
+        )
+        orig_files = {
+            r["file"] for r in m.select("file").distinct().collect()
+        }
+        return _cow_publish(spark, fs, path, parent, victims, new_m, {
+            "operation": "merge",
+            "new_data_dir": data_dir,
+            "victim_files": len(victims),
+            "clauses": {
+                "when_matched": when_matched,
+                "when_not_matched": when_not_matched,
+                "not_matched_by_source": not_matched_by_source,
+            },
+            **({"schema": tschema.json()} if tschema is not None else {}),
+            **(meta or {}),
+        }, op="snapshot_merge", token=token, pk_guard={
+            "pk_columns": list(pk_columns),
+            "keys_df": keys,
+            "schema": tschema,
+            "orig_files": orig_files,
+        })
+    finally:
+        staging.unpersist()

@@ -9409,3 +9409,105 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "snapshot_merge_gate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TRUE AS victims_pruned_ok, TRUE AS time_travel_ok,
+           TRUE AS clauses_ok
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 1 AND o_orderkey < 5000)
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey, o_totalprice + 1,
+           TRUE, TRUE, TRUE
+    FROM orders
+    WHERE o_orderkey % 10 = 2 AND o_orderkey < 5000
+    """,
+)
+def snapshot_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for full-clause MERGE on the snapshot table
+    (operators/snapshot_table.snapshot_merge): commit orders
+    range-partitioned on the PK, merge ONE staging batch that
+    exercises the two clauses plain upsert can't express —
+    WHEN MATCHED DELETE (keys ≡1 mod 10 below 5000 leave the table)
+    and WHEN NOT MATCHED INSERT (keys ≡2 mod 10 below 5000 re-enter
+    shifted by 10⁹ with price+1) — and hash the ENTIRE post-merge
+    snapshot against the SQL model, with three booleans folded into
+    every hashed row:
+
+    - ``victims_pruned_ok``: the staging key band victimized a STRICT
+      subset of the table's files (per-key interval pruning bounded
+      the rewrite);
+    - ``time_travel_ok``: the parent snapshot still reads the full
+      pre-merge row count;
+    - ``clauses_ok``: the commit record persists the clause triple
+      (the audit trail a replayer needs).
+
+    Scale: the 100 TB MERGE shape — victims ∝ files whose PK stats
+    intersect the batch's keys, inserts never read old files, one
+    atomic OCC publish guarded against concurrent same-key commits."""
+    import os
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_record,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    n_base = base.count()
+    work = tempfile.mkdtemp(prefix="snap_mg_")
+    path = os.path.join(work, "tbl")
+    try:
+        snapshot_commit(
+            base.repartitionByRange(6, "o_orderkey"), path,
+            stat_columns=["o_orderkey"],
+        )
+        n_files = snapshot_manifest(spark, path).select("file").distinct().count()
+        band = base.where(F.col("o_orderkey") < 5000)
+        staging = (
+            band.where(F.col("o_orderkey") % 10 == 1)
+            .unionByName(
+                band.where(F.col("o_orderkey") % 10 == 2).select(
+                    (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                    "o_custkey",
+                    (F.col("o_totalprice") + 1).alias("o_totalprice"),
+                )
+            )
+        )
+        sid = snapshot_merge(
+            spark, path, staging, pk_columns=["o_orderkey"],
+            when_matched="delete", when_not_matched="insert",
+            prune_column="o_orderkey",
+        )
+        rec = snapshot_record(path, sid)
+        victims_pruned_ok = 0 < rec["victim_files"] < n_files
+        time_travel_ok = (
+            snapshot_read(spark, path, snapshot_id=1).count() == n_base
+        )
+        clauses_ok = rec.get("clauses") == {
+            "when_matched": "delete",
+            "when_not_matched": "insert",
+            "not_matched_by_source": "keep",
+        }
+        rows = snapshot_read(spark, path).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(bool(victims_pruned_ok)).alias("victims_pruned_ok"),
+        F.lit(bool(time_travel_ok)).alias("time_travel_ok"),
+        F.lit(bool(clauses_ok)).alias("clauses_ok"),
+    )

@@ -59,7 +59,7 @@ def test_r12_window_is_the_r09_block():
     # the two blocks that rotated out sit in _GATE_LAST in r14/r13 order
     assert E._GATE_LAST[0] == "basket_jaccard_customers"  # r11-gated block
     assert E._GATE_LAST[50] == "dedup_containment"        # r10-gated block
-    assert E._GATE_LAST[-23:] == (
+    assert E._GATE_LAST[-24:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -74,5 +74,5 @@ def test_r12_window_is_the_r09_block():
         "snapshot_restore_gate", "bpe_tokenize_gate",
         # r12 local-evidence additions
         "bpe_pack_gate", "hybrid_rrf_search", "dsir_importance_weights",
-        "fuzzy_name_match_d2", "dup_span_coverage",
+        "fuzzy_name_match_d2", "dup_span_coverage", "snapshot_merge_gate",
     )
