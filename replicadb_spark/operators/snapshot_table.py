@@ -1543,6 +1543,7 @@ def snapshot_merge(
     when_matched: "str | None" = "update",
     when_not_matched: "str | None" = "insert",
     not_matched_by_source: str = "keep",
+    delete_when=None,
     prune_column: "str | None" = None,
     order_column: "str | None" = None,
     meta: "dict | None" = None,
@@ -1559,7 +1560,18 @@ def snapshot_merge(
       ``None`` (ignored);
     - ``not_matched_by_source``: table-only keys — ``"keep"`` or
       ``"delete"`` (the replace-domain / full-sync clause; requires
-      scanning every file, so ``prune_column`` must be None for it).
+      scanning every file, so ``prune_column`` must be None for it);
+    - ``delete_when``: a Column predicate on the staging row — Delta's
+      ``WHEN MATCHED AND cond THEN DELETE`` shape, the one-commit CDC
+      changelog apply (rows where it holds act as tombstones: their
+      keys still victimize files and evict the old row, but the row
+      is never written; staging-only tombstones are simply not
+      inserted). Evaluated AFTER the ``order_column`` collapse, so a
+      key whose NEWEST changelog row is a delete dies even if older
+      rows in the same batch upserted it. Requires
+      ``when_matched='update'`` (with ``None``/``'delete'`` the
+      predicate could not change the outcome — refused loudly rather
+      than ignored).
 
     The reference's MERGE family (M3a–f, SqlManager.java:503-512) is
     the sink database's UPDATE+INSERT; these clauses are the modern
@@ -1599,9 +1611,15 @@ def snapshot_merge(
         raise ValueError("merge with no active clause is a no-op")
     if not pk_columns:
         raise ValueError("snapshot merge requires pk columns")
-    if (when_matched, when_not_matched, not_matched_by_source) == (
-        "update", "insert", "keep",
-    ):
+    if delete_when is not None and when_matched != "update":
+        raise ValueError(
+            "delete_when requires when_matched='update' — under "
+            f"{when_matched!r} the predicate could never change a row's "
+            "outcome"
+        )
+    if delete_when is None and (
+        when_matched, when_not_matched, not_matched_by_source,
+    ) == ("update", "insert", "keep"):
         return snapshot_upsert(
             spark, path, staging, pk_columns=pk_columns,
             prune_column=prune_column, order_column=order_column, meta=meta,
@@ -1638,6 +1656,13 @@ def snapshot_merge(
             )
         else:
             staging_c = staging
+        # the tombstone flag is computed BEFORE the projection below —
+        # delete_when typically references a changelog column (op) that
+        # is not a table column and would not survive the projection
+        if delete_when is not None:
+            staging_c = staging_c.withColumn(
+                "__del", F.coalesce(delete_when, F.lit(False))
+            )
         if tschema is not None:
             cols = tschema.fieldNames()
         else:
@@ -1655,19 +1680,23 @@ def snapshot_merge(
                 raise ValueError(
                     f"staging batch lacks table columns {missing}"
                 )
-            staging_c = staging_c.select(*cols)
+            flag = ["__del"] if delete_when is not None else []
+            staging_c = staging_c.select(*cols, *flag)
             if tschema is not None:
                 # same-family drift casts DOWN to the pin (the
                 # snapshot_upsert strict-mode contract)
                 _, drift = _merge_schemas(
-                    tschema, _nullable(staging_c.schema)
+                    tschema, _nullable(staging_c.drop("__del").schema)
+                    if flag
+                    else _nullable(staging_c.schema),
                 )
                 if drift:
                     staging_c = staging_c.select(
                         *[
                             F.col(f.name).cast(f.dataType).alias(f.name)
                             for f in tschema.fields
-                        ]
+                        ],
+                        *flag,
                     )
         else:
             missing = [c for c in pk_columns if c not in staging_c.columns]
@@ -1708,6 +1737,13 @@ def snapshot_merge(
             r["column"] for r in m.select("column").distinct().collect()
         ) or None
         keys = staging_c.select(*pk_columns).distinct()
+        # tombstone rows evict (their keys stay in ``keys``) but never
+        # re-enter: the ADD source drops them here
+        staging_add = (
+            staging_c.where(~F.col("__del")).drop("__del")
+            if delete_when is not None
+            else staging_c
+        )
         vreader = (
             spark.read.schema(tschema) if tschema is not None else spark.read
         )
@@ -1732,25 +1768,25 @@ def snapshot_merge(
                 )
                 if when_matched == "update":
                     parts.append(
-                        staging_c.join(
+                        staging_add.join(
                             F.broadcast(matched_keys), pk_columns, "left_semi"
                         )
                     )
                 if when_not_matched == "insert":
                     parts.append(
-                        staging_c.join(
+                        staging_add.join(
                             F.broadcast(matched_keys), pk_columns, "left_anti"
                         )
                     )
         elif when_not_matched == "insert":
-            parts.append(staging_c)
+            parts.append(staging_add)
         if parts:
             merged = parts[0]
             for p in parts[1:]:
                 merged = merged.unionByName(p)
         else:
             merged = spark.createDataFrame(
-                [], tschema if tschema is not None else staging_c.schema
+                [], tschema if tschema is not None else staging_add.schema
             )
         merged.write.mode("overwrite").parquet(data_dir)
         has_files = any(
@@ -1772,6 +1808,11 @@ def snapshot_merge(
                 "when_matched": when_matched,
                 "when_not_matched": when_not_matched,
                 "not_matched_by_source": not_matched_by_source,
+                **(
+                    {"delete_when": True}
+                    if delete_when is not None
+                    else {}
+                ),
             },
             **({"schema": tschema.json()} if tschema is not None else {}),
             **(meta or {}),

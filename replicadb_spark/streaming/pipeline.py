@@ -2197,3 +2197,88 @@ def stream_bpe_tokenize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_snapshot_cdc_replica(
+    source: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    *,
+    pk_columns: "list[str]",
+    op_col: str = "op",
+    delete_op: str = "D",
+    prune_column: "str | None" = None,
+    order_column: "str | None" = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #31: continuous CDC replication — insert/update/DELETE —
+    into the snapshot table, ONE atomic commit per micro-batch via
+    snapshot_merge's ``delete_when`` clause (Delta's WHEN MATCHED AND
+    op='D' THEN DELETE shape). stream_snapshot_replica (#26) is the
+    upsert-only M3 twin; this is the full changelog: a key whose
+    NEWEST row in the batch (by ``order_column``) carries ``op_col ==
+    delete_op`` leaves the table in the same commit that applies the
+    batch's upserts — no reader ever sees the intermediate state a
+    two-commit delete+upsert split would publish.
+
+    Delivery: the merge is replay-idempotent (same net batch → same
+    table), and the persisted batch-id guard skips replays before they
+    burn a snapshot id. The op/order columns are changelog-side only —
+    delete_when is evaluated before snapshot_merge's projection drops
+    them. A FIRST batch bootstraps the table from its non-delete rows
+    (tombstones for a not-yet-existing table are no-ops, exactly the
+    semantics merge would apply)."""
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        last_committed_batch_id,
+        snapshot_commit,
+        snapshot_merge,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = last_committed_batch_id(table_path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already merged
+        spark = batch_df.sparkSession
+        if order_column is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*pk_columns).orderBy(
+                F.col(order_column).desc()
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        stat_cols = [prune_column] if prune_column else None
+        is_del = F.col(op_col) == delete_op
+        if current_snapshot(table_path) is None:
+            snapshot_commit(
+                batch_df.where(~is_del).drop(op_col).drop(
+                    *([order_column] if order_column else [])
+                ),
+                table_path,
+                stat_columns=stat_cols, meta={"batch_id": batch_id},
+            )
+            return
+        snapshot_merge(
+            spark, table_path, batch_df,
+            pk_columns=list(pk_columns),
+            when_matched="update", when_not_matched="insert",
+            delete_when=is_del,
+            prune_column=prune_column,
+            order_column=None,  # batch already compacted above
+            meta={"batch_id": batch_id},
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

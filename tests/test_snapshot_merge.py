@@ -184,3 +184,58 @@ def test_merge_occ_refuses_concurrent_same_key_append(
         )
     rows = snapshot_read(spark, path).collect()
     assert sorted(r["id"] for r in rows) == [1, 2, 3, 5]
+
+
+def test_delete_when_applies_tombstones_in_one_commit(spark, tmp_path):
+    """delete_when (WHEN MATCHED AND cond THEN DELETE): tombstone rows
+    evict their keys, upsert rows land, staging-only tombstones are
+    no-ops — all in ONE commit; the op column never reaches the table."""
+    path = _uri(tmp_path, "mg_dw")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    chg = spark.createDataFrame(
+        [(1, 0, "D"), (2, 22, "U"), (7, 70, "I"), (9, 0, "D")],
+        "id long, v long, op string",
+    )
+    sid = snapshot_merge(
+        spark, path, chg, pk_columns=["id"],
+        delete_when=F.col("op") == "D",
+    )
+    cur = snapshot_read(spark, path)
+    assert cur.columns == ["id", "v"]  # op never persisted
+    got = {r["id"]: r["v"] for r in cur.collect()}
+    assert got == {2: 22, 3: 30, 7: 70}  # 1 deleted, 9 no-op
+    rec = snapshot_record(path, sid)
+    assert rec["clauses"]["delete_when"] is True
+    assert snapshot_read(spark, path, snapshot_id=1).count() == len(TABLE)
+
+
+def test_delete_when_last_wins_with_order_column(spark, tmp_path):
+    """A key whose NEWEST changelog row is a delete dies even if an
+    older row in the same batch upserted it — and vice versa."""
+    path = _uri(tmp_path, "mg_dw_ord")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    chg = spark.createDataFrame(
+        [
+            (1, 111, "U", 1), (1, 0, "D", 2),   # upsert then delete → gone
+            (2, 0, "D", 1), (2, 222, "U", 2),   # delete then upsert → lives
+        ],
+        "id long, v long, op string, seq long",
+    )
+    snapshot_merge(
+        spark, path, chg, pk_columns=["id"],
+        delete_when=F.col("op") == "D", order_column="seq",
+    )
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {2: 222, 3: 30}
+
+
+def test_delete_when_requires_update_clause(spark, tmp_path):
+    path = _uri(tmp_path, "mg_dw_val")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    with pytest.raises(ValueError, match="delete_when requires"):
+        snapshot_merge(
+            spark, path,
+            spark.createDataFrame([(1, 1, "D")], "id long, v long, op string"),
+            pk_columns=["id"], when_matched="delete",
+            delete_when=F.col("op") == "D",
+        )

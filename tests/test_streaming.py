@@ -1959,3 +1959,75 @@ def test_stream_bpe_tokenize_equals_batch(spark, tmp_path):
     }
     assert got == batch and len(got) > 0
     assert all(v[1] for v in got.values())  # round-trip exact everywhere
+
+
+def test_stream_snapshot_cdc_replica_deletes_in_one_commit(spark, tmp_path):
+    """Twin #31: a full changelog stream (insert/update/DELETE) lands
+    in the snapshot table with one atomic commit per batch — deletes
+    and upserts from the same batch are never split across snapshots —
+    and a fresh-checkpoint replay commits nothing."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        # bootstrap: one tombstone for a not-yet-existing key is a no-op
+        [(1, 10, "I", 1), (2, 20, "I", 2), (9, 0, "D", 3)],
+        # same batch: delete 1, update 2, insert 4
+        [(1, 0, "D", 4), (2, 22, "U", 5), (4, 40, "I", 6)],
+        # per-key last-wins: 4 upserted then deleted; 5 deleted then inserted
+        [(4, 44, "U", 7), (4, 0, "D", 8), (5, 0, "D", 9), (5, 50, "I", 10)],
+    ]
+    src = tmp_path / "cdc_del_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "op": pa.array([r[2] for r in rows], pa.string()),
+            "seq": pa.array([r[3] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    table = str(tmp_path / "cdc_replica")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, v long, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_snapshot_cdc_replica(
+            stream, table, str(tmp_path / ck),
+            pk_columns=["k"], op_col="op", prune_column="k",
+            order_column="seq",
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    assert current_snapshot(table) == 3  # exactly one commit per batch
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got == {2: 22, 5: 50}
+    assert "op" not in snapshot_read(spark, table).columns
+    # AS OF batch boundaries: the delete+upsert batch is ONE snapshot
+    assert {r["k"]: r["v"] for r in
+            snapshot_read(spark, table, snapshot_id=1).collect()} == {
+        1: 10, 2: 20}
+    assert {r["k"]: r["v"] for r in
+            snapshot_read(spark, table, snapshot_id=2).collect()} == {
+        2: 22, 4: 40}
+    # fresh-checkpoint replay: batch-id guard, nothing commits
+    run("ck2")
+    assert current_snapshot(table) == 3
+    assert {r["k"]: r["v"]
+            for r in snapshot_read(spark, table).collect()} == {2: 22, 5: 50}
