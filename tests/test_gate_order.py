@@ -49,16 +49,16 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r12_window_is_the_r09_block():
-    """The r12 rotation (ROUND11.md "Round-12 gate plan", executed
-    verbatim): the driver window is exactly the 50 r9-gated queries,
+def test_r13_window_is_the_r10_block():
+    """The r13 rotation (ROUND12.md "Round-13 gate plan", executed
+    verbatim): the driver window is exactly the 50 r10-gated queries,
     bounded by its prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "dedup_simhash"
-    assert E._GATE_FIRST[-1] == "copurchase_degree_profile"
-    assert "shard_pack_tokens" in E._GATE_FIRST
-    # the two blocks that rotated out sit in _GATE_LAST in r14/r13 order
-    assert E._GATE_LAST[0] == "basket_jaccard_customers"  # r11-gated block
-    assert E._GATE_LAST[50] == "dedup_containment"        # r10-gated block
+    assert E._GATE_FIRST[0] == "dedup_containment"
+    assert E._GATE_FIRST[-1] == "events_tumbling_agg"
+    assert "q1_pricing_summary" in E._GATE_FIRST
+    # the two blocks that rotated out sit in _GATE_LAST in r15/r14 order
+    assert E._GATE_LAST[0] == "dedup_simhash"             # r12-gated block
+    assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r11-gated block
     assert E._GATE_LAST[-24:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
