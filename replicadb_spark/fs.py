@@ -50,6 +50,8 @@ this module is the repo's equivalent contract for lakehouse layouts.
 
 from __future__ import annotations
 
+from uuid import uuid4
+
 from pyspark.sql import SparkSession
 
 
@@ -252,7 +254,14 @@ class TableFS:
                 )
             return self._conditional_create(p, text)
         d, name = p.rsplit("/", 1)
-        tmp = f"{d}/.{name}.tmp"
+        # the staging name must be WRITER-UNIQUE: a destination-derived
+        # tmp (.{name}.tmp) is shared by every committer racing for the
+        # same snapshot id, and the interleaving (A stages, B overwrites
+        # the shared tmp, A renames) publishes B's bytes under A's win —
+        # B then GCs its manifest believing it lost, leaving the
+        # published tip pointing at deleted state. uuid-per-attempt
+        # makes staging paths disjoint by construction.
+        tmp = f"{d}/.{name}.{uuid4().hex}.tmp"
         self.write_text(tmp, text)
         try:
             self.rename_no_overwrite(tmp, p)

@@ -151,6 +151,39 @@ def test_put_if_absent_winner_loser_on_file(spark, tmp_path):
     assert fs.scheme == "file"
 
 
+def test_put_if_absent_staging_paths_are_writer_unique(spark, tmp_path):
+    """Two committers racing for one snapshot id must never share a
+    staging file: a destination-derived tmp name lets the interleaving
+    (A stages, B overwrites the shared tmp, A renames) publish B's
+    bytes under A's win while B GCs its manifest as the loser — the
+    published tip then points at deleted state. The staging name must
+    therefore be unique per put_if_absent call."""
+    path = _uri(tmp_path, "piatmp")
+    fs = TableFS(spark, path)
+    fs.mkdirs(join(path, "snapshots"))
+    staged = []
+    real = TableFS.write_text
+
+    def spy(self, p, text):
+        staged.append(p)
+        return real(self, p, text)
+
+    dst = join(path, "snapshots", "s-000001.json")
+    import unittest.mock as mock
+
+    with mock.patch.object(TableFS, "write_text", spy):
+        assert fs.put_if_absent(dst, '{"w": 1}') is True
+        assert fs.put_if_absent(dst, '{"w": 2}') is False
+    assert len(staged) == 2 and staged[0] != staged[1]
+    # both are dot-prefixed (invisible to Spark listings) in dst's dir
+    for p in staged:
+        d, name = p.rsplit("/", 1)
+        assert d == join(path, "snapshots") and name.startswith(".")
+    assert json.loads(fs.read_text(dst)) == {"w": 1}
+    # the loser's unique tmp was cleaned up, not leaked
+    assert fs.list_names(join(path, "snapshots")) == ["s-000001.json"]
+
+
 def test_put_if_absent_refuses_s3_without_conditional_writes(
     spark, tmp_path, monkeypatch
 ):
