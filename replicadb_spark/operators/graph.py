@@ -22,7 +22,9 @@ depth stays constant across iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -183,6 +185,25 @@ def triangle_count(
 def _triangle_result(
     spark, m: int, deg: DataFrame, oriented: DataFrame, strategy: str
 ) -> DataFrame:
+    tri = _triangle_agg(oriented, strategy)
+    counts = deg.agg(F.count(F.lit(1)).alias("n_vertices")).withColumn(
+        "n_edges", F.lit(m).cast("long")
+    )
+    out = counts.crossJoin(tri).select("n_vertices", "n_edges", "n_triangles")
+    # the result is exactly ONE bounded row — collect it while the
+    # internal caches are live and hand back a local frame, so the
+    # caller's later actions never recompute the (now-unpersisted)
+    # edge pipeline and no cached RDD outlives the call
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _triangle_agg(oriented: DataFrame, strategy: str) -> DataFrame:
+    """ONE-row (n_triangles) aggregate over a degree-ordered oriented
+    edge list (u, w) — the kernel shared by :func:`triangle_count`
+    (which derives the orientation inline) and
+    :func:`triangle_count_layout` (which reads it from a persisted
+    edge layout)."""
     if strategy == "broadcast_adj":
         adj = oriented.groupBy("u").agg(F.collect_list("w").alias("nbrs"))
         empty = F.array().cast(dict(adj.dtypes)["nbrs"])
@@ -222,16 +243,7 @@ def _triangle_result(
         tri = wedges.join(closing, ["x", "y"]).agg(
             F.count(F.lit(1)).alias("n_triangles")
         )
-    counts = deg.agg(F.count(F.lit(1)).alias("n_vertices")).withColumn(
-        "n_edges", F.lit(m).cast("long")
-    )
-    out = counts.crossJoin(tri).select("n_vertices", "n_edges", "n_triangles")
-    # the result is exactly ONE bounded row — collect it while the
-    # internal caches are live and hand back a local frame, so the
-    # caller's later actions never recompute the (now-unpersisted)
-    # edge pipeline and no cached RDD outlives the call
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return tri
 
 
 def pagerank(
@@ -346,6 +358,27 @@ def build_pagerank_plan(
     # the edge-build subtree computes once within the final job
     linked = out.join(deg, "u").persist()
     cached.append(linked)
+    return _pagerank_loop(
+        linked, ranks, n,
+        iterations=iterations, damping=damping,
+        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+    )
+
+
+def _pagerank_loop(
+    linked: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    *,
+    iterations: int,
+    damping: float,
+    checkpoint_every: int,
+    checkpoint_dir: "str | None",
+) -> DataFrame:
+    """The power-iteration DAG shared by :func:`build_pagerank_plan`
+    (inline edge build) and :func:`pagerank_layout` (persisted edge
+    layout): per round ONE shuffle (the groupBy on the destination
+    vertex), periodic lineage resets for long horizons."""
     for i in range(iterations):
         contrib = (
             linked.join(ranks, "u")
@@ -359,3 +392,188 @@ def build_pagerank_plan(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = _lineage_reset(ranks, checkpoint_dir)
     return ranks.select(F.col("u").alias("vertex"), "rank")
+
+
+# =========================================================================
+# Persisted edge layout — build the graph's derived frames ONCE, run
+# many algorithms from the scan (VERDICT r12 item 2)
+# =========================================================================
+
+_LAYOUT_META = "_edge_layout.json"
+
+
+def write_edge_layout(edges: DataFrame, path: str, *, src: str = "src",
+                      dst: str = "dst") -> dict:
+    """Materialize the undirected simple graph of ``edges`` as a
+    scan-ready parquet layout under ``path`` and return its metadata
+    ``{"m": n_edges, "n_vertices": n}``.
+
+    Every graph algorithm over one edge set re-derives the same three
+    frames — deduped undirected edges, per-vertex degrees, and the
+    degree-ordered orientation — and on a pipeline that runs triangles
+    AND PageRank AND a degree profile that derivation (a distinct over
+    the raw pair stream plus two degree joins) dominates each query's
+    cost. Writing the derived frames once turns every downstream
+    algorithm into parquet scans with KNOWN SIZES, which also lets
+    Catalyst auto-broadcast the small frames (the degree table) that
+    an in-lineage computed frame would sort-merge-join.
+
+    Layout (all parquet):
+
+    - ``{path}/edges``    — (a, b) with a < b, distinct: source of truth
+    - ``{path}/deg``      — (v, deg): undirected degree per vertex
+    - ``{path}/oriented`` — (u, w) degree-ordered (Suri & Vassilvitskii):
+      every edge points from the lower-(deg, id) endpoint, so
+      out-degree is O(sqrt(m)) — the triangle kernel's input
+    - ``{path}/_edge_layout.json`` — written LAST: the publish marker
+      carrying m and n_vertices so readers never re-count
+
+    Invalidation is the CALLER's contract (same as the persisted ANN /
+    MinHash index operators): the layout is a materialized index over
+    an immutable-during-use edge set; rebuild it when the source moves.
+
+    Scale: three shuffles total (distinct, degree agg, orientation
+    join), each bounded by the edge count; the writes are distributed
+    and the layout is re-read with partition/column pruning — at 100 TB
+    the amortization argument only gets stronger (the derivation that
+    is ~40%% of each query's cost runs once per graph, not once per
+    algorithm).
+    """
+    from replicadb_spark.fs import TableFS, join as fs_join
+
+    cached: list[DataFrame] = []
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    cached.append(und)
+    try:
+        m = und.count()
+        und.write.mode("overwrite").parquet(fs_join(path, "edges"))
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .unionByName(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
+        )
+        cached.append(deg)
+        n = deg.count()
+        deg.write.mode("overwrite").parquet(fs_join(path, "deg"))
+        ranked = (
+            und.join(
+                deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a"
+            )
+            .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        )
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        ).write.mode("overwrite").parquet(fs_join(path, "oriented"))
+        meta = {"m": m, "n_vertices": n}
+        TableFS(edges.sparkSession, path).write_text(
+            fs_join(path, _LAYOUT_META), json.dumps(meta)
+        )
+        return meta
+    finally:
+        for f in cached:
+            f.unpersist()
+
+
+def read_edge_layout(spark: SparkSession, path: str) -> dict:
+    """Open a :func:`write_edge_layout` layout: lazy ``edges`` /
+    ``deg`` / ``oriented`` frames plus the counted ``m`` /
+    ``n_vertices`` from the publish marker (no action runs)."""
+    from replicadb_spark.fs import TableFS, join as fs_join
+
+    meta = json.loads(
+        TableFS(spark, path).read_text(fs_join(path, _LAYOUT_META))
+    )
+    return {
+        "edges": spark.read.parquet(fs_join(path, "edges")),
+        "deg": spark.read.parquet(fs_join(path, "deg")),
+        "oriented": spark.read.parquet(fs_join(path, "oriented")),
+        "m": int(meta["m"]),
+        "n_vertices": int(meta["n_vertices"]),
+    }
+
+
+def triangle_count_layout(
+    spark: SparkSession,
+    path: str,
+    *,
+    strategy: str = "auto",
+    broadcast_edge_limit: int = 10_000_000,
+) -> DataFrame:
+    """:func:`triangle_count` sourced from a persisted edge layout:
+    the dedup/degree/orientation stages are parquet scans, m and
+    n_vertices come from the layout marker (zero extra actions), and
+    only the triangle kernel itself runs. Same ONE-row result."""
+    if strategy not in ("auto", "broadcast_adj", "wedge_shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    lay = read_edge_layout(spark, path)
+    m, n = lay["m"], lay["n_vertices"]
+    if strategy == "auto":
+        strategy = "broadcast_adj" if m <= broadcast_edge_limit else "wedge_shuffle"
+    out = (
+        _triangle_agg(lay["oriented"], strategy)
+        .select(
+            F.lit(n).cast("long").alias("n_vertices"),
+            F.lit(m).cast("long").alias("n_edges"),
+            F.col("n_triangles"),
+        )
+    )
+    # one bounded row; the inputs are durable parquet (nothing cached),
+    # so the frame can stay lazy — collect-and-localize is not needed
+    return out
+
+
+def pagerank_layout(
+    edges_or_spark,
+    path: str,
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """:func:`pagerank` sourced from a persisted edge layout. The
+    out-edge list is the layout's edge scan unioned both ways, the
+    degree table is the layout's (small, size-known → Catalyst
+    broadcasts it into the out-edge join instead of shuffling both
+    sides), and N comes from the marker — ZERO driver actions before
+    the iteration job. Returns the same eagerly-materialized
+    (vertex, rank) frame with every internal cache released."""
+    spark = (
+        edges_or_spark
+        if isinstance(edges_or_spark, SparkSession)
+        else edges_or_spark.sparkSession
+    )
+    lay = read_edge_layout(spark, path)
+    und, n = lay["edges"], lay["n_vertices"]
+    out = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = lay["deg"].select(F.col("v").alias("u"), "deg")
+    cached: list[DataFrame] = []
+    try:
+        linked = out.join(deg, "u").persist()
+        cached.append(linked)
+        ranks = deg.select("u", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+        result = _pagerank_loop(
+            linked, ranks, n,
+            iterations=iterations, damping=damping,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+        )
+        return _lineage_reset(result, checkpoint_dir)
+    finally:
+        for f in cached:
+            f.unpersist()

@@ -4470,12 +4470,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices; orientation bounds wedge fan-out by out-degree ≤
     O(sqrt(m)), giving the O(m^1.5) MapReduce-classic plan. The edge
     list itself comes from a per-order self-join bounded by order size
-    (~7 items), not corpus size."""
-    from replicadb_spark.operators.graph import triangle_count
+    (~7 items), not corpus size. Runs from the shared persisted edge
+    layout (_copurchase_layout) — the dedup/degree/orientation stages
+    are parquet scans amortized across the three co-purchase queries."""
+    from replicadb_spark.operators.graph import triangle_count_layout
 
-    return triangle_count(
-        _copurchase_edges(spark, sf_dir), src="src", dst="dst"
-    )
+    return triangle_count_layout(spark, _copurchase_layout(spark, sf_dir))
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4492,6 +4492,31 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
+
+
+# one persisted edge layout per (process, sf_dir): the co-purchase
+# graph feeds THREE catalog queries (triangles, PageRank, degree
+# profile), and each re-deriving the same distinct/degree/orientation
+# frames was the bench's top recurring cost for three rounds (VERDICT
+# r12 item 2). The first query to run builds the layout into a fresh
+# tempdir (graph.write_edge_layout); the rest scan it. sf_dir contents
+# are immutable for the life of a process (TESTDATA.md), so a
+# process-scoped memo needs no fingerprint check; a fresh process gets
+# a fresh tempdir, so no cross-process staleness either.
+_COPURCHASE_LAYOUTS: dict[str, str] = {}
+
+
+def _copurchase_layout(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from replicadb_spark.operators.graph import write_edge_layout
+
+    path = _COPURCHASE_LAYOUTS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="copurchase_edges_")
+        write_edge_layout(_copurchase_edges(spark, sf_dir), path)
+        _COPURCHASE_LAYOUTS[sf_dir] = path
+    return path
 
 
 @register(
@@ -4826,16 +4851,19 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per iteration ONE shuffle (groupBy destination vertex);
     lineage reset via localCheckpoint per round keeps plan depth
-    constant — same loop shape as connected_components."""
-    from replicadb_spark.operators.graph import pagerank
+    constant — same loop shape as connected_components. Runs from the
+    shared persisted edge layout (_copurchase_layout): the out-edge
+    frame is a parquet scan, the degree table broadcasts into it
+    (size-known small side), and N comes from the layout marker — no
+    driver action before the iteration job."""
+    from replicadb_spark.operators.graph import (
+        pagerank_layout,
+        read_edge_layout,
+    )
 
-    edges = _copurchase_edges(spark, sf_dir)
-    # pagerank() returns an eagerly-checkpointed frame (its internals
-    # unpersist on exit), so the vertex count (for the rank·N
-    # normalization) and the top-20 selection both read the checkpoint
-    # blocks — no extra persist, no iteration-DAG re-run
-    ranks = pagerank(edges, iterations=3, damping=0.85)
-    n = ranks.count()
+    path = _copurchase_layout(spark, sf_dir)
+    ranks = pagerank_layout(spark, path, iterations=3, damping=0.85)
+    n = read_edge_layout(spark, path)["n_vertices"]
     return (
         ranks.select(
             "vertex", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rel_rank")
@@ -7211,18 +7239,17 @@ def copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     have each neighbor count — the first diagnostic before any graph
     algorithm (a heavy-tailed profile says "orient by degree, expect
     hub blowup"; it is WHY triangle_count degree-orders and pagerank
-    checkpoints). Shares _copurchase_edges with the triangle/pagerank
-    queries, so bench's shared-build economics apply.
+    checkpoints). Reads the shared persisted edge layout
+    (_copurchase_layout), whose deg table IS this profile's input —
+    one map-side-partial aggregate over a small parquet scan.
 
-    Scale: distinct undirected edges → per-node count → per-degree
-    count: three map-side-partial hash aggregates, each strictly
-    smaller than the last; no windows, nothing driver-side."""
-    edges = _copurchase_edges(spark, sf_dir).distinct()
-    und = edges.selectExpr("src AS v", "dst AS w").unionByName(
-        edges.selectExpr("dst AS v", "src AS w")
-    )
-    deg = und.groupBy("v").agg(F.count("*").alias("d"))
-    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+    Scale: the layout build is distinct undirected edges → per-node
+    count (bounded shuffles, amortized across the three co-purchase
+    queries); this query adds only the per-degree count."""
+    from replicadb_spark.operators.graph import read_edge_layout
+
+    lay = read_edge_layout(spark, _copurchase_layout(spark, sf_dir))
+    return lay["deg"].groupBy(F.col("deg").cast("long").alias("degree")).agg(
         F.count("*").alias("n_nodes")
     )
 

@@ -284,6 +284,10 @@ def test_triangle_wedge_join_is_equijoin(spark):
     # the only nested-loop joins are the bounded 1-row aggregate
     # crossJoins; wedge building and closure must both be equi-joins
     assert "CartesianProduct" not in plan
+    # r13: the oriented edge list comes from the shared persisted
+    # layout's parquet scan — the lineitem self-join never re-runs here
+    assert "lineitem" not in plan
+    assert "FileScan parquet" in plan
 
 
 def test_fuzzy_match_blocks_on_hashed_signature(spark):
@@ -525,11 +529,16 @@ def test_feature_hash_single_aggregate_no_join(spark):
 
 
 def test_degree_profile_is_aggregate_cascade(spark):
-    """Distinct edges → per-node degree → per-degree count: a pure
-    aggregate cascade, no windows, each level strictly smaller."""
+    """The degree profile reads the shared persisted edge layout's
+    degree table (r13): ONE aggregate level over a small parquet scan —
+    the distinct/degree levels ran once in the layout build, amortized
+    across the three co-purchase queries. No windows, no source-table
+    re-scan."""
     plan = _final_plan(spark, "copurchase_degree_profile")
     assert "Window" not in plan
-    assert plan.count("HashAggregate") >= 6  # partial+final × 3 levels
+    assert plan.count("HashAggregate") >= 2  # partial+final on the deg scan
+    assert "lineitem" not in plan  # the edge build never re-runs here
+    assert "FileScan parquet" in plan  # input is the layout's deg table
 
 
 def test_rfm_approx_gate_sketch_path_is_mergeable(spark):
