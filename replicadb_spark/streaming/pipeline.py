@@ -2209,6 +2209,7 @@ def stream_snapshot_cdc_replica(
     delete_op: str = "D",
     prune_column: "str | None" = None,
     order_column: "str | None" = None,
+    evolve: bool = False,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Twin #31: continuous CDC replication — insert/update/DELETE —
@@ -2227,7 +2228,16 @@ def stream_snapshot_cdc_replica(
     delete_when is evaluated before snapshot_merge's projection drops
     them. A FIRST batch bootstraps the table from its non-delete rows
     (tombstones for a not-yet-existing table are no-ops, exactly the
-    semantics merge would apply)."""
+    semantics merge would apply).
+
+    ``evolve=True`` (r13): a changelog whose schema GROWS mid-stream —
+    a new column appearing after a source migration — merges with
+    schema evolution in the same one-commit shape: the new column is
+    added to the pinned table schema, pre-existing rows read it as
+    null, and the op/order changelog-metadata columns stay excluded
+    from evolution (snapshot_merge's ``evolve_exclude``). Restart the
+    stream with the widened source schema; the checkpointed offsets
+    and the batch-id guard carry across the restart."""
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
         last_committed_batch_id,
@@ -2272,6 +2282,11 @@ def stream_snapshot_cdc_replica(
             prune_column=prune_column,
             order_column=None,  # batch already compacted above
             meta={"batch_id": batch_id},
+            evolve=evolve,
+            # op/order are changelog metadata, never table columns —
+            # without the exclusion evolve would add them to the table
+            evolve_exclude=(op_col,)
+            + ((order_column,) if order_column else ()),
         )
 
     writer = (

@@ -239,3 +239,116 @@ def test_delete_when_requires_update_clause(spark, tmp_path):
             pk_columns=["id"], when_matched="delete",
             delete_when=F.col("op") == "D",
         )
+
+
+def test_merge_noop_returns_current_tip_without_publishing(spark, tmp_path):
+    """ADVICE r12: a merge whose pruning yields no victims and whose
+    clauses admit no rows (delete-only batch of keys absent from the
+    table) returns the CURRENT snapshot id with NO new commit record,
+    data dir, or manifest copy — Delta's no-op MERGE behavior."""
+    from replicadb_spark.fs import TableFS, join as fs_join
+    from replicadb_spark.operators.snapshot_table import current_snapshot
+
+    path = _uri(tmp_path, "mg_noop")
+    snapshot_commit(
+        _df(spark, TABLE).repartitionByRange(2, "id"),
+        path, stat_columns=["id"],
+    )
+    fs = TableFS(spark, path)
+    before_snaps = fs.list_names(fs_join(path, "snapshots"))
+    before_data = fs.list_names(fs_join(path, "data"))
+    sid = snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(99,), (100,)], "id long"),
+        pk_columns=["id"], when_matched="delete", when_not_matched=None,
+        prune_column="id",
+    )
+    assert sid == 1 == current_snapshot(path)
+    assert fs.list_names(fs_join(path, "snapshots")) == before_snaps
+    assert fs.list_names(fs_join(path, "data")) == before_data
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == dict(TABLE)
+
+
+def test_merge_with_unpruned_victims_still_commits(spark, tmp_path):
+    """The no-op short-circuit must NOT fire when victims exist: a
+    by-source-delete merge of an empty-overlap batch still rewrites
+    (it deletes the whole table domain) — a real state change."""
+    path = _uri(tmp_path, "mg_notnoop")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    sid = snapshot_merge(
+        spark, path, _df(spark, [(99, 990)]), pk_columns=["id"],
+        when_matched="update", when_not_matched=None,
+        not_matched_by_source="delete",
+    )
+    assert sid == 2
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {}  # nothing matched, everything else deleted
+
+
+def test_merge_evolve_adds_column_in_one_call(spark, tmp_path):
+    """VERDICT r12 item 3: a staging batch carrying a NEW column merges
+    with evolve=True in ONE call — the column lands in the pinned
+    schema, untouched rows read null, and the non-delegated clause
+    path (delete_when) evolves too."""
+    from pyspark.sql.types import StructType
+
+    from replicadb_spark.operators.snapshot_table import snapshot_schema
+
+    path = _uri(tmp_path, "mg_evolve")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    chg = spark.createDataFrame(
+        [(1, 0, None, "D"), (2, 22, "eu", "U"), (7, 70, "us", "I")],
+        "id long, v long, region string, op string",
+    )
+    snapshot_merge(
+        spark, path, chg, pk_columns=["id"],
+        delete_when=F.col("op") == "D",
+        evolve=True, evolve_exclude=("op",),
+    )
+    cur = snapshot_read(spark, path)
+    assert cur.columns == ["id", "v", "region"]  # op excluded, region added
+    got = {r["id"]: (r["v"], r["region"]) for r in cur.collect()}
+    assert got == {2: (22, "eu"), 3: (30, None), 7: (70, "us")}
+    pinned = snapshot_schema(path)
+    assert isinstance(pinned, StructType)
+    assert pinned.fieldNames() == ["id", "v", "region"]
+    # without evolve, the same batch must still demand the old contract
+    # (extra column silently dropped, table schema unchanged)
+    snapshot_merge(
+        spark, path,
+        spark.createDataFrame(
+            [(8, 80, "jp", 1.0, "I")],
+            "id long, v long, region string, extra double, op string",
+        ),
+        pk_columns=["id"], delete_when=F.col("op") == "D",
+    )
+    assert snapshot_read(spark, path).columns == ["id", "v", "region"]
+
+
+def test_merge_evolve_requires_row_adding_clause(spark, tmp_path):
+    path = _uri(tmp_path, "mg_evolve_val")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    with pytest.raises(ValueError, match="row-adding clause"):
+        snapshot_merge(
+            spark, path, spark.createDataFrame([(1,)], "id long"),
+            pk_columns=["id"], when_matched="delete", when_not_matched=None,
+            evolve=True,
+        )
+
+
+def test_merge_evolve_delegates_to_upsert_evolution(spark, tmp_path):
+    """The (update, insert, keep) combination delegates to
+    snapshot_upsert — evolve must ride the delegation."""
+    path = _uri(tmp_path, "mg_evolve_del")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    sid = snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(2, 22, 9.5)], "id long, v long, score double"),
+        pk_columns=["id"], evolve=True,
+    )
+    rec = snapshot_record(path, sid)
+    assert rec["operation"] == "upsert"
+    got = {r["id"]: (r["v"], r["score"])
+           for r in snapshot_read(spark, path).collect()}
+    assert got == {1: (10, None), 2: (22, 9.5), 3: (30, None)}

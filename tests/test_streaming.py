@@ -2031,3 +2031,112 @@ def test_stream_snapshot_cdc_replica_deletes_in_one_commit(spark, tmp_path):
     assert current_snapshot(table) == 3
     assert {r["k"]: r["v"]
             for r in snapshot_read(spark, table).collect()} == {2: 22, 5: 50}
+
+
+def test_stream_snapshot_cdc_replica_evolves_schema_mid_stream(spark, tmp_path):
+    """Twin #31 + evolve (r13): a changelog whose schema GROWS after a
+    restart merges the new column in the same one-commit-per-batch
+    shape — old rows read the column as null, the op/seq metadata stay
+    out of the table, the checkpoint carries offsets across the
+    restart, and the result equals applying the same net batches via
+    the batch-side snapshot_merge."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+        snapshot_schema,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "cdc_evo_stream"
+    src.mkdir()
+
+    def write(i, rows, with_region):
+        cols = {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+        if with_region:
+            cols["region"] = pa.array([r[4] for r in rows], pa.string())
+        cols["op"] = pa.array([r[2] for r in rows], pa.string())
+        cols["seq"] = pa.array([r[3] for r in rows], pa.int64())
+        pq.write_table(pa.table(cols), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    # phase 1: the original 2-column changelog
+    write(0, [(1, 10, "I", 1), (2, 20, "I", 2)], with_region=False)
+    write(1, [(1, 0, "D", 3), (3, 30, "I", 4)], with_region=False)
+    table = str(tmp_path / "cdc_evo_replica")
+    ck = str(tmp_path / "cdc_evo_ck")
+
+    def run(schema, evolve):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_snapshot_cdc_replica(
+            stream, table, ck,
+            pk_columns=["k"], op_col="op", prune_column="k",
+            order_column="seq", evolve=evolve,
+        )
+        q.awaitTermination(300)
+
+    run("k long, v long, op string, seq long", evolve=False)
+    assert current_snapshot(table) == 2
+    assert snapshot_read(spark, table).columns == ["k", "v"]
+
+    # phase 2: the source migrated — a region column appears; restart
+    # with the widened schema (old files read region as null)
+    write(2, [(2, 22, "U", 5, "eu"), (4, 40, "I", 6, "us")],
+          with_region=True)
+    run("k long, v long, region string, op string, seq long", evolve=True)
+
+    assert current_snapshot(table) == 3  # one commit for the new batch
+    cur = snapshot_read(spark, table)
+    assert cur.columns == ["k", "v", "region"]  # op/seq never evolve in
+    got = {r["k"]: (r["v"], r["region"]) for r in cur.collect()}
+    assert got == {2: (22, "eu"), 3: (30, None), 4: (40, "us")}
+    assert snapshot_schema(table).fieldNames() == ["k", "v", "region"]
+    # pre-evolution snapshots still read with their pinned 2-col schema
+    assert snapshot_read(spark, table, snapshot_id=2).columns == ["k", "v"]
+
+    # batch equivalence: the same net changelog applied through the
+    # batch-side merge API yields the identical table
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_commit,
+        snapshot_merge,
+    )
+
+    btable = "file://" + str(tmp_path / "cdc_evo_batch")
+    snapshot_commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        btable, stat_columns=["k"],
+    )
+    snapshot_merge(
+        spark, btable,
+        spark.createDataFrame([(1, 0, "D"), (3, 30, "I")],
+                              "k long, v long, op string"),
+        pk_columns=["k"], delete_when=F.col("op") == "D",
+        prune_column="k",
+    )
+    snapshot_merge(
+        spark, btable,
+        spark.createDataFrame(
+            [(2, 22, "eu", "U"), (4, 40, "us", "I")],
+            "k long, v long, region string, op string",
+        ),
+        pk_columns=["k"], delete_when=F.col("op") == "D",
+        prune_column="k", evolve=True, evolve_exclude=("op",),
+    )
+    bgot = {r["k"]: (r["v"], r["region"])
+            for r in snapshot_read(spark, btable).collect()}
+    assert bgot == got
