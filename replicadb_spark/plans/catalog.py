@@ -58,6 +58,23 @@ def _dec(col, scale: int = 6):
     return col.cast(f"decimal(28,{scale})")
 
 
+def _gate_spool(df: DataFrame, prefix: str) -> DataFrame:
+    """Executor-side materialization for self-checking gates whose
+    input layout is dropped in a ``finally``: write the gate frame to
+    a SPARED tempdir (outside the dropped workdir) and return a lazy
+    scan of it. The former collect()+createDataFrame shape held the
+    whole post-op table on the driver — bounded at gate scale but
+    driver-memory-bound at sf1+ (VERDICT r12 "what's wrong" #2); the
+    spool keeps gate memory distributed at any SF while still
+    surviving the temp-layout drop. One spool dir per invocation,
+    OS-tmp-cleaned — the shared-edge-layout contract."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
+
+
 # =========================================================================
 # Replication-core queries (SURVEY §2.1/§2.3/§2.4 semantics over parquet)
 # =========================================================================
@@ -8284,18 +8301,16 @@ def snapshot_table_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(in_range).count()
             == cur.where(in_range).count()
         )
-        rows = cur.collect()  # materialize before the temp layout drops
-        return spark.createDataFrame(
-            [
-                (
-                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
-                    time_travel_ok, prune_ok, orphan_invisible_ok,
-                )
-                for r in rows
-            ],
-            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
-            "time_travel_ok boolean, prune_ok boolean, "
-            "orphan_invisible_ok boolean",
+        # spool executor-side before the temp layout drops (no driver
+        # collect of the full table — _gate_spool)
+        return _gate_spool(
+            cur.select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit(bool(time_travel_ok)).alias("time_travel_ok"),
+                F.lit(bool(prune_ok)).alias("prune_ok"),
+                F.lit(bool(orphan_invisible_ok)).alias("orphan_invisible_ok"),
+            ),
+            "snap_gate_spool_",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -8378,19 +8393,16 @@ def snapshot_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_travel_ok = (
             snapshot_read(spark, path, snapshot_id=1).count() == n_base
         )
-        rows = snapshot_read(spark, path).collect()
-        return spark.createDataFrame(
-            [
-                (
-                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
-                    victims_pruned_ok, untouched_carryover_ok,
-                    time_travel_ok,
-                )
-                for r in rows
-            ],
-            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
-            "victims_pruned_ok boolean, untouched_carryover_ok boolean, "
-            "time_travel_ok boolean",
+        return _gate_spool(
+            snapshot_read(spark, path).select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit(bool(victims_pruned_ok)).alias("victims_pruned_ok"),
+                F.lit(bool(untouched_carryover_ok)).alias(
+                    "untouched_carryover_ok"
+                ),
+                F.lit(bool(time_travel_ok)).alias("time_travel_ok"),
+            ),
+            "snap_del_spool_",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -8532,21 +8544,16 @@ def snapshot_bucketed_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_zero_ok = zero_exchange(
             snapshot_read_bucketed(spark, path, table_name=cur_name)
         )
-        # materialize before the temp layout drops
-        rows = snapshot_read(spark, path).collect()
-        return spark.createDataFrame(
-            [
-                (
-                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
-                    r["o_orderstatus"], tt_matches_ok, partial_ok,
-                    tt_zero_ok, cur_zero_ok,
-                )
-                for r in rows
-            ],
-            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
-            "o_orderstatus string, tt_matches_parent_ok boolean, "
-            "partial_rewrite_ok boolean, tt_zero_exchange_ok boolean, "
-            "cur_zero_exchange_ok boolean",
+        # spool executor-side before the temp layout drops
+        return _gate_spool(
+            snapshot_read(spark, path).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                F.lit(bool(tt_matches_ok)).alias("tt_matches_parent_ok"),
+                F.lit(bool(partial_ok)).alias("partial_rewrite_ok"),
+                F.lit(bool(tt_zero_ok)).alias("tt_zero_exchange_ok"),
+                F.lit(bool(cur_zero_ok)).alias("cur_zero_exchange_ok"),
+            ),
+            "snap_bkt_spool_",
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS `{tt_name}`")
@@ -8643,19 +8650,16 @@ def snapshot_evolution_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             == ["o_orderkey", "o_custkey", "o_totalprice", "o_band"]
             and s2 == s1 + 1
         )
-        rows = cur.collect()  # materialize before the temp layout drops
-        return spark.createDataFrame(
-            [
-                (
-                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
-                    r["o_band"], drift_refused_ok, old_rows_null_ok,
-                    time_travel_schema_ok,
-                )
-                for r in rows
-            ],
-            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
-            "o_band bigint, drift_refused_ok boolean, "
-            "old_rows_null_ok boolean, time_travel_schema_ok boolean",
+        return _gate_spool(
+            cur.select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_band",
+                F.lit(bool(drift_refused_ok)).alias("drift_refused_ok"),
+                F.lit(bool(old_rows_null_ok)).alias("old_rows_null_ok"),
+                F.lit(bool(time_travel_schema_ok)).alias(
+                    "time_travel_schema_ok"
+                ),
+            ),
+            "snap_evo_spool_",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -8743,17 +8747,16 @@ def snapshot_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 from_snapshot=s1, to_snapshot=s2,
             ).count() == 0
         )
-        rows = cur.collect()  # materialize before the temp layout drops
-        return spark.createDataFrame(
-            [
-                (
-                    r["o_orderkey"], r["x"], r["y"],
-                    prune_x_ok, prune_y_ok, content_identical_ok,
-                )
-                for r in rows
-            ],
-            "o_orderkey bigint, x bigint, y bigint, prune_x_ok boolean, "
-            "prune_y_ok boolean, content_identical_ok boolean",
+        return _gate_spool(
+            cur.select(
+                "o_orderkey", "x", "y",
+                F.lit(bool(prune_x_ok)).alias("prune_x_ok"),
+                F.lit(bool(prune_y_ok)).alias("prune_y_ok"),
+                F.lit(bool(content_identical_ok)).alias(
+                    "content_identical_ok"
+                ),
+            ),
+            "snap_zo_spool_",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -8866,19 +8869,17 @@ def snapshot_restore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 path, snapshot_record(path, s3)["committed_at_ms"] + 60_000
             ) == s3
         )
-        rows = cur.collect()  # materialize before the temp layout drops
-        return spark.createDataFrame(
-            [
-                (
-                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
-                    restore_content_ok, history_preserved_ok,
-                    undo_changelog_ok, as_of_ok,
-                )
-                for r in rows
-            ],
-            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
-            "restore_content_ok boolean, history_preserved_ok boolean, "
-            "undo_changelog_ok boolean, as_of_ok boolean",
+        return _gate_spool(
+            cur.select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit(bool(restore_content_ok)).alias("restore_content_ok"),
+                F.lit(bool(history_preserved_ok)).alias(
+                    "history_preserved_ok"
+                ),
+                F.lit(bool(undo_changelog_ok)).alias("undo_changelog_ok"),
+                F.lit(bool(as_of_ok)).alias("as_of_ok"),
+            ),
+            "snap_rst_spool_",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -9524,17 +9525,14 @@ def snapshot_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "when_not_matched": "insert",
             "not_matched_by_source": "keep",
         }
-        rows = snapshot_read(spark, path).select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        ).collect()
+        return _gate_spool(
+            snapshot_read(spark, path).select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit(bool(victims_pruned_ok)).alias("victims_pruned_ok"),
+                F.lit(bool(time_travel_ok)).alias("time_travel_ok"),
+                F.lit(bool(clauses_ok)).alias("clauses_ok"),
+            ),
+            "snap_mg_spool_",
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    out = spark.createDataFrame(
-        rows, "o_orderkey long, o_custkey long, o_totalprice double"
-    )
-    return out.select(
-        "o_orderkey", "o_custkey", "o_totalprice",
-        F.lit(bool(victims_pruned_ok)).alias("victims_pruned_ok"),
-        F.lit(bool(time_travel_ok)).alias("time_travel_ok"),
-        F.lit(bool(clauses_ok)).alias("clauses_ok"),
-    )

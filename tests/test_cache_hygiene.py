@@ -160,3 +160,25 @@ def test_no_bare_persist_outside_sanctioned_patterns():
         else:
             assert bare == 0, f"{p}: bare .persist() — use tracked_persist"
         assert not re.search(r"\.cache\(\)", src), p
+
+
+def test_snapshot_gates_never_collect_the_full_table():
+    """VERDICT r12 item 4: the snapshot gates materialize their result
+    executor-side (_gate_spool writes a spared parquet) — the former
+    collect()+createDataFrame shape held the whole post-op table on the
+    driver, which is driver-memory-bound at sf1+. Static pin: no gate
+    function body between 'def snapshot_*_gate' / 'def *_gate' markers
+    carries the materialize-on-driver pattern any more."""
+    src = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "replicadb_spark" / "plans" / "catalog.py"
+    ).read_text()
+    assert "materialize before the temp layout drops" not in src
+    # the full-table driver-collect shape: a collect() whose rows are
+    # re-created via createDataFrame (bounded 1-row gate aggregates
+    # keep their documented collects — those pass lists of Row/tuples
+    # built from scalar scans, not full-table row lists)
+    assert not re.search(
+        r"rows = (cur|snapshot_read\(spark, path\))[^\n]*\.collect\(\)", src
+    ), "a snapshot gate reintroduced the full-table driver collect"
+    assert src.count("_gate_spool(") >= 8  # helper def + 7 gate sites
