@@ -755,13 +755,15 @@ _JACCARD_CAPPED_ORACLE = _SHINGLE_CAPPED_CTE + """
     oracle=_JACCARD_CAPPED_ORACLE.format(thr="0.2", cap="1000"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+    """Exact word-3-gram Jaccard near-dup pairs.
 
-    Scale: join key is the shingle, so one viral shingle makes its
-    bucket quadratic — max_shingle_df=1000 drops shingles shared by
-    >1000 docs before the self-join (broadcast anti-join, bucket size
-    bounded at cap²/2). The oracle mirrors the cap, so the gate stays
-    exact; on TESTDATA max DF is 25, so the cap never binds there."""
+    Scale: the shared per-shingle doc-list kernel (r13,
+    dedup._pair_intersections — sorted doc lists, narrow codegen pair
+    expansion, zero joins); one viral shingle would fan out its list
+    quadratically, so max_shingle_df=1000 drops shingles shared by
+    >1000 docs inside the same aggregate (fan-out bounded at cap²/2).
+    The oracle mirrors the cap, so the gate stays exact; on TESTDATA
+    max DF is 25, so the cap never binds there."""
     d = _t(spark, sf_dir, "documents")["documents"]
     pairs = D.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2, max_shingle_df=1000)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -3648,12 +3650,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal that flags a short doc quoted inside a long one, which
     symmetric Jaccard under-scores (containment ≥ jaccard always).
 
-    Scale: the identical single inverted-index self-join as
-    dedup_ngram_jaccard, WITH the same max_shingle_df=1000 hot-shingle
-    cap (one viral shingle would otherwise make its join bucket
-    quadratic at corpus scale); the oracle computes sizes and
-    intersections over the same capped shingle universe, so the gate
-    stays exact. On TESTDATA max DF is 25, so the cap never binds."""
+    Scale: the shared per-shingle doc-list kernel (r13,
+    dedup._pair_intersections — sorted doc lists, narrow codegen pair
+    expansion, ZERO joins; measured 3.10 → 2.42 s warm at sf0.1 vs the
+    old self-join), with the same max_shingle_df=1000 hot-shingle cap
+    (one viral shingle would otherwise fan out quadratically at corpus
+    scale); the oracle computes sizes and intersections over the same
+    capped shingle universe, so the gate stays exact. On TESTDATA max
+    DF is 25, so the cap never binds."""
     d = _t(spark, sf_dir, "documents")["documents"]
     pairs = D.containment_pairs(
         d, "doc_id", "text", k=3, threshold=0.55, max_shingle_df=1000

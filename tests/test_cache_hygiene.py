@@ -53,6 +53,9 @@ SLICE = [
 
 
 def test_tracked_persist_roundtrip(spark):
+    # drain anything a previously-run test file's plan-building left in
+    # the ledger so the exact counts below are order-independent
+    release_caches(spark)
     df = tracked_persist(spark.range(100).selectExpr("id * 3 as x"))
     assert df.count() == 100
     assert tracked_count(spark) == 1

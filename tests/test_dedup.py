@@ -315,3 +315,70 @@ def test_chunk_dedup_spark_duckdb_agree_on_empty_docs(spark):
     by_id = {g[0]: g for g in got}
     assert by_id[2][1] == 1 and by_id[3][1] == 1
     assert by_id[2][2] + by_id[3][2] == 1  # one keeps the empty chunk
+
+
+def test_pair_intersections_match_bruteforce(spark):
+    """The r13 doc-list kernel (per-shingle sorted doc lists, narrow
+    pair expansion, zero joins) must equal a brute-force python
+    reference — jaccard AND both containment directions, capped and
+    uncapped — on a corpus with shared shingles across many docs,
+    asymmetric containment (short doc quoted in a long one), and a
+    viral shingle."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),          # near-dup of 0
+        (2, "alpha beta gamma"),                            # contained in 0/1
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "quick brown fox jumps over a lazy dog today"),
+        (5, "spam spam spam spam spam spam spam"),          # viral shingle
+        (6, "spam spam spam unrelated words entirely here"),
+        (7, "totally different content with zero overlap"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingle_set(text, k=3):
+        toks = [t for t in text.lower().strip().split() if t]
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    for cap in (None, 3):
+        sets = {i: shingle_set(t) for i, t in rows}
+        if cap is not None:
+            df_count = {}
+            for s in sets.values():
+                for g in s:
+                    df_count[g] = df_count.get(g, 0) + 1
+            sets = {
+                i: {g for g in s if df_count[g] <= cap}
+                for i, s in sets.items()
+            }
+        want_j, want_c = {}, {}
+        ids = sorted(sets)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                inter = len(sets[a] & sets[b])
+                if not inter:
+                    continue
+                jac = inter / len(sets[a] | sets[b])
+                if jac >= 0.2:
+                    want_j[(a, b)] = round(jac, 9)
+                ca, cb = inter / len(sets[a]), inter / len(sets[b])
+                if ca >= 0.5 or cb >= 0.5:
+                    want_c[(a, b)] = (round(ca, 9), round(cb, 9))
+        got_j = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.jaccard_pairs(
+                corpus, "doc_id", "text", threshold=0.2, max_shingle_df=cap
+            ).collect()
+        }
+        got_c = {
+            (r["id_a"], r["id_b"]): (
+                round(r["containment_a_in_b"], 9),
+                round(r["containment_b_in_a"], 9),
+            )
+            for r in D.containment_pairs(
+                corpus, "doc_id", "text", threshold=0.5, max_shingle_df=cap
+            ).collect()
+        }
+        assert got_j == want_j, f"jaccard mismatch (cap={cap})"
+        assert got_c == want_c, f"containment mismatch (cap={cap})"
