@@ -153,6 +153,41 @@ def bpe_vocab(merges: "list[tuple[bytes, bytes]]"):
     return tok2id, id2bytes
 
 
+# one broadcast per (SparkContext application, merge-list content,
+# payload kind) — see bpe_tokenize. Entries for a stopped context are
+# unreachable (the applicationId changes on restart) and the map stays
+# tiny because a process holds very few distinct trained vocabularies;
+# nothing is destroy()ed, since a caller may still hold a lazy frame
+# whose tasks read an older entry.
+_BC_CACHE: dict = {}
+
+
+def _merges_digest(merges: "list[tuple[bytes, bytes]]") -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    for a, b in merges:
+        h.update(len(a).to_bytes(4, "big"))
+        h.update(a)
+        h.update(len(b).to_bytes(4, "big"))
+        h.update(b)
+    return h.hexdigest()
+
+
+def _bpe_broadcast(sc, merges: "list[tuple[bytes, bytes]]", kind: str):
+    key = (sc.applicationId, _merges_digest(merges), kind)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        payload = (
+            {pair: i for i, pair in enumerate(merges)}
+            if kind == "ranks"
+            else bpe_vocab(merges)[0]
+        )
+        bc = sc.broadcast(payload)
+        _BC_CACHE[key] = bc
+    return bc
+
+
 def _encode_word(w: bytes, ranks) -> "list[bytes]":
     syms = [bytes([b]) for b in w]
     while len(syms) > 1:
@@ -191,15 +226,15 @@ def bpe_tokenize(
     # a REAL broadcast (ADVICE r11): the ranks dict ships to each
     # executor once per job instead of being pickled into every task's
     # closure — the difference is invisible at toy vocab sizes and
-    # material at 50k merges × thousands of tasks
-    bc_ranks = df.sparkSession.sparkContext.broadcast(
-        {pair: i for i, pair in enumerate(merges)}
-    )
-    bc_tok2id = (
-        df.sparkSession.sparkContext.broadcast(bpe_vocab(merges)[0])
-        if with_ids
-        else None
-    )
+    # material at 50k merges × thousands of tasks. MEMOIZED per
+    # (SparkContext, merge-list content) (ADVICE r12): gates and
+    # notebooks call bpe_tokenize repeatedly with the same trained
+    # merges, and a fresh broadcast per call accretes executor
+    # broadcast blocks until driver GC happens to reclaim the Python
+    # wrappers — one broadcast per distinct vocabulary instead.
+    sc = df.sparkSession.sparkContext
+    bc_ranks = _bpe_broadcast(sc, merges, "ranks")
+    bc_tok2id = _bpe_broadcast(sc, merges, "tok2id") if with_ids else None
 
     def run(batches: "Iterator"):
         import pandas as pd

@@ -224,6 +224,7 @@ def edit2_pairs(
     text_col: str,
     *,
     max_sig_df: int | None = None,
+    unblocked_row_limit: "int | None" = 100_000,
 ) -> DataFrame:
     """Pairs of rows whose strings are within Levenshtein distance 2
     (excluding identical strings). Returns (id_a, id_b, dist) with
@@ -247,8 +248,29 @@ def edit2_pairs(
     segment, one country, one zip prefix), not the raw 100 TB corpus;
     ``max_sig_df`` caps viral signatures exactly as in edit1_pairs
     (broadcast anti-join). One shuffle (the signature equi-join);
-    signatures shuffle as xxhash64 values, never variant strings."""
+    signatures shuffle as xxhash64 values, never variant strings.
+
+    The deployment shape is ENFORCED, not just documented (r13, the
+    put_if_absent refuse-rather-than-degrade precedent): invoked
+    without ``max_sig_df`` on a frame above ``unblocked_row_limit``
+    rows (default 100k, checked with a bounded limit-probe — never a
+    full count), the operator refuses loudly instead of silently
+    launching a len²/2-signature join over an unblocked corpus. Pass
+    ``max_sig_df`` (the capped shape), pre-block the frame, or set
+    ``unblocked_row_limit=None``/higher to state the intent
+    explicitly."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    if max_sig_df is None and unblocked_row_limit is not None:
+        probe = base.limit(unblocked_row_limit + 1).count()
+        if probe > unblocked_row_limit:
+            raise ValueError(
+                f"edit2_pairs refused: input exceeds {unblocked_row_limit}"
+                " rows with no max_sig_df — depth-2 FastSS emits ~len²/2"
+                " signatures per row and is meant for a BLOCKED subset."
+                " Block the frame first, pass max_sig_df to cap viral"
+                " signatures, or raise/disable unblocked_row_limit to"
+                " run unguarded deliberately"
+            )
     n = F.length("s")
     del1 = F.transform(
         F.sequence(F.lit(1), n),

@@ -199,3 +199,25 @@ def test_incremental_pair_counts_match_naive_recount(spark):
         assert train_bpe(
             df, "text", "doc_id", n_merges=n, sample_docs=100
         ) == naive(df, n), n
+
+
+def test_bpe_tokenize_reuses_one_broadcast_per_vocab(spark):
+    """ADVICE r12: repeated bpe_tokenize calls with the same trained
+    merges must reuse ONE broadcast per payload kind instead of
+    accreting broadcast blocks; a different vocabulary gets its own."""
+    from replicadb_spark.functions import bpe as B
+
+    df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+    m1 = [(b"a", b"a")]
+    m2 = [(b"b", b"b")]
+    B._BC_CACHE.clear()
+    B.bpe_tokenize(df, "doc_id", "text", m1).collect()
+    B.bpe_tokenize(df, "doc_id", "text", m1).collect()
+    assert len(B._BC_CACHE) == 1  # one ranks broadcast, reused
+    B.bpe_tokenize(df, "doc_id", "text", m1, with_ids=True).collect()
+    assert len(B._BC_CACHE) == 2  # + the tok2id payload, same vocab
+    first = dict(B._BC_CACHE)
+    B.bpe_tokenize(df, "doc_id", "text", m1, with_ids=True).collect()
+    assert B._BC_CACHE == first  # nothing new for a repeat
+    B.bpe_tokenize(df, "doc_id", "text", m2).collect()
+    assert len(B._BC_CACHE) == 3  # a distinct vocabulary broadcasts anew

@@ -575,3 +575,26 @@ def test_edit2_sig_cap_and_identical_exclusion(spark):
         "id int, s string",
     )
     assert edit2_pairs(many, "id", "s", max_sig_df=5).count() == 0
+
+
+def test_edit2_refuses_unblocked_large_input(spark):
+    """r13 (VERDICT r12 item 7): depth-2 FastSS on an unblocked frame
+    above the row limit refuses loudly instead of silently launching a
+    len²/2-signature join; the capped shape, an explicit higher limit,
+    and the disabled guard all still run."""
+    import pytest
+
+    from replicadb_spark.operators.setsim import edit2_pairs
+
+    big = spark.range(600).selectExpr(
+        "id", "concat('name', cast(id as string)) AS s"
+    )
+    with pytest.raises(ValueError, match="refused.*max_sig_df"):
+        edit2_pairs(big, "id", "s", unblocked_row_limit=500).collect()
+    # capped shape: allowed at any size
+    assert edit2_pairs(
+        big, "id", "s", max_sig_df=64, unblocked_row_limit=500
+    ).count() >= 0
+    # explicit intent: raise or disable the guard
+    assert edit2_pairs(big, "id", "s", unblocked_row_limit=1000).count() >= 0
+    assert edit2_pairs(big, "id", "s", unblocked_row_limit=None).count() >= 0
