@@ -3903,6 +3903,66 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             CAST(length(text) AS BIGINT) AS w,
+             round(
+               ln((CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       [CAST(ascii(c) AS BIGINT) FOR c IN
+                        string_split(md5('wrs-docs:' || CAST(doc_id AS VARCHAR)), '')]),
+                     (acc, c) -> (acc * 31 + c) % 1000000007
+                   ) AS DOUBLE) + 0.5) / 1000000007.0)
+               / length(text), 9) AS rsv_key
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY source ORDER BY rsv_key DESC, doc_id
+             ) AS rsv_rank
+      FROM keyed
+    )
+    SELECT source, doc_id, w,
+           round(rsv_key, 6) AS rsv_key,
+           CAST(rsv_rank AS INT) AS rsv_rank
+    FROM ranked WHERE rsv_rank <= 8
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 8 documents per source, drawn WITHOUT replacement with
+    probability proportional to document length — Efraimidis–Spirakis
+    A-Res weighted reservoir sampling (operators/sampling), the
+    exact-k counterpart of the rate-based sample_weighted_mix: "k
+    representative docs per source, longer docs proportionally more
+    likely" is the per-group exemplar pick a corpus report or eval
+    builder runs.
+
+    Determinism: u derives from md5→poly-hash of the doc id (both
+    engines replay it bit-for-bit), the A-Res key is the monotone log
+    form ln(u)/w rounded to 9 dp before the rank with doc_id tiebreak
+    — the catalog's standard float-rank guard.
+
+    Scale: one codegen key projection + ONE window partitioned by
+    source (never a global sort); group-limit pushdown makes it a
+    partial top-k per task at any group size."""
+    from replicadb_spark.operators.sampling import weighted_reservoir_sample
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    picked = weighted_reservoir_sample(
+        d.select("source", "doc_id", F.length("text").cast("long").alias("w")),
+        ["source"], "doc_id", "w",
+        k=8, seed="wrs-docs", key_round=9,
+    )
+    return picked.select(
+        "source", "doc_id", "w",
+        F.round("rsv_key", 6).alias("rsv_key"),
+        F.col("rsv_rank").cast("int").alias("rsv_rank"),
+    )
+
+
+@register(
     "skew_key_profile",
     oracle="""
     WITH c AS (
