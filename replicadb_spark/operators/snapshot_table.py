@@ -1534,6 +1534,29 @@ def snapshot_upsert(
         staging.unpersist()
 
 
+def _merge_insert_fill(
+    src: DataFrame,
+    cols: "list[str]",
+    pk_columns: "list[str]",
+    update_columns: "list[str] | None",
+    tmap: dict,
+) -> DataFrame:
+    """NOT-MATCHED inserts under a column-subset SET: the staging batch
+    carries only keys + listed columns, so inserted rows fill every
+    other table column with a typed NULL (the ``INSERT (pks, cols)``
+    SQL shape). Full-row merges pass through untouched."""
+    if update_columns is None:
+        return src
+    return src.select(
+        *[
+            F.col(c)
+            if (c in pk_columns or c in update_columns)
+            else F.lit(None).cast(tmap[c]).alias(c)
+            for c in cols
+        ]
+    )
+
+
 def snapshot_merge(
     spark: SparkSession,
     path: str,
@@ -1549,6 +1572,7 @@ def snapshot_merge(
     meta: "dict | None" = None,
     evolve: bool = False,
     evolve_exclude: "tuple[str, ...]" = (),
+    update_columns: "list[str] | None" = None,
 ) -> int:
     """Full MERGE semantics as ONE copy-on-write commit — the ANSI /
     Delta-MERGE generalization of :func:`snapshot_upsert` (which is
@@ -1608,6 +1632,19 @@ def snapshot_merge(
     it must ride the staging frame so the predicate can see it, but
     must never be evolved into the table.
 
+    ``update_columns`` (r13) is Delta's column-subset SET — ``WHEN
+    MATCHED THEN UPDATE SET c = src.c`` for just the listed columns:
+    a partial-update changelog carries ONLY ``pk_columns`` +
+    ``update_columns``; matched rows keep every other column's CURRENT
+    value from the victim row (including staging NULLs on listed
+    columns — SET takes the source value verbatim), and
+    not-matched inserts (when that clause is on) fill unlisted columns
+    with NULL (the ``INSERT (pks, cols)`` SQL shape). Requires
+    ``when_matched='update'``; primary key columns can never be
+    listed; under ``evolve=True`` only the listed columns participate
+    in evolution. Composes with ``delete_when`` (a tombstone still
+    needs only its key).
+
     A merge that touches nothing — no victim files and no rows
     admitted by any clause (e.g. a delete-only batch of keys absent
     from the table) — returns the CURRENT snapshot id without
@@ -1648,7 +1685,24 @@ def snapshot_merge(
             "delete-only merge projects staging to its pk columns, so "
             "evolution would be a silent no-op"
         )
-    if delete_when is None and (
+    if update_columns is not None:
+        if when_matched != "update":
+            raise ValueError(
+                "update_columns requires when_matched='update' — no "
+                "other clause writes staging values onto matched rows"
+            )
+        if not update_columns:
+            raise ValueError(
+                "update_columns must be a non-empty list (or None for "
+                "the full-row replace)"
+            )
+        in_pk = [c for c in update_columns if c in pk_columns]
+        if in_pk:
+            raise ValueError(
+                f"primary key columns cannot be updated: {in_pk} — a "
+                "key change is a delete+insert, not an update"
+            )
+    if delete_when is None and update_columns is None and (
         when_matched, when_not_matched, not_matched_by_source,
     ) == ("update", "insert", "keep"):
         return snapshot_upsert(
@@ -1715,6 +1769,14 @@ def snapshot_merge(
                 f for f in _nullable(staging_c.schema).fields
                 if f.name != "__del"
                 and f.name not in evolve_exclude
+                # under a column-subset SET, only the listed columns
+                # (plus keys) participate in evolution — other staging
+                # columns are batch baggage, not table data
+                and (
+                    update_columns is None
+                    or f.name in pk_columns
+                    or f.name in update_columns
+                )
                 and not (
                     order_column is not None
                     and f.name == order_column
@@ -1732,16 +1794,54 @@ def snapshot_merge(
                 tschema = _nullable(StructType(stg_fields))
         if tschema is not None:
             cols = tschema.fieldNames()
+            tmap = {f.name: f.dataType for f in tschema.fields}
         else:
             table_files = sorted(
                 r["file"] for r in m.select("file").distinct().collect()
             )
-            cols = (
-                spark.read.parquet(table_files[0]).columns
+            fsch = (
+                spark.read.parquet(table_files[0]).schema
                 if table_files
-                else staging_c.columns
+                else _nullable(staging_c.schema)
             )
-        if adds_rows:
+            cols = fsch.fieldNames()
+            tmap = {f.name: f.dataType for f in fsch.fields}
+        if adds_rows and update_columns is not None:
+            from pyspark.sql.types import StructType
+
+            unknown = [c for c in update_columns if c not in cols]
+            if unknown:
+                raise ValueError(
+                    f"update_columns not in the table schema: {unknown} — "
+                    "pass evolve=True to add them"
+                )
+            required = [
+                c for c in cols if c in pk_columns or c in update_columns
+            ]
+            missing = [c for c in required if c not in staging_c.columns]
+            if missing:
+                raise ValueError(
+                    f"staging batch lacks table columns {missing}"
+                )
+            flag = ["__del"] if delete_when is not None else []
+            staging_c = staging_c.select(*required, *flag)
+            if tschema is not None:
+                sub = StructType([f for f in tschema.fields
+                                  if f.name in required])
+                _, drift = _merge_schemas(
+                    sub, _nullable(staging_c.drop("__del").schema)
+                    if flag
+                    else _nullable(staging_c.schema),
+                )
+                if drift:
+                    staging_c = staging_c.select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in sub.fields
+                        ],
+                        *flag,
+                    )
+        elif adds_rows:
             missing = [c for c in cols if c not in staging_c.columns]
             if missing:
                 raise ValueError(
@@ -1834,19 +1934,55 @@ def snapshot_merge(
                     .distinct()
                 )
                 if when_matched == "update":
-                    parts.append(
-                        staging_add.join(
-                            F.broadcast(matched_keys), pk_columns, "left_semi"
-                        )
+                    upd_src = staging_add.join(
+                        F.broadcast(matched_keys), pk_columns, "left_semi"
                     )
+                    if update_columns is None:
+                        parts.append(upd_src)
+                    else:
+                        # column-subset SET: listed columns take the
+                        # staging value (NULLs included — SET is
+                        # verbatim), everything else keeps the victim
+                        # row's current value; the batch broadcasts
+                        # into the victim scan, the corpus side never
+                        # shuffles
+                        non_pk = [c for c in cols if c not in pk_columns]
+                        parts.append(
+                            vrows.alias("v")
+                            .join(
+                                F.broadcast(upd_src.alias("s")),
+                                pk_columns,
+                            )
+                            .select(
+                                *pk_columns,
+                                *[
+                                    (
+                                        F.col(f"s.{c}")
+                                        if c in update_columns
+                                        else F.col(f"v.{c}")
+                                    ).alias(c)
+                                    for c in non_pk
+                                ],
+                            )
+                            .select(*cols)
+                        )
                 if when_not_matched == "insert":
                     parts.append(
-                        staging_add.join(
-                            F.broadcast(matched_keys), pk_columns, "left_anti"
+                        _merge_insert_fill(
+                            staging_add.join(
+                                F.broadcast(matched_keys),
+                                pk_columns,
+                                "left_anti",
+                            ),
+                            cols, pk_columns, update_columns, tmap,
                         )
                     )
         elif when_not_matched == "insert":
-            parts.append(staging_add)
+            parts.append(
+                _merge_insert_fill(
+                    staging_add, cols, pk_columns, update_columns, tmap
+                )
+            )
         if not victims and not parts:
             # nothing pruned in, nothing admitted by any clause (e.g. a
             # delete-only batch of keys absent from the table): the
@@ -1886,6 +2022,11 @@ def snapshot_merge(
                 **(
                     {"delete_when": True}
                     if delete_when is not None
+                    else {}
+                ),
+                **(
+                    {"update_columns": list(update_columns)}
+                    if update_columns is not None
                     else {}
                 ),
             },

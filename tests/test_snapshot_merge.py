@@ -352,3 +352,103 @@ def test_merge_evolve_delegates_to_upsert_evolution(spark, tmp_path):
     got = {r["id"]: (r["v"], r["score"])
            for r in snapshot_read(spark, path).collect()}
     assert got == {1: (10, None), 2: (22, 9.5), 3: (30, None)}
+
+
+def test_merge_update_columns_partial_update(spark, tmp_path):
+    """r13 column-subset SET: a changelog carrying only pk+listed
+    columns updates just those columns on matched rows (staging NULLs
+    overwrite — SET is verbatim), inserts fill unlisted columns with
+    NULL, and the clause record carries the subset."""
+    path = _uri(tmp_path, "mg_uc")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "id long, v long, tag string",
+        ),
+        path, stat_columns=["id"],
+    )
+    sid = snapshot_merge(
+        spark, path,
+        spark.createDataFrame(
+            [(2, 22), (3, None), (7, 70)], "id long, v long"
+        ),
+        pk_columns=["id"], when_matched="update", when_not_matched="insert",
+        update_columns=["v"],
+    )
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in snapshot_read(spark, path).collect()}
+    assert got == {
+        1: (10, "a"),       # untouched
+        2: (22, "b"),       # v updated, tag kept
+        3: (None, "c"),     # staging NULL overwrites v, tag kept
+        7: (70, None),      # insert: unlisted tag filled with NULL
+    }
+    rec = snapshot_record(path, sid)
+    assert rec["clauses"]["update_columns"] == ["v"]
+    assert snapshot_read(spark, path, snapshot_id=1).count() == 3
+
+
+def test_merge_update_columns_with_delete_when(spark, tmp_path):
+    """Composition: one partial-update CDC batch — tombstones evict,
+    updates touch only the listed column — in ONE commit."""
+    path = _uri(tmp_path, "mg_uc_dw")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id long, v long, tag string"
+        ),
+        path, stat_columns=["id"],
+    )
+    chg = spark.createDataFrame(
+        [(1, 0, "D"), (2, 22, "U")], "id long, v long, op string"
+    )
+    snapshot_merge(
+        spark, path, chg, pk_columns=["id"],
+        delete_when=F.col("op") == "D", update_columns=["v"],
+    )
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in snapshot_read(spark, path).collect()}
+    assert got == {2: (22, "b")}
+
+
+def test_merge_update_columns_validation(spark, tmp_path):
+    path = _uri(tmp_path, "mg_uc_val")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    kv = spark.createDataFrame([(1, 5)], "id long, v long")
+    with pytest.raises(ValueError, match="requires when_matched"):
+        snapshot_merge(spark, path, kv, pk_columns=["id"],
+                       when_matched="delete", when_not_matched=None,
+                       update_columns=["v"])
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_merge(spark, path, kv, pk_columns=["id"],
+                       update_columns=[])
+    with pytest.raises(ValueError, match="key columns cannot be updated"):
+        snapshot_merge(spark, path, kv, pk_columns=["id"],
+                       update_columns=["id"])
+    with pytest.raises(ValueError, match="pass evolve=True"):
+        snapshot_merge(
+            spark, path,
+            spark.createDataFrame([(1, 5)], "id long, extra long"),
+            pk_columns=["id"], update_columns=["extra"],
+        )
+
+
+def test_merge_update_columns_evolve_adds_only_listed(spark, tmp_path):
+    """evolve + update_columns: only the LISTED new column evolves in;
+    other staging columns (the op metadata) stay out without needing
+    evolve_exclude."""
+    path = _uri(tmp_path, "mg_uc_evo")
+    snapshot_commit(_df(spark, TABLE), path, stat_columns=["id"])
+    chg = spark.createDataFrame(
+        [(2, "eu", "U"), (9, "us", "U")],
+        "id long, region string, op string",
+    )
+    snapshot_merge(
+        spark, path, chg, pk_columns=["id"],
+        when_matched="update", when_not_matched="insert",
+        update_columns=["region"], evolve=True,
+    )
+    cur = snapshot_read(spark, path)
+    assert cur.columns == ["id", "v", "region"]  # op never evolves in
+    got = {r["id"]: (r["v"], r["region"]) for r in cur.collect()}
+    assert got == {1: (10, None), 2: (20, "eu"), 3: (30, None),
+                   9: (None, "us")}
