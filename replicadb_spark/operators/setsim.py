@@ -56,6 +56,15 @@ def set_jaccard_pairs(
     self-join on item → per-pair intersection count → join the two
     (capped) set sizes back. Three shuffles total (distinct, pair
     groupBy, size join), every one on bounded keys.
+
+    Plan note (r13): the per-key member-list kernel that replaced the
+    TEXT-shingle self-join (functions/dedup._pair_intersections) was
+    A/B-measured here too and LOST (warm 3.06 s join vs 4.16 s lists
+    at sf0.1): basket join keys are integers (cheap codegen hash
+    exchanges, no string shuffle weight, no double-computed explode),
+    while the list expansion's higher-order transform/flatten is
+    interpreted — the kernel wins exactly where the old plan paid
+    string keys + a recomputed tokenize, which baskets don't.
     """
     pairs_src = df.select(
         F.col(id_col).alias("id"), F.col(item_col).alias("item")
