@@ -154,10 +154,11 @@ _GATE_LAST = (
     # exact-substring duplication coverage (Lee et al. 2021), and the
     # full-clause MERGE gate (WHEN MATCHED DELETE / NOT MATCHED INSERT)
     "fuzzy_name_match_d2", "dup_span_coverage", "snapshot_merge_gate",
-    # r13 local-evidence addition (ROUND13.md): Efraimidis–Spirakis
+    # r13 local-evidence additions (ROUND13.md): Efraimidis–Spirakis
     # weighted reservoir sampling (exact-k per group, length-
-    # proportional, md5→poly-hash deterministic) — full DuckDB oracle
-    "sample_weighted_reservoir",
+    # proportional, md5→poly-hash deterministic) and column-subset
+    # MERGE (update_columns partial-update batch) — full DuckDB oracles
+    "sample_weighted_reservoir", "snapshot_partial_update_gate",
 )
 
 

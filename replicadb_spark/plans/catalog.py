@@ -9600,3 +9600,113 @@ def snapshot_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "snapshot_partial_update_gate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 3 AND o_orderkey < 5000
+                THEN o_totalprice + 1000.0 ELSE o_totalprice
+           END AS o_totalprice,
+           o_orderstatus,
+           TRUE AS victims_pruned_ok, TRUE AS clause_recorded_ok,
+           TRUE AS time_travel_ok
+    FROM base
+    UNION ALL
+    SELECT o_orderkey + 1000000000, CAST(NULL AS BIGINT),
+           o_totalprice + 1000.0, CAST(NULL AS VARCHAR),
+           TRUE, TRUE, TRUE
+    FROM base
+    WHERE o_orderkey % 10 = 7 AND o_orderkey < 5000
+    """,
+)
+def snapshot_partial_update_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKING GATE for column-subset MERGE (r13,
+    snapshot_merge(update_columns=...) — Delta's WHEN MATCHED THEN
+    UPDATE SET c = src.c): commit orders range-partitioned on
+    o_orderkey, merge a PARTIAL-UPDATE batch that carries ONLY the key
+    and o_totalprice (updates bump a pruned key band's price by 1000;
+    inserts land shifted keys), and hash the ENTIRE post-merge table
+    against the SQL model — matched rows must keep their o_custkey /
+    o_orderstatus from the victim row (the column-subset contract; a
+    full-row merge could not run at all, the batch lacks those
+    columns), inserted rows must carry typed NULLs there, with three
+    booleans folded into every hashed row:
+
+    - ``victims_pruned_ok``: the per-key interval prune rewrote a
+      strict subset of files;
+    - ``clause_recorded_ok``: the commit record carries the exact
+      update_columns subset (auditability of partial updates);
+    - ``time_travel_ok``: the pre-merge snapshot still reads intact.
+
+    Scale: the partial batch broadcasts into the victim scan (the
+    corpus side never shuffles); unlisted columns are carried by the
+    victim rows, so a 2-column changelog updates a 200-column table
+    without reconstructing rows anywhere."""
+    import os
+    import shutil
+    import tempfile
+
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_record,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    n_base = base.count()
+    work = tempfile.mkdtemp(prefix="snap_pu_")
+    path = os.path.join(work, "tbl")
+    try:
+        snapshot_commit(
+            base.repartitionByRange(6, "o_orderkey"), path,
+            stat_columns=["o_orderkey"],
+        )
+        n_files = (
+            snapshot_manifest(spark, path).select("file").distinct().count()
+        )
+        band = base.where(F.col("o_orderkey") < 5000)
+        staging = (
+            band.where(F.col("o_orderkey") % 10 == 3)
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            )
+            .unionByName(
+                band.where(F.col("o_orderkey") % 10 == 7).select(
+                    (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                    (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+                )
+            )
+        )
+        sid = snapshot_merge(
+            spark, path, staging, pk_columns=["o_orderkey"],
+            when_matched="update", when_not_matched="insert",
+            update_columns=["o_totalprice"], prune_column="o_orderkey",
+        )
+        rec = snapshot_record(path, sid)
+        victims_pruned_ok = 0 < rec["victim_files"] < n_files
+        clause_recorded_ok = (
+            rec.get("clauses", {}).get("update_columns") == ["o_totalprice"]
+        )
+        time_travel_ok = (
+            snapshot_read(spark, path, snapshot_id=1).count() == n_base
+        )
+        return _gate_spool(
+            snapshot_read(spark, path).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                F.lit(bool(victims_pruned_ok)).alias("victims_pruned_ok"),
+                F.lit(bool(clause_recorded_ok)).alias("clause_recorded_ok"),
+                F.lit(bool(time_travel_ok)).alias("time_travel_ok"),
+            ),
+            "snap_pu_spool_",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

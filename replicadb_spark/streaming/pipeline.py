@@ -2210,6 +2210,7 @@ def stream_snapshot_cdc_replica(
     prune_column: "str | None" = None,
     order_column: "str | None" = None,
     evolve: bool = False,
+    update_columns: "list[str] | None" = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Twin #31: continuous CDC replication — insert/update/DELETE —
@@ -2237,7 +2238,15 @@ def stream_snapshot_cdc_replica(
     null, and the op/order changelog-metadata columns stay excluded
     from evolution (snapshot_merge's ``evolve_exclude``). Restart the
     stream with the widened source schema; the checkpointed offsets
-    and the batch-id guard carry across the restart."""
+    and the batch-id guard carry across the restart.
+
+    ``update_columns`` (r13): a PARTIAL-UPDATE changelog — each event
+    carries only the key, the changed columns, and the op — replicates
+    through snapshot_merge's column-subset SET: matched rows keep
+    every unlisted column, inserts fill them with NULL, tombstones
+    still evict. The replica must already EXIST (seed it with a full
+    snapshot_commit): a partial changelog cannot define the table's
+    schema, so a bootstrap under update_columns refuses loudly."""
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
         last_committed_batch_id,
@@ -2266,6 +2275,13 @@ def stream_snapshot_cdc_replica(
         stat_cols = [prune_column] if prune_column else None
         is_del = F.col(op_col) == delete_op
         if current_snapshot(table_path) is None:
+            if update_columns is not None:
+                raise ValueError(
+                    "partial-update CDC replica requires an existing "
+                    f"table at {table_path} — a changelog carrying only "
+                    f"{list(update_columns)} cannot define the replica's "
+                    "schema; seed it with a full snapshot_commit first"
+                )
             snapshot_commit(
                 batch_df.where(~is_del).drop(op_col).drop(
                     *([order_column] if order_column else [])
@@ -2287,6 +2303,7 @@ def stream_snapshot_cdc_replica(
             # without the exclusion evolve would add them to the table
             evolve_exclude=(op_col,)
             + ((order_column,) if order_column else ()),
+            update_columns=update_columns,
         )
 
     writer = (

@@ -2140,3 +2140,82 @@ def test_stream_snapshot_cdc_replica_evolves_schema_mid_stream(spark, tmp_path):
     bgot = {r["k"]: (r["v"], r["region"])
             for r in snapshot_read(spark, btable).collect()}
     assert bgot == got
+
+
+def test_stream_snapshot_cdc_replica_partial_updates(spark, tmp_path):
+    """Twin #31 + update_columns (r13): a partial-update changelog —
+    key, changed column, op only — replicates onto a seeded replica:
+    unlisted columns survive updates, inserts fill them with NULL,
+    tombstones evict in the same commit, and an unseeded replica
+    refuses (a partial changelog cannot define the schema)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_commit,
+        snapshot_read,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "cdc_pu_stream"
+    src.mkdir()
+    batches = [
+        [(1, 11, "U", 1), (4, 40, "I", 2)],   # update v only; insert
+        [(2, 0, "D", 3), (4, 44, "U", 4)],    # delete 2; bump 4
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "op": pa.array([r[2] for r in rows], pa.string()),
+            "seq": pa.array([r[3] for r in rows], pa.int64()),
+        }), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    table = str(tmp_path / "cdc_pu_replica")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, v long, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_snapshot_cdc_replica(
+            stream, table, str(tmp_path / ck),
+            pk_columns=["k"], op_col="op", prune_column="k",
+            order_column="seq", update_columns=["v"],
+        )
+        q.awaitTermination(300)
+
+    # unseeded replica refuses the partial changelog
+    import pytest
+
+    with pytest.raises(Exception, match="seed it with a full"):
+        run("ck_refuse")
+    assert current_snapshot(table) is None
+
+    # seed with the full schema, then stream the partial updates
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, v long, tag string",
+        ),
+        table, stat_columns=["k"],
+    )
+    run("ck1")
+    assert current_snapshot(table) == 3  # seed + one commit per batch
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in snapshot_read(spark, table).collect()}
+    assert got == {
+        1: (11, "a"),    # v updated, tag preserved
+        3: (30, "c"),    # untouched
+        4: (44, None),   # inserted with NULL tag, then bumped
+    }
+    # replay with a fresh checkpoint: batch-id guard, nothing commits
+    run("ck2")
+    assert current_snapshot(table) == 3
