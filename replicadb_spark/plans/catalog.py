@@ -58,6 +58,19 @@ def _dec(col, scale: int = 6):
     return col.cast(f"decimal(28,{scale})")
 
 
+def _spool_dir(prefix: str) -> str:
+    """A tempdir that outlives the creating query (its lazy readers
+    run later in the process) but not the process: registered for
+    atexit removal, so harness/bench/driver runs leave /tmp clean."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
 def _gate_spool(df: DataFrame, prefix: str) -> DataFrame:
     """Executor-side materialization for self-checking gates whose
     input layout is dropped in a ``finally``: write the gate frame to
@@ -67,10 +80,8 @@ def _gate_spool(df: DataFrame, prefix: str) -> DataFrame:
     driver-memory-bound at sf1+ (VERDICT r12 "what's wrong" #2); the
     spool keeps gate memory distributed at any SF while still
     surviving the temp-layout drop. One spool dir per invocation,
-    OS-tmp-cleaned — the shared-edge-layout contract."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix=prefix)
+    removed at process exit (_spool_dir)."""
+    out = _spool_dir(prefix)
     df.write.mode("overwrite").parquet(out)
     return df.sparkSession.read.parquet(out)
 
@@ -4583,18 +4594,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tempdir (graph.write_edge_layout); the rest scan it. sf_dir contents
 # are immutable for the life of a process (TESTDATA.md), so a
 # process-scoped memo needs no fingerprint check; a fresh process gets
-# a fresh tempdir, so no cross-process staleness either.
+# a fresh tempdir (removed at process exit), so no cross-process
+# staleness either.
 _COPURCHASE_LAYOUTS: dict[str, str] = {}
 
 
 def _copurchase_layout(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
     from replicadb_spark.operators.graph import write_edge_layout
 
     path = _COPURCHASE_LAYOUTS.get(sf_dir)
     if path is None:
-        path = tempfile.mkdtemp(prefix="copurchase_edges_")
+        path = _spool_dir("copurchase_edges_")
         write_edge_layout(_copurchase_edges(spark, sf_dir), path)
         _COPURCHASE_LAYOUTS[sf_dir] = path
     return path
