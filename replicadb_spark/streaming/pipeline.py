@@ -2314,3 +2314,82 @@ def stream_snapshot_cdc_replica(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_weighted_reservoir(
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    group_cols: "list[str]",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wrs-1",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #32: a weighted reservoir (operators/sampling — exact-k
+    per group, weight-proportional, Efraimidis–Spirakis A-Res)
+    maintained CONTINUOUSLY: each micro-batch unions the arriving rows
+    with the current reservoir and re-takes the per-group top-k by the
+    deterministic A-Res key, committing the new reservoir as ONE
+    ``mode='overwrite'`` snapshot (atomic swap + time-traveled history
+    of every reservoir state + the batch-id replay guard).
+
+    Streaming == batch EXACTLY, not approximately: the A-Res key is a
+    pure function of (seed, id, weight), and top-k is union-monotone —
+    an element discarded from the reservoir can never out-rank one
+    that beat it, so top_k(top_k(A) ∪ B) = top_k(A ∪ B). The
+    batch-equivalence test replays the same rows through the batch
+    operator and compares value-for-value.
+
+    Re-arrivals: the same id may appear in several batches (source
+    replays, late duplicates); copies collapse to ONE candidate per
+    (group, id) with the MAX weight — deterministic regardless of
+    arrival order. Reservoir state is k rows per group — tiny — so the
+    per-batch overwrite is metadata-cheap; readers always see a
+    complete, committed reservoir."""
+    from replicadb_spark.operators.sampling import weighted_reservoir_sample
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        last_committed_batch_id,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    cols = [*group_cols, id_col, weight_col]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = last_committed_batch_id(store_path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: reservoir already reflects it
+        spark = batch_df.sparkSession
+        incoming = batch_df.select(*cols)
+        if current_snapshot(store_path) is not None:
+            incoming = incoming.unionByName(
+                snapshot_read(spark, store_path).select(*cols)
+            )
+        candidates = incoming.groupBy(*group_cols, id_col).agg(
+            F.max(weight_col).alias(weight_col)
+        )
+        top = weighted_reservoir_sample(
+            candidates, list(group_cols), id_col, weight_col, k=k, seed=seed
+        )
+        # the store keeps the ranking columns too: a reader gets usable
+        # (key, rank) provenance, and the next batch's union re-derives
+        # them from scratch anyway (they are pure functions of the row)
+        snapshot_commit(
+            top.select(*cols, "rsv_key", "rsv_rank"), store_path,
+            mode="overwrite", meta={"batch_id": batch_id},
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

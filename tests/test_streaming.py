@@ -2219,3 +2219,82 @@ def test_stream_snapshot_cdc_replica_partial_updates(spark, tmp_path):
     # replay with a fresh checkpoint: batch-id guard, nothing commits
     run("ck2")
     assert current_snapshot(table) == 3
+
+
+def test_stream_weighted_reservoir_equals_batch(spark, tmp_path):
+    """Twin #32: the continuously-maintained weighted reservoir equals
+    the batch operator over the full data after every batch (A-Res
+    keys are pure functions of (seed, id, weight) and top-k is
+    union-monotone); duplicate re-arrivals collapse to max weight; a
+    fresh-checkpoint replay commits nothing new."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.sampling import weighted_reservoir_sample
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "wrs_stream"
+    src.mkdir()
+    batches = [
+        [("a", i, 1 + i % 7) for i in range(15)],
+        [("a", 100 + i, 3) for i in range(10)] + [("b", 200, 5)],
+        # re-arrival of id 3 with a HIGHER weight + more b rows
+        [("a", 3, 50)] + [("b", 201 + i, 1 + i) for i in range(6)],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(pa.table({
+            "grp": pa.array([r[0] for r in rows], pa.string()),
+            "id": pa.array([r[1] for r in rows], pa.int64()),
+            "w": pa.array([r[2] for r in rows], pa.int64()),
+        }), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    store = str(tmp_path / "wrs_store")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("grp string, id long, w long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_weighted_reservoir(
+            stream, store, str(tmp_path / ck),
+            group_cols=["grp"], id_col="id", weight_col="w",
+            k=5, seed="twin32",
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    assert current_snapshot(store) == 3  # one overwrite per batch
+
+    # batch reference over ALL rows with the same max-weight collapse
+    flat = [r for b in batches for r in b]
+    all_rows = spark.createDataFrame(flat, "grp string, id long, w long")
+    from pyspark.sql import functions as F
+
+    cand = all_rows.groupBy("grp", "id").agg(F.max("w").alias("w"))
+    want = {
+        (r["grp"], r["id"], r["w"], r["rsv_rank"])
+        for r in weighted_reservoir_sample(
+            cand, ["grp"], "id", "w", k=5, seed="twin32"
+        ).collect()
+    }
+    got = {
+        (r["grp"], r["id"], r["w"], r["rsv_rank"])
+        for r in snapshot_read(spark, store).collect()
+    }
+    assert got == want and len(got) == 5 + 5  # both groups at k (b has 7)
+
+    # every intermediate reservoir state is time-traveled
+    assert snapshot_read(spark, store, snapshot_id=1).count() == 5  # a only
+
+    run("ck2")  # replay: batch-id guard
+    assert current_snapshot(store) == 3
