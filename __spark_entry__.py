@@ -156,9 +156,11 @@ _GATE_LAST = (
     "fuzzy_name_match_d2", "dup_span_coverage", "snapshot_merge_gate",
     # r13 local-evidence additions (ROUND13.md): Efraimidis–Spirakis
     # weighted reservoir sampling (exact-k per group, length-
-    # proportional, md5→poly-hash deterministic) and column-subset
-    # MERGE (update_columns partial-update batch) — full DuckDB oracles
+    # proportional, md5→poly-hash deterministic), column-subset MERGE
+    # (update_columns partial-update batch), and personalized PageRank
+    # from the shared edge layout — full DuckDB oracles
     "sample_weighted_reservoir", "snapshot_partial_update_gate",
+    "ppr_copurchase",
 )
 
 

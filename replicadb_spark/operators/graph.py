@@ -577,3 +577,77 @@ def pagerank_layout(
     finally:
         for f in cached:
             f.unpersist()
+
+
+def personalized_pagerank_layout(
+    spark: SparkSession,
+    path: str,
+    seeds: "list",
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Personalized PageRank from a persisted edge layout: the restart
+    mass returns to the SEED vertices instead of everywhere, so the
+    stationary scores measure proximity to the seed set — the "related
+    items to THESE items" / seed-expansion primitive (recommendation
+    candidates, taxonomy neighbors, seed-set community discovery),
+    where global PageRank measures overall centrality.
+
+    Iteration (undirected graph, no dangling mass):
+    ``r' = (1−d)·e + d·Σ_in r/deg`` with ``e`` uniform over
+    ``seeds ∩ V`` (absent seed ids are ignored; the restart mass is
+    1/|seeds ∩ V| over the survivors — one bounded count action).
+    Vertices that have received no mass yet simply do not appear in
+    the rank frame — mathematically exact, since a zero rank
+    contributes nothing; read missing as 0.
+
+    Plan: per iteration the propagated mass rows UNION the (tiny,
+    |seeds|-row) restart rows BEFORE the destination groupBy, so each
+    round still costs exactly ONE shuffle — the restart fold rides the
+    aggregate that plain PageRank already pays. Same fixed-iteration
+    determinism contract (the catalog oracle unrolls the identical
+    rounds as CTEs), same lineage-reset cadence.
+    """
+    lay = read_edge_layout(spark, path)
+    und = lay["edges"]
+    out = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = lay["deg"].select(F.col("v").alias("u"), "deg")
+    cached: list[DataFrame] = []
+    try:
+        seedf = deg.select("u").where(F.col("u").isin(list(seeds))).persist()
+        cached.append(seedf)
+        s = seedf.count()
+        if s == 0:
+            raise ValueError(
+                "personalized_pagerank_layout: no seed id exists in the "
+                "graph — restart mass would be undefined"
+            )
+        linked = out.join(deg, "u").persist()
+        cached.append(linked)
+        restart = seedf.select(
+            "u", F.lit((1.0 - damping) / s).alias("m")
+        )
+        ranks = seedf.select("u", (F.lit(1.0) / F.lit(float(s))).alias("rank"))
+        for i in range(iterations):
+            moved = linked.join(ranks, "u").select(
+                F.col("v").alias("u"),
+                (F.lit(damping) * F.col("rank") / F.col("deg")).alias("m"),
+            )
+            ranks = (
+                moved.unionByName(restart)
+                .groupBy("u")
+                .agg(F.sum("m").alias("rank"))
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+                ranks = _lineage_reset(ranks, checkpoint_dir)
+        return _lineage_reset(
+            ranks.select(F.col("u").alias("vertex"), "rank"), checkpoint_dir
+        )
+    finally:
+        for f in cached:
+            f.unpersist()

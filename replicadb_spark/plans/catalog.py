@@ -4965,6 +4965,83 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ppr_copurchase",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), outs AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+      SELECT u, COUNT(*) AS deg FROM outs GROUP BY u
+    ), seeds AS (
+      SELECT u FROM deg WHERE u IN (1, 2, 3, 4, 5)
+    ), ns AS (SELECT COUNT(*) AS s FROM seeds),
+    r0 AS (SELECT u, 1.0 / (SELECT s FROM ns) AS rank FROM seeds),
+    r1 AS (
+      SELECT u, SUM(m) AS rank FROM (
+        SELECT o.v AS u, 0.85 * r.rank / d.deg AS m
+        FROM outs o JOIN r0 r ON r.u = o.u JOIN deg d ON d.u = o.u
+        UNION ALL
+        SELECT u, 0.15 / (SELECT s FROM ns) FROM seeds
+      ) GROUP BY u
+    ),
+    r2 AS (
+      SELECT u, SUM(m) AS rank FROM (
+        SELECT o.v AS u, 0.85 * r.rank / d.deg AS m
+        FROM outs o JOIN r1 r ON r.u = o.u JOIN deg d ON d.u = o.u
+        UNION ALL
+        SELECT u, 0.15 / (SELECT s FROM ns) FROM seeds
+      ) GROUP BY u
+    ),
+    r3 AS (
+      SELECT u, SUM(m) AS rank FROM (
+        SELECT o.v AS u, 0.85 * r.rank / d.deg AS m
+        FROM outs o JOIN r2 r ON r.u = o.u JOIN deg d ON d.u = o.u
+        UNION ALL
+        SELECT u, 0.15 / (SELECT s FROM ns) FROM seeds
+      ) GROUP BY u
+    )
+    SELECT u AS vertex, round(rank, 6) AS score
+    FROM r3
+    ORDER BY score DESC, vertex
+    LIMIT 20
+    """,
+)
+def ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PERSONALIZED PageRank proximity to seed parts
+    {1..5} after exactly 3 power iterations
+    (operators/graph.personalized_pagerank_layout) — the "related
+    items to THESE items" seed-expansion primitive; global PageRank
+    (pagerank_copurchase) is the centrality sibling. The oracle
+    unrolls the SAME 3 iterations as chained CTEs with the restart
+    mass folded into each round's aggregate — exact equivalence, not
+    a recall gate.
+
+    Determinism: fixed iterations, seeds intersected with the vertex
+    set (restart mass 1/|seeds∩V|), score rounded to 6 dp with a
+    vertex tiebreak on the top-20 cutoff.
+
+    Scale: reads the shared persisted edge layout; per iteration ONE
+    shuffle — the tiny restart rows union into the destination
+    aggregate the plain iteration already pays; rank frames stay
+    sparse (only reached vertices), which for a small seed set is a
+    tiny fraction of V in early rounds."""
+    from replicadb_spark.operators.graph import personalized_pagerank_layout
+
+    ranks = personalized_pagerank_layout(
+        spark, _copurchase_layout(spark, sf_dir), [1, 2, 3, 4, 5],
+        iterations=3, damping=0.85,
+    )
+    return (
+        ranks.select("vertex", F.round("rank", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "vertex")
+        .limit(20)
+    )
+
+
+@register(
     "bm25_keyword_search",
     oracle=_TOKENS_CTE + """
     , dl AS (

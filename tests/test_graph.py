@@ -128,3 +128,48 @@ def test_edge_layout_queries_scan_the_layout_not_the_source(spark, tmp_path):
     plan = linked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_personalized_pagerank_matches_numpy(spark, tmp_path):
+    """PPR from the layout equals a dense numpy power iteration with
+    seed-restricted restart; absent seed ids are ignored (mass
+    renormalizes over survivors); an all-absent seed set refuses."""
+    import numpy as np
+    import pytest
+
+    from replicadb_spark.operators.graph import (
+        personalized_pagerank_layout,
+        write_edge_layout,
+    )
+
+    # path 0-1-2-3 plus triangle 3-4-5-3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)],
+        "src long, dst long",
+    )
+    path = str(tmp_path / "ppr_lay")
+    write_edge_layout(edges, path)
+
+    # seeds {0, 5, 99}: 99 is absent → restart over {0, 5}
+    got = {
+        r["vertex"]: r["rank"]
+        for r in personalized_pagerank_layout(
+            spark, path, [0, 5, 99], iterations=4, damping=0.85
+        ).collect()
+    }
+
+    n = 6
+    deg = np.array([1, 2, 2, 3, 2, 2], dtype=float)
+    A = np.zeros((n, n))
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]:
+        A[a, b] = A[b, a] = 1.0
+    e = np.zeros(n)
+    e[[0, 5]] = 0.5
+    r = e.copy()
+    for _ in range(4):
+        r = 0.15 * e + 0.85 * (A.T @ (r / deg))
+    for v in range(n):
+        assert abs(got.get(v, 0.0) - r[v]) < 1e-12, (v, got.get(v), r[v])
+
+    with pytest.raises(ValueError, match="no seed id"):
+        personalized_pagerank_layout(spark, path, [404])
