@@ -161,6 +161,8 @@ _GATE_LAST = (
     # from the shared edge layout — full DuckDB oracles
     "sample_weighted_reservoir", "snapshot_partial_update_gate",
     "ppr_copurchase",
+    # r13: word2phrase collocation mining (Mikolov 2013) — full oracle
+    "phrase_detection",
 )
 
 

@@ -647,3 +647,74 @@ def dsir_logratio_table(
         .crossJoin(F.broadcast(tots))
         .select("b", F.coalesce(F.col("lr"), fill).alias("lr"))
     )
+
+
+def phrase_scores(
+    df: "DataFrame",
+    text_col: str,
+    *,
+    delta: float = 5.0,
+    min_count: int = 5,
+    term_pattern: str = "[a-z0-9]+",
+) -> "DataFrame":
+    """word2phrase collocation mining (Mikolov et al. 2013, "Distributed
+    Representations of Words and Phrases"): score every ADJACENT token
+    bigram by ``(count(w1 w2) − δ) / (count(w1) · count(w2))`` — high
+    scores mark pairs that co-occur far more than their unigram
+    frequencies predict, the standard pre-tokenizer pass that promotes
+    "new york"-style collocations to single vocabulary units. δ
+    discounts rare accidental pairs; ``min_count`` drops bigrams below
+    support. Returns (w1, w2, n_pair, score) with score scaled by 1e6
+    and rounded to 6 dp purely for readability/stable hashing (the
+    scale factor is monotone — rankings are unchanged).
+
+    Determinism: counts are exact integers; the score is ONE double
+    multiply-divide over exact ints (≤ 2^53), bit-identical across
+    engines, rounded before any ranking a caller does.
+
+    Scale: two map-side-combined count aggregates (bigrams, unigrams)
+    + two equi-joins of the unigram table onto the (min_count-pruned)
+    bigram table — no windows, no explode beyond the token stream the
+    counts need anyway; at corpus scale the pair table after
+    ``min_count`` is a tiny fraction of the stream."""
+    toks = df.select(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{term_pattern}', 0)"
+        ).alias("t")
+    ).where(F.size("t") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    uc = (
+        df.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'{term_pattern}', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    score = F.round(
+        (F.col("n_pair").cast("double") - F.lit(float(delta)))
+        * F.lit(1_000_000.0)
+        / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+        6,
+    )
+    return (
+        pc.join(uc.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .select("w1", "w2", "n_pair", score.alias("score"))
+    )

@@ -4965,6 +4965,57 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "phrase_detection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ), pc AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ), uc AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    )
+    SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+           round((p.n_pair - 5.0) * 1000000.0 / (a.c * b.c), 6) AS score
+    FROM pc p
+    JOIN uc a ON a.w = p.w1
+    JOIN uc b ON b.w = p.w2
+    ORDER BY score DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+)
+def phrase_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by the word2phrase association score
+    (functions/text.phrase_scores — Mikolov et al. 2013): adjacent
+    bigrams scoring far above their unigram-frequency prediction, the
+    pre-tokenizer pass that promotes multi-word units ("new york") to
+    single vocabulary entries before BPE/embedding training.
+
+    Determinism: exact integer counts; the score is one double
+    multiply-divide over exact ints rounded to 6 dp BEFORE the rank,
+    (w1, w2) tiebreak on the cutoff — both engines replay the same
+    IEEE ops bit-for-bit.
+
+    Scale: two map-side-combined counts + two equi-joins of the
+    unigram table onto the min_count-pruned pair table; no windows, no
+    driver state. The unigram tokenization twin mirrors _TOKENS_CTE
+    exactly, and the oracle re-derives everything from scratch."""
+    from replicadb_spark.functions.text import phrase_scores
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    scored = phrase_scores(d, "text", delta=5.0, min_count=5)
+    return (
+        scored.orderBy(F.col("score").desc(), "w1", "w2").limit(20)
+    )
+
+
+@register(
     "ppr_copurchase",
     oracle="""
     WITH e AS (

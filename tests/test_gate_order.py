@@ -59,7 +59,7 @@ def test_r13_window_is_the_r10_block():
     # the two blocks that rotated out sit in _GATE_LAST in r15/r14 order
     assert E._GATE_LAST[0] == "dedup_simhash"             # r12-gated block
     assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r11-gated block
-    assert E._GATE_LAST[-27:] == (
+    assert E._GATE_LAST[-28:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -77,5 +77,5 @@ def test_r13_window_is_the_r10_block():
         "fuzzy_name_match_d2", "dup_span_coverage", "snapshot_merge_gate",
         # r13 local-evidence additions
         "sample_weighted_reservoir", "snapshot_partial_update_gate",
-        "ppr_copurchase",
+        "ppr_copurchase", "phrase_detection",
     )

@@ -233,3 +233,28 @@ def test_gopher_gram_folds_match_python_reference_fuzz(spark):
             assert got[i][f"t{n}"] == ref(text, n)[0], (i, n, text)
         for n in (2, 5, 10):
             assert got[i][f"d{n}"] == ref(text, n)[1], (i, n, text)
+
+
+def test_phrase_scores_hand_computed(spark):
+    """word2phrase scores against hand counts (r13): doc1's token
+    stream new york new york is new york has 3 adjacent 'new york'
+    pairs; unigrams new=4, york=4 (doc2 adds one of each); delta=1,
+    min_count=2 → score = (3−1)·1e6/(4·4) = 125000. Pairs below
+    min_count are pruned ('york new' occurs once); a one-token doc
+    contributes no bigrams."""
+    from replicadb_spark.functions.text import phrase_scores
+
+    rows = [
+        (1, "new york new york is new york"),
+        (2, "a brand new day in york"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["score"])
+        for r in phrase_scores(df, "text", delta=1.0, min_count=2).collect()
+    }
+    assert got[("new", "york")] == (3, round(2.0 * 1e6 / 16.0, 6))
+    assert ("york", "new") not in got  # single occurrence → pruned
+    assert ("brand", "new") not in got
+    assert all(n >= 2 for n, _ in got.values())
