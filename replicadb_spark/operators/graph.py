@@ -651,3 +651,44 @@ def personalized_pagerank_layout(
     finally:
         for f in cached:
             f.unpersist()
+
+
+def merge_components(
+    labels: "DataFrame | None",
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Fold a NEW edge batch into an existing (vertex, component)
+    assignment without re-reading historical edges — the incremental
+    maintenance step of a dedup clustering pipeline (pairs arrive in
+    batches; "keep one per duplicate group" must stay current).
+
+    Star contraction: a prior component is fully described by its
+    label edges (vertex — component), because every member reaches the
+    canonical min-id vertex in one hop. Running plain
+    :func:`connected_components` over ``label_edges ∪ batch_edges``
+    therefore yields EXACTLY the labels a from-scratch run over all
+    historical + new edges would produce (reachability is preserved by
+    contraction; the min id of a merged group is the min over its
+    stars' min ids, which the label edges carry). Self-labeled
+    singletons ride along as (v, v) rows — connected_components keeps
+    self-loop vertices — so no vertex is ever forgotten.
+
+    Cost per batch: O(|V_labeled| + |batch|) edge rows and the usual
+    min-label iterations, whose count is bounded by the diameter of
+    the CONTRACTED graph (stars + new edges) — typically 2-3 for
+    near-dup workloads — never by the historical graph's diameter.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if labels is not None:
+        e = e.unionByName(
+            labels.select(
+                F.col("vertex").alias("s"), F.col("component").alias("d")
+            )
+        )
+    return connected_components(e, src="s", dst="d", max_iter=max_iter,
+                                checkpoint_dir=checkpoint_dir)

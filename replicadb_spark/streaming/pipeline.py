@@ -2393,3 +2393,69 @@ def stream_weighted_reservoir(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_components(
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #33: duplicate-cluster assignments maintained CONTINUOUSLY
+    as near-dup PAIRS stream in — the incremental form of the
+    pairs → connected components → canonical-doc pipeline. Each
+    micro-batch folds its edges into the stored (vertex, component)
+    assignment via star contraction (operators/graph.merge_components:
+    prior components are replayed as their label edges, so historical
+    edges are NEVER re-read) and commits the updated assignment as ONE
+    ``mode='overwrite'`` snapshot — atomic swap, time-traveled cluster
+    history, batch-id replay guard.
+
+    Streaming == batch EXACTLY: contraction preserves reachability and
+    the min-id canonical label, so after every batch the store equals
+    a from-scratch connected_components over ALL edges seen — the
+    equivalence test replays cumulative prefixes and compares
+    label-for-label, including cross-batch merges of previously
+    separate clusters (the case incremental folds get wrong when they
+    only relabel the new vertices)."""
+    from replicadb_spark.operators.graph import merge_components
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        last_committed_batch_id,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = last_committed_batch_id(store_path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: clusters already reflect it
+        spark = batch_df.sparkSession
+        prior = (
+            snapshot_read(spark, store_path)
+            if current_snapshot(store_path) is not None
+            else None
+        )
+        labels = merge_components(
+            prior, batch_df.select(src, dst),
+            src=src, dst=dst, max_iter=max_iter,
+        )
+        snapshot_commit(
+            labels, store_path, mode="overwrite",
+            meta={"batch_id": batch_id},
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

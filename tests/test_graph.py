@@ -173,3 +173,40 @@ def test_personalized_pagerank_matches_numpy(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no seed id"):
         personalized_pagerank_layout(spark, path, [404])
+
+
+def test_merge_components_equals_full_recompute(spark):
+    """Star contraction (r13): folding batches into stored labels must
+    equal a from-scratch connected_components over ALL edges after
+    every batch — including the hard case where a new edge MERGES two
+    previously separate components (their labels must both collapse to
+    the global min id, not just the new vertices') and singleton
+    preservation through (v, v) label edges."""
+    from replicadb_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+
+    batches = [
+        [(1, 2), (5, 6), (9, 9)],          # two pairs + a self-loop singleton
+        [(3, 4), (6, 7)],                  # grow 5-6 into 5-6-7
+        [(2, 5), (100, 101)],              # MERGE {1,2} with {5,6,7}
+        [(4, 100)],                        # chain-merge {3,4}+{100,101}
+    ]
+    labels = None
+    seen = []
+    for rows in batches:
+        seen += rows
+        batch = spark.createDataFrame(rows, "src long, dst long")
+        labels = merge_components(labels, batch)
+        want = {
+            (r["vertex"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(seen, "src long, dst long")
+            ).collect()
+        }
+        got = {(r["vertex"], r["component"]) for r in labels.collect()}
+        assert got == want, (rows, got ^ want)
+    # final clusters: {1,2,5,6,7}, {3,4,100,101}, {9}
+    comp = {r["vertex"]: r["component"] for r in labels.collect()}
+    assert comp[7] == 1 and comp[101] == 3 and comp[9] == 9

@@ -2298,3 +2298,68 @@ def test_stream_weighted_reservoir_equals_batch(spark, tmp_path):
 
     run("ck2")  # replay: batch-id guard
     assert current_snapshot(store) == 3
+
+
+def test_stream_dedup_components_equals_batch(spark, tmp_path):
+    """Twin #33: continuously maintained duplicate clusters equal a
+    from-scratch connected_components over all streamed pairs after
+    the final batch (star contraction is exact, including cross-batch
+    component merges); fresh-checkpoint replay commits nothing."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.graph import connected_components
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "cc_stream"
+    src.mkdir()
+    batches = [
+        [(1, 2), (5, 6)],
+        [(6, 7), (3, 3)],       # growth + a singleton self-loop
+        [(2, 5)],               # merges {1,2} with {5,6,7}
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(pa.table({
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+        }), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    store = str(tmp_path / "cc_store")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("src long, dst long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = P.stream_dedup_components(
+            stream, store, str(tmp_path / ck)
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    assert current_snapshot(store) == 3  # one overwrite per batch
+    got = {(r["vertex"], r["component"])
+           for r in snapshot_read(spark, store).collect()}
+    flat = [r for b in batches for r in b]
+    want = {(r["vertex"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(flat, "src long, dst long")
+            ).collect()}
+    assert got == want
+    assert (3, 3) in got  # the singleton survived two later batches
+    # pre-merge history is time-traveled: {5,6,7} still labeled 5 at #2
+    mid = {r["vertex"]: r["component"]
+           for r in snapshot_read(spark, store, snapshot_id=2).collect()}
+    assert mid[7] == 5 and mid[2] == 1
+    run("ck2")  # replay guard
+    assert current_snapshot(store) == 3
