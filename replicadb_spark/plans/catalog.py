@@ -8288,22 +8288,19 @@ def bucketed_upsert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled"
             )
-        # the gate materializes before the temp layout is removed
-        rows = spark.table(tbl).select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
-        ).collect()
-        return spark.createDataFrame(
-            [
-                (
-                    r["o_orderkey"], r["o_custkey"], r["o_totalprice"],
-                    r["o_orderstatus"], partial_ok, untouched_ok,
-                    zero_exchange_ok,
-                )
-                for r in rows
-            ],
-            "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
-            "o_orderstatus string, partial_rewrite_ok boolean, "
-            "untouched_files_ok boolean, zero_exchange_ok boolean",
+        # gate booleans fold onto the LAZY frame; the spool (not a
+        # driver collect) materializes it executor-side before the
+        # temp table is dropped (VERDICT r13 "what's wrong" #1)
+        return _gate_spool(
+            spark.table(tbl).select(
+                "o_orderkey", "o_custkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "o_orderstatus",
+                F.lit(bool(partial_ok)).alias("partial_rewrite_ok"),
+                F.lit(bool(untouched_ok)).alias("untouched_files_ok"),
+                F.lit(bool(zero_exchange_ok)).alias("zero_exchange_ok"),
+            ),
+            "bucketed_upsert_gate_",
         )
     finally:
         import shutil

@@ -180,8 +180,13 @@ def test_snapshot_gates_never_collect_the_full_table():
     # the full-table driver-collect shape: a collect() whose rows are
     # re-created via createDataFrame (bounded 1-row gate aggregates
     # keep their documented collects — those pass lists of Row/tuples
-    # built from scalar scans, not full-table row lists)
+    # built from scalar scans, not full-table row lists). r14 widened
+    # the pin to EVERY gate's full-table shape: snapshot reads, cursor
+    # frames, AND saveAsTable-backed reads (spark.table) — the shape
+    # bucketed_upsert_gate carried until VERDICT r13 item 2
     assert not re.search(
-        r"rows = (cur|snapshot_read\(spark, path\))[^\n]*\.collect\(\)", src
-    ), "a snapshot gate reintroduced the full-table driver collect"
-    assert src.count("_gate_spool(") >= 8  # helper def + 7 gate sites
+        r"rows = (cur|snapshot_read\(spark, path\)|spark\.table\()"
+        r"[^\n]*\.collect\(\)",
+        src,
+    ), "a gate reintroduced the full-table driver collect"
+    assert src.count("_gate_spool(") >= 9  # helper def + 8 gate sites
