@@ -147,7 +147,26 @@ def edit1_pairs(
     BROADCAST into the anti-join — it is at most a handful of viral
     signatures (usually empty), so shuffling the full signature frame
     to subtract it would be all cost, no benefit.
+
+    Repeated matching over one corpus: build the signature frame once
+    with :func:`edit1_signatures`, store it scan-ready (parquet), and
+    run :func:`edit1_pairs_from` per query — the edge-layout precedent
+    (operators/graph.write_edge_layout): derivation cost is paid once
+    per corpus, not per match run.
     """
+    sigs = tracked_persist(edit1_signatures(df, id_col, text_col))
+    return edit1_pairs_from(sigs, max_sig_df=max_sig_df)
+
+
+def edit1_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The FastSS edit-1 deletion-neighborhood signature frame:
+    one (id, s, sig, lo, hi) row per RUN-deletion variant (identity
+    tagged lo = hi = 0). ``sig`` is the xxhash64 of the variant so
+    downstream shuffles stay narrow. See :func:`edit1_pairs` for the
+    run-interval semantics; this is its signature stage factored out
+    so a corpus matched repeatedly can persist the frame once."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
     n = F.length("s")
     # run starts: positions where the char differs from its predecessor
@@ -181,15 +200,24 @@ def edit1_pairs(
         )
     )
     variants = F.when(n >= 1, F.concat(ident, runs)).otherwise(ident)
-    sigs = tracked_persist(
-        base.select("id", "s", F.explode(variants).alias("v")).select(
-            "id",
-            "s",
-            F.xxhash64("v.variant").alias("sig"),
-            F.col("v.lo").alias("lo"),
-            F.col("v.hi").alias("hi"),
-        )
+    return base.select("id", "s", F.explode(variants).alias("v")).select(
+        "id",
+        "s",
+        F.xxhash64("v.variant").alias("sig"),
+        F.col("v.lo").alias("lo"),
+        F.col("v.hi").alias("hi"),
     )
+
+
+def edit1_pairs_from(
+    sigs: DataFrame, *, max_sig_df: int | None = None
+) -> DataFrame:
+    """The match stage of :func:`edit1_pairs`, over an already-built
+    signature frame (from :func:`edit1_signatures` — typically a
+    scan-ready parquet a caller materialized once per corpus). The
+    verify is the BANDED ``levenshtein(a, b, 1)`` (threshold form,
+    -1 above the bound): O(len) per candidate instead of the full
+    O(len²) DP — exact for the ≤ 1 decision this operator needs."""
     if max_sig_df is not None:
         hot = (
             sigs.groupBy("sig")
@@ -221,10 +249,12 @@ def edit1_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.levenshtein("a.s", "b.s").alias("dist"),
+            F.levenshtein("a.s", "b.s", 1).alias("dist"),
         )
     )
-    return cand.where(F.col("dist") <= 1).distinct()
+    # banded verify returns -1 above the threshold; strings differ, so
+    # survivors are exactly dist = 1
+    return cand.where(F.col("dist") == 1).distinct()
 
 
 def edit2_pairs(

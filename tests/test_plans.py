@@ -293,9 +293,15 @@ def test_triangle_wedge_join_is_equijoin(spark):
 def test_fuzzy_match_blocks_on_hashed_signature(spark):
     plan = _plan(spark, "fuzzy_name_match")
     assert "CartesianProduct" not in plan
-    # signatures shuffle as 64-bit hashes, not variant strings
-    assert "xxhash64" in plan
-    # exact verify stays JVM-side (codegen levenshtein), no Python eval
+    # r14: the signature derivation (explode + xxhash64) lives in the
+    # per-(process, sf_dir) layout — the QUERY plan starts at a parquet
+    # scan of pre-hashed 64-bit signatures, so no explode/hash/regex
+    # runs per match invocation (the edge-layout precedent)
+    assert "edit1_sigs_" in plan
+    assert "xxhash64" not in plan
+    assert "Generate explode" not in plan
+    # exact verify stays JVM-side (codegen banded levenshtein, O(len)
+    # threshold form), no Python eval
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the FastSS run-interval filter rides the join (r12): candidate
