@@ -2336,12 +2336,29 @@ def stream_weighted_reservoir(
     ``mode='overwrite'`` snapshot (atomic swap + time-traveled history
     of every reservoir state + the batch-id replay guard).
 
-    Streaming == batch EXACTLY, not approximately: the A-Res key is a
-    pure function of (seed, id, weight), and top-k is union-monotone —
-    an element discarded from the reservoir can never out-rank one
-    that beat it, so top_k(top_k(A) ∪ B) = top_k(A ∪ B). The
-    batch-equivalence test replays the same rows through the batch
-    operator and compares value-for-value.
+    Streaming == batch EXACTLY, not approximately — including under
+    ARBITRARY per-id weight drift across re-arrivals (the ADVICE r13
+    concern: "an id evicted at a high weight that re-arrives lower
+    ranks by the lower weight"). That schedule cannot diverge. Proof:
+    the key k(w) = ln(u_id)/w is strictly INCREASING in w (ln(u) < 0),
+    so an id's one-shot-batch key, k(max over all its arrival
+    weights), equals the MAX over its per-arrival keys — the fold is a
+    running top-k over per-arrival composite keys (key, id-tiebreak).
+    A member's composite never decreases (visible re-arrivals collapse
+    to max; its u is fixed), and displacement requires a strictly
+    greater composite, so the reservoir's k-th composite is
+    NONDECREASING over time. An id evicted (or refused entry) at time
+    t had its then-maximal composite dominated by k composites that
+    only grow; any forgotten earlier weight is therefore dominated at
+    the end too, and a later re-arrival re-enters iff its fresh weight
+    sets a new per-id max — in which case its recomputed key IS the
+    true-history key. Hence membership, stored weights, keys, and
+    ranks all equal a one-shot batch replay, per prefix. (Rounding
+    keeps this: round() is monotone, and rounding ties fall into the
+    composite id tiebreak.) Pinned by an adversarial evict-then-
+    re-arrive-lower test and a randomized drift property test; no
+    per-id weight history is kept — reservoir state stays k rows per
+    group.
 
     Re-arrivals: the same id may appear in several batches (source
     replays, late duplicates); copies collapse to ONE candidate per

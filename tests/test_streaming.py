@@ -2300,6 +2300,125 @@ def test_stream_weighted_reservoir_equals_batch(spark, tmp_path):
     assert current_snapshot(store) == 3
 
 
+def test_stream_weighted_reservoir_exact_under_weight_drift(spark, tmp_path):
+    """ADVICE r13 (medium) adversarial schedule, REFUTED: id 1 arrives
+    at w=1000, a flood of heavier ids evicts it, then it re-arrives at
+    w=1 — the claim was that the forgotten w=1000 history diverges the
+    sample from a one-shot batch replay. It cannot: k(w) = ln(u)/w is
+    increasing in w, so the forgotten high key was dominated at
+    eviction time by k composites that never decrease (proof in the
+    stream_weighted_reservoir docstring). Streaming must equal the
+    batch operator over max-collapsed history value-for-value."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.sampling import weighted_reservoir_sample
+    from replicadb_spark.operators.snapshot_table import snapshot_read
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        [("g", 1, 1000), ("g", 2, 900), ("g", 3, 800)],
+        [("g", 100 + i, 10_000_000) for i in range(4)],  # evicts 1-3 at k=2
+        [("g", 1, 1), ("g", 4, 2)],  # id 1 re-arrives LOWER
+    ]
+    src = tmp_path / "wrs_drift_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(pa.table({
+            "grp": pa.array([r[0] for r in rows], pa.string()),
+            "id": pa.array([r[1] for r in rows], pa.int64()),
+            "w": pa.array([r[2] for r in rows], pa.int64()),
+        }), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    store = str(tmp_path / "wrs_drift_store")
+    stream = (
+        spark.readStream.schema("grp string, id long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = P.stream_weighted_reservoir(
+        stream, store, str(tmp_path / "wrs_drift_ck"),
+        group_cols=["grp"], id_col="id", weight_col="w",
+        k=2, seed="drift",
+    )
+    q.awaitTermination(300)
+
+    flat = [r for b in batches for r in b]
+    cand = (
+        spark.createDataFrame(flat, "grp string, id long, w long")
+        .groupBy("grp", "id").agg(F.max("w").alias("w"))
+    )
+    want = {
+        (r["grp"], r["id"], r["w"], r["rsv_key"], r["rsv_rank"])
+        for r in weighted_reservoir_sample(
+            cand, ["grp"], "id", "w", k=2, seed="drift"
+        ).collect()
+    }
+    got = {
+        (r["grp"], r["id"], r["w"], r["rsv_key"], r["rsv_rank"])
+        for r in snapshot_read(spark, store).collect()
+    }
+    assert got == want
+
+
+def test_weighted_reservoir_fold_drift_property(spark):
+    """Randomized form of the drift proof: the per-batch fold (union
+    surviving reservoir + batch, max-collapse, re-take top-k) equals a
+    one-shot batch over all arrivals, across random schedules with
+    heavy weight drift, re-arrivals, and evictions. Drives the fold
+    directly (no streaming machinery) so many schedules stay cheap."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.sampling import weighted_reservoir_sample
+
+    rng = random.Random(1402)
+    for trial in range(5):
+        ids = list(range(1, rng.randint(6, 16)))
+        schedule = [
+            [
+                ("g", i, rng.choice([1, 2, 5, 100, 1000, 10**6]))
+                for i in rng.sample(ids, rng.randint(1, len(ids)))
+            ]
+            for _ in range(rng.randint(2, 4))
+        ]
+        k = rng.randint(1, 3)
+        seed = f"fz{trial}"
+        reservoir = None
+        for rows in schedule:
+            batch = spark.createDataFrame(rows, "grp string, id long, w long")
+            inc = batch if reservoir is None else batch.unionByName(reservoir)
+            cand = inc.groupBy("grp", "id").agg(F.max("w").alias("w"))
+            reservoir = (
+                weighted_reservoir_sample(
+                    cand, ["grp"], "id", "w", k=k, seed=seed
+                )
+                .select("grp", "id", "w")
+                .localCheckpoint(eager=True)
+            )
+        got = {(r["grp"], r["id"], r["w"]) for r in reservoir.collect()}
+        flat = [r for b in schedule for r in b]
+        alldf = (
+            spark.createDataFrame(flat, "grp string, id long, w long")
+            .groupBy("grp", "id").agg(F.max("w").alias("w"))
+        )
+        want = {
+            (r["grp"], r["id"], r["w"])
+            for r in weighted_reservoir_sample(
+                alldf, ["grp"], "id", "w", k=k, seed=seed
+            ).collect()
+        }
+        assert got == want, (trial, k, schedule)
+
+
 def test_stream_dedup_components_equals_batch(spark, tmp_path):
     """Twin #33: continuously maintained duplicate clusters equal a
     from-scratch connected_components over all streamed pairs after
