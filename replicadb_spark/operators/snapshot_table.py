@@ -1645,6 +1645,17 @@ def snapshot_merge(
     in evolution. Composes with ``delete_when`` (a tombstone still
     needs only its key).
 
+    PK-uniqueness assumption (ADVICE r13): like every MERGE, the
+    ``pk_columns`` are assumed to identify at most ONE table row. On a
+    table that nevertheless holds duplicate rows per key, the paths
+    intentionally follow Delta's "update every matched copy" only in
+    the subset path: ``update_columns`` emits one updated row PER
+    duplicate (the victim join preserves multiplicity), while the
+    full-row path (``update_columns=None``) replaces all copies with
+    the single staging row — collapsing the duplicates. Deduplicate
+    first (dedup_keep_latest / an ``order_column`` upsert) if the two
+    behaviors must agree; neither is a supported steady state.
+
     A merge that touches nothing — no victim files and no rows
     admitted by any clause (e.g. a delete-only batch of keys absent
     from the table) — returns the CURRENT snapshot id without
@@ -1989,7 +2000,14 @@ def snapshot_merge(
             # post-merge state is byte-identical, so return the current
             # tip instead of burning a snapshot id + full manifest copy
             # on an empty rewrite (Delta's no-op MERGE behavior —
-            # replayed empty changelog batches must not inflate the log)
+            # replayed empty changelog batches must not inflate the log).
+            # Caller-supplied ``meta`` is DROPPED with the commit
+            # (ADVICE r13): a no-op publishes nothing, so e.g. a CDC
+            # batch_id riding meta is not recorded and
+            # last_committed_batch_id does not advance — replay of a
+            # no-op is idempotent, and audit consumers must read a
+            # missing batch id as "no effect" (documented at the
+            # stream_snapshot_cdc_replica call site too)
             return parent
         if parts:
             merged = parts[0]

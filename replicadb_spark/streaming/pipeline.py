@@ -2246,7 +2246,18 @@ def stream_snapshot_cdc_replica(
     every unlisted column, inserts fill them with NULL, tombstones
     still evict. The replica must already EXIST (seed it with a full
     snapshot_commit): a partial changelog cannot define the table's
-    schema, so a bootstrap under update_columns refuses loudly."""
+    schema, so a bootstrap under update_columns refuses loudly.
+
+    No-op batches and batch-id gaps (ADVICE r13): a batch whose merge
+    changes nothing (e.g. tombstones for absent keys) short-circuits
+    inside snapshot_merge — no snapshot is published, so its
+    ``batch_id`` is NOT recorded and ``last_committed_batch_id`` does
+    not advance past it. Replay stays correct (re-applying a no-op is
+    idempotent, and the guard's ``<=`` check needs only the highest
+    EFFECTFUL batch), but a consumer auditing per-batch meta in the
+    commit log will see gaps at the no-op ids — progress/audit trails
+    must treat a missing batch id as "applied with no effect", not as
+    "lost"."""
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
         last_committed_batch_id,
