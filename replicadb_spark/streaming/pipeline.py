@@ -54,6 +54,69 @@ def read_event_stream(
     return reader.load(path)
 
 
+def _should_apply(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    guard_path: "str | None" = None,
+    skip_empty: bool = True,
+) -> bool:
+    """The twins' shared per-batch admission check, factored so it is
+    property-tested ONCE (tests/test_streaming.py) instead of
+    re-proven per twin: empty micro-batches are skipped before
+    touching any store, and when ``guard_path`` names a snapshot
+    table, a batch at or below its last committed batch id is a
+    REPLAY (foreachBatch redelivers the last batch after a restart)
+    and must not be re-applied — a redelivered batch burning a second
+    snapshot id is the at-least-once → exactly-once gap every
+    snapshot-committing twin has to close."""
+    if skip_empty and batch_df.isEmpty():
+        return False
+    if guard_path is not None:
+        from replicadb_spark.operators.snapshot_table import (
+            last_committed_batch_id,
+        )
+
+        last = last_committed_batch_id(guard_path)
+        if last is not None and batch_id <= last:
+            return False
+    return True
+
+
+def _start_batches(
+    stream: DataFrame,
+    checkpoint: str,
+    body,
+    *,
+    available_now: bool = True,
+    output_mode: str = "update",
+    guard_path: "str | None" = None,
+    skip_empty: bool = True,
+) -> StreamingQuery:
+    """Start a ``foreachBatch`` writer with the twins' shared skeleton
+    (checkpoint wiring, output mode, bounded AvailableNow trigger) and
+    the :func:`_should_apply` admission check wrapped around ``body``
+    — so a new twin is only its batch logic. ``skip_empty=False``
+    preserves the pre-r14 behavior of the parquet-state twins that ran
+    their own (idempotent) fold on empty batches."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _should_apply(
+            batch_df, batch_id,
+            guard_path=guard_path, skip_empty=skip_empty,
+        ):
+            body(batch_df, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _read_parquet_or_none(spark: SparkSession, path: str):
     """Read a state/snapshot parquet, returning None ONLY when the path
     genuinely doesn't exist (first batch). Any other failure re-raises:
@@ -233,14 +296,10 @@ def stream_incremental_upsert(
         # the files it is replacing
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(sink_path)
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_dedup_first_seen(
@@ -375,14 +434,10 @@ def stream_incremental_agg(
             merged = merge_partials(current, delta, keys)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_neardup_vs_corpus(
@@ -428,14 +483,11 @@ def stream_neardup_vs_corpus(
         )
         pairs.write.mode("append").parquet(out_path)
 
-    writer = (
-        source.writeStream.foreachBatch(screen_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    return _start_batches(
+        source, checkpoint, screen_batch,
+        available_now=available_now, skip_empty=False,
+        output_mode="append",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_bottomk_sample(
@@ -507,14 +559,10 @@ def stream_bottomk_sample(
             )
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_heavy_hitters(
@@ -609,14 +657,10 @@ def stream_heavy_hitters(
         )
         pruned.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_outlier_profile(
@@ -686,14 +730,10 @@ def stream_outlier_profile(
             merged = _prune(current.unionByName(delta).dropDuplicates())
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def outlier_profile_from_state(
@@ -760,14 +800,10 @@ def stream_kmv_distinct(
             )
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def _psi_merge_fn(state_path: str, value_col: str, bounds: "list[float]"):
@@ -846,14 +882,10 @@ def stream_psi_drift(
 
     merge_batch = _psi_merge_fn(state_path, value_col, bounds)
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def psi_from_state(
@@ -934,14 +966,10 @@ def stream_cdc_apply(
             snapshot_path
         )
 
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_cusum_alerts(
@@ -1415,14 +1443,10 @@ def stream_dq_monitor(
             "stream_kmv_distinct for approximate streaming uniqueness"
         )
     merge_batch = _dq_merge_fn(state_path, rules)
-    writer = (
-        source.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, merge_batch,
+        available_now=available_now, skip_empty=False,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def dq_report(spark: SparkSession, state_path: str, rules: list) -> DataFrame:
@@ -1514,8 +1538,7 @@ def stream_jdbc_replica(
     pk_cache: list = []  # sink PK metadata discovered once, not per batch
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # empty-batch admission handled by _start_batches
         job = ReplicaJob(
             source_connect="stream://microbatch",
             sink_connect=sink_connect,
@@ -1546,14 +1569,10 @@ def stream_jdbc_replica(
             )
         run_jdbc_mode(batch_df.sparkSession, job, batch_df)
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_ivf_append(
@@ -1584,20 +1603,15 @@ def stream_ivf_append(
     from replicadb_spark.operators.ann_index import append_to_ivf_index
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # empty-batch admission handled by _start_batches
         append_to_ivf_index(
             batch_df, index_path, id_col=id_col, vec_col=vec_col
         )
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_minhash_screen(
@@ -1645,8 +1659,7 @@ def stream_minhash_screen(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # empty-batch admission handled by _start_batches
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
@@ -1687,14 +1700,10 @@ def stream_minhash_screen(
         finally:
             batch_df.unpersist()
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_gopher_screen(
@@ -1772,8 +1781,7 @@ def stream_bucketed_replica(
     owner = source.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # empty-batch admission handled by _start_batches
         upsert_bucketed_table(
             batch_df.sparkSession,
             batch_df,
@@ -1787,14 +1795,10 @@ def stream_bucketed_replica(
         )
         owner.catalog.refreshTable(table)
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_snapshot_ingest(
@@ -1822,29 +1826,20 @@ def stream_snapshot_ingest(
     Scale: per batch O(batch) file writes + footer-only manifest +
     one atomic rename; the table is never rewritten."""
     from replicadb_spark.operators.snapshot_table import (
-        last_committed_batch_id,
         snapshot_commit,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        last = last_committed_batch_id(table_path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch: already in the commit log
+        # empty + replay admission handled by _start_batches
         snapshot_commit(
             batch_df, table_path,
             stat_columns=stat_columns, meta={"batch_id": batch_id},
         )
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now, guard_path=table_path,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_snapshot_changes(
@@ -1934,14 +1929,11 @@ def stream_snapshot_changes(
             finally:
                 log.unpersist()
 
-    writer = (
-        commits.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    return _start_batches(
+        commits, checkpoint, apply_batch,
+        available_now=available_now, skip_empty=False,
+        output_mode="append",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_snapshot_replica(
@@ -1978,17 +1970,12 @@ def stream_snapshot_replica(
     their own pinned schemas."""
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
-        last_committed_batch_id,
         snapshot_commit,
         snapshot_upsert,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        last = last_committed_batch_id(table_path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch: already merged
+        # empty + replay admission handled by _start_batches
         spark = batch_df.sparkSession
         if order_column is not None:
             from pyspark.sql import Window
@@ -2017,14 +2004,10 @@ def stream_snapshot_replica(
             evolve=evolve,
         )
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now, guard_path=table_path,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_bucketed_snapshot_replica(
@@ -2056,15 +2039,10 @@ def stream_bucketed_snapshot_replica(
     )
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
-        last_committed_batch_id,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        last = last_committed_batch_id(table_path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch: already merged
+        # empty + replay admission handled by _start_batches
         spark = batch_df.sparkSession
         if order_column is not None:
             from pyspark.sql import Window
@@ -2091,14 +2069,10 @@ def stream_bucketed_snapshot_replica(
             meta={"batch_id": batch_id},
         )
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now, guard_path=table_path,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_dsir_screen(
@@ -2260,17 +2234,12 @@ def stream_snapshot_cdc_replica(
     "lost"."""
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
-        last_committed_batch_id,
         snapshot_commit,
         snapshot_merge,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        last = last_committed_batch_id(table_path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch: already merged
+        # empty + replay admission handled by _start_batches
         spark = batch_df.sparkSession
         if order_column is not None:
             from pyspark.sql import Window
@@ -2317,14 +2286,10 @@ def stream_snapshot_cdc_replica(
             update_columns=update_columns,
         )
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now, guard_path=table_path,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_weighted_reservoir(
@@ -2380,7 +2345,6 @@ def stream_weighted_reservoir(
     from replicadb_spark.operators.sampling import weighted_reservoir_sample
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
-        last_committed_batch_id,
         snapshot_commit,
         snapshot_read,
     )
@@ -2388,11 +2352,7 @@ def stream_weighted_reservoir(
     cols = [*group_cols, id_col, weight_col]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        last = last_committed_batch_id(store_path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch: reservoir already reflects it
+        # empty + replay admission handled by _start_batches
         spark = batch_df.sparkSession
         incoming = batch_df.select(*cols)
         if current_snapshot(store_path) is not None:
@@ -2413,14 +2373,10 @@ def stream_weighted_reservoir(
             mode="overwrite", meta={"batch_id": batch_id},
         )
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now, guard_path=store_path,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_dedup_components(
@@ -2453,17 +2409,12 @@ def stream_dedup_components(
     from replicadb_spark.operators.graph import merge_components
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
-        last_committed_batch_id,
         snapshot_commit,
         snapshot_read,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        last = last_committed_batch_id(store_path)
-        if last is not None and batch_id <= last:
-            return  # replayed batch: clusters already reflect it
+        # empty + replay admission handled by _start_batches
         spark = batch_df.sparkSession
         prior = (
             snapshot_read(spark, store_path)
@@ -2479,11 +2430,7 @@ def stream_dedup_components(
             meta={"batch_id": batch_id},
         )
 
-    writer = (
-        source.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now, guard_path=store_path,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

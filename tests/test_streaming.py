@@ -30,6 +30,37 @@ def _run_to_memory(spark, df, name, mode="append"):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def test_batch_admission_guard_property(spark, tmp_path):
+    """The shared per-batch admission check (_should_apply), proven
+    ONCE for all twins (VERDICT r13 item 6): empty batches are
+    skipped; with a guard store, batch ids at or below the last
+    committed id are replays and skipped, fresh ids are admitted;
+    skip_empty=False preserves the parquet-state twins' process-empty
+    behavior; a guard pointed at a nonexistent store admits everything
+    (first batch bootstraps)."""
+    from replicadb_spark.operators.snapshot_table import snapshot_commit
+
+    empty = spark.createDataFrame([], "k long")
+    rows = spark.createDataFrame([(1,)], "k long")
+    store = str(tmp_path / "admission_store")
+
+    # no guard: only emptiness decides
+    assert P._should_apply(rows, 0)
+    assert not P._should_apply(empty, 0)
+    assert P._should_apply(empty, 0, skip_empty=False)
+
+    # guard against a store that doesn't exist yet: admit (bootstrap)
+    assert P._should_apply(rows, 0, guard_path=store)
+
+    snapshot_commit(rows, store, meta={"batch_id": 4})
+    for replayed in (0, 3, 4):
+        assert not P._should_apply(rows, replayed, guard_path=store)
+    assert P._should_apply(rows, 5, guard_path=store)
+    # emptiness is checked before the guard — an empty replay is
+    # skipped without reading the store
+    assert not P._should_apply(empty, 9, guard_path=store)
+
+
 def test_stream_tumbling_agg_matches_batch(spark, event_dir):
     path, schema = event_dir
     stream = P.read_event_stream(spark, path, schema)
