@@ -163,6 +163,11 @@ _GATE_LAST = (
     "ppr_copurchase",
     # r13: word2phrase collocation mining (Mikolov 2013) — full oracle
     "phrase_detection",
+    # r14 local-evidence addition (ROUND14.md): twin #34's incremental
+    # collocation count store driven bounded over a 3-chunk corpus
+    # split, hash-gated against the SAME full DuckDB oracle as
+    # phrase_detection — streaming == batch on real corpus data
+    "streaming_phrase_state",
 )
 
 

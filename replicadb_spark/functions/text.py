@@ -683,18 +683,52 @@ def phrase_scores(
     of the unigram slice onto the pair slice — no windows, no second
     corpus scan. Callers release via cache.release_caches at their
     query boundary (the standing ledger contract)."""
-    # tokens via typed builders, not an interpolated F.expr SQL string:
-    # a term_pattern carrying a quote must stay a literal, never SQL
-    # (ADVICE r13)
+    # prune BEFORE caching: the persisted frame holds only the vocab
+    # rows (w2 NULL) + the min_count-surviving pairs — a tiny fraction
+    # of the raw bigram stream at corpus scale. tracked_persist (the
+    # session-ledger contract in cache.py) is what actually guarantees
+    # the corpus is scanned once: the three downstream references
+    # otherwise re-derive the aggregate per branch (join-key isnotnull
+    # constraints push below the agg and defeat ReuseExchange —
+    # measured on the exchange-dedup variant).
+    from replicadb_spark.cache import tracked_persist
+
+    counts = tracked_persist(
+        phrase_unit_counts(df, text_col, term_pattern=term_pattern).where(
+            F.col("w2").isNull() | (F.col("n") >= min_count)
+        )
+    )
+    return phrase_scores_from_counts(
+        counts, delta=delta, min_count=min_count
+    )
+
+
+def phrase_unit_counts(
+    df: "DataFrame",
+    text_col: str,
+    *,
+    term_pattern: str = "[a-z0-9]+",
+) -> "DataFrame":
+    """The (w1, w2, n) count table :func:`phrase_scores` ranks from —
+    unigram rows carry w2 = NULL, adjacent-bigram rows carry both
+    words. Factored out so the incremental maintainer (streaming twin
+    #34, stream_phrase_counts) folds the SAME unit stream into its
+    store: counts are exact integers and ADDITIVE, so per-batch counts
+    merge by plain addition.
+
+    One tokenization pass: each doc's token array emits its unigrams
+    and its adjacent bigrams into a single combined explode feeding one
+    map-side-combined groupBy. Tokens ride typed builders, never an
+    interpolated F.expr SQL string — a term_pattern carrying a quote
+    must stay a literal (ADVICE r13). slice(t, 2, max(size-1, 0)) is
+    empty for 0/1-token docs (sequence(1, size-1) would go DESCENDING
+    for 1-token docs and fabricate a (t[0], NULL) pair that pollutes
+    the unigram slice)."""
     toks = df.select(
         F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit(term_pattern), F.lit(0)
         ).alias("t")
     )
-    # combined unit stream: unigram markers (w2 NULL) + adjacent
-    # bigrams. slice(t, 2, max(size-1, 0)) is empty for 0/1-token docs
-    # (sequence(1, size-1) would go DESCENDING for 1-token docs and
-    # fabricate a (t[0], NULL) pair that pollutes the unigram slice).
     units = toks.select(
         F.explode(
             F.concat(
@@ -709,25 +743,32 @@ def phrase_scores(
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    # prune BEFORE caching: the persisted frame holds only the vocab
-    # rows (w2 NULL) + the min_count-surviving pairs — a tiny fraction
-    # of the raw bigram stream at corpus scale. tracked_persist (the
-    # session-ledger contract in cache.py) is what actually guarantees
-    # the corpus is scanned once: the three downstream references
-    # otherwise re-derive the aggregate per branch (join-key isnotnull
-    # constraints push below the agg and defeat ReuseExchange —
-    # measured on the exchange-dedup variant).
-    from replicadb_spark.cache import tracked_persist
+    return units.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
 
-    counts = tracked_persist(
-        units.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("w2").isNull() | (F.col("n") >= min_count))
+
+def phrase_scores_from_counts(
+    counts: "DataFrame",
+    *,
+    delta: float = 5.0,
+    min_count: int = 5,
+    unigram_sentinel: "str | None" = None,
+) -> "DataFrame":
+    """word2phrase scores from an already-materialized (w1, w2, n)
+    count table (:func:`phrase_unit_counts` or the streaming store):
+    the arithmetic tail of :func:`phrase_scores`, shared so the batch
+    operator and the incremental maintainer rank IDENTICALLY.
+    ``unigram_sentinel`` names the w2 value marking unigram rows —
+    NULL by default; the snapshot store uses '' because a NULL pk
+    column cannot equi-join in a MERGE."""
+    is_uni = (
+        F.col("w2").isNull()
+        if unigram_sentinel is None
+        else F.col("w2") == unigram_sentinel
     )
-    uc = counts.where(F.col("w2").isNull()).select(
+    uc = counts.where(is_uni).select(
         F.col("w1").alias("w"), F.col("n").alias("c")
     )
-    pc = counts.where(F.col("w2").isNotNull()).select(
+    pc = counts.where(~is_uni & (F.col("n") >= min_count)).select(
         "w1", "w2", F.col("n").alias("n_pair")
     )
     score = F.round(

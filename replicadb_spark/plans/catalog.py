@@ -4992,9 +4992,10 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "phrase_detection",
-    oracle="""
+# shared by phrase_detection (batch) and streaming_phrase_state (twin
+# #34): the streaming fold must rank EXACTLY as a from-scratch batch
+# over the same corpus, so both gates check against one oracle
+_PHRASE_ORACLE_SQL = """
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
       FROM documents
@@ -5016,7 +5017,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN uc b ON b.w = p.w2
     ORDER BY score DESC, p.w1, p.w2
     LIMIT 20
-    """,
+    """
+
+
+@register(
+    "phrase_detection",
+    oracle=_PHRASE_ORACLE_SQL,
 )
 def phrase_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by the word2phrase association score
@@ -5041,6 +5047,55 @@ def phrase_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.col("score").desc(), "w1", "w2").limit(20)
     )
+
+
+@register(
+    "streaming_phrase_state",
+    oracle=_PHRASE_ORACLE_SQL,
+)
+def streaming_phrase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin #34 driven bounded against the FULL phrase oracle: the
+    documents corpus is split into three parquet chunks and streamed
+    one file per micro-batch through stream_phrase_counts, so the
+    ADDITIVE count merge (bootstrap + two incremental MERGE commits,
+    per-batch cost ∝ batch units) is what produces the ranked result —
+    not a single-batch shortcut. The score view over the final count
+    store must hash-match the same DuckDB SQL phrase_detection checks,
+    proving streaming == batch on real corpus data at both SFs.
+
+    Chunk assignment rides repartition's hash — batch composition is
+    arbitrary ON PURPOSE (integer counts are associative and
+    commutative, so ANY split must rank identically; a split-sensitive
+    fold would fail the hash gate)."""
+    from replicadb_spark.functions.text import phrase_scores_from_counts
+    from replicadb_spark.operators.snapshot_table import snapshot_read
+    from replicadb_spark.streaming.pipeline import (
+        PHRASE_UNIGRAM_SENTINEL,
+        stream_phrase_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    chunks = _spool_dir("phrase_chunks_")
+    d.select("doc_id", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(chunks)
+    src = (
+        spark.readStream.schema(spark.read.parquet(chunks).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    store = _spool_dir("phrase_store_")
+    q = stream_phrase_counts(
+        src, store, _spool_dir("phrase_ck_"), text_col="text"
+    )
+    q.awaitTermination(300)
+    scored = phrase_scores_from_counts(
+        snapshot_read(spark, store),
+        delta=5.0,
+        min_count=5,
+        unigram_sentinel=PHRASE_UNIGRAM_SENTINEL,
+    )
+    return scored.orderBy(F.col("score").desc(), "w1", "w2").limit(20)
 
 
 @register(

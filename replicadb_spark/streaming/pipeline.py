@@ -2434,3 +2434,97 @@ def stream_dedup_components(
         source, checkpoint, apply_batch,
         available_now=available_now, guard_path=store_path,
     )
+
+
+# w2 value marking unigram rows in the streaming phrase-count store: a
+# MERGE pk cannot be NULL (NULL never equi-joins), and the tokenizer's
+# term_pattern can never emit an empty token, so '' is collision-free
+PHRASE_UNIGRAM_SENTINEL = ""
+
+
+def stream_phrase_counts(
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    term_pattern: str = "[a-z0-9]+",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #34: word2phrase collocation counts
+    (functions/text.phrase_unit_counts — Mikolov et al. 2013)
+    maintained CONTINUOUSLY as documents stream in. Unigram and
+    adjacent-bigram counts are exact integers and ADDITIVE, so each
+    micro-batch folds by plain addition: count the batch's unit
+    stream, add the stored counts for the batch's keys (one
+    broadcast-shaped left join against the store), and MERGE the sums
+    back — per-batch cost ∝ the batch's distinct units (victim-file
+    pruning), NEVER the historical corpus, which is the 100 TB
+    continuous-vocabulary shape. One atomic commit per batch with the
+    shared replay guard; every count-table state is time-traveled.
+
+    Scores are a VIEW over the store:
+    ``phrase_scores_from_counts(snapshot_read(...), ...,
+    unigram_sentinel=PHRASE_UNIGRAM_SENTINEL)`` ranks identically to
+    the batch operator over the concatenated corpus — equal integer
+    counts feed the identical rounded-double arithmetic, so streaming
+    == batch value-for-value (tested per prefix). Unigram rows store
+    w2 = '' (:data:`PHRASE_UNIGRAM_SENTINEL`), not NULL: a NULL pk
+    never equi-joins in the MERGE.
+
+    A crash between computing the batch's sums and the commit replays
+    the batch; the guard skips batches the store already reflects, so
+    counts are never double-added (the commit IS the fold's only
+    publication point)."""
+    from replicadb_spark.functions.text import phrase_unit_counts
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_commit,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # empty + replay admission handled by _start_batches
+        spark = batch_df.sparkSession
+        arriving = phrase_unit_counts(
+            batch_df, text_col, term_pattern=term_pattern
+        ).select(
+            "w1",
+            F.coalesce(F.col("w2"), F.lit(PHRASE_UNIGRAM_SENTINEL)).alias(
+                "w2"
+            ),
+            "n",
+        )
+        if current_snapshot(store_path) is None:
+            snapshot_commit(
+                arriving, store_path, meta={"batch_id": batch_id}
+            )
+            return
+        stored = snapshot_read(spark, store_path).select(
+            "w1", "w2", F.col("n").alias("_stored_n")
+        )
+        summed = (
+            arriving.join(stored, ["w1", "w2"], "left_outer")
+            .select(
+                "w1",
+                "w2",
+                (
+                    F.col("n") + F.coalesce(F.col("_stored_n"), F.lit(0))
+                ).alias("n"),
+            )
+            # cut the lineage: the merge staging must not re-read the
+            # store mid-commit (the stream_weighted_reservoir
+            # precedent)
+            .localCheckpoint(eager=True)
+        )
+        snapshot_merge(
+            spark, store_path, summed,
+            pk_columns=["w1", "w2"],
+            meta={"batch_id": batch_id},
+        )
+
+    return _start_batches(
+        source, checkpoint, apply_batch,
+        available_now=available_now, guard_path=store_path,
+    )

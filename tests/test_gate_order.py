@@ -59,7 +59,7 @@ def test_r14_window_is_the_r11_block():
     # the two blocks that rotated out sit in _GATE_LAST in r16/r15 order
     assert E._GATE_LAST[0] == "dedup_containment"  # r13-gated block
     assert E._GATE_LAST[50] == "dedup_simhash"     # r12-gated block
-    assert E._GATE_LAST[-28:] == (
+    assert E._GATE_LAST[-29:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -78,4 +78,6 @@ def test_r14_window_is_the_r11_block():
         # r13 local-evidence additions
         "sample_weighted_reservoir", "snapshot_partial_update_gate",
         "ppr_copurchase", "phrase_detection",
+        # r14 local-evidence addition
+        "streaming_phrase_state",
     )

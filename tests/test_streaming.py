@@ -2450,6 +2450,93 @@ def test_weighted_reservoir_fold_drift_property(spark):
         assert got == want, (trial, k, schedule)
 
 
+def test_stream_phrase_counts_equals_batch(spark, tmp_path):
+    """Twin #34: the continuously-maintained collocation count table
+    equals batch phrase_scores over the concatenated corpus after
+    every batch (counts are additive integers; the score view shares
+    the batch operator's arithmetic) — checked on the final state AND
+    a time-traveled intermediate (the per-prefix guarantee), plus the
+    fresh-checkpoint replay guard."""
+    import os
+    import time
+
+    from replicadb_spark.functions.text import (
+        phrase_scores,
+        phrase_scores_from_counts,
+    )
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_read,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        [(1, "new york new york is new york"), (2, "a brand new day in york")],
+        [(3, "new york again and again"), (4, "solo")],
+        [(5, "york new york new day"), (6, "the day is new")],
+    ]
+    src = tmp_path / "phrase_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+        # FileStreamSource orders by mtime; one dir per batch
+        time.sleep(1.05)
+        for f in (src / f"b{i}").iterdir():
+            os.utime(f)
+
+    store = str(tmp_path / "phrase_store")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = P.stream_phrase_counts(
+            stream, store, str(tmp_path / ck), text_col="text"
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    n_commits = current_snapshot(store)
+    assert n_commits >= 2  # bootstrap + at least one merge
+
+    def scores_from(snapshot_id=None):
+        return {
+            (r["w1"], r["w2"], r["n_pair"], r["score"])
+            for r in phrase_scores_from_counts(
+                snapshot_read(spark, store, snapshot_id=snapshot_id),
+                delta=1.0, min_count=2,
+                unigram_sentinel=P.PHRASE_UNIGRAM_SENTINEL,
+            ).collect()
+        }
+
+    def batch_scores(n_batches):
+        flat = [r for b in batches[:n_batches] for r in b]
+        df = spark.createDataFrame(flat, "doc_id long, text string")
+        out = {
+            (r["w1"], r["w2"], r["n_pair"], r["score"])
+            for r in phrase_scores(
+                df, "text", delta=1.0, min_count=2
+            ).collect()
+        }
+        from replicadb_spark.cache import release_caches
+
+        release_caches(spark)
+        return out
+
+    assert scores_from() == batch_scores(len(batches))
+    # per-prefix: the first committed state is batch 1 alone
+    assert scores_from(snapshot_id=1) == batch_scores(1)
+
+    run("ck2")  # fresh checkpoint: the replay guard skips every batch
+    assert current_snapshot(store) == n_commits
+
+
 def test_stream_dedup_components_equals_batch(spark, tmp_path):
     """Twin #33: continuously maintained duplicate clusters equal a
     from-scratch connected_components over all streamed pairs after

@@ -268,13 +268,14 @@ def test_phrase_scores_tokenizes_once(spark):
     regexp_extract_all call site in the function body) and dynamically
     (exactly one ledger entry per invocation, releasable)."""
     import inspect
-    import pathlib
 
     from replicadb_spark.cache import release_caches
     from replicadb_spark.functions import text
     from replicadb_spark.functions.text import phrase_scores
 
-    src = inspect.getsource(text.phrase_scores)
+    src = inspect.getsource(text.phrase_scores) + inspect.getsource(
+        text.phrase_unit_counts
+    )
     assert src.count("regexp_extract_all") == 1
     # no interpolated-SQL tokenization: the pattern must ride as a
     # typed literal, never inside an F.expr string (ADVICE r13 — a
