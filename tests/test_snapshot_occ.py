@@ -548,3 +548,84 @@ def test_two_pruned_upserts_of_same_new_key_refuse(
     rows = snapshot_read(spark, path).collect()
     assert sorted(r["id"] for r in rows) == [1, 2, 7]
     assert {r["id"]: r["v"] for r in rows}[7] == 70  # the winner's row
+
+
+def test_uncoordinated_parallel_appends_all_land(spark, tmp_path):
+    """r14 adversarial OCC: SIX appenders race with NO simulated
+    interleaving — real threads, real publish contention on one table.
+    Every append must land exactly once (the OCC loop re-derives the
+    manifest union against whatever tip it lost to), snapshot ids must
+    be a gapless 1..6, and every intermediate snapshot must read as a
+    consistent prefix-union of the winners before it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = _uri(tmp_path, "occ_parallel_append")
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        sids = list(
+            pool.map(
+                lambda i: snapshot_commit(
+                    _df(spark, [(i, i * 10)]), path, stat_columns=["id"]
+                ),
+                range(1, 7),
+            )
+        )
+    assert sorted(sids) == [1, 2, 3, 4, 5, 6]  # no burnt or shared ids
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {i: i * 10 for i in range(1, 7)}  # nothing lost/duped
+    hist = snapshot_history(spark, path).collect()
+    assert {r["operation"] for r in hist} == {"append"}
+    # every snapshot is a readable union of k winners (size k): commits
+    # never published a half-state
+    for k in range(1, 7):
+        rows = snapshot_read(spark, path, snapshot_id=k).collect()
+        assert len(rows) == k
+        assert len({r["id"] for r in rows}) == k
+
+
+def test_uncoordinated_parallel_disjoint_merges_all_land(spark, tmp_path):
+    """r14 adversarial OCC: four MERGE writers race on DISJOINT key
+    ranges of one seeded table. The seed's files overlap every writer's
+    victim set, so losers REFUSE ("a concurrent commit rewrote ... —
+    re-run against the new snapshot", the documented COW contract) and
+    the caller re-runs against the new tip — the loop every real
+    writer wraps around a COW merge. Convergence is the invariant:
+    after all four writers' loops finish, the table must equal
+    applying the merges in any order, with no update lost to a stale
+    rewrite and no snapshot published half-applied."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from replicadb_spark.operators.snapshot_table import snapshot_merge
+
+    path = _uri(tmp_path, "occ_parallel_merge")
+    seed = [(i, 0) for i in range(1, 9)]
+    snapshot_commit(_df(spark, seed), path, stat_columns=["id"])
+
+    def merge_range(lo):
+        staging = _df(spark, [(lo, lo * 100), (lo + 1, (lo + 1) * 100)])
+        retries = 0
+        while True:
+            try:
+                return snapshot_merge(
+                    spark, path, staging, pk_columns=["id"]
+                ), retries
+            except IOError as e:
+                assert "re-run against the new snapshot" in str(e)
+                retries += 1
+                assert retries <= 16, "merge loop failed to converge"
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(merge_range, [1, 3, 5, 7]))
+    assert sorted(s for s, _ in results) == [2, 3, 4, 5]
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {i: i * 100 for i in range(1, 9)}
+    # every intermediate snapshot is a consistent state: the seed plus
+    # k whole merges — never a torn one
+    for k in range(2, 6):
+        rows = {
+            r["id"]: r["v"]
+            for r in snapshot_read(spark, path, snapshot_id=k).collect()
+        }
+        applied = [lo for lo in (1, 3, 5, 7) if rows.get(lo) == lo * 100]
+        for lo in applied:
+            assert rows[lo + 1] == (lo + 1) * 100  # merges are atomic
+        assert len(applied) == k - 1
