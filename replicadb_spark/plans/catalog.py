@@ -4595,19 +4595,26 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are immutable for the life of a process (TESTDATA.md), so a
 # process-scoped memo needs no fingerprint check; a fresh process gets
 # a fresh tempdir (removed at process exit), so no cross-process
-# staleness either.
+# staleness either. The lock makes the build once-per-process even
+# when catalog queries run from concurrent threads (a pipeline
+# service): without it two threads race the dict get and both pay the
+# derivation — wasteful, though never wrong (distinct tempdirs).
+import threading
+
+_LAYOUT_LOCK = threading.Lock()
 _COPURCHASE_LAYOUTS: dict[str, str] = {}
 
 
 def _copurchase_layout(spark: SparkSession, sf_dir: str) -> str:
     from replicadb_spark.operators.graph import write_edge_layout
 
-    path = _COPURCHASE_LAYOUTS.get(sf_dir)
-    if path is None:
-        path = _spool_dir("copurchase_edges_")
-        write_edge_layout(_copurchase_edges(spark, sf_dir), path)
-        _COPURCHASE_LAYOUTS[sf_dir] = path
-    return path
+    with _LAYOUT_LOCK:
+        path = _COPURCHASE_LAYOUTS.get(sf_dir)
+        if path is None:
+            path = _spool_dir("copurchase_edges_")
+            write_edge_layout(_copurchase_edges(spark, sf_dir), path)
+            _COPURCHASE_LAYOUTS[sf_dir] = path
+        return path
 
 
 # the same precedent for the FastSS edit-1 signature frame over
@@ -4621,15 +4628,16 @@ _EDIT1_SIG_LAYOUTS: dict[str, str] = {}
 def _edit1_sig_layout(spark: SparkSession, sf_dir: str) -> str:
     from replicadb_spark.operators.setsim import edit1_signatures
 
-    path = _EDIT1_SIG_LAYOUTS.get(sf_dir)
-    if path is None:
-        path = _spool_dir("edit1_sigs_")
-        c = _t(spark, sf_dir, "customer")["customer"]
-        edit1_signatures(c, "c_custkey", "c_name").write.mode(
-            "overwrite"
-        ).parquet(path)
-        _EDIT1_SIG_LAYOUTS[sf_dir] = path
-    return path
+    with _LAYOUT_LOCK:
+        path = _EDIT1_SIG_LAYOUTS.get(sf_dir)
+        if path is None:
+            path = _spool_dir("edit1_sigs_")
+            c = _t(spark, sf_dir, "customer")["customer"]
+            edit1_signatures(c, "c_custkey", "c_name").write.mode(
+                "overwrite"
+            ).parquet(path)
+            _EDIT1_SIG_LAYOUTS[sf_dir] = path
+        return path
 
 
 @register(
