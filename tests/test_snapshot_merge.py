@@ -452,3 +452,65 @@ def test_merge_update_columns_evolve_adds_only_listed(spark, tmp_path):
     got = {r["id"]: (r["v"], r["region"]) for r in cur.collect()}
     assert got == {1: (10, None), 2: (20, "eu"), 3: (30, None),
                    9: (None, "us")}
+
+
+def test_update_columns_all_listed_agrees_with_full_row_on_unique_pk(
+    spark, tmp_path
+):
+    """ADVICE r14-documented pk-uniqueness contract, pinned where it is
+    testable: on a pk-UNIQUE table, the subset path listing EVERY
+    non-pk column must produce byte-identical state to the full-row
+    path — across random staging batches with updates, inserts, NULL
+    overwrites, and delete_when tombstones. (On duplicate-pk tables
+    the two paths diverge by documented design.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1414)
+    for trial in range(3):
+        seed_rows = [
+            (i, rng.randint(0, 9), rng.choice("abc")) for i in range(1, 8)
+        ]
+        staging_rows = [
+            (
+                rng.randint(1, 11),
+                rng.choice([rng.randint(10, 99), None]),
+                rng.choice(["x", "y", None]),
+                rng.choice(["U", "U", "D"]),
+            )
+            for _ in range(6)
+        ]
+        # MERGE assumes at most one staging row per key too
+        seen, staging_uniq = set(), []
+        for r in staging_rows:
+            if r[0] not in seen:
+                seen.add(r[0])
+                staging_uniq.append(r)
+
+        def run(update_columns):
+            path = _uri(
+                tmp_path, f"uc_vs_full_{trial}_{bool(update_columns)}"
+            )
+            snapshot_commit(
+                spark.createDataFrame(
+                    seed_rows, "id long, v long, tag string"
+                ),
+                path, stat_columns=["id"],
+            )
+            staging = spark.createDataFrame(
+                staging_uniq, "id long, v long, tag string, op string"
+            )
+            snapshot_merge(
+                spark, path, staging,
+                pk_columns=["id"],
+                when_matched="update", when_not_matched="insert",
+                delete_when=F.col("op") == "D",
+                update_columns=update_columns,
+            )
+            return {
+                r["id"]: (r["v"], r["tag"])
+                for r in snapshot_read(spark, path).collect()
+            }
+
+        assert run(["v", "tag"]) == run(None), (trial, staging_uniq)
