@@ -674,3 +674,112 @@ def test_expire_races_live_writers_with_grace(spark, tmp_path):
     assert any(s["expired"] for s in stats)
     hist = {r["snapshot_id"] for r in snapshot_history(spark, path).collect()}
     assert 5 in hist
+
+
+def _fault_every_step(spark, tmp_path, op_name, run_op, expect_after):
+    """Drive ``run_op`` with an injected IOError at the k-th TableFS
+    metadata mutation, for every k until a run completes fault-free.
+    After every injected crash the table must read at the OLD tip
+    (publish is the only visibility point) unless the fault landed in
+    post-publish cleanup (tip advanced — then the op's effect must be
+    COMPLETE); a fresh retry must then converge to ``expect_after``,
+    and GC must clean up without breaking the tip."""
+    from replicadb_spark import fs as fs_mod
+
+    muts = [
+        "mkdirs", "write_text", "rename_no_overwrite", "delete",
+        "put_if_absent",
+    ]
+    originals = {m: getattr(fs_mod.TableFS, m) for m in muts}
+    state = {"left": None}
+
+    def wrap(name, orig):
+        def inner(self, *a, **kw):
+            if state["left"] is not None:
+                if state["left"] <= 0:
+                    state["left"] = None
+                    raise IOError(f"injected fault at {name}")
+                state["left"] -= 1
+            return orig(self, *a, **kw)
+
+        return inner
+
+    for m in muts:
+        setattr(fs_mod.TableFS, m, wrap(m, originals[m]))
+    try:
+        k = 0
+        while True:
+            assert k < 80, f"{op_name}: fault sweep failed to terminate"
+            path = _uri(tmp_path, f"fault_{op_name}_{k}")
+            seed = [(1, 10), (2, 20)]
+            snapshot_commit(_df(spark, seed), path, stat_columns=["id"])
+            state["left"] = k
+            try:
+                run_op(path)
+            except IOError as e:
+                assert "injected fault" in str(e), e
+                state["left"] = None
+                got = {
+                    r["id"]: r["v"]
+                    for r in snapshot_read(spark, path).collect()
+                }
+                # atomicity: old tip intact, or (post-publish fault)
+                # the op fully applied — never a torn state
+                assert got in (dict(seed), expect_after), (k, got)
+                if got == dict(seed):
+                    run_op(path)  # recoverability: plain retry lands
+                got = {
+                    r["id"]: r["v"]
+                    for r in snapshot_read(spark, path).collect()
+                }
+                assert got == expect_after, (k, got)
+                # GC sweeps any crash orphans; tip stays readable
+                snapshot_expire(spark, path, keep_last=1)
+                assert {
+                    r["id"]: r["v"]
+                    for r in snapshot_read(spark, path).collect()
+                } == expect_after
+                k += 1
+            else:
+                state["left"] = None
+                # budget outlived the op: every metadata step was swept
+                got = {
+                    r["id"]: r["v"]
+                    for r in snapshot_read(spark, path).collect()
+                }
+                assert got == expect_after, (k, got)
+                return k
+    finally:
+        state["left"] = None
+        for m in muts:
+            setattr(fs_mod.TableFS, m, originals[m])
+
+
+def test_append_survives_fault_at_every_metadata_step(spark, tmp_path):
+    """r14 failure injection: crash an APPEND at every TableFS mutation
+    point in turn. Invariants per crash point: readers never see a
+    torn state (old tip until publish, whole new snapshot after), a
+    plain retry converges, and expire GCs the crash debris."""
+    steps = _fault_every_step(
+        spark, tmp_path, "append",
+        lambda p: snapshot_commit(
+            _df(spark, [(3, 30)]), p, stat_columns=["id"]
+        ),
+        {1: 10, 2: 20, 3: 30},
+    )
+    assert steps >= 2  # the sweep really exercised multiple fault points
+
+
+def test_upsert_survives_fault_at_every_metadata_step(spark, tmp_path):
+    """The COW path (victim rewrite + manifest swap) under the same
+    every-step crash sweep: a torn upsert would be the worst failure
+    (rows duplicated across old and rewritten files) — publish
+    atomicity must make every prefix crash invisible."""
+    steps = _fault_every_step(
+        spark, tmp_path, "upsert",
+        lambda p: snapshot_upsert(
+            spark, p, _df(spark, [(2, 22), (9, 90)]), pk_columns=["id"]
+        ),
+        {1: 10, 2: 22, 9: 90},
+    )
+    assert steps >= 2
