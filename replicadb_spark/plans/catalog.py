@@ -4595,20 +4595,25 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are immutable for the life of a process (TESTDATA.md), so a
 # process-scoped memo needs no fingerprint check; a fresh process gets
 # a fresh tempdir (removed at process exit), so no cross-process
-# staleness either. The lock makes the build once-per-process even
-# when catalog queries run from concurrent threads (a pipeline
-# service): without it two threads race the dict get and both pay the
-# derivation — wasteful, though never wrong (distinct tempdirs).
+# staleness either. The per-family lock makes the build once-per-
+# process even when catalog queries run from concurrent threads (a
+# pipeline service); the memo READ stays outside the lock (a hit must
+# never wait behind another family's multi-second build — atomic under
+# the GIL, and entries are write-once so a stale miss just takes the
+# lock and re-checks).
 import threading
 
-_LAYOUT_LOCK = threading.Lock()
+_COPURCHASE_LOCK = threading.Lock()
 _COPURCHASE_LAYOUTS: dict[str, str] = {}
 
 
 def _copurchase_layout(spark: SparkSession, sf_dir: str) -> str:
     from replicadb_spark.operators.graph import write_edge_layout
 
-    with _LAYOUT_LOCK:
+    path = _COPURCHASE_LAYOUTS.get(sf_dir)
+    if path is not None:
+        return path
+    with _COPURCHASE_LOCK:
         path = _COPURCHASE_LAYOUTS.get(sf_dir)
         if path is None:
             path = _spool_dir("copurchase_edges_")
@@ -4622,13 +4627,17 @@ def _copurchase_layout(spark: SparkSession, sf_dir: str) -> str:
 # cost of fuzzy_name_match (VERDICT r13 item 4) — materialize it once
 # per (process, sf_dir) as scan-ready parquet and let every match run
 # start at the signature equi-join
+_EDIT1_SIG_LOCK = threading.Lock()
 _EDIT1_SIG_LAYOUTS: dict[str, str] = {}
 
 
 def _edit1_sig_layout(spark: SparkSession, sf_dir: str) -> str:
     from replicadb_spark.operators.setsim import edit1_signatures
 
-    with _LAYOUT_LOCK:
+    path = _EDIT1_SIG_LAYOUTS.get(sf_dir)
+    if path is not None:
+        return path
+    with _EDIT1_SIG_LOCK:
         path = _EDIT1_SIG_LAYOUTS.get(sf_dir)
         if path is None:
             path = _spool_dir("edit1_sigs_")
@@ -5065,10 +5074,11 @@ def streaming_phrase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Twin #34 driven bounded against the FULL phrase oracle: the
     documents corpus is split into three parquet chunks and streamed
     one file per micro-batch through stream_phrase_counts, so the
-    ADDITIVE count merge (bootstrap + two incremental MERGE commits,
-    per-batch cost ∝ batch units) is what produces the ranked result —
-    not a single-batch shortcut. The score view over the final count
-    store must hash-match the same DuckDB SQL phrase_detection checks,
+    delta-log fold (one APPEND of batch counts per micro-batch, plus a
+    mid-stream COMPACTION collapsing the log — compact_every=2 fires
+    it on real data) is what produces the ranked result — not a
+    single-batch shortcut. The summed score view over the final store
+    must hash-match the same DuckDB SQL phrase_detection checks,
     proving streaming == batch on real corpus data at both SFs.
 
     Chunk assignment rides repartition's hash — batch composition is
@@ -5076,9 +5086,8 @@ def streaming_phrase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative, so ANY split must rank identically; a split-sensitive
     fold would fail the hash gate)."""
     from replicadb_spark.functions.text import phrase_scores_from_counts
-    from replicadb_spark.operators.snapshot_table import snapshot_read
     from replicadb_spark.streaming.pipeline import (
-        PHRASE_UNIGRAM_SENTINEL,
+        phrase_counts_view,
         stream_phrase_counts,
     )
 
@@ -5094,14 +5103,12 @@ def streaming_phrase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = _spool_dir("phrase_store_")
     q = stream_phrase_counts(
-        src, store, _spool_dir("phrase_ck_"), text_col="text"
+        src, store, _spool_dir("phrase_ck_"), text_col="text",
+        compact_every=2,
     )
     q.awaitTermination(300)
     scored = phrase_scores_from_counts(
-        snapshot_read(spark, store),
-        delta=5.0,
-        min_count=5,
-        unigram_sentinel=PHRASE_UNIGRAM_SENTINEL,
+        phrase_counts_view(spark, store), delta=5.0, min_count=5
     )
     return scored.orderBy(F.col("score").desc(), "w1", "w2").limit(20)
 

@@ -2436,10 +2436,21 @@ def stream_dedup_components(
     )
 
 
-# w2 value marking unigram rows in the streaming phrase-count store: a
-# MERGE pk cannot be NULL (NULL never equi-joins), and the tokenizer's
-# term_pattern can never emit an empty token, so '' is collision-free
-PHRASE_UNIGRAM_SENTINEL = ""
+def phrase_counts_view(spark: SparkSession, store_path: str) -> DataFrame:
+    """The summed (w1, w2, n) count table over a
+    :func:`stream_phrase_counts` store: the store holds per-batch
+    DELTA counts (plus periodic compactions), so the true count is
+    ``SUM(n)`` per unit — one map-side-combined aggregate over the
+    visible files. Feed the result to
+    ``functions.text.phrase_scores_from_counts`` (unigram rows carry
+    w2 = NULL, same as the batch operator)."""
+    from replicadb_spark.operators.snapshot_table import snapshot_read
+
+    return (
+        snapshot_read(spark, store_path)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("n"))
+    )
 
 
 def stream_phrase_counts(
@@ -2449,39 +2460,42 @@ def stream_phrase_counts(
     *,
     text_col: str = "text",
     term_pattern: str = "[a-z0-9]+",
+    compact_every: "int | None" = 16,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Twin #34: word2phrase collocation counts
     (functions/text.phrase_unit_counts — Mikolov et al. 2013)
     maintained CONTINUOUSLY as documents stream in. Unigram and
-    adjacent-bigram counts are exact integers and ADDITIVE, so each
-    micro-batch folds by plain addition: count the batch's unit
-    stream, add the stored counts for the batch's keys (one
-    broadcast-shaped left join against the store), and MERGE the sums
-    back — per-batch cost ∝ the batch's distinct units (victim-file
-    pruning), NEVER the historical corpus, which is the 100 TB
-    continuous-vocabulary shape. One atomic commit per batch with the
-    shared replay guard; every count-table state is time-traveled.
+    adjacent-bigram counts are exact integers and ADDITIVE, so the
+    store is an LSM-style DELTA log: each micro-batch APPENDS its own
+    (w1, w2, n) counts as one snapshot commit — per-batch write cost
+    ∝ the batch's distinct units, NEVER the historical vocabulary
+    (an in-place MERGE of a totals table cannot make that claim: with
+    string keys every file is a victim, so each batch would rewrite
+    the whole accumulated table — the r14 code review caught exactly
+    that in the first version of this twin). Reads sum the deltas
+    (:func:`phrase_counts_view` — one map-side-combined aggregate);
+    every ``compact_every`` batches the fold also collapses the log
+    into one summed table via an ``overwrite`` commit, so read
+    amplification is bounded by the compaction interval while the
+    rewrite cost amortizes to corpus/``compact_every`` per batch
+    (``None`` disables compaction). Unigram rows carry w2 = NULL
+    exactly like the batch operator — no sentinel encoding, no
+    term_pattern footguns.
 
-    Scores are a VIEW over the store:
-    ``phrase_scores_from_counts(snapshot_read(...), ...,
-    unigram_sentinel=PHRASE_UNIGRAM_SENTINEL)`` ranks identically to
-    the batch operator over the concatenated corpus — equal integer
-    counts feed the identical rounded-double arithmetic, so streaming
-    == batch value-for-value (tested per prefix). Unigram rows store
-    w2 = '' (:data:`PHRASE_UNIGRAM_SENTINEL`), not NULL: a NULL pk
-    never equi-joins in the MERGE.
-
-    A crash between computing the batch's sums and the commit replays
-    the batch; the guard skips batches the store already reflects, so
-    counts are never double-added (the commit IS the fold's only
-    publication point)."""
+    Streaming == batch value-for-value per prefix: summed deltas equal
+    one-shot counts (integer addition is associative/commutative,
+    batch composition is irrelevant), and the score view shares the
+    batch operator's arithmetic. One atomic commit per batch with the
+    shared replay guard (a replayed batch must not append its deltas
+    twice); compaction reuses the SAME commit's batch id, so a crash
+    between the append and its compaction replays into the guard and
+    the log stays exact — compaction is pure housekeeping, deferred to
+    the next interval."""
     from replicadb_spark.functions.text import phrase_unit_counts
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
         snapshot_commit,
-        snapshot_merge,
-        snapshot_read,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -2489,40 +2503,22 @@ def stream_phrase_counts(
         spark = batch_df.sparkSession
         arriving = phrase_unit_counts(
             batch_df, text_col, term_pattern=term_pattern
-        ).select(
-            "w1",
-            F.coalesce(F.col("w2"), F.lit(PHRASE_UNIGRAM_SENTINEL)).alias(
-                "w2"
-            ),
-            "n",
         )
-        if current_snapshot(store_path) is None:
+        snapshot_commit(arriving, store_path, meta={"batch_id": batch_id})
+        if (
+            compact_every is not None
+            and (current_snapshot(store_path) or 0) % compact_every == 0
+        ):
+            # collapse the delta log; lineage cut so the overwrite does
+            # not read the store it replaces mid-commit
             snapshot_commit(
-                arriving, store_path, meta={"batch_id": batch_id}
+                phrase_counts_view(spark, store_path).localCheckpoint(
+                    eager=True
+                ),
+                store_path,
+                mode="overwrite",
+                meta={"batch_id": batch_id},
             )
-            return
-        stored = snapshot_read(spark, store_path).select(
-            "w1", "w2", F.col("n").alias("_stored_n")
-        )
-        summed = (
-            arriving.join(stored, ["w1", "w2"], "left_outer")
-            .select(
-                "w1",
-                "w2",
-                (
-                    F.col("n") + F.coalesce(F.col("_stored_n"), F.lit(0))
-                ).alias("n"),
-            )
-            # cut the lineage: the merge staging must not re-read the
-            # store mid-commit (the stream_weighted_reservoir
-            # precedent)
-            .localCheckpoint(eager=True)
-        )
-        snapshot_merge(
-            spark, store_path, summed,
-            pk_columns=["w1", "w2"],
-            meta={"batch_id": batch_id},
-        )
 
     return _start_batches(
         source, checkpoint, apply_batch,

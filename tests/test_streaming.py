@@ -2451,12 +2451,16 @@ def test_weighted_reservoir_fold_drift_property(spark):
 
 
 def test_stream_phrase_counts_equals_batch(spark, tmp_path):
-    """Twin #34: the continuously-maintained collocation count table
-    equals batch phrase_scores over the concatenated corpus after
-    every batch (counts are additive integers; the score view shares
-    the batch operator's arithmetic) — checked on the final state AND
-    a time-traveled intermediate (the per-prefix guarantee), plus the
-    fresh-checkpoint replay guard."""
+    """Twin #34: the delta-log collocation count store (one APPEND of
+    batch counts per micro-batch + periodic compaction) equals batch
+    phrase_scores over the concatenated corpus after every batch —
+    checked on the final state AND a time-traveled intermediate (the
+    per-prefix guarantee), with compaction fired mid-stream
+    (compact_every=2) so the collapsed-log path is what's verified,
+    plus the fresh-checkpoint replay guard. Per-batch APPEND cost is
+    ∝ the batch's units — the store grows as a log, it is never
+    rewritten outside compaction (pinned: the per-batch commits are
+    'append')."""
     import os
     import time
 
@@ -2466,7 +2470,7 @@ def test_stream_phrase_counts_equals_batch(spark, tmp_path):
     )
     from replicadb_spark.operators.snapshot_table import (
         current_snapshot,
-        snapshot_read,
+        snapshot_history,
     )
     from replicadb_spark.streaming import pipeline as P
 
@@ -2497,21 +2501,38 @@ def test_stream_phrase_counts_equals_batch(spark, tmp_path):
             .parquet(str(src / "*"))
         )
         q = P.stream_phrase_counts(
-            stream, store, str(tmp_path / ck), text_col="text"
+            stream, store, str(tmp_path / ck), text_col="text",
+            compact_every=2,
         )
         q.awaitTermination(300)
 
     run("ck1")
     n_commits = current_snapshot(store)
-    assert n_commits >= 2  # bootstrap + at least one merge
+    assert n_commits >= 4  # 3 delta appends + ≥1 compaction overwrite
+    ops = [
+        (r["snapshot_id"], r["operation"])
+        for r in snapshot_history(spark, store).collect()
+    ]
+    # the per-batch commits are APPENDS (delta log — the store is never
+    # rewritten per batch); compaction is the only overwrite
+    assert ("1", "append") == tuple(map(str, ops[0])) or ops[0][1] == "append"
+    assert any(op == "overwrite" for _, op in ops)
+    assert sum(1 for _, op in ops if op == "append") == 3
 
     def scores_from(snapshot_id=None):
+        from replicadb_spark.operators.snapshot_table import snapshot_read
+
+        counts = (
+            snapshot_read(spark, store, snapshot_id=snapshot_id)
+            .groupBy("w1", "w2")
+            .agg(F.sum("n").alias("n"))
+            if snapshot_id is not None
+            else P.phrase_counts_view(spark, store)
+        )
         return {
             (r["w1"], r["w2"], r["n_pair"], r["score"])
             for r in phrase_scores_from_counts(
-                snapshot_read(spark, store, snapshot_id=snapshot_id),
-                delta=1.0, min_count=2,
-                unigram_sentinel=P.PHRASE_UNIGRAM_SENTINEL,
+                counts, delta=1.0, min_count=2
             ).collect()
         }
 
