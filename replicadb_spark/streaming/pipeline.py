@@ -2436,18 +2436,24 @@ def stream_dedup_components(
     )
 
 
-def phrase_counts_view(spark: SparkSession, store_path: str) -> DataFrame:
+def phrase_counts_view(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    snapshot_id: "int | None" = None,
+) -> DataFrame:
     """The summed (w1, w2, n) count table over a
     :func:`stream_phrase_counts` store: the store holds per-batch
     DELTA counts (plus periodic compactions), so the true count is
     ``SUM(n)`` per unit — one map-side-combined aggregate over the
-    visible files. Feed the result to
+    visible files. ``snapshot_id`` reads a time-traveled state (the
+    counts as of that commit). Feed the result to
     ``functions.text.phrase_scores_from_counts`` (unigram rows carry
     w2 = NULL, same as the batch operator)."""
     from replicadb_spark.operators.snapshot_table import snapshot_read
 
     return (
-        snapshot_read(spark, store_path)
+        snapshot_read(spark, store_path, snapshot_id=snapshot_id)
         .groupBy("w1", "w2")
         .agg(F.sum("n").alias("n"))
     )

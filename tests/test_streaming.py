@@ -2520,19 +2520,11 @@ def test_stream_phrase_counts_equals_batch(spark, tmp_path):
     assert sum(1 for _, op in ops if op == "append") == 3
 
     def scores_from(snapshot_id=None):
-        from replicadb_spark.operators.snapshot_table import snapshot_read
-
-        counts = (
-            snapshot_read(spark, store, snapshot_id=snapshot_id)
-            .groupBy("w1", "w2")
-            .agg(F.sum("n").alias("n"))
-            if snapshot_id is not None
-            else P.phrase_counts_view(spark, store)
-        )
         return {
             (r["w1"], r["w2"], r["n_pair"], r["score"])
             for r in phrase_scores_from_counts(
-                counts, delta=1.0, min_count=2
+                P.phrase_counts_view(spark, store, snapshot_id=snapshot_id),
+                delta=1.0, min_count=2,
             ).collect()
         }
 
