@@ -36,15 +36,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # first 50 in registration order). queries() therefore orders the dict
 # explicitly, on a strict 3-round rotation so no query goes more than
 # 2 rounds without a fresh driver row (arithmetic: ROUND5.md §Round-6
-# gate plan; r14 executes ROUND13.md's "Round-14 gate plan" verbatim):
-#   r14 FIRST = the 50 r11-gated queries (last fresh driver row r11 —
-#   exactly 2 intermediate rounds stale at r14, never 3; each carried a
+# gate plan; r15 executes ROUND14.md's "Round-15 gate plan" verbatim):
+#   r15 FIRST = the 50 r12-gated queries (last fresh driver row r12 —
+#   exactly 2 intermediate rounds stale at r15, never 3; each carried a
 #   green local-replica row every round in between).
-#   r14 LAST = the 50 r13-gated queries (r13 rows — they re-gate in
-#   r16) and the 50 r12-gated queries (r12 rows; they become the r15
+#   r15 LAST = the 50 r14-gated queries (r14 rows — they re-gate in
+#   r17) and the 50 r13-gated queries (r13 rows; they become the r16
 #   window), then the local-evidence gates.
 _GATE_FIRST = (
-    # r11-gated, last fresh driver row r11 — zeroing the stale tail
+    # r12-gated, last fresh driver row r12 — zeroing the stale tail
+    "dedup_simhash", "ann_lsh", "ann_ivf", "ann_ivfpq",
+    "approx_distinct_gate", "approx_percentile_gate",
+    "streaming_dedup_state", "text_winnowing",
+    "multimodal_frame_sample", "zorder_curve_ids",
+    "shard_pack_chars", "sample_stratified_hash",
+    "sample_weighted_mix", "global_rank_customers",
+    "events_transition_matrix",
+    "mad_approx_gate", "shard_pack_tokens", "cdc_apply_changelog",
+    "tfidf_cosine_neardup", "corpus_mix_report",
+    "source_token_budget_sample", "label_centroid_cosine",
+    "vocab_growth_by_source", "twap_by_user",
+    "equidepth_histogram_value", "winsorized_stats_by_type",
+    "source_overlap_matrix", "chunk_dedup_rebuild", "semantic_dedup_gate",
+    "emb_int8_quant_gate", "kmv_setops_gate", "psi_value_drift",
+    "curriculum_interleave", "emb_whiten_gate", "knn_label_mrr",
+    "scd2_point_in_time_join", "sample_cap_per_user",
+    "time_multigrain_rollup", "purchase_attribution", "kmv_rollup_gate",
+    "customer_rfm_segments", "revenue_pareto_cut", "rolling_wau",
+    "attribution_linear_credit", "returns_rate_wilson_ci",
+    "dq_rules_orders", "join_strategy_advisor", "dow_seasonality_events",
+    "user_feature_hash", "copurchase_degree_profile",
+)
+_GATE_LAST = (
+    # r14-gated queries (fresh r14 rows) — re-gate in r17
     "basket_jaccard_customers", "copurchase_triangles",
     "user_entropy_profile", "daily_trend_regression",
     "timeseries_gapfill", "interval_coalesce_user", "fuzzy_name_match",
@@ -68,9 +92,7 @@ _GATE_FIRST = (
     "events_interval_overlap", "value_histogram_events",
     "repl_incremental_upsert", "dedup_minhash_lsh",
     "q7_nation_volume", "q18_large_orders",
-)
-_GATE_LAST = (
-    # r13-gated queries (fresh r13 rows) — re-gate in r16
+    # r13-gated queries (fresh r13 rows) — become the r16 window
     "dedup_containment", "schema_drift_union",
     "tfidf_top_terms", "unigram_prob_score", "docs_novelty_ratio",
     "events_top_paths", "integrity_check_orders",
@@ -94,28 +116,6 @@ _GATE_LAST = (
     "global_topk_orders", "dedup_keep_latest",
     "json_extract_props", "pivot_priority_by_segment",
     "median_balance_by_nation", "window_top_customers", "events_tumbling_agg",
-    # r12-gated queries (fresh r12 rows) — become the r15 window
-    "dedup_simhash", "ann_lsh", "ann_ivf", "ann_ivfpq",
-    "approx_distinct_gate", "approx_percentile_gate",
-    "streaming_dedup_state", "text_winnowing",
-    "multimodal_frame_sample", "zorder_curve_ids",
-    "shard_pack_chars", "sample_stratified_hash",
-    "sample_weighted_mix", "global_rank_customers",
-    "events_transition_matrix",
-    "mad_approx_gate", "shard_pack_tokens", "cdc_apply_changelog",
-    "tfidf_cosine_neardup", "corpus_mix_report",
-    "source_token_budget_sample", "label_centroid_cosine",
-    "vocab_growth_by_source", "twap_by_user",
-    "equidepth_histogram_value", "winsorized_stats_by_type",
-    "source_overlap_matrix", "chunk_dedup_rebuild", "semantic_dedup_gate",
-    "emb_int8_quant_gate", "kmv_setops_gate", "psi_value_drift",
-    "curriculum_interleave", "emb_whiten_gate", "knn_label_mrr",
-    "scd2_point_in_time_join", "sample_cap_per_user",
-    "time_multigrain_rollup", "purchase_attribution", "kmv_rollup_gate",
-    "customer_rfm_segments", "revenue_pareto_cut", "rolling_wau",
-    "attribution_linear_credit", "returns_rate_wilson_ci",
-    "dq_rules_orders", "join_strategy_advisor", "dow_seasonality_events",
-    "user_feature_hash", "copurchase_degree_profile",
     # local-evidence entries (past the 150 rotation ceiling —
     # ROUND6.md): self-checking approx-vs-exact gates whose booleans
     # flip on any divergence, plus the bounded streaming as-of twin

@@ -49,16 +49,16 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r14_window_is_the_r11_block():
-    """The r14 rotation (ROUND13.md "Round-14 gate plan", executed
-    verbatim): the driver window is exactly the 50 r11-gated queries,
+def test_r15_window_is_the_r12_block():
+    """The r15 rotation (ROUND14.md "Round-15 gate plan", executed
+    verbatim): the driver window is exactly the 50 r12-gated queries,
     bounded by its prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "basket_jaccard_customers"
-    assert E._GATE_FIRST[-1] == "q18_large_orders"
-    assert "fuzzy_name_match" in E._GATE_FIRST
-    # the two blocks that rotated out sit in _GATE_LAST in r16/r15 order
-    assert E._GATE_LAST[0] == "dedup_containment"  # r13-gated block
-    assert E._GATE_LAST[50] == "dedup_simhash"     # r12-gated block
+    assert E._GATE_FIRST[0] == "dedup_simhash"
+    assert E._GATE_FIRST[-1] == "copurchase_degree_profile"
+    assert "cdc_apply_changelog" in E._GATE_FIRST
+    # the two blocks that rotated out sit in _GATE_LAST in r17/r16 order
+    assert E._GATE_LAST[0] == "basket_jaccard_customers"  # r14-gated block
+    assert E._GATE_LAST[50] == "dedup_containment"        # r13-gated block
     assert E._GATE_LAST[-29:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
