@@ -386,8 +386,16 @@ def main() -> int:
         "residual_caches": residual_caches,
         "sf": sf,
     }
+    # The committed BENCH_LOCAL.json is the round's QUIET-HOST close-out
+    # evidence; the driver's own per-round bench run used to overwrite
+    # it (VERDICT r14 item 2), destroying the audit trail. Driver/ad-hoc
+    # runs now land in BENCH_DRIVER.json (gitignored-equivalent scratch);
+    # the close-out sidecar is written only on an explicit --sidecar run.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+    sidecar_name = (
+        "BENCH_LOCAL.json" if "--sidecar" in sys.argv else "BENCH_DRIVER.json"
+    )
+    with open(os.path.join(here, sidecar_name), "w") as f:
         json.dump(sidecar, f, indent=1)
         f.write("\n")
 
@@ -413,7 +421,7 @@ def main() -> int:
             "recall": {k: v["ok"] for k, v in recall.items()},
             "probes": probes,
             "sf": sf,
-            "sidecar": "BENCH_LOCAL.json",
+            "sidecar": sidecar_name,
         }, separators=(",", ":"))
 
     by_cost = sorted(timings, key=timings.get, reverse=True)

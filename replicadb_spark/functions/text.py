@@ -751,20 +751,15 @@ def phrase_scores_from_counts(
     *,
     delta: float = 5.0,
     min_count: int = 5,
-    unigram_sentinel: "str | None" = None,
 ) -> "DataFrame":
     """word2phrase scores from an already-materialized (w1, w2, n)
     count table (:func:`phrase_unit_counts` or the streaming store):
     the arithmetic tail of :func:`phrase_scores`, shared so the batch
-    operator and the incremental maintainer rank IDENTICALLY.
-    ``unigram_sentinel`` names the w2 value marking unigram rows —
-    NULL by default; the snapshot store uses '' because a NULL pk
-    column cannot equi-join in a MERGE."""
-    is_uni = (
-        F.col("w2").isNull()
-        if unigram_sentinel is None
-        else F.col("w2") == unigram_sentinel
-    )
+    operator and the incremental maintainer rank IDENTICALLY. Unigram
+    rows carry w2 = NULL in both producers — the streaming store is an
+    append-only delta log (no MERGE pk equi-join to work around), so
+    no sentinel encoding exists anywhere."""
+    is_uni = F.col("w2").isNull()
     uc = counts.where(is_uni).select(
         F.col("w1").alias("w"), F.col("n").alias("c")
     )

@@ -86,6 +86,19 @@ def _gate_spool(df: DataFrame, prefix: str) -> DataFrame:
     return df.sparkSession.read.parquet(out)
 
 
+def _await_drained(q, timeout: int = 300) -> None:
+    """Wait for a bounded (AvailableNow) streaming query to drain.
+    ``awaitTermination`` returns False on timeout with the query still
+    running — a gate that ignores that reads a half-folded store and
+    turns a slow host into a nondeterministic hash mismatch (ADVICE
+    r14). Stop the straggler and fail loudly instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"bounded streaming query failed to drain in {timeout}s"
+        )
+
+
 # =========================================================================
 # Replication-core queries (SURVEY §2.1/§2.3/§2.4 semantics over parquet)
 # =========================================================================
@@ -2175,7 +2188,7 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -5106,7 +5119,7 @@ def streaming_phrase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, store, _spool_dir("phrase_ck_"), text_col="text",
         compact_every=2,
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     scored = phrase_scores_from_counts(
         phrase_counts_view(spark, store), delta=5.0, min_count=5
     )
@@ -7872,7 +7885,7 @@ def streaming_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name).select(
         "event_id",
         "user_id",
@@ -7938,7 +7951,7 @@ def streaming_dq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="strm_dq_")
     try:
         q = stream_dq_monitor(src, f"{work}/state", f"{work}/ckpt", rules=rules)
-        q.awaitTermination(300)
+        _await_drained(q)
         # dq_report materializes the state into local rows, so the
         # working dir can go away before the frame is consumed
         return dq_report(spark, f"{work}/state", rules)

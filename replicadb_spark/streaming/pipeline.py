@@ -2481,13 +2481,29 @@ def stream_phrase_counts(
     the whole accumulated table — the r14 code review caught exactly
     that in the first version of this twin). Reads sum the deltas
     (:func:`phrase_counts_view` — one map-side-combined aggregate);
-    every ``compact_every`` batches the fold also collapses the log
-    into one summed table via an ``overwrite`` commit, so read
-    amplification is bounded by the compaction interval while the
-    rewrite cost amortizes to corpus/``compact_every`` per batch
-    (``None`` disables compaction). Unigram rows carry w2 = NULL
-    exactly like the batch operator — no sentinel encoding, no
-    term_pattern footguns.
+    after every ``compact_every``-th ADMITTED append the fold also
+    collapses the log into one summed table via an ``overwrite``
+    commit, so read amplification is bounded by the compaction
+    interval while the rewrite cost amortizes to
+    corpus/``compact_every`` per batch (``None`` disables compaction).
+    The trigger counts admitted appends since the last compaction —
+    NOT the snapshot id, which compaction's own overwrite commit
+    advances (a snapshot-id trigger fires every ``compact_every - 1``
+    batches, degenerating at 2 into a full rewrite per batch). Unigram
+    rows carry w2 = NULL exactly like the batch operator — no sentinel
+    encoding, no term_pattern footguns.
+
+    Compaction spills the summed view to a scratch dir under the store
+    (``compact-scratch``) and overwrite-commits the read-back scan —
+    the durable two-phase shape: a 100 TB vocabulary streams through
+    executor tasks twice instead of being pinned whole in
+    non-reliable executor storage mid-commit (the earlier
+    ``localCheckpoint(eager=True)`` form, VERDICT r14 item 3). A crash
+    between spill and overwrite leaves the delta log intact and the
+    scratch dir overwritten by the next interval; a crash after the
+    commit leaves only a scratch orphan, invisible to reads and GC
+    (both walk ``data/snap-*`` manifests only) and reclaimed at the
+    next compaction's spill.
 
     Streaming == batch value-for-value per prefix: summed deltas equal
     one-shot counts (integer addition is associative/commutative,
@@ -2497,12 +2513,13 @@ def stream_phrase_counts(
     twice); compaction reuses the SAME commit's batch id, so a crash
     between the append and its compaction replays into the guard and
     the log stays exact — compaction is pure housekeeping, deferred to
-    the next interval."""
+    the next interval (a restart also resets the admitted-append
+    counter, deferring by at most one interval more)."""
+    from replicadb_spark.fs import TableFS, join
     from replicadb_spark.functions.text import phrase_unit_counts
-    from replicadb_spark.operators.snapshot_table import (
-        current_snapshot,
-        snapshot_commit,
-    )
+    from replicadb_spark.operators.snapshot_table import snapshot_commit
+
+    appended_since_compact = [0]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # empty + replay admission handled by _start_batches
@@ -2511,20 +2528,24 @@ def stream_phrase_counts(
             batch_df, text_col, term_pattern=term_pattern
         )
         snapshot_commit(arriving, store_path, meta={"batch_id": batch_id})
+        appended_since_compact[0] += 1
         if (
             compact_every is not None
-            and (current_snapshot(store_path) or 0) % compact_every == 0
+            and appended_since_compact[0] >= compact_every
         ):
-            # collapse the delta log; lineage cut so the overwrite does
-            # not read the store it replaces mid-commit
+            # collapse the delta log: reliable spill, then overwrite
+            scratch = join(store_path, "compact-scratch")
+            phrase_counts_view(spark, store_path).write.mode(
+                "overwrite"
+            ).parquet(scratch)
             snapshot_commit(
-                phrase_counts_view(spark, store_path).localCheckpoint(
-                    eager=True
-                ),
+                spark.read.parquet(scratch),
                 store_path,
                 mode="overwrite",
                 meta={"batch_id": batch_id},
             )
+            TableFS(spark, store_path).delete(scratch, recursive=True)
+            appended_since_compact[0] = 0
 
     return _start_batches(
         source, checkpoint, apply_batch,

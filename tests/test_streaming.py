@@ -2515,9 +2515,16 @@ def test_stream_phrase_counts_equals_batch(spark, tmp_path):
     ]
     # the per-batch commits are APPENDS (delta log — the store is never
     # rewritten per batch); compaction is the only overwrite
-    assert ("1", "append") == tuple(map(str, ops[0])) or ops[0][1] == "append"
+    assert (int(ops[0][0]), ops[0][1]) == (1, "append")
     assert any(op == "overwrite" for _, op in ops)
     assert sum(1 for _, op in ops if op == "append") == 3
+    # counter-based trigger: 3 admitted appends at compact_every=2 fire
+    # exactly ONE compaction (after the 2nd append) — the snapshot-id
+    # trigger this replaced fired after every batch from the second on
+    assert sum(1 for _, op in ops if op == "overwrite") == 1
+    assert [op for _, op in sorted(ops, key=lambda t: int(t[0]))] == [
+        "append", "append", "overwrite", "append",
+    ]
 
     def scores_from(snapshot_id=None):
         return {
@@ -2548,6 +2555,123 @@ def test_stream_phrase_counts_equals_batch(spark, tmp_path):
 
     run("ck2")  # fresh checkpoint: the replay guard skips every batch
     assert current_snapshot(store) == n_commits
+
+
+def test_stream_phrase_counts_crash_between_spill_and_compact(
+    spark, tmp_path, monkeypatch
+):
+    """Twin #34 compaction is two-phase: spill the summed view to the
+    store's scratch dir, then overwrite-commit the read-back scan
+    (VERDICT r14 item 3 — no localCheckpoint pinning the vocabulary in
+    non-reliable executor storage). A crash injected BETWEEN the spill
+    and the overwrite commit must leave (a) the delta log intact and
+    exact, (b) the scratch dir invisible to reads (its summed rows
+    would double-count if a reader saw them), and (c) a clean recovery:
+    resuming the stream replays nothing, folds the remaining batches,
+    and the next compaction interval overwrites the orphan scratch and
+    collapses the log."""
+    import os
+    import time
+
+    from replicadb_spark.functions.text import (
+        phrase_scores,
+        phrase_scores_from_counts,
+    )
+    from replicadb_spark.operators import snapshot_table as ST
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        [(1, "new york new york is new york"), (2, "a brand new day in york")],
+        [(3, "new york again and again"), (4, "solo")],
+        [(5, "york new york new day"), (6, "the day is new")],
+        [(7, "new york wins the day"), (8, "york again")],
+    ]
+    src = tmp_path / "phrase_crash_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        time.sleep(1.05)
+        for f in (src / f"b{i}").iterdir():
+            os.utime(f)
+
+    store = str(tmp_path / "phrase_crash_store")
+    scratch = os.path.join(store, "compact-scratch")
+    ck = str(tmp_path / "phrase_crash_ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = P.stream_phrase_counts(
+            stream, store, ck, text_col="text", compact_every=2,
+        )
+        try:
+            q.awaitTermination(300)
+            return None
+        except Exception as e:  # foreachBatch failure surfaces here
+            return e
+
+    real_commit = ST.snapshot_commit
+
+    def crash_on_overwrite(df, path, **kw):
+        if kw.get("mode") == "overwrite":
+            raise RuntimeError("injected crash before the compaction commit")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(ST, "snapshot_commit", crash_on_overwrite)
+    err = run()
+    assert err is not None and "injected crash" in str(err)
+    monkeypatch.setattr(ST, "snapshot_commit", real_commit)
+
+    def history_ops():
+        return sorted(
+            (
+                (int(r["snapshot_id"]), r["operation"])
+                for r in ST.snapshot_history(spark, store).collect()
+            )
+        )
+
+    # (a)+(b): batch 1's append landed before the crash; the spill is on
+    # disk but unpublished — reads over the delta log stay exact
+    assert [op for _, op in history_ops()] == ["append", "append"]
+    assert os.path.isdir(scratch)
+
+    def scores_from():
+        return {
+            (r["w1"], r["w2"], r["n_pair"], r["score"])
+            for r in phrase_scores_from_counts(
+                P.phrase_counts_view(spark, store), delta=1.0, min_count=2
+            ).collect()
+        }
+
+    def batch_scores(n_batches):
+        flat = [r for b in batches[:n_batches] for r in b]
+        df = spark.createDataFrame(flat, "doc_id long, text string")
+        out = {
+            (r["w1"], r["w2"], r["n_pair"], r["score"])
+            for r in phrase_scores(df, "text", delta=1.0, min_count=2).collect()
+        }
+        from replicadb_spark.cache import release_caches
+
+        release_caches(spark)
+        return out
+
+    assert scores_from() == batch_scores(2)
+
+    # (c): resume on the SAME checkpoint — the redelivered batch is
+    # guard-skipped, batches 3-4 fold in, and their compaction interval
+    # overwrites the orphan scratch, commits, and removes it
+    assert run() is None
+    ops = history_ops()
+    assert [op for _, op in ops] == [
+        "append", "append", "append", "append", "overwrite",
+    ]
+    assert not os.path.exists(scratch)
+    assert scores_from() == batch_scores(4)
 
 
 def test_stream_dedup_components_equals_batch(spark, tmp_path):
