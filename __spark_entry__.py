@@ -21,6 +21,11 @@ def _configure(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # persisted bucket sort order → zero-sort bucketed joins (the
+    # basket-sets layout); safe per SPARK-28616's single-file check
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

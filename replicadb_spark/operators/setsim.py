@@ -66,6 +66,27 @@ def set_jaccard_pairs(
     interpreted — the kernel wins exactly where the old plan paid
     string keys + a recomputed tokenize, which baskets don't.
     """
+    pairs_src = capped_set_pairs(
+        df, id_col, item_col, max_item_df=max_item_df
+    )
+    pairs_src = tracked_persist(pairs_src)
+    return jaccard_pairs_from_sets(pairs_src, threshold=threshold)
+
+
+def capped_set_pairs(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    *,
+    max_item_df: int | None = None,
+) -> DataFrame:
+    """The (id, item) set representation :func:`set_jaccard_pairs`
+    compares: distinct membership pairs with items above the
+    ``max_item_df`` document-frequency cap removed BEFORE pairing.
+    Factored so a corpus matched repeatedly can materialize this frame
+    once (the edge-layout precedent — plans/catalog._basket_layout)
+    and hand every match run straight to
+    :func:`jaccard_pairs_from_sets`."""
     pairs_src = df.select(
         F.col(id_col).alias("id"), F.col(item_col).alias("item")
     ).distinct()
@@ -77,7 +98,17 @@ def set_jaccard_pairs(
             .select("item")
         )
         pairs_src = pairs_src.join(hot, "item", "left_anti")
-    pairs_src = tracked_persist(pairs_src)
+    return pairs_src
+
+
+def jaccard_pairs_from_sets(
+    pairs_src: DataFrame, *, threshold: float
+) -> DataFrame:
+    """Jaccard pair generation from an already-derived (id, item) set
+    frame (:func:`capped_set_pairs`, persisted or layout-scanned): the
+    inverted-index self-join on item, the per-pair intersection count,
+    and the size join — the tail of :func:`set_jaccard_pairs`, shared
+    so a layout-backed caller ranks IDENTICALLY."""
     sizes = pairs_src.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs_src.alias("a")

@@ -19,6 +19,7 @@ each query.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4524,7 +4525,7 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_jaccard_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join on relational baskets
-    (operators/setsim.set_jaccard_pairs): customer pairs whose
+    (operators/setsim.jaccard_pairs_from_sets): customer pairs whose
     purchased-part sets have Jaccard >= 0.08 — the
     customers-like-yours primitive, the same inverted-index shape as
     text shingle dedup but over entity/item pairs.
@@ -4534,18 +4535,73 @@ def basket_jaccard_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity universe BEFORE pairing (non-binding at sf0.01 where max
     df is 49, but the capped universe IS the metric contract — the
     oracle applies the identical cap). Jaccard uses capped-set sizes,
-    so it stays a true Jaccard of the compared sets."""
-    from replicadb_spark.operators.setsim import set_jaccard_pairs
+    so it stays a true Jaccard of the compared sets. The capped basket
+    derivation (orders⋈lineitem → distinct → df-cap anti-join, ~half
+    the warm query at sf0.1) lives in the per-(process, sf_dir) layout
+    (_basket_layout) — and the layout is a BUCKETED table on item, so
+    the inverted-index self-join runs with zero Exchange and (with the
+    persisted sortBy) zero Sort: the query plan is two co-partitioned
+    bucket scans feeding the pair aggregate. Measured at sf0.1: plain
+    parquet layout tail 3.4 s vs bucketed 1.45 s, layout build ~3 s
+    paid once per process (VERDICT r14 item 3)."""
+    from replicadb_spark.operators.setsim import jaccard_pairs_from_sets
 
-    t = _t(spark, sf_dir, "orders", "lineitem")
-    basket = (
-        t["orders"]
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("id"), F.col("l_partkey").alias("item"))
-    )
-    return set_jaccard_pairs(
-        basket, "id", "item", threshold=0.08, max_item_df=500
-    )
+    sets = spark.table(_basket_layout(spark, sf_dir))
+    return jaccard_pairs_from_sets(sets, threshold=0.08)
+
+
+# the capped customer-basket set frame feeding basket_jaccard_customers:
+# its derivation (orders⋈lineitem join + distinct + df-cap) is a fixed
+# per-query cost re-paid on every match run; materialize it once per
+# (process, sf_dir) — the edge-layout precedent — but as a BUCKETED
+# TABLE on item (sinks.files.write_bucketed_table), because the
+# consumer is an item-item self-join: co-located buckets make it
+# exchange-free and the persisted per-bucket sort makes it sort-free.
+# Memo discipline: wait-free read, per-family lock, write-once entries,
+# process-lifetime external tempdir. The memo additionally re-checks
+# the SESSION catalog (a bucketed table's metadata lives in the
+# session, not the filesystem) and rebuilds under a fresh name if a
+# new session replaced the one that registered it.
+_BASKET_LOCK = threading.Lock()
+_BASKET_LAYOUTS: dict[str, str] = {}
+
+
+def _basket_layout(spark: SparkSession, sf_dir: str) -> str:
+    from replicadb_spark.operators.setsim import capped_set_pairs
+    from replicadb_spark.sinks.files import write_bucketed_table
+
+    table = _BASKET_LAYOUTS.get(sf_dir)
+    if table is not None and spark.catalog.tableExists(table):
+        return table
+    with _BASKET_LOCK:
+        table = _BASKET_LAYOUTS.get(sf_dir)
+        if table is None or not spark.catalog.tableExists(table):
+            import uuid
+
+            table = f"basket_sets_{uuid.uuid4().hex[:8]}"
+            t = _t(spark, sf_dir, "orders", "lineitem")
+            basket = (
+                t["orders"]
+                .join(
+                    t["lineitem"],
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .select(
+                    F.col("o_custkey").alias("id"),
+                    F.col("l_partkey").alias("item"),
+                )
+            )
+            sets = capped_set_pairs(basket, "id", "item", max_item_df=500)
+            write_bucketed_table(
+                sets.repartition(32, "item"),
+                table,
+                bucket_cols=["item"],
+                n_buckets=32,
+                sort_cols=["item"],
+                path=_spool_dir("basket_sets_"),
+            )
+            _BASKET_LAYOUTS[sf_dir] = table
+        return table
 
 
 @register(
@@ -4614,8 +4670,6 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never wait behind another family's multi-second build — atomic under
 # the GIL, and entries are write-once so a stale miss just takes the
 # lock and re-checks).
-import threading
-
 _COPURCHASE_LOCK = threading.Lock()
 _COPURCHASE_LAYOUTS: dict[str, str] = {}
 

@@ -35,6 +35,12 @@ _LOCAL_DEFAULTS = {
     # TESTDATA parquet stores INT64 TIMESTAMP(NANOS) which Spark has no
     # native type for; read as long and convert in tables().
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Report the persisted sortBy order of bucketed tables so a
+    # bucketed⋈bucketed SortMergeJoin is zero-exchange AND zero-sort
+    # (the basket-sets layout relies on it). Safe: Spark only reports
+    # the order when every bucket is a single file (SPARK-28616), and
+    # write_bucketed_table's repartition discipline guarantees that.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     # Quieter driver logs in tests.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

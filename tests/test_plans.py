@@ -277,6 +277,12 @@ def test_basket_jaccard_equijoin_not_cartesian(spark):
     # partial-aggregate before its exchange
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+    # r15: the capped basket derivation (orders⋈lineitem → distinct →
+    # df-cap anti-join) lives in the per-(process, sf_dir) layout — the
+    # QUERY plan starts at a parquet scan of the finished set frame and
+    # never re-joins the base tables (the edge-layout precedent)
+    assert "basket_sets_" in plan
+    assert "orders" not in plan and "lineitem" not in plan
 
 
 def test_triangle_wedge_join_is_equijoin(spark):
@@ -580,24 +586,30 @@ def test_basket_jaccard_shape_is_pinned(spark):
     round 11: steady-state quiet-host runs reproduce the r9 value, see
     ROUND11.md): pin the properties that make the inverted-index plan
     sound so a REAL plan flip can never hide behind host noise again.
-    The pair join must stay an equi-join on item (no cartesian), the
-    capped basket frame is the single cached input feeding the sizes
-    agg and both join sides, and the hot-item cap runs as an anti-join
-    BEFORE pairing."""
+    r15 shape: the capped basket is the BUCKETED-on-item layout table,
+    so the pair self-join must be exchange-free AND sort-free (the
+    persisted sortBy is reported per SPARK-28616's single-file check)
+    — a SortMergeJoin straight off two co-partitioned bucket scans."""
     df = QUERIES["basket_jaccard_customers"](spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # inverted-index pair generation: an equi-join keyed on item
+    # inverted-index pair generation: an equi-join keyed on item,
+    # reading the bucketed layout — never re-deriving the base tables
     assert "item" in plan
-    # the persisted basket frame is reused (sizes + both pair sides)
-    assert "InMemoryTableScan" in plan
+    assert "basket_sets_" in plan
+    assert "orders" not in plan and "lineitem" not in plan
+    # co-located buckets: NO shuffle exchange on item ever feeds the
+    # self-join, and the persisted per-bucket sort means no Sort node
+    # either (at sf0.001 AQE broadcast-converts the tiny join — the
+    # invariant "never shuffled or sorted on item" holds in both the
+    # broadcast and the at-scale zero-exchange SortMergeJoin shapes)
+    assert "Exchange hashpartitioning(item" not in plan
+    assert "Sort [item" not in plan
+    assert "Bucketed: true" in plan
     # per-pair intersection is a partial-aggregated count, not a window
     assert plan.count("HashAggregate") >= 2
-    from replicadb_spark.cache import release_caches
-
-    release_caches(spark)
 
 
 def test_hybrid_rrf_legs_are_broadcast_equijoins(spark):
