@@ -219,6 +219,14 @@ def snapshot_schema(path: str, snapshot_id: "int | None" = None):
 _OCC_RETRIES = 5
 
 
+class ConcurrentCommitError(IOError):
+    """A commit carrying an ``expect_parent`` precondition found the
+    table tip moved past it — the state the commit's data was derived
+    from is no longer the latest. The caller decides: recompute from
+    the new tip and retry, or (for pure housekeeping like delta-log
+    compaction, where the un-compacted table is still exact) skip."""
+
+
 def _commit_token() -> str:
     """Uniquifier for one commit ATTEMPT's write locations (data dir,
     manifest dir). Two concurrent writers derive the same next snapshot
@@ -276,11 +284,24 @@ def snapshot_commit(
     mode: str = "append",
     meta: "dict | None" = None,
     evolve: bool = False,
+    expect_parent: "int | None" = None,
 ) -> int:
     """Commit ``df`` as the next snapshot; returns the snapshot id.
     ``mode='append'`` adds to the parent's visible set,
     ``'overwrite'`` logically replaces it (parent files stay on disk
-    for time travel until expired). ``meta`` keys are stored in the
+    for time travel until expired).
+
+    ``expect_parent`` is a compare-and-swap precondition: the commit
+    publishes ONLY if the table tip still equals that snapshot id, and
+    raises :class:`ConcurrentCommitError` otherwise (checked before
+    the data write AND again on every lost publish race). Without it,
+    an ``overwrite`` that loses a race to a concurrent append retries
+    with its own (now stale) content and silently erases the appended
+    batch — last-writer-wins is correct for a true "replace the table"
+    but a LOST UPDATE for any overwrite whose content was DERIVED from
+    a specific snapshot (delta-log compaction summing snapshots 1..k
+    must not clobber a racing append of batch k+1). Derived
+    overwrites must pass the snapshot id they read. ``meta`` keys are stored in the
     commit record — stream_snapshot_ingest uses this to persist the
     micro-batch id that makes replays exactly-once.
 
@@ -302,6 +323,12 @@ def snapshot_commit(
     fs = TableFS(spark, path)
     ids = _snap_ids(fs)
     parent = ids[-1] if ids else None
+    if expect_parent is not None and parent != expect_parent:
+        raise ConcurrentCommitError(
+            f"snapshot_commit: expected to publish on snapshot "
+            f"{expect_parent} but the tip is {parent} — the derived "
+            "content is stale; recompute from the new tip or skip"
+        )
     if parent is not None:
         _refuse_bucketed(path, parent, "snapshot_commit")
     table_schema = _nullable(df.schema)
@@ -351,6 +378,18 @@ def snapshot_commit(
             return snap_id
         fs.delete(mpath, recursive=True)  # orphaned loser manifest
         parent = _snap_ids(fs)[-1]
+        if expect_parent is not None:
+            # the lost race IS the tip moving past the precondition —
+            # never republish derived content over the winner's commit.
+            # This attempt's (unpublished) data files are reclaimed now
+            # rather than waiting for expire's orphan GC.
+            fs.delete(data_dir, recursive=True)
+            raise ConcurrentCommitError(
+                f"snapshot_commit: a concurrent commit advanced the "
+                f"tip past expected snapshot {expect_parent} (now "
+                f"{parent}) — the derived content is stale; recompute "
+                "from the new tip or skip"
+            )
         snap_id = parent + 1
         if mode == "append":
             prev_schema = snapshot_schema(path, parent)

@@ -2517,7 +2517,11 @@ def stream_phrase_counts(
     counter, deferring by at most one interval more)."""
     from replicadb_spark.fs import TableFS, join
     from replicadb_spark.functions.text import phrase_unit_counts
-    from replicadb_spark.operators.snapshot_table import snapshot_commit
+    from replicadb_spark.operators.snapshot_table import (
+        ConcurrentCommitError,
+        current_snapshot,
+        snapshot_commit,
+    )
 
     appended_since_compact = [0]
 
@@ -2533,17 +2537,31 @@ def stream_phrase_counts(
             compact_every is not None
             and appended_since_compact[0] >= compact_every
         ):
-            # collapse the delta log: reliable spill, then overwrite
+            # collapse the delta log: reliable spill, then overwrite.
+            # The summed view is pinned to the tip it derives from and
+            # the overwrite carries that tip as a CAS precondition — a
+            # concurrent appender (a second uncoordinated maintainer,
+            # an out-of-band backfill) landing between the spill and
+            # the publish must NOT be erased by this compaction's
+            # stale sum. On refusal the delta log is still exact;
+            # compaction re-fires at the next interval over the new
+            # tip (the counter stays above the threshold).
+            tip = current_snapshot(store_path)
             scratch = join(store_path, "compact-scratch")
-            phrase_counts_view(spark, store_path).write.mode(
-                "overwrite"
-            ).parquet(scratch)
-            snapshot_commit(
-                spark.read.parquet(scratch),
-                store_path,
-                mode="overwrite",
-                meta={"batch_id": batch_id},
-            )
+            phrase_counts_view(
+                spark, store_path, snapshot_id=tip
+            ).write.mode("overwrite").parquet(scratch)
+            try:
+                snapshot_commit(
+                    spark.read.parquet(scratch),
+                    store_path,
+                    mode="overwrite",
+                    meta={"batch_id": batch_id},
+                    expect_parent=tip,
+                )
+            except ConcurrentCommitError:
+                TableFS(spark, store_path).delete(scratch, recursive=True)
+                return
             TableFS(spark, store_path).delete(scratch, recursive=True)
             appended_since_compact[0] = 0
 

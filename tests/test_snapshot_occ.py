@@ -550,6 +550,64 @@ def test_two_pruned_upserts_of_same_new_key_refuse(
     assert {r["id"]: r["v"] for r in rows}[7] == 70  # the winner's row
 
 
+def test_overwrite_cas_refuses_stale_precheck(spark, tmp_path):
+    """r15: an overwrite whose content derives from a named snapshot
+    (expect_parent) must refuse when the tip has already moved —
+    BEFORE writing any data. Without the precondition, the overwrite
+    would publish a state summed from snapshot 1 and silently erase
+    append 2's rows (the lost-update shape of derived compaction)."""
+    from replicadb_spark.operators.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    path = _uri(tmp_path, "cas_precheck")
+    snapshot_commit(_df(spark, [(1, 10)]), path)
+    snapshot_commit(_df(spark, [(2, 20)]), path)  # tip moves to 2
+    with pytest.raises(ConcurrentCommitError, match="tip is 2"):
+        snapshot_commit(
+            _df(spark, [(1, 10)]), path, mode="overwrite", expect_parent=1
+        )
+    # nothing was erased and no snapshot was burnt
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1: 10, 2: 20}
+    assert snap_mod.current_snapshot(path) == 2
+
+
+def test_overwrite_cas_refuses_lost_publish_race(
+    spark, tmp_path, monkeypatch
+):
+    """r15: the CAS precondition must also hold at the PUBLISH point —
+    a concurrent append landing between the overwrite's data write and
+    its commit-record rename means the derived content is stale, so
+    the overwrite must raise instead of retrying over the winner (the
+    plain-overwrite retry path republishes its own content and erases
+    the racing append). The loser's unpublished data dir is reclaimed
+    immediately."""
+    from replicadb_spark.operators.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    path = _uri(tmp_path, "cas_publish_race")
+    snapshot_commit(_df(spark, [(1, 10)]), path)
+
+    _race_once(
+        monkeypatch,
+        lambda: snapshot_commit(_df(spark, [(2, 20)]), path),
+    )
+    with pytest.raises(ConcurrentCommitError, match="advanced the tip"):
+        snapshot_commit(
+            _df(spark, [(1, 99)]), path, mode="overwrite", expect_parent=1
+        )
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == {1: 10, 2: 20}  # the racing append was NOT erased
+    # the refused attempt's data dir was deleted, not left for GC
+    fs = TableFS(spark, path)
+    snap_dirs = [
+        d for d in fs.list_names(join(path, "data")) if d.startswith("snap-")
+    ]
+    assert len(snap_dirs) == 2  # exactly the two published commits
+
+
 def test_uncoordinated_parallel_appends_all_land(spark, tmp_path):
     """r14 adversarial OCC: SIX appenders race with NO simulated
     interleaving — real threads, real publish contention on one table.

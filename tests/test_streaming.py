@@ -2674,6 +2674,95 @@ def test_stream_phrase_counts_crash_between_spill_and_compact(
     assert scores_from() == batch_scores(4)
 
 
+def test_stream_phrase_counts_compaction_skips_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Twin #34 vs a concurrent appender (VERDICT r14 item 6's
+    suggested scenario): an out-of-band append landing between the
+    compaction's spill and its overwrite publish must NOT be erased by
+    the compaction's (now stale) sum. The compaction carries its
+    derivation tip as a CAS precondition (expect_parent), refuses via
+    ConcurrentCommitError, skips — the delta log stays exact including
+    the injected rows — and the NEXT interval compacts the new tip
+    successfully. Exactness invariant: final summed counts equal batch
+    counts over all streamed docs plus exactly the injected rows."""
+    import os
+    import time
+
+    from replicadb_spark.functions.text import phrase_unit_counts
+    from replicadb_spark.operators import snapshot_table as ST
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        [(1, "new york new york is new york"), (2, "a brand new day in york")],
+        [(3, "new york again and again"), (4, "solo")],
+        [(5, "york new york new day"), (6, "the day is new")],
+        [(7, "new york wins the day"), (8, "york again")],
+    ]
+    src = tmp_path / "phrase_race_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        time.sleep(1.05)
+        for f in (src / f"b{i}").iterdir():
+            os.utime(f)
+
+    store = str(tmp_path / "phrase_race_store")
+    real_commit = ST.snapshot_commit
+    state = {"injected": False}
+
+    def inject_append_before_first_overwrite(df, path, **kw):
+        if kw.get("mode") == "overwrite" and not state["injected"]:
+            state["injected"] = True
+            # a real concurrent append AFTER the compactor captured its
+            # tip and spilled — the uncoordinated-second-writer shape
+            real_commit(
+                df.sparkSession.createDataFrame(
+                    [("zzz_injected", None, 7)], "w1 string, w2 string, n long"
+                ),
+                path,
+            )
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(ST, "snapshot_commit", inject_append_before_first_overwrite)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = P.stream_phrase_counts(
+        stream, store, str(tmp_path / "phrase_race_ck"),
+        text_col="text", compact_every=2,
+    )
+    assert q.awaitTermination(300)  # the refusal is handled, not fatal
+
+    ops = [
+        (int(r["snapshot_id"]), r["operation"])
+        for r in ST.snapshot_history(spark, store).collect()
+    ]
+    # 4 batch appends + the injected append; the first compaction
+    # refused (no overwrite burnt), the second (after batch 3, counter
+    # still over threshold) succeeded over the new tip
+    assert sum(1 for _, op in ops if op == "append") == 5
+    assert sum(1 for _, op in ops if op == "overwrite") == 1
+
+    got = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in P.phrase_counts_view(spark, store).collect()
+    }
+    flat = [r for b in batches for r in b]
+    expected = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in phrase_unit_counts(
+            spark.createDataFrame(flat, "doc_id long, text string"), "text"
+        ).collect()
+    }
+    expected[("zzz_injected", None)] = 7  # nothing lost, nothing duped
+    assert got == expected
+
+
 def test_stream_dedup_components_equals_batch(spark, tmp_path):
     """Twin #33: continuously maintained duplicate clusters equal a
     from-scratch connected_components over all streamed pairs after
