@@ -294,6 +294,18 @@ def jaccard_pairs(
     inter, sizes = _pair_intersections(
         df, id_col, text_col, k=k, max_shingle_df=max_shingle_df
     )
+    return jaccard_from_counts(inter, sizes, threshold=threshold)
+
+
+def jaccard_from_counts(
+    inter: DataFrame, sizes: DataFrame, *, threshold: float
+) -> DataFrame:
+    """The Jaccard arithmetic tail over an already-computed
+    ``(inter, sizes)`` pair (from :func:`_pair_intersections`, live or
+    layout-scanned): size joins, the |A∩B|/|A∪B| ratio, the threshold.
+    Factored so a persisted intersection index (the catalog's
+    per-(process, sf_dir) shingle-inter layout) ranks IDENTICALLY to
+    the one-shot operator."""
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -777,6 +789,16 @@ def containment_pairs(
     inter, sizes = _pair_intersections(
         df, id_col, text_col, k=k, max_shingle_df=max_shingle_df
     )
+    return containment_from_counts(inter, sizes, threshold=threshold)
+
+
+def containment_from_counts(
+    inter: DataFrame, sizes: DataFrame, *, threshold: float
+) -> DataFrame:
+    """The containment arithmetic tail over an already-computed
+    ``(inter, sizes)`` pair — the :func:`jaccard_from_counts` sibling,
+    shared by :func:`containment_pairs` and the catalog's persisted
+    shingle-inter layout."""
     c_ab = F.col("inter").cast("double") / F.col("sz_a").cast("double")
     c_ba = F.col("inter").cast("double") / F.col("sz_b").cast("double")
     return (

@@ -285,6 +285,20 @@ def test_basket_jaccard_equijoin_not_cartesian(spark):
     assert "orders" not in plan and "lineitem" not in plan
 
 
+def test_shingle_similarity_reads_intersection_index(spark):
+    """r15: dedup_containment and dedup_ngram_jaccard are arithmetic
+    tails over the persisted (inter, sizes) intersection index — the
+    query plans must start at the layout's parquet scans and never
+    re-tokenize/re-shingle/re-aggregate the documents corpus."""
+    for name in ("dedup_containment", "dedup_ngram_jaccard"):
+        plan = _plan(spark, name)
+        assert "shingle_inter_" in plan, name
+        assert "documents" not in plan, name
+        assert "Generate explode" not in plan, name
+        assert "collect_list" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_triangle_wedge_join_is_equijoin(spark):
     plan = _plan(spark, "copurchase_triangles")
     # the only nested-loop joins are the bounded 1-row aggregate
