@@ -554,6 +554,25 @@ def minhash_dedup_pairs(
     cands = tracked_persist(minhash_lsh_candidates(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
     ))
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return exact_jaccard_verify(docs, cands, k=k, threshold=threshold)
+
+
+def exact_jaccard_verify(
+    docs: DataFrame,
+    cands: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs — the
+    precision phase of the two-phase near-dup pipeline, factored so
+    every candidate producer (one-shot self-LSH, bipartite incremental,
+    a persisted bucket layout) shares one engine-exact verify.
+    ``docs`` is an (id, text) frame covering every candidate id (ids
+    unique across it); ``cands`` is (id_a, id_b). Only candidate docs
+    are shingled (left-semi prune before the Arrow pass), so verify
+    cost scales with the candidate set, never the corpus."""
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
@@ -578,7 +597,7 @@ def minhash_dedup_pairs(
             })
 
     ssets = tracked_persist(  # read by both pair sides; candidate-only, so tiny
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        docs.select("id", "text")
         .join(cand_ids, "id", "left_semi")
         .mapInPandas(cand_sets, schema="id long, ss array<string>")
     )
@@ -650,42 +669,9 @@ def minhash_dedup_pairs_bipartite(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    import pandas as pd
-
-    def cand_sets(batches):
-        for pdf in batches:
-            out_id, out_ss = [], []
-            for doc_id, text in zip(pdf["id"].values, pdf["text"].values):
-                toks = (text or "").lower().split()
-                out_id.append(doc_id)
-                out_ss.append(
-                    list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
-                )
-            yield pd.DataFrame({"id": pd.Series(out_id, dtype="int64"), "ss": out_ss})
-
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
     # disjoint ids → ONE shared shingle-set pass serves both join sides
-    ssets = tracked_persist(
-        tagged.select("id", "text")
-        .join(cand_ids, "id", "left_semi")
-        .mapInPandas(cand_sets, schema="id long, ss array<string>")
-    )
-    joined = (
-        cands.join(ssets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a")
-        .join(ssets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("ss_a", "ss_b"))
-    union = F.size("ss_a") + F.size("ss_b") - inter
-    return (
-        joined.withColumn(
-            "jaccard", inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return exact_jaccard_verify(
+        tagged.select("id", "text"), cands, k=k, threshold=threshold
     )
 
 
