@@ -425,6 +425,10 @@ def write_edge_layout(edges: DataFrame, path: str, *, src: str = "src",
     - ``{path}/oriented`` — (u, w) degree-ordered (Suri & Vassilvitskii):
       every edge points from the lower-(deg, id) endpoint, so
       out-degree is O(sqrt(m)) — the triangle kernel's input
+    - ``{path}/linked``   — (u, v, deg) BOTH directions with the source
+      vertex's degree attached: the power-iteration input
+      (PageRank/PPR join ranks straight into this scan — the per-run
+      union + degree join disappears)
     - ``{path}/_edge_layout.json`` — written LAST: the publish marker
       carrying m and n_vertices so readers never re-count
 
@@ -465,6 +469,12 @@ def write_edge_layout(edges: DataFrame, path: str, *, src: str = "src",
         cached.append(deg)
         n = deg.count()
         deg.write.mode("overwrite").parquet(fs_join(path, "deg"))
+        out = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        out.join(deg.withColumnRenamed("v", "u"), "u").select(
+            "u", "v", "deg"
+        ).write.mode("overwrite").parquet(fs_join(path, "linked"))
         ranked = (
             und.join(
                 deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a"
@@ -501,6 +511,7 @@ def read_edge_layout(spark: SparkSession, path: str) -> dict:
         "edges": spark.read.parquet(fs_join(path, "edges")),
         "deg": spark.read.parquet(fs_join(path, "deg")),
         "oriented": spark.read.parquet(fs_join(path, "oriented")),
+        "linked": spark.read.parquet(fs_join(path, "linked")),
         "m": int(meta["m"]),
         "n_vertices": int(meta["n_vertices"]),
     }
@@ -546,26 +557,23 @@ def pagerank_layout(
     checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """:func:`pagerank` sourced from a persisted edge layout. The
-    out-edge list is the layout's edge scan unioned both ways, the
-    degree table is the layout's (small, size-known → Catalyst
-    broadcasts it into the out-edge join instead of shuffling both
-    sides), and N comes from the marker — ZERO driver actions before
-    the iteration job. Returns the same eagerly-materialized
-    (vertex, rank) frame with every internal cache released."""
+    power-iteration input is the layout's pre-joined ``linked`` scan
+    ((u, v, deg) both directions — the union + degree join is part of
+    the layout build, not the per-run cost), and N comes from the
+    marker — ZERO driver actions before the iteration job. Returns the
+    same eagerly-materialized (vertex, rank) frame with every internal
+    cache released."""
     spark = (
         edges_or_spark
         if isinstance(edges_or_spark, SparkSession)
         else edges_or_spark.sparkSession
     )
     lay = read_edge_layout(spark, path)
-    und, n = lay["edges"], lay["n_vertices"]
-    out = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    n = lay["n_vertices"]
     deg = lay["deg"].select(F.col("v").alias("u"), "deg")
     cached: list[DataFrame] = []
     try:
-        linked = out.join(deg, "u").persist()
+        linked = lay["linked"].persist()
         cached.append(linked)
         ranks = deg.select("u", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
         result = _pagerank_loop(
@@ -612,10 +620,6 @@ def personalized_pagerank_layout(
     rounds as CTEs), same lineage-reset cadence.
     """
     lay = read_edge_layout(spark, path)
-    und = lay["edges"]
-    out = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
     deg = lay["deg"].select(F.col("v").alias("u"), "deg")
     cached: list[DataFrame] = []
     try:
@@ -627,7 +631,7 @@ def personalized_pagerank_layout(
                 "personalized_pagerank_layout: no seed id exists in the "
                 "graph — restart mass would be undefined"
             )
-        linked = out.join(deg, "u").persist()
+        linked = lay["linked"].persist()  # pre-joined (u, v, deg) scan
         cached.append(linked)
         restart = seedf.select(
             "u", F.lit((1.0 - damping) / s).alias("m")
