@@ -173,6 +173,12 @@ _GATE_LAST = (
     # split, hash-gated against the SAME full DuckDB oracle as
     # phrase_detection — streaming == batch on real corpus data
     "streaming_phrase_state",
+    # r15 local-evidence addition (ROUND15.md): twin #35 — the shared
+    # additive-counts delta log (stream_additive_counts) instantiated
+    # for corpus bigram counts, driven bounded over a 3-chunk split and
+    # hash-gated against the SAME full DuckDB oracle as
+    # ngram_topk_corpus — the generalized machinery proven end-to-end
+    "streaming_ngram_topk_state",
 )
 
 

@@ -2818,9 +2818,10 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_topk_corpus",
-    oracle="""
+# shared by ngram_topk_corpus (batch) and streaming_ngram_topk_state
+# (twin #35): the continuously-maintained count log must rank EXACTLY
+# as the from-scratch batch profile, so both gates check one oracle
+_NGRAM_TOPK_ORACLE_SQL = """
     WITH t AS (
       SELECT string_split(text, ' ') AS toks FROM documents
     ), b AS (
@@ -2831,7 +2832,12 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bigram, COUNT(*) AS cnt
     FROM b GROUP BY bigram
     ORDER BY cnt DESC, bigram LIMIT 20
-    """,
+    """
+
+
+@register(
+    "ngram_topk_corpus",
+    oracle=_NGRAM_TOPK_ORACLE_SQL,
 )
 def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 bigrams with counts — the n-gram frequency
@@ -5287,6 +5293,52 @@ def streaming_phrase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         phrase_counts_view(spark, store), delta=5.0, min_count=5
     )
     return scored.orderBy(F.col("score").desc(), "w1", "w2").limit(20)
+
+
+@register(
+    "streaming_ngram_topk_state",
+    oracle=_NGRAM_TOPK_ORACLE_SQL,
+)
+def streaming_ngram_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin #35 driven bounded against the FULL ngram_topk_corpus
+    oracle: the documents corpus is split into three parquet chunks
+    and streamed one file per micro-batch through stream_ngram_counts
+    — the SECOND instance of the shared additive-counts delta log
+    (stream_additive_counts), so this gate proves the generalized
+    machinery (append-∝-batch writes, counter-triggered CAS-guarded
+    compaction firing mid-stream at compact_every=2, summed reads)
+    reproduces the batch ranking hash-for-hash on real corpus data,
+    not just for the collocation instance.
+
+    Chunk assignment rides repartition's hash — batch composition is
+    arbitrary ON PURPOSE (counts are associative/commutative; a
+    split-sensitive fold would fail the hash gate)."""
+    from replicadb_spark.streaming.pipeline import (
+        ngram_counts_view,
+        stream_ngram_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    chunks = _spool_dir("ngram_chunks_")
+    d.select("doc_id", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(chunks)
+    src = (
+        spark.readStream.schema(spark.read.parquet(chunks).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    store = _spool_dir("ngram_store_")
+    q = stream_ngram_counts(
+        src, store, _spool_dir("ngram_ck_"), text_col="text",
+        compact_every=2,
+    )
+    _await_drained(q)
+    return (
+        ngram_counts_view(spark, store)
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )
 
 
 @register(

@@ -2436,6 +2436,29 @@ def stream_dedup_components(
     )
 
 
+def additive_counts_view(
+    spark: SparkSession,
+    store_path: str,
+    keys: "tuple[str, ...]",
+    counts: "tuple[str, ...]" = ("n",),
+    *,
+    snapshot_id: "int | None" = None,
+) -> DataFrame:
+    """The summed count table over a :func:`stream_additive_counts`
+    store: the store holds per-batch DELTA rows (plus periodic
+    compactions), so the true total is ``SUM`` per key — one
+    map-side-combined aggregate over the visible files.
+    ``snapshot_id`` reads a time-traveled state (the totals as of that
+    commit)."""
+    from replicadb_spark.operators.snapshot_table import snapshot_read
+
+    return (
+        snapshot_read(spark, store_path, snapshot_id=snapshot_id)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in counts])
+    )
+
+
 def phrase_counts_view(
     spark: SparkSession,
     store_path: str,
@@ -2443,80 +2466,69 @@ def phrase_counts_view(
     snapshot_id: "int | None" = None,
 ) -> DataFrame:
     """The summed (w1, w2, n) count table over a
-    :func:`stream_phrase_counts` store: the store holds per-batch
-    DELTA counts (plus periodic compactions), so the true count is
-    ``SUM(n)`` per unit — one map-side-combined aggregate over the
-    visible files. ``snapshot_id`` reads a time-traveled state (the
-    counts as of that commit). Feed the result to
+    :func:`stream_phrase_counts` store (see
+    :func:`additive_counts_view`). Feed the result to
     ``functions.text.phrase_scores_from_counts`` (unigram rows carry
     w2 = NULL, same as the batch operator)."""
-    from replicadb_spark.operators.snapshot_table import snapshot_read
-
-    return (
-        snapshot_read(spark, store_path, snapshot_id=snapshot_id)
-        .groupBy("w1", "w2")
-        .agg(F.sum("n").alias("n"))
+    return additive_counts_view(
+        spark, store_path, ("w1", "w2"), ("n",), snapshot_id=snapshot_id
     )
 
 
-def stream_phrase_counts(
+def stream_additive_counts(
     source: DataFrame,
     store_path: str,
     checkpoint: str,
+    derive,
+    keys: "tuple[str, ...]",
+    counts: "tuple[str, ...]" = ("n",),
     *,
-    text_col: str = "text",
-    term_pattern: str = "[a-z0-9]+",
     compact_every: "int | None" = 16,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Twin #34: word2phrase collocation counts
-    (functions/text.phrase_unit_counts — Mikolov et al. 2013)
-    maintained CONTINUOUSLY as documents stream in. Unigram and
-    adjacent-bigram counts are exact integers and ADDITIVE, so the
-    store is an LSM-style DELTA log: each micro-batch APPENDS its own
-    (w1, w2, n) counts as one snapshot commit — per-batch write cost
-    ∝ the batch's distinct units, NEVER the historical vocabulary
-    (an in-place MERGE of a totals table cannot make that claim: with
-    string keys every file is a victim, so each batch would rewrite
-    the whole accumulated table — the r14 code review caught exactly
-    that in the first version of this twin). Reads sum the deltas
-    (:func:`phrase_counts_view` — one map-side-combined aggregate);
-    after every ``compact_every``-th ADMITTED append the fold also
-    collapses the log into one summed table via an ``overwrite``
-    commit, so read amplification is bounded by the compaction
-    interval while the rewrite cost amortizes to
-    corpus/``compact_every`` per batch (``None`` disables compaction).
-    The trigger counts admitted appends since the last compaction —
-    NOT the snapshot id, which compaction's own overwrite commit
-    advances (a snapshot-id trigger fires every ``compact_every - 1``
-    batches, degenerating at 2 into a full rewrite per batch). Unigram
-    rows carry w2 = NULL exactly like the batch operator — no sentinel
-    encoding, no term_pattern footguns.
+    """The shared LSM-delta-log maintainer for ADDITIVE count stores —
+    the machinery behind twins #34 (collocation counts) and #35
+    (corpus n-gram counts), reusable for any statistic that folds by
+    plain per-key addition (term df/cf tables, vocabulary growth,
+    histogram bins). ``derive(batch_df) -> DataFrame`` produces the
+    batch's own delta rows (``keys`` + ``counts`` columns); each
+    micro-batch APPENDS them as one snapshot commit, so per-batch
+    write cost ∝ the batch's distinct keys, NEVER the historical
+    store (an in-place MERGE of a string-keyed totals table has no
+    victim pruning — every batch would rewrite the accumulated table;
+    the r14 code review caught exactly that in this design's first
+    version). Reads SUM the log (:func:`additive_counts_view` — one
+    map-side-combined aggregate).
 
-    Compaction spills the summed view to a scratch dir under the store
-    (``compact-scratch``) and overwrite-commits the read-back scan —
-    the durable two-phase shape: a 100 TB vocabulary streams through
-    executor tasks twice instead of being pinned whole in
-    non-reliable executor storage mid-commit (the earlier
-    ``localCheckpoint(eager=True)`` form, VERDICT r14 item 3). A crash
-    between spill and overwrite leaves the delta log intact and the
-    scratch dir overwritten by the next interval; a crash after the
-    commit leaves only a scratch orphan, invisible to reads and GC
-    (both walk ``data/snap-*`` manifests only) and reclaimed at the
-    next compaction's spill.
+    Compaction: after every ``compact_every``-th ADMITTED append
+    (``None`` disables; the trigger counts admitted appends, not the
+    snapshot id — compaction's own overwrite advances the id, so an
+    id-based trigger fires every ``compact_every - 1`` batches), the
+    fold collapses the log: spill the summed view — pinned to the tip
+    it derives from — to the store's scratch dir
+    (``compact-scratch``), then overwrite-commit the read-back scan
+    with that tip as a CAS precondition (``expect_parent``). The
+    two-phase spill keeps a 100 TB key space streaming through
+    executor tasks instead of pinned in non-reliable storage
+    mid-commit; the CAS means a concurrent appender landing between
+    spill and publish is never erased by the stale sum — on refusal
+    the delta log is still exact and compaction re-fires next
+    interval (the counter stays above the threshold). Crash between
+    spill and publish: log intact, scratch overwritten next interval.
+    Crash after publish: only a scratch orphan, invisible to reads
+    and GC (both walk ``data/snap-*`` manifests only), reclaimed at
+    the next spill.
 
-    Streaming == batch value-for-value per prefix: summed deltas equal
-    one-shot counts (integer addition is associative/commutative,
-    batch composition is irrelevant), and the score view shares the
-    batch operator's arithmetic. One atomic commit per batch with the
+    Streaming == batch value-for-value per prefix: summed deltas
+    equal one-shot totals (addition is associative/commutative, batch
+    composition is irrelevant). One atomic commit per batch with the
     shared replay guard (a replayed batch must not append its deltas
     twice); compaction reuses the SAME commit's batch id, so a crash
     between the append and its compaction replays into the guard and
-    the log stays exact — compaction is pure housekeeping, deferred to
-    the next interval (a restart also resets the admitted-append
+    the log stays exact — compaction is pure housekeeping, deferred
+    to the next interval (a restart also resets the admitted-append
     counter, deferring by at most one interval more)."""
     from replicadb_spark.fs import TableFS, join
-    from replicadb_spark.functions.text import phrase_unit_counts
     from replicadb_spark.operators.snapshot_table import (
         ConcurrentCommitError,
         current_snapshot,
@@ -2528,28 +2540,18 @@ def stream_phrase_counts(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # empty + replay admission handled by _start_batches
         spark = batch_df.sparkSession
-        arriving = phrase_unit_counts(
-            batch_df, text_col, term_pattern=term_pattern
+        snapshot_commit(
+            derive(batch_df), store_path, meta={"batch_id": batch_id}
         )
-        snapshot_commit(arriving, store_path, meta={"batch_id": batch_id})
         appended_since_compact[0] += 1
         if (
             compact_every is not None
             and appended_since_compact[0] >= compact_every
         ):
-            # collapse the delta log: reliable spill, then overwrite.
-            # The summed view is pinned to the tip it derives from and
-            # the overwrite carries that tip as a CAS precondition — a
-            # concurrent appender (a second uncoordinated maintainer,
-            # an out-of-band backfill) landing between the spill and
-            # the publish must NOT be erased by this compaction's
-            # stale sum. On refusal the delta log is still exact;
-            # compaction re-fires at the next interval over the new
-            # tip (the counter stays above the threshold).
             tip = current_snapshot(store_path)
             scratch = join(store_path, "compact-scratch")
-            phrase_counts_view(
-                spark, store_path, snapshot_id=tip
+            additive_counts_view(
+                spark, store_path, keys, counts, snapshot_id=tip
             ).write.mode("overwrite").parquet(scratch)
             try:
                 snapshot_commit(
@@ -2568,4 +2570,88 @@ def stream_phrase_counts(
     return _start_batches(
         source, checkpoint, apply_batch,
         available_now=available_now, guard_path=store_path,
+    )
+
+
+def stream_phrase_counts(
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    term_pattern: str = "[a-z0-9]+",
+    compact_every: "int | None" = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #34: word2phrase collocation counts
+    (functions/text.phrase_unit_counts — Mikolov et al. 2013)
+    maintained CONTINUOUSLY as documents stream in — the
+    :func:`stream_additive_counts` instance over (w1, w2) unit keys.
+    Unigram rows carry w2 = NULL exactly like the batch operator — no
+    sentinel encoding, no term_pattern footguns. Read through
+    :func:`phrase_counts_view`; score with
+    ``functions.text.phrase_scores_from_counts`` for streaming ==
+    batch ranking value-for-value per prefix."""
+    from replicadb_spark.functions.text import phrase_unit_counts
+
+    return stream_additive_counts(
+        source, store_path, checkpoint,
+        lambda b: phrase_unit_counts(b, text_col, term_pattern=term_pattern),
+        ("w1", "w2"), ("n",),
+        compact_every=compact_every, available_now=available_now,
+    )
+
+
+def ngram_counts_view(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    snapshot_id: "int | None" = None,
+) -> DataFrame:
+    """The summed (bigram, cnt) table over a
+    :func:`stream_ngram_counts` store (see
+    :func:`additive_counts_view`); ``ORDER BY cnt DESC, bigram LIMIT
+    k`` on top reproduces the batch ngram_topk_corpus ranking
+    exactly."""
+    return additive_counts_view(
+        spark, store_path, ("bigram",), ("cnt",), snapshot_id=snapshot_id
+    )
+
+
+def stream_ngram_counts(
+    source: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    compact_every: "int | None" = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Twin #35: corpus-wide bigram counts (the batch
+    ngram_topk_corpus derivation: space-split tokens, adjacent
+    concatenation) maintained CONTINUOUSLY — the second
+    :func:`stream_additive_counts` instance, proving the delta-log
+    machinery generalizes beyond collocation units. The top-k profile
+    a template-contamination monitor reads is ``SUM`` + TakeOrdered
+    over the log (:func:`ngram_counts_view`), exact at every prefix;
+    per-batch cost ∝ the batch's distinct bigrams."""
+
+    def derive(batch_df: DataFrame) -> DataFrame:
+        t = batch_df.select(F.split(text_col, " ").alias("toks")).where(
+            F.size("toks") >= 2
+        )
+        b = t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+        return b.groupBy("bigram").agg(F.count("*").alias("cnt"))
+
+    return stream_additive_counts(
+        source, store_path, checkpoint, derive, ("bigram",), ("cnt",),
+        compact_every=compact_every, available_now=available_now,
     )

@@ -59,7 +59,7 @@ def test_r15_window_is_the_r12_block():
     # the two blocks that rotated out sit in _GATE_LAST in r17/r16 order
     assert E._GATE_LAST[0] == "basket_jaccard_customers"  # r14-gated block
     assert E._GATE_LAST[50] == "dedup_containment"        # r13-gated block
-    assert E._GATE_LAST[-29:] == (
+    assert E._GATE_LAST[-30:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -80,4 +80,6 @@ def test_r15_window_is_the_r12_block():
         "ppr_copurchase", "phrase_detection",
         # r14 local-evidence addition
         "streaming_phrase_state",
+        # r15 local-evidence addition
+        "streaming_ngram_topk_state",
     )

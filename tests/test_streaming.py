@@ -2674,6 +2674,102 @@ def test_stream_phrase_counts_crash_between_spill_and_compact(
     assert scores_from() == batch_scores(4)
 
 
+def test_stream_ngram_counts_equals_batch(spark, tmp_path):
+    """Twin #35: the shared additive-counts delta log instantiated for
+    corpus bigram counts equals the batch ngram_topk_corpus derivation
+    over the concatenated corpus after every batch — final state AND a
+    time-traveled prefix — with compaction fired mid-stream
+    (compact_every=2) and the fresh-checkpoint replay guard. The test
+    proves stream_additive_counts generalizes: same guard, same
+    append-only per-batch cost, same CAS-compacted log, different
+    derive/keys."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_history,
+    )
+    from replicadb_spark.streaming import pipeline as P
+
+    batches = [
+        [(1, "the quick brown fox"), (2, "the quick red fox")],
+        [(3, "quick brown dogs run"), (4, "one")],
+        [(5, "the quick brown fox runs"), (6, "red fox red fox")],
+    ]
+    src = tmp_path / "ngram_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        time.sleep(1.05)
+        for f in (src / f"b{i}").iterdir():
+            os.utime(f)
+
+    store = str(tmp_path / "ngram_store")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = P.stream_ngram_counts(
+            stream, store, str(tmp_path / ck), text_col="text",
+            compact_every=2,
+        )
+        assert q.awaitTermination(300)
+
+    run("ck1")
+    n_commits = current_snapshot(store)
+    ops = [
+        (int(r["snapshot_id"]), r["operation"])
+        for r in snapshot_history(spark, store).collect()
+    ]
+    assert [op for _, op in sorted(ops)] == [
+        "append", "append", "overwrite", "append",
+    ]
+
+    def streamed(snapshot_id=None):
+        return {
+            (r["bigram"], r["cnt"])
+            for r in P.ngram_counts_view(
+                spark, store, snapshot_id=snapshot_id
+            ).collect()
+        }
+
+    def batch_counts(n_batches):
+        flat = [r for b in batches[:n_batches] for r in b]
+        df = spark.createDataFrame(flat, "doc_id long, text string")
+        t = df.select(F.split("text", " ").alias("toks")).where(
+            F.size("toks") >= 2
+        )
+        b = t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+        return {
+            (r["bigram"], r["cnt"])
+            for r in b.groupBy("bigram")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    assert streamed() == batch_counts(len(batches))
+    assert streamed(snapshot_id=1) == batch_counts(1)
+
+    run("ck2")  # fresh checkpoint: the replay guard skips every batch
+    assert current_snapshot(store) == n_commits
+
+
 def test_stream_phrase_counts_compaction_skips_concurrent_append(
     spark, tmp_path, monkeypatch
 ):
