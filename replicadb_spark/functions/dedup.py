@@ -237,13 +237,35 @@ def _pair_intersections(
     cuts the joins instead. Nothing is persisted: the list frame's
     exchange is reused by Spark across its two consumers within the
     one action."""
+    return pair_intersections_from_lists(
+        shingle_doc_lists(df, id_col, text_col, k=k),
+        max_shingle_df=max_shingle_df,
+    )
+
+
+def shingle_doc_lists(
+    df: DataFrame, id_col: str, text_col: str, *, k: int
+) -> DataFrame:
+    """The (shingle, sorted-id-array) inverted doc-list frame — the
+    head of :func:`_pair_intersections`, factored so it can be
+    materialized once (the catalog's shingle layout) and serve BOTH
+    the pair kernel (via :func:`pair_intersections_from_lists`) and
+    list-shaped aggregates like corpus novelty (ids are sorted
+    ascending, so ``ids[0]`` IS each shingle's first-seen doc)."""
     sh = (
         df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks"))
         .select("id", F.explode(shingles_tokens(F.col("toks"), k)).alias("shingle"))
     )
-    lists = sh.groupBy("shingle").agg(
+    return sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
+
+
+def pair_intersections_from_lists(
+    lists: DataFrame, *, max_shingle_df: "int | None" = None
+) -> "tuple[DataFrame, DataFrame]":
+    """The pair-expansion tail of :func:`_pair_intersections` over an
+    already-grouped doc-list frame (live or layout-scanned)."""
     if max_shingle_df is not None:
         lists = lists.where(F.size("ids") <= max_shingle_df)
     n = F.size("ids")

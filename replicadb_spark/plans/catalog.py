@@ -792,7 +792,10 @@ _SHINGLE_INTER_LAYOUTS: dict[str, str] = {}
 
 
 def _shingle_inter_layout(spark: SparkSession, sf_dir: str) -> str:
-    from replicadb_spark.functions.dedup import _pair_intersections
+    from replicadb_spark.functions.dedup import (
+        pair_intersections_from_lists,
+        shingle_doc_lists,
+    )
 
     path = _SHINGLE_INTER_LAYOUTS.get(sf_dir)
     if path is not None:
@@ -802,8 +805,15 @@ def _shingle_inter_layout(spark: SparkSession, sf_dir: str) -> str:
         if path is None:
             path = _spool_dir("shingle_inter_")
             d = _t(spark, sf_dir, "documents")["documents"]
-            inter, sizes = _pair_intersections(
-                d, "doc_id", "text", k=3, max_shingle_df=1000
+            # the UNCAPPED inverted doc-list frame is written first and
+            # the capped (inter, sizes) pair index derives from its
+            # scan — one tokenize/shingle/groupBy serves both the pair
+            # consumers and list-shaped aggregates (docs_novelty_ratio)
+            shingle_doc_lists(d, "doc_id", "text", k=3).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/lists")
+            inter, sizes = pair_intersections_from_lists(
+                spark.read.parquet(f"{path}/lists"), max_shingle_df=1000
             )
             inter.write.mode("overwrite").parquet(f"{path}/inter")
             sizes.write.mode("overwrite").parquet(f"{path}/sizes")
@@ -4397,23 +4407,21 @@ def docs_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment add?"), the aggregate twin of the pairwise dedup ops.
 
     Scale: the same inverted shingle index as the jaccard family but
-    NO self-join — one min-agg on shingle, one shingle-keyed join back,
-    one per-doc agg. Linear in index size at any corpus scale."""
-    d = _t(spark, sf_dir, "documents")["documents"]
-    # two-step projection: shingles_tokens requires a materialized token
-    # attribute (inline word_tokens re-evaluates per lambda element —
-    # see functions/dedup.shingles_tokens docstring)
-    sh = (
-        d.select("doc_id", D.word_tokens(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(D.shingles_tokens(F.col("toks"), 3)).alias("s"),
-        )
+    NO self-join — and r15 reads it from the persisted layout's
+    UNCAPPED doc-list frame (_shingle_inter_layout lists/): the lists
+    are sorted ascending, so each shingle's first-seen doc is
+    ``ids[0]`` — the string-keyed min-agg AND the shingle-keyed join
+    back both disappear; the query is one explode + one per-doc agg
+    over the layout scan. Linear in index size at any corpus scale."""
+    lists = spark.read.parquet(
+        f"{_shingle_inter_layout(spark, sf_dir)}/lists"
     )
-    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_id"))
+    ex = lists.select(
+        F.element_at("ids", 1).alias("first_id"),
+        F.explode("ids").alias("doc_id"),
+    )
     return (
-        sh.join(first_seen, "s")
-        .groupBy("doc_id")
+        ex.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.round(
