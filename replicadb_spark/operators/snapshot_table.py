@@ -301,7 +301,10 @@ def snapshot_commit(
     but a LOST UPDATE for any overwrite whose content was DERIVED from
     a specific snapshot (delta-log compaction summing snapshots 1..k
     must not clobber a racing append of batch k+1). Derived
-    overwrites must pass the snapshot id they read. ``meta`` keys are stored in the
+    overwrites must pass the snapshot id they read;
+    ``expect_parent=0`` means "I derived from an EMPTY table" (ids
+    start at 1), so even a first commit can be CAS-guarded against a
+    racing first committer. ``meta`` keys are stored in the
     commit record — stream_snapshot_ingest uses this to persist the
     micro-batch id that makes replays exactly-once.
 
@@ -323,7 +326,8 @@ def snapshot_commit(
     fs = TableFS(spark, path)
     ids = _snap_ids(fs)
     parent = ids[-1] if ids else None
-    if expect_parent is not None and parent != expect_parent:
+    want = None if expect_parent == 0 else expect_parent
+    if expect_parent is not None and parent != want:
         raise ConcurrentCommitError(
             f"snapshot_commit: expected to publish on snapshot "
             f"{expect_parent} but the tip is {parent} — the derived "

@@ -2344,6 +2344,7 @@ def stream_weighted_reservoir(
     complete, committed reservoir."""
     from replicadb_spark.operators.sampling import weighted_reservoir_sample
     from replicadb_spark.operators.snapshot_table import (
+        ConcurrentCommitError,
         current_snapshot,
         snapshot_commit,
         snapshot_read,
@@ -2352,25 +2353,43 @@ def stream_weighted_reservoir(
     cols = [*group_cols, id_col, weight_col]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # empty + replay admission handled by _start_batches
+        # empty + replay admission handled by _start_batches.
+        # read-fold-commit rides the CAS precondition (r15): the fold
+        # DERIVES from the tip it read, so a concurrent fold landing in
+        # the window (a double-started twin instance) refuses the
+        # publish instead of being silently erased — the loser re-reads
+        # the winner's state and refolds, linearizing the two folds.
         spark = batch_df.sparkSession
-        incoming = batch_df.select(*cols)
-        if current_snapshot(store_path) is not None:
-            incoming = incoming.unionByName(
-                snapshot_read(spark, store_path).select(*cols)
+        for _ in range(6):
+            tip = current_snapshot(store_path)
+            incoming = batch_df.select(*cols)
+            if tip is not None:
+                incoming = incoming.unionByName(
+                    snapshot_read(
+                        spark, store_path, snapshot_id=tip
+                    ).select(*cols)
+                )
+            candidates = incoming.groupBy(*group_cols, id_col).agg(
+                F.max(weight_col).alias(weight_col)
             )
-        candidates = incoming.groupBy(*group_cols, id_col).agg(
-            F.max(weight_col).alias(weight_col)
-        )
-        top = weighted_reservoir_sample(
-            candidates, list(group_cols), id_col, weight_col, k=k, seed=seed
-        )
-        # the store keeps the ranking columns too: a reader gets usable
-        # (key, rank) provenance, and the next batch's union re-derives
-        # them from scratch anyway (they are pure functions of the row)
-        snapshot_commit(
-            top.select(*cols, "rsv_key", "rsv_rank"), store_path,
-            mode="overwrite", meta={"batch_id": batch_id},
+            top = weighted_reservoir_sample(
+                candidates, list(group_cols), id_col, weight_col,
+                k=k, seed=seed,
+            )
+            # the store keeps the ranking columns too: a reader gets
+            # usable (key, rank) provenance, and the next batch's union
+            # re-derives them from scratch anyway (pure row functions)
+            try:
+                snapshot_commit(
+                    top.select(*cols, "rsv_key", "rsv_rank"), store_path,
+                    mode="overwrite", meta={"batch_id": batch_id},
+                    expect_parent=tip if tip is not None else 0,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise IOError(
+            "stream_weighted_reservoir: lost the fold race repeatedly"
         )
 
     return _start_batches(
@@ -2408,26 +2427,42 @@ def stream_dedup_components(
     only relabel the new vertices)."""
     from replicadb_spark.operators.graph import merge_components
     from replicadb_spark.operators.snapshot_table import (
+        ConcurrentCommitError,
         current_snapshot,
         snapshot_commit,
         snapshot_read,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # empty + replay admission handled by _start_batches
+        # empty + replay admission handled by _start_batches.
+        # read-fold-commit rides the CAS precondition (r15) — see
+        # stream_weighted_reservoir: a concurrent fold in the window
+        # refuses and refolds from the winner's labels instead of
+        # erasing them (star contraction composes, so refolding this
+        # batch's edges onto the winner's assignment stays exact).
         spark = batch_df.sparkSession
-        prior = (
-            snapshot_read(spark, store_path)
-            if current_snapshot(store_path) is not None
-            else None
-        )
-        labels = merge_components(
-            prior, batch_df.select(src, dst),
-            src=src, dst=dst, max_iter=max_iter,
-        )
-        snapshot_commit(
-            labels, store_path, mode="overwrite",
-            meta={"batch_id": batch_id},
+        for _ in range(6):
+            tip = current_snapshot(store_path)
+            prior = (
+                snapshot_read(spark, store_path, snapshot_id=tip)
+                if tip is not None
+                else None
+            )
+            labels = merge_components(
+                prior, batch_df.select(src, dst),
+                src=src, dst=dst, max_iter=max_iter,
+            )
+            try:
+                snapshot_commit(
+                    labels, store_path, mode="overwrite",
+                    meta={"batch_id": batch_id},
+                    expect_parent=tip if tip is not None else 0,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise IOError(
+            "stream_dedup_components: lost the fold race repeatedly"
         )
 
     return _start_batches(

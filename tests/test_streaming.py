@@ -2859,6 +2859,86 @@ def test_stream_phrase_counts_compaction_skips_concurrent_append(
     assert got == expected
 
 
+def test_stream_dedup_components_fold_race_refolds(
+    spark, tmp_path, monkeypatch
+):
+    """Twins with read-fold-overwrite state (#32/#33) carry the tip
+    they derived from as a CAS precondition (r15): when a competing
+    fold (a double-started twin instance) wins the publish race, the
+    loser must REFOLD from the winner's state instead of erasing it.
+    Injected here at the FIRST commit (expect_parent=0, the
+    expect-empty case): a competing instance commits labels for edge
+    (100, 101) while batch 0's fold is publishing; the final store
+    must equal from-scratch connected components over ALL edges —
+    streamed AND injected — with no lost update."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicadb_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+    from replicadb_spark.operators import snapshot_table as ST
+    from replicadb_spark.streaming import pipeline as P
+
+    src = tmp_path / "cc_race_stream"
+    src.mkdir()
+    batches = [
+        [(1, 2), (2, 3)],
+        [(3, 4), (10, 11)],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(pa.table({
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+        }), src / f"f{i}.parquet")
+        time.sleep(1.05)
+        os.utime(src / f"f{i}.parquet")
+
+    store = str(tmp_path / "cc_race_store")
+    real_commit = ST.snapshot_commit
+    state = {"injected": False}
+
+    def inject_competing_fold(df, path, **kw):
+        if kw.get("mode") == "overwrite" and not state["injected"]:
+            state["injected"] = True
+            edges = df.sparkSession.createDataFrame(
+                [(100, 101)], "src long, dst long"
+            )
+            real_commit(
+                merge_components(None, edges), path,
+                mode="overwrite", meta={"batch_id": 999},
+            )
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(ST, "snapshot_commit", inject_competing_fold)
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = P.stream_dedup_components(stream, store, str(tmp_path / "cc_race_ck"))
+    assert q.awaitTermination(300)
+
+    # commits: injected winner (1), batch 0's refold (2), batch 1 (3)
+    assert ST.current_snapshot(store) == 3
+    got = {
+        (r["vertex"], r["component"])
+        for r in ST.snapshot_read(spark, store).collect()
+    }
+    flat = [r for b in batches for r in b] + [(100, 101)]
+    want = {
+        (r["vertex"], r["component"])
+        for r in connected_components(
+            spark.createDataFrame(flat, "src long, dst long")
+        ).collect()
+    }
+    assert got == want  # the injected fold was composed, not erased
+
+
 def test_stream_dedup_components_equals_batch(spark, tmp_path):
     """Twin #33: continuously maintained duplicate clusters equal a
     from-scratch connected_components over all streamed pairs after
