@@ -444,10 +444,28 @@ def tfidf_cosine_pairs(
         ).alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    return tfidf_cosine_pairs_from_tf(
+        tf, n, threshold=threshold,
+        max_term_df=max_term_df, max_term_df_frac=max_term_df_frac,
+    )
+
+
+def tfidf_cosine_pairs_from_tf(
+    tf: DataFrame,
+    n: DataFrame,
+    *,
+    threshold: float,
+    max_term_df: int | None = None,
+    max_term_df_frac: float | None = None,
+) -> DataFrame:
+    """The TF-IDF cosine tail over an already-reduced (id, term, tf)
+    frame plus a 1-row (n) document-count aggregate — factored so a
+    persisted term-frequency layout (plans/catalog._tf_layout) ranks
+    IDENTICALLY to the one-shot operator."""
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_term_df is not None:
         docfreq = docfreq.where(F.col("df") <= max_term_df)
-    n = base.agg(F.count(F.lit(1)).alias("n"))
     if max_term_df_frac is not None:
         docfreq = docfreq.crossJoin(F.broadcast(n)).where(
             F.col("df") <= max_term_df_frac * F.col("n")

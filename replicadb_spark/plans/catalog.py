@@ -4266,6 +4266,47 @@ _TOKENS_CTE = r"""
     )
 """
 
+# the reduced (doc_id, term, tf) term-frequency table over the shared
+# [a-z0-9]+ token contract (_TOKENS_CTE's Spark twin) — the common
+# head of the whole lexical family (tfidf_top_terms,
+# unigram_prob_score, bm25_keyword_search, tfidf_cosine_neardup),
+# each of which re-paid the tokenize + explode + (doc, term) aggregate
+# per run. One materialization per (process, sf_dir); every derived
+# statistic (df, cf, corpus total, doc length = SUM(tf)) folds from
+# this frame without touching raw text again. Token-ORDER-dependent
+# queries (bigram models, phrase mining) cannot derive from it and
+# keep their own tokenization. Same memo discipline as the other
+# layouts.
+_TF_LOCK = threading.Lock()
+_TF_LAYOUTS: dict[str, str] = {}
+
+
+def _tf_layout(spark: SparkSession, sf_dir: str) -> str:
+    path = _TF_LAYOUTS.get(sf_dir)
+    if path is not None:
+        return path
+    with _TF_LOCK:
+        path = _TF_LAYOUTS.get(sf_dir)
+        if path is None:
+            path = _spool_dir("tf_layout_")
+            d = _t(spark, sf_dir, "documents")["documents"]
+            (
+                d.select(
+                    "doc_id",
+                    F.explode(
+                        F.regexp_extract_all(
+                            F.lower("text"), F.lit("[a-z0-9]+"), 0
+                        )
+                    ).alias("term"),
+                )
+                .groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            _TF_LAYOUTS[sf_dir] = path
+        return path
+
 
 @register(
     "tfidf_top_terms",
@@ -4294,24 +4335,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical exact bigint/bigint division): the standard keyword /
     topic-drift profile of a training corpus.
 
-    Scale: one (doc,term) hash-agg shuffle for tf (map-side combined),
-    one |vocab|-row agg for df, a term-keyed join of two already-reduced
-    frames (AQE picks broadcast when vocab is small), and a per-doc
-    top-3 window whose partition is the ≤ |doc vocab| scored terms —
-    never the corpus. Ties break on term, so ranks are total."""
+    Scale: the (doc,term) tf aggregate is the persisted per-(process,
+    sf_dir) term-frequency layout (_tf_layout, r15) — the query starts
+    at its scan; one |vocab|-row agg for df, a term-keyed join of two
+    already-reduced frames (AQE picks broadcast when vocab is small),
+    and a per-doc top-3 window whose partition is the ≤ |doc vocab|
+    scored terms — never the corpus. Ties break on term, so ranks are
+    total."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-        ).alias("term"),
-    )
-    # persist the reduced (doc,term) frame: df_ and the join both read
-    # it — without this Catalyst duplicates the explode+agg subtree
-    # under each consumer (the q2_min_cost_supplier lesson)
-    tf = tracked_persist(
-        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = spark.read.parquet(_tf_layout(spark, sf_dir))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -4354,21 +4386,10 @@ def unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     soup scores high; pipelines cut both tails. All-integer arithmetic
     until one final division, so the oracle matches bit-for-bit.
 
-    Scale: the (doc,term) tf agg is the one corpus-sized shuffle; cf
-    and the 1-row total derive from the already-reduced tf frame; the
-    term-keyed join never touches raw text again."""
-    d = _t(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-        ).alias("term"),
-    )
-    # persist: cf, tot, and the join all read the reduced tf frame —
-    # unpersisted, the explode+agg subtree would run three times
-    tf = tracked_persist(
-        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    Scale: the (doc,term) tf agg is the persisted term-frequency
+    layout (_tf_layout, r15); cf and the 1-row total derive from its
+    scan; the term-keyed join never touches raw text at all."""
+    tf = spark.read.parquet(_tf_layout(spark, sf_dir))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     tot = tf.agg(F.sum("tf").alias("total"))
     return (
@@ -5115,12 +5136,21 @@ def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one inverted-index equi-join on the term, O(Σ df²) bounded
     by the cap, never O(n²); the idf weights make the result robust to
-    boilerplate the unweighted Jaccard counts as similarity."""
-    from replicadb_spark.operators.setsim import tfidf_cosine_pairs
+    boilerplate the unweighted Jaccard counts as similarity. r15: the
+    (id, term, tf) head comes from the persisted term-frequency layout
+    (_tf_layout); the query is the factored cosine tail
+    (setsim.tfidf_cosine_pairs_from_tf) with N read as a 1-row count
+    of the documents table (the layout cannot distinguish an absent
+    doc from a tokenless one)."""
+    from replicadb_spark.operators.setsim import tfidf_cosine_pairs_from_tf
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    return tfidf_cosine_pairs(
-        d, "doc_id", "text", threshold=0.5, max_term_df_frac=0.4
+    tf = spark.read.parquet(_tf_layout(spark, sf_dir)).withColumnRenamed(
+        "doc_id", "id"
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return tfidf_cosine_pairs_from_tf(
+        tf, n, threshold=0.5, max_term_df_frac=0.4
     )
 
 
@@ -5464,34 +5494,27 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind corpus search/retrieval audits, complementing tfidf_top_terms
     (per-doc keywords) with query-time scoring.
 
-    Scale: the corpus-wide explode is filtered to the QUERY TERMS
-    before the tf aggregate shuffles (a 3-term query shuffles ~3 rows
-    per matching doc, not the corpus token stream); document length
-    comes from size(regexp_extract_all(...)) — pure codegen, ZERO
-    shuffle; avgdl/N/df are 1-row-or-tiny broadcast aggregates. Both
-    engines sum 3 bounded per-term contributions and rank on the
-    ROUNDED score with a doc_id tiebreak, so float jitter can't flip
-    the cutoff."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    Scale: both retrieval inputs are projections of the persisted
+    term-frequency layout (_tf_layout, r15): tf = the layout filtered
+    to the QUERY TERMS (a 3-term query reads ~3 rows per matching doc
+    via a pushed-down IN filter — never the corpus token stream), and
+    document length = SUM(tf) per doc over the same scan (identical to
+    counting the raw tokens; docs with zero tokens have no layout rows,
+    matching the oracle's dl > 0 universe); avgdl/N/df are
+    1-row-or-tiny broadcast aggregates. Both engines sum 3 bounded
+    per-term contributions and rank on the ROUNDED score with a doc_id
+    tiebreak, so float jitter can't flip the cutoff."""
     query_terms = ("hash", "join", "scan")
     k1, b = 1.2, 0.75
-    toks_arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-    # dl feeds both the avgdl aggregate and the scored join — persist so
-    # the corpus tokenization scan runs once (the tf persist's sibling)
+    layout = spark.read.parquet(_tf_layout(spark, sf_dir))
     dl = tracked_persist(
-        d.select("doc_id", F.size(toks_arr).alias("dl"))
-        .where(F.col("dl") > 0)
+        layout.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     )
     stats = dl.agg(
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    tf = tracked_persist(
-        d.select("doc_id", F.explode(toks_arr).alias("term"))
-        .where(F.col("term").isin(*query_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = layout.where(F.col("term").isin(*query_terms))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     contrib = idf * F.col("tf") * (k1 + 1.0) / (
