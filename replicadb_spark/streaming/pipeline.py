@@ -2520,6 +2520,7 @@ def stream_additive_counts(
     *,
     compact_every: "int | None" = 16,
     available_now: bool = True,
+    scratch_orphan_grace_ms: int = 3_600_000,
 ) -> StreamingQuery:
     """The shared LSM-delta-log maintainer for ADDITIVE count stores —
     the machinery behind twins #34 (collocation counts) and #35
@@ -2540,19 +2541,23 @@ def stream_additive_counts(
     snapshot id — compaction's own overwrite advances the id, so an
     id-based trigger fires every ``compact_every - 1`` batches), the
     fold collapses the log: spill the summed view — pinned to the tip
-    it derives from — to the store's scratch dir
-    (``compact-scratch``), then overwrite-commit the read-back scan
-    with that tip as a CAS precondition (``expect_parent``). The
-    two-phase spill keeps a 100 TB key space streaming through
-    executor tasks instead of pinned in non-reliable storage
-    mid-commit; the CAS means a concurrent appender landing between
-    spill and publish is never erased by the stale sum — on refusal
-    the delta log is still exact and compaction re-fires next
-    interval (the counter stays above the threshold). Crash between
-    spill and publish: log intact, scratch overwritten next interval.
-    Crash after publish: only a scratch orphan, invisible to reads
-    and GC (both walk ``data/snap-*`` manifests only), reclaimed at
-    the next spill.
+    it derives from — to a PER-ATTEMPT scratch dir under the store
+    (``compact-scratch-<token>``; a fixed name would let a concurrent
+    compactor overwrite the spill WHILE this attempt's commit reads
+    it), then overwrite-commit the read-back scan with that tip as a
+    CAS precondition (``expect_parent``). The two-phase spill keeps a
+    100 TB key space streaming through executor tasks instead of
+    pinned in non-reliable storage mid-commit; the CAS means a
+    concurrent appender landing between spill and publish is never
+    erased by the stale sum — on refusal the delta log is still exact
+    and compaction re-fires next interval (the counter stays above
+    the threshold). The scratch dir is deleted in a ``finally``
+    whether the attempt wins or refuses; a CRASHED attempt's orphan —
+    invisible to reads and GC, which walk ``data/snap-*`` manifests
+    only — is reclaimed by the sweep at the start of every later
+    compaction, sparing dirs younger than
+    ``scratch_orphan_grace_ms`` (a LIVE concurrent compactor's
+    in-flight spill — the expire orphan-grace precedent).
 
     Streaming == batch value-for-value per prefix: summed deltas
     equal one-shot totals (addition is associative/commutative, batch
@@ -2583,12 +2588,28 @@ def stream_additive_counts(
             compact_every is not None
             and appended_since_compact[0] >= compact_every
         ):
+            import time as _time
+            import uuid as _uuid
+
+            fs = TableFS(spark, store_path)
+            now_ms = int(_time.time() * 1000)
+            for name in fs.list_names(store_path):
+                if not name.startswith("compact-scratch-"):
+                    continue
+                p = join(store_path, name)
+                try:
+                    if now_ms - fs.mtime_ms(p) > scratch_orphan_grace_ms:
+                        fs.delete(p, recursive=True)
+                except Exception:
+                    pass  # raced another sweep; harmless
             tip = current_snapshot(store_path)
-            scratch = join(store_path, "compact-scratch")
-            additive_counts_view(
-                spark, store_path, keys, counts, snapshot_id=tip
-            ).write.mode("overwrite").parquet(scratch)
+            scratch = join(
+                store_path, f"compact-scratch-{_uuid.uuid4().hex[:8]}"
+            )
             try:
+                additive_counts_view(
+                    spark, store_path, keys, counts, snapshot_id=tip
+                ).write.mode("overwrite").parquet(scratch)
                 snapshot_commit(
                     spark.read.parquet(scratch),
                     store_path,
@@ -2596,11 +2617,11 @@ def stream_additive_counts(
                     meta={"batch_id": batch_id},
                     expect_parent=tip,
                 )
+                appended_since_compact[0] = 0
             except ConcurrentCommitError:
-                TableFS(spark, store_path).delete(scratch, recursive=True)
                 return
-            TableFS(spark, store_path).delete(scratch, recursive=True)
-            appended_since_compact[0] = 0
+            finally:
+                fs.delete(scratch, recursive=True)
 
     return _start_batches(
         source, checkpoint, apply_batch,
@@ -2617,6 +2638,7 @@ def stream_phrase_counts(
     term_pattern: str = "[a-z0-9]+",
     compact_every: "int | None" = 16,
     available_now: bool = True,
+    scratch_orphan_grace_ms: int = 3_600_000,
 ) -> StreamingQuery:
     """Twin #34: word2phrase collocation counts
     (functions/text.phrase_unit_counts — Mikolov et al. 2013)
@@ -2634,6 +2656,7 @@ def stream_phrase_counts(
         lambda b: phrase_unit_counts(b, text_col, term_pattern=term_pattern),
         ("w1", "w2"), ("n",),
         compact_every=compact_every, available_now=available_now,
+        scratch_orphan_grace_ms=scratch_orphan_grace_ms,
     )
 
 
@@ -2661,6 +2684,7 @@ def stream_ngram_counts(
     text_col: str = "text",
     compact_every: "int | None" = 16,
     available_now: bool = True,
+    scratch_orphan_grace_ms: int = 3_600_000,
 ) -> StreamingQuery:
     """Twin #35: corpus-wide bigram counts (the batch
     ngram_topk_corpus derivation: space-split tokens, adjacent
@@ -2689,4 +2713,5 @@ def stream_ngram_counts(
     return stream_additive_counts(
         source, store_path, checkpoint, derive, ("bigram",), ("cnt",),
         compact_every=compact_every, available_now=available_now,
+        scratch_orphan_grace_ms=scratch_orphan_grace_ms,
     )

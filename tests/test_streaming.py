@@ -2597,10 +2597,16 @@ def test_stream_phrase_counts_crash_between_spill_and_compact(
             os.utime(f)
 
     store = str(tmp_path / "phrase_crash_store")
-    scratch = os.path.join(store, "compact-scratch")
     ck = str(tmp_path / "phrase_crash_ck")
 
-    def run():
+    def scratch_dirs():
+        if not os.path.isdir(store):
+            return []
+        return [
+            d for d in os.listdir(store) if d.startswith("compact-scratch-")
+        ]
+
+    def run(grace_ms=3_600_000):
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -2608,6 +2614,7 @@ def test_stream_phrase_counts_crash_between_spill_and_compact(
         )
         q = P.stream_phrase_counts(
             stream, store, ck, text_col="text", compact_every=2,
+            scratch_orphan_grace_ms=grace_ms,
         )
         try:
             q.awaitTermination(300)
@@ -2635,10 +2642,14 @@ def test_stream_phrase_counts_crash_between_spill_and_compact(
             )
         )
 
-    # (a)+(b): batch 1's append landed before the crash; the spill is on
-    # disk but unpublished — reads over the delta log stay exact
+    # (a)+(b): batch 1's append landed before the crash and reads over
+    # the delta log stay exact. An exception-shaped failure reclaims
+    # its own scratch via the finally (no orphan); a HARD crash (kill)
+    # skips the finally — simulate that orphan directly so the resume
+    # exercises the grace-guarded sweep
     assert [op for _, op in history_ops()] == ["append", "append"]
-    assert os.path.isdir(scratch)
+    assert scratch_dirs() == []  # exception path cleans up after itself
+    os.makedirs(os.path.join(store, "compact-scratch-deadbeef"))
 
     def scores_from():
         return {
@@ -2663,14 +2674,15 @@ def test_stream_phrase_counts_crash_between_spill_and_compact(
     assert scores_from() == batch_scores(2)
 
     # (c): resume on the SAME checkpoint — the redelivered batch is
-    # guard-skipped, batches 3-4 fold in, and their compaction interval
-    # overwrites the orphan scratch, commits, and removes it
-    assert run() is None
+    # guard-skipped, batches 3-4 fold in, their compaction interval
+    # commits over the new tip, and (run with grace 0) its
+    # start-of-compaction sweep reclaims the crashed attempt's orphan
+    assert run(grace_ms=0) is None
     ops = history_ops()
     assert [op for _, op in ops] == [
         "append", "append", "append", "append", "overwrite",
     ]
-    assert not os.path.exists(scratch)
+    assert scratch_dirs() == []
     assert scores_from() == batch_scores(4)
 
 
