@@ -382,6 +382,32 @@ def test_bm25_filters_query_terms_before_tf_shuffle(spark):
     assert "In(term, [hash,join,scan])" in plan, "IN filter must be pushed"
 
 
+def test_edge_layout_ships_prejoined_linked_frame(spark, tmp_path):
+    """r15: the edge layout persists the power-iteration input
+    (linked/ = (u, v, deg) both directions) so pagerank/PPR never
+    re-derive the out-union + degree join per run — pin that the
+    frame exists, is exactly the union-both-ways join of edges and
+    degrees, and is what read_edge_layout hands back. (The query-level
+    plan can't be pinned here: pagerank_layout returns an eagerly
+    checkpointed frame whose plan is an RDD scan.)"""
+    from replicadb_spark.operators.graph import (
+        read_edge_layout,
+        write_edge_layout,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    path = str(tmp_path / "lay")
+    write_edge_layout(edges, path)
+    lay = read_edge_layout(spark, path)
+    got = {(r["u"], r["v"], r["deg"]) for r in lay["linked"].collect()}
+    deg = {r["v"]: r["deg"] for r in lay["deg"].collect()}
+    und = [(r["a"], r["b"]) for r in lay["edges"].collect()]
+    want = {(a, b, deg[a]) for a, b in und} | {(b, a, deg[b]) for a, b in und}
+    assert got == want
+
+
 def test_pagerank_short_loop_is_lazy_equijoins(spark):
     # a 3-iteration run stays one lazy DAG below the checkpoint cadence
     # (pagerank() itself adds ONE eager checkpoint at the boundary so

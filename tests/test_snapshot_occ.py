@@ -827,6 +827,104 @@ def test_expire_races_live_writers_with_grace(spark, tmp_path):
     assert 5 in hist
 
 
+def test_delta_log_random_schedule_property(spark, tmp_path):
+    """r15 property: for RANDOM interleavings of delta appends and
+    CAS-guarded compactions (the additive-store protocol), the summed
+    view equals the exact per-key totals after EVERY step, and
+    time-traveled intermediate snapshots sum to the prefix totals.
+    Randomized schedules (seeded, 3 runs) instead of a hypothesis
+    strategy: each step is a real Spark commit, so the budget goes to
+    schedule diversity, not shrinking."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.snapshot_table import current_snapshot
+
+    for trial in range(3):
+        rng = random.Random(1000 + trial)
+        path = _uri(tmp_path, f"delta_prop_{trial}")
+        totals: dict[int, int] = {}
+
+        def view_sums(snapshot_id=None):
+            return {
+                r["k"]: r["n"]
+                for r in snapshot_read(
+                    spark, path, snapshot_id=snapshot_id
+                )
+                .groupBy("k")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            }
+
+        prefix_totals: dict[int, dict[int, int]] = {}
+        for step in range(rng.randint(5, 8)):
+            if rng.random() < 0.7 or current_snapshot(path) is None:
+                k, d = rng.randint(0, 2), rng.randint(1, 5)
+                sid = snapshot_commit(
+                    spark.createDataFrame([(k, d)], "k long, n long"), path
+                )
+                totals[k] = totals.get(k, 0) + d
+            else:
+                tip = current_snapshot(path)
+                summed = (
+                    snapshot_read(spark, path, snapshot_id=tip)
+                    .groupBy("k")
+                    .agg(F.sum("n").alias("n"))
+                )
+                sid = snapshot_commit(
+                    summed.localCheckpoint(eager=True), path,
+                    mode="overwrite", expect_parent=tip,
+                )
+            prefix_totals[sid] = dict(totals)
+            assert view_sums() == totals, (trial, step)
+        # every intermediate snapshot sums to its prefix totals
+        for sid, want in prefix_totals.items():
+            assert view_sums(snapshot_id=sid) == want, (trial, sid)
+
+
+def test_overwrite_survives_fault_at_every_metadata_step(spark, tmp_path):
+    """r15: the OVERWRITE commit path (logical replace — what delta-log
+    compaction publishes) under the same every-step crash sweep as
+    append/upsert: until the publish rename lands, every crash leaves
+    the OLD visible set byte-intact; a plain retry converges; GC sweeps
+    the debris."""
+    steps = _fault_every_step(
+        spark, tmp_path, "overwrite",
+        lambda p: snapshot_commit(
+            _df(spark, [(1, 11), (2, 22), (3, 33)]), p,
+            mode="overwrite", stat_columns=["id"],
+        ),
+        {1: 11, 2: 22, 3: 33},
+    )
+    assert steps >= 2
+
+
+def test_cas_overwrite_survives_fault_at_every_metadata_step(
+    spark, tmp_path
+):
+    """r15: the CAS-guarded overwrite (the compaction shape — derive
+    from the tip, publish with expect_parent=that tip) under the
+    every-step crash sweep. The retry re-derives its precondition from
+    the post-crash tip, exactly like a compactor re-firing at the next
+    interval; atomicity and convergence must hold at every fault
+    point."""
+    from replicadb_spark.operators.snapshot_table import current_snapshot
+
+    def run_op(p):
+        tip = current_snapshot(p)
+        return snapshot_commit(
+            _df(spark, [(1, 11), (2, 22), (3, 33)]), p,
+            mode="overwrite", stat_columns=["id"],
+            expect_parent=tip if tip is not None else 0,
+        )
+
+    steps = _fault_every_step(
+        spark, tmp_path, "cas_overwrite", run_op, {1: 11, 2: 22, 3: 33}
+    )
+    assert steps >= 2
+
+
 def _fault_every_step(spark, tmp_path, op_name, run_op, expect_after):
     """Drive ``run_op`` with an injected IOError at the k-th TableFS
     metadata mutation, for every k until a run completes fault-free.
