@@ -125,6 +125,23 @@ BENCH_QUERIES = [
 
 
 def main() -> int:
+    # strict flag parsing (ADVICE r15): a typo like --side-car used to
+    # silently demote a close-out run to the scratch sidecar; argparse
+    # errors out on unknown flags, and the chosen sidecar file is
+    # printed up front so the run's destination is never ambiguous.
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--sidecar",
+        action="store_true",
+        help="write the committed BENCH_LOCAL.json (quiet-host close-out "
+        "evidence) instead of the scratch BENCH_DRIVER.json",
+    )
+    cli = ap.parse_args()
+    sidecar_name = "BENCH_LOCAL.json" if cli.sidecar else "BENCH_DRIVER.json"
+    print(f"# sidecar destination: {sidecar_name}", file=sys.stderr)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -368,6 +385,26 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # Layout-build ledger (VERDICT r15 item 4): the headline sums warm
+    # minimums with the per-(process, sf_dir) layout builds amortized
+    # out (first-touch cost lands in run 1 of whichever query builds
+    # the layout; the min takes run 2). The ledger makes that
+    # amortization auditable: build seconds + on-disk bytes per layout
+    # family, recorded by the builders themselves.
+    from replicadb_spark.plans.catalog import LAYOUT_LEDGER
+
+    layout_builds = dict(sorted(LAYOUT_LEDGER.items()))
+    layout_total_s = round(
+        sum(v["build_seconds"] for v in layout_builds.values()), 3
+    )
+    layout_total_b = sum(v["bytes"] for v in layout_builds.values())
+    print(
+        f"# layout builds: {len(layout_builds)} layouts, "
+        f"{layout_total_s:.1f}s total, {layout_total_b:,} bytes "
+        f"(amortized out of the warm headline)",
+        file=sys.stderr,
+    )
+
     # Full-precision payload (3-dp min-of-2, both raw runs + row counts,
     # full recall detail) goes to a sidecar the judge can read directly.
     sidecar = {
@@ -384,6 +421,11 @@ def main() -> int:
         # queries with cached frames remaining after release_caches —
         # MUST stay empty (untracked persist = storage leak at scale)
         "residual_caches": residual_caches,
+        "layout_builds": layout_builds,
+        "layout_builds_total": {
+            "build_seconds": layout_total_s,
+            "bytes": layout_total_b,
+        },
         "sf": sf,
     }
     # The committed BENCH_LOCAL.json is the round's QUIET-HOST close-out
@@ -392,9 +434,6 @@ def main() -> int:
     # runs now land in BENCH_DRIVER.json (gitignored-equivalent scratch);
     # the close-out sidecar is written only on an explicit --sidecar run.
     here = os.path.dirname(os.path.abspath(__file__))
-    sidecar_name = (
-        "BENCH_LOCAL.json" if "--sidecar" in sys.argv else "BENCH_DRIVER.json"
-    )
     with open(os.path.join(here, sidecar_name), "w") as f:
         json.dump(sidecar, f, indent=1)
         f.write("\n")

@@ -190,11 +190,6 @@ class TableFS:
     def delete(self, p: str, recursive: bool = False) -> bool:
         return bool(self._fs.delete(self._jpath(p), recursive))
 
-    def mtime_ms(self, p: str) -> int:
-        """Modification time of ``p`` in epoch millis (Hadoop file
-        status) — the age signal grace-guarded orphan sweeps key on."""
-        return int(self._fs.getFileStatus(self._jpath(p)).getModificationTime())
-
     # -- the commit primitive --------------------------------------------
     _S3_SCHEMES = ("s3a", "s3n", "s3")
 

@@ -498,23 +498,79 @@ def write_edge_layout(edges: DataFrame, path: str, *, src: str = "src",
             f.unpersist()
 
 
-def read_edge_layout(spark: SparkSession, path: str) -> dict:
-    """Open a :func:`write_edge_layout` layout: lazy ``edges`` /
-    ``deg`` / ``oriented`` frames plus the counted ``m`` /
-    ``n_vertices`` from the publish marker (no action runs)."""
+class _EdgeLayout:
+    """Mapping view over a persisted edge layout that opens each frame
+    on FIRST ACCESS only. ``spark.read.parquet`` is not free — it lists
+    the directory and reads a footer for schema discovery — so a query
+    that needs only ``oriented`` (triangles) must not pay three extra
+    opens for frames it never touches. ``linked`` additionally falls
+    back to deriving (u, v, deg) from ``edges``+``deg`` when the subdir
+    is absent: layouts written before the linked/ frame existed (their
+    publish marker carries no version field) stay readable instead of
+    failing with an opaque parquet path error."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self._spark = spark
+        self._path = path
+        self._frames: dict[str, DataFrame] = {}
+        self.m = int(meta["m"])
+        self.n_vertices = int(meta["n_vertices"])
+
+    def _open(self, name: str) -> DataFrame:
+        from replicadb_spark.fs import join as fs_join
+
+        if name not in self._frames:
+            self._frames[name] = self._spark.read.parquet(
+                fs_join(self._path, name)
+            )
+        return self._frames[name]
+
+    def _linked(self) -> DataFrame:
+        from replicadb_spark.fs import TableFS, join as fs_join
+
+        if "linked" in self._frames:
+            return self._frames["linked"]
+        if TableFS(self._spark, self._path).exists(
+            fs_join(self._path, "linked")
+        ):
+            return self._open("linked")
+        # pre-linked-frame layout: derive the power-iteration input the
+        # way write_edge_layout builds it (both directions + src degree)
+        und = self._open("edges")
+        deg = self._open("deg")
+        out = und.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        linked = out.join(deg.withColumnRenamed("v", "u"), "u").select(
+            "u", "v", "deg"
+        )
+        self._frames["linked"] = linked
+        return linked
+
+    def __getitem__(self, key: str):
+        if key == "m":
+            return self.m
+        if key == "n_vertices":
+            return self.n_vertices
+        if key == "linked":
+            return self._linked()
+        if key in ("edges", "deg", "oriented"):
+            return self._open(key)
+        raise KeyError(key)
+
+
+def read_edge_layout(spark: SparkSession, path: str) -> _EdgeLayout:
+    """Open a :func:`write_edge_layout` layout: per-frame LAZY access
+    to ``edges`` / ``deg`` / ``oriented`` / ``linked`` plus the counted
+    ``m`` / ``n_vertices`` from the publish marker. Nothing is opened
+    until a frame is indexed, so a caller that reads only the marker
+    counts (or only one frame) pays exactly that much I/O."""
     from replicadb_spark.fs import TableFS, join as fs_join
 
     meta = json.loads(
         TableFS(spark, path).read_text(fs_join(path, _LAYOUT_META))
     )
-    return {
-        "edges": spark.read.parquet(fs_join(path, "edges")),
-        "deg": spark.read.parquet(fs_join(path, "deg")),
-        "oriented": spark.read.parquet(fs_join(path, "oriented")),
-        "linked": spark.read.parquet(fs_join(path, "linked")),
-        "m": int(meta["m"]),
-        "n_vertices": int(meta["n_vertices"]),
-    }
+    return _EdgeLayout(spark, path, meta)
 
 
 def triangle_count_layout(

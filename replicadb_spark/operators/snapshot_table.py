@@ -219,12 +219,25 @@ def snapshot_schema(path: str, snapshot_id: "int | None" = None):
 _OCC_RETRIES = 5
 
 
-class ConcurrentCommitError(IOError):
+class ConcurrentCommitError(RuntimeError):
     """A commit carrying an ``expect_parent`` precondition found the
     table tip moved past it — the state the commit's data was derived
     from is no longer the latest. The caller decides: recompute from
     the new tip and retry, or (for pure housekeeping like delta-log
-    compaction, where the un-compacted table is still exact) skip."""
+    compaction, where the un-compacted table is still exact) skip.
+
+    Derives from RuntimeError, NOT IOError (ADVICE r15): a CAS refusal
+    is contention, not filesystem failure — a caller catching IOError
+    for transient FS problems must never swallow a refusal that needs
+    a refold."""
+
+
+class CommitRetryExhausted(RuntimeError):
+    """A read-fold-commit loop lost its CAS race ``_OCC_RETRIES``+
+    consecutive times — every retry means a whole other writer landed
+    in the window, so this is sustained contention worth surfacing to
+    the operator (back off, shard the fold, or serialize writers),
+    distinct from both a single refusal (retryable) and I/O failure."""
 
 
 def _commit_token() -> str:
@@ -409,7 +422,7 @@ def snapshot_commit(
                         " evolution"
                     )
                 table_schema = merged
-    raise IOError(
+    raise CommitRetryExhausted(
         f"snapshot_commit: lost the publish race {_OCC_RETRIES + 1} "
         "times in a row"
     )
@@ -583,7 +596,7 @@ def _cow_publish(
                         "against the new snapshot"
                     )
         parent = new_parent
-    raise IOError(
+    raise CommitRetryExhausted(
         f"{op}: lost the publish race {_OCC_RETRIES + 1} times in a row"
     )
 

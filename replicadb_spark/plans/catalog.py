@@ -20,6 +20,7 @@ each query.
 from __future__ import annotations
 
 import threading
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -70,6 +71,33 @@ def _spool_dir(prefix: str) -> str:
     out = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     return out
+
+
+# Build ledger for the memoized per-(process, sf_dir) layouts (edges /
+# signatures / baskets / shingle-index / minhash-sketch / tf): each
+# build records its wall seconds and on-disk bytes here, keyed
+# "family:sf_dir". The bench headline reports warm minimums with these
+# builds amortized out (first-touch cost lands in run 1, the min takes
+# run 2) — this ledger keeps that amortization AUDITABLE in the bench
+# sidecar instead of invisible (VERDICT r15 "what's wrong" #3).
+LAYOUT_LEDGER: dict[str, dict] = {}
+
+
+def _ledger_record(family: str, sf_dir: str, path: str, t0: float) -> None:
+    import os as _os
+    import time as _time
+
+    nbytes = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            try:
+                nbytes += _os.path.getsize(_os.path.join(root, f))
+            except OSError:
+                pass
+    LAYOUT_LEDGER[f"{family}:{sf_dir}"] = {
+        "build_seconds": round(_time.time() - t0, 3),
+        "bytes": nbytes,
+    }
 
 
 def _gate_spool(df: DataFrame, prefix: str) -> DataFrame:
@@ -803,6 +831,7 @@ def _shingle_inter_layout(spark: SparkSession, sf_dir: str) -> str:
     with _SHINGLE_INTER_LOCK:
         path = _SHINGLE_INTER_LAYOUTS.get(sf_dir)
         if path is None:
+            t0 = time.time()
             path = _spool_dir("shingle_inter_")
             d = _t(spark, sf_dir, "documents")["documents"]
             # the UNCAPPED inverted doc-list frame is written first and
@@ -817,6 +846,7 @@ def _shingle_inter_layout(spark: SparkSession, sf_dir: str) -> str:
             )
             inter.write.mode("overwrite").parquet(f"{path}/inter")
             sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+            _ledger_record("shingle_inter", sf_dir, path, t0)
             _SHINGLE_INTER_LAYOUTS[sf_dir] = path
         return path
 
@@ -874,6 +904,7 @@ def _minhash_buckets_layout(spark: SparkSession, sf_dir: str) -> str:
     with _MINHASH_BUCKETS_LOCK:
         path = _MINHASH_BUCKETS_LAYOUTS.get(sf_dir)
         if path is None:
+            t0 = time.time()
             path = _spool_dir("minhash_buckets_")
             d = _t(spark, sf_dir, "documents")["documents"]
             D.minhash_band_buckets(
@@ -896,6 +927,7 @@ def _minhash_buckets_layout(spark: SparkSession, sf_dir: str) -> str:
                 .write.mode("overwrite")
                 .parquet(f"{path}/cands")
             )
+            _ledger_record("minhash_buckets", sf_dir, path, t0)
             _MINHASH_BUCKETS_LAYOUTS[sf_dir] = path
         return path
 
@@ -2461,6 +2493,113 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_drift_gate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)])) AS s
+      FROM toks
+      WHERE len(t) >= 5
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id < 5
+    ), snapdocs AS (
+      SELECT 1 AS snapshot_id, doc_id FROM documents
+      WHERE doc_id >= 5 AND doc_id % 3 != 2
+      UNION ALL
+      SELECT 2, doc_id FROM documents WHERE doc_id >= 5
+    ), hits AS (
+      SELECT sd.snapshot_id, sd.doc_id, COUNT(DISTINCT sh.s) AS g
+      FROM snapdocs sd
+      JOIN sh ON sh.doc_id = sd.doc_id
+      JOIN bench b ON sh.s = b.s
+      GROUP BY 1, 2
+    ), counts AS (
+      SELECT snapshot_id, COUNT(*) AS n_docs FROM snapdocs GROUP BY 1
+    )
+    SELECT c.snapshot_id, c.n_docs,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams
+    FROM counts c
+    LEFT JOIN (
+      SELECT snapshot_id, COUNT(*) AS n_contaminated, SUM(g) AS n_hit_grams
+      FROM hits GROUP BY 1
+    ) h USING (snapshot_id)
+    """,
+)
+def contamination_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination drift between corpus snapshots (VERDICT r15 item
+    7): the decontamination overlap check (word-5-gram hits against
+    the benchmark set, ``decontaminate_overlap``) re-run at TWO
+    time-traveled states of a snapshot-table corpus — commit 1 is an
+    initial ingest (2/3 of the corpus), commit 2 appends the rest —
+    reporting per-snapshot corpus size, contaminated-doc count, and
+    total distinct hit grams. This is the audit artifact a training-
+    data pipeline ships: "did eval-set contamination increase between
+    corpus versions?", answerable because the lakehouse commits are
+    immutable, time-traveled states rather than a mutable table whose
+    history is gone.
+
+    Composes two oracle-gated components: the snapshot table's
+    append/time-travel path (operators/snapshot_table — commit 1 must
+    remain byte-stable after commit 2's append) and the broadcast
+    decontamination join. Scale: the benchmark gram set broadcasts (an
+    eval suite, not a corpus); each snapshot reads only its
+    manifest-listed files; corpus text never self-joins or shuffles —
+    per-snapshot cost is one scan + one broadcast-hash-join + two
+    aggregates, and the N-snapshot audit is N independent such passes.
+    """
+    from replicadb_spark.operators.snapshot_table import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    corpus = d.where(F.col("doc_id") >= 5).select("doc_id", "text")
+    store = _spool_dir("contam_snap_")
+    snapshot_commit(corpus.where(F.col("doc_id") % 3 != 2), store)
+    snapshot_commit(corpus.where(F.col("doc_id") % 3 == 2), store)
+
+    def doc_grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                D.shingles_tokens(D.word_tokens(F.col("text")), 5)
+            ).alias("s"),
+        )
+
+    bench = doc_grams(d.where(F.col("doc_id") < 5)).select("s").distinct()
+
+    def per_snapshot(sid: int) -> DataFrame:
+        snap = snapshot_read(spark, store, snapshot_id=sid)
+        per_doc = (
+            doc_grams(snap)
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("g"))
+        )
+        return (
+            snap.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(
+                per_doc.agg(
+                    F.count(F.lit(1)).alias("n_contaminated"),
+                    F.coalesce(F.sum("g"), F.lit(0))
+                    .cast("long")
+                    .alias("n_hit_grams"),
+                )
+            )
+            .select(
+                F.lit(sid).cast("int").alias("snapshot_id"),
+                "n_docs", "n_contaminated", "n_hit_grams",
+            )
+        )
+
+    return per_snapshot(1).unionByName(per_snapshot(2))
+
+
+@register(
     "dedup_incremental_batch",
     oracle=_SHINGLE_CTE + """
     SELECT id_a, id_b,
@@ -3623,18 +3762,33 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieving the part's best price. Keeps Q2's signature shape — a
     correlated MIN subquery decorrelated into an aggregate + self-join.
 
-    Scale: the offer aggregate is the ONE heavy lineitem shuffle and it
-    is persisted — without the persist Catalyst duplicates the whole
-    scan+aggregate subtree under both sides of the offer⋈best self-join
-    (measured: 6 exchanges, lineitem shuffled twice; with it: the big
-    shuffle runs once and only the already-reduced offer rows
-    re-exchange on l_partkey). Part filter prunes before the dimension
-    joins; min-unit-price equality is exact (both engines compute the
+    Scale: the offer aggregate is the ONE heavy lineitem shuffle, and
+    TWO things keep it small. (1) The part predicate is pushed BELOW
+    it (VERDICT r15 item 3): best_price is per-partkey — independent
+    across parts — so broadcast-semi-joining lineitem against the
+    filtered part keys BEFORE the groupBy is semantically identical
+    while the heavy shuffle shrinks by the part-filter selectivity
+    (~10x here; at 100 TB the difference between shuffling all of
+    lineitem and the pruned slice). (2) The reduced offer frame is
+    persisted — without the persist Catalyst duplicates the whole
+    scan+semi-join+aggregate subtree under both sides of the
+    offer⋈best self-join (measured at r12: 6 exchanges, lineitem
+    shuffled twice; with it the big shuffle runs once and only the
+    already-reduced offer rows re-exchange on l_partkey).
+    Min-unit-price equality is exact (both engines compute the
     identical IEEE division then MIN over the same set). Ties keep all
     winning suppliers — deterministic without a tiebreak."""
     t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    promo = t["part"].where(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
     offer = tracked_persist(
         t["lineitem"]
+        .join(
+            F.broadcast(promo.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     )
@@ -3642,10 +3796,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         offer.join(best, "l_partkey")
         .where(F.col("unit_price") == F.col("best_price"))
-        .join(
-            t["part"].where((F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -4303,6 +4454,7 @@ def _tf_layout(spark: SparkSession, sf_dir: str) -> str:
     with _TF_LOCK:
         path = _TF_LAYOUTS.get(sf_dir)
         if path is None:
+            t0 = time.time()
             path = _spool_dir("tf_layout_")
             d = _t(spark, sf_dir, "documents")["documents"]
             (
@@ -4319,6 +4471,7 @@ def _tf_layout(spark: SparkSession, sf_dir: str) -> str:
                 .write.mode("overwrite")
                 .parquet(path)
             )
+            _ledger_record("tf", sf_dir, path, t0)
             _TF_LAYOUTS[sf_dir] = path
         return path
 
@@ -4737,6 +4890,7 @@ def _basket_layout(spark: SparkSession, sf_dir: str) -> str:
         if table is None or not spark.catalog.tableExists(table):
             import uuid
 
+            t0 = time.time()
             table = f"basket_sets_{uuid.uuid4().hex[:8]}"
             t = _t(spark, sf_dir, "orders", "lineitem")
             basket = (
@@ -4751,14 +4905,16 @@ def _basket_layout(spark: SparkSession, sf_dir: str) -> str:
                 )
             )
             sets = capped_set_pairs(basket, "id", "item", max_item_df=500)
+            basket_path = _spool_dir("basket_sets_")
             write_bucketed_table(
                 sets.repartition(32, "item"),
                 table,
                 bucket_cols=["item"],
                 n_buckets=32,
                 sort_cols=["item"],
-                path=_spool_dir("basket_sets_"),
+                path=basket_path,
             )
+            _ledger_record("basket_sets", sf_dir, basket_path, t0)
             _BASKET_LAYOUTS[sf_dir] = table
         return table
 
@@ -4842,8 +4998,10 @@ def _copurchase_layout(spark: SparkSession, sf_dir: str) -> str:
     with _COPURCHASE_LOCK:
         path = _COPURCHASE_LAYOUTS.get(sf_dir)
         if path is None:
+            t0 = time.time()
             path = _spool_dir("copurchase_edges_")
             write_edge_layout(_copurchase_edges(spark, sf_dir), path)
+            _ledger_record("copurchase_edges", sf_dir, path, t0)
             _COPURCHASE_LAYOUTS[sf_dir] = path
         return path
 
@@ -4866,11 +5024,13 @@ def _edit1_sig_layout(spark: SparkSession, sf_dir: str) -> str:
     with _EDIT1_SIG_LOCK:
         path = _EDIT1_SIG_LAYOUTS.get(sf_dir)
         if path is None:
+            t0 = time.time()
             path = _spool_dir("edit1_sigs_")
             c = _t(spark, sf_dir, "customer")["customer"]
             edit1_signatures(c, "c_custkey", "c_name").write.mode(
                 "overwrite"
             ).parquet(path)
+            _ledger_record("edit1_sigs", sf_dir, path, t0)
             _EDIT1_SIG_LAYOUTS[sf_dir] = path
         return path
 

@@ -2344,6 +2344,7 @@ def stream_weighted_reservoir(
     complete, committed reservoir."""
     from replicadb_spark.operators.sampling import weighted_reservoir_sample
     from replicadb_spark.operators.snapshot_table import (
+        CommitRetryExhausted,
         ConcurrentCommitError,
         current_snapshot,
         snapshot_commit,
@@ -2388,7 +2389,7 @@ def stream_weighted_reservoir(
                 return
             except ConcurrentCommitError:
                 continue
-        raise IOError(
+        raise CommitRetryExhausted(
             "stream_weighted_reservoir: lost the fold race repeatedly"
         )
 
@@ -2427,6 +2428,7 @@ def stream_dedup_components(
     only relabel the new vertices)."""
     from replicadb_spark.operators.graph import merge_components
     from replicadb_spark.operators.snapshot_table import (
+        CommitRetryExhausted,
         ConcurrentCommitError,
         current_snapshot,
         snapshot_commit,
@@ -2461,7 +2463,7 @@ def stream_dedup_components(
                 return
             except ConcurrentCommitError:
                 continue
-        raise IOError(
+        raise CommitRetryExhausted(
             "stream_dedup_components: lost the fold race repeatedly"
         )
 
@@ -2508,6 +2510,56 @@ def phrase_counts_view(
     return additive_counts_view(
         spark, store_path, ("w1", "w2"), ("n",), snapshot_id=snapshot_id
     )
+
+
+def sweep_compact_scratch(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    grace_ms: int,
+) -> "list[str]":
+    """Reclaim hard-crash-orphaned ``compact-scratch-*`` dirs under an
+    additive-counts store, sparing any dir whose mtime is younger than
+    ``grace_ms`` — a LIVE peer compactor's in-flight spill (the age
+    signal is :meth:`TableFS.mtime_ms`, the max of the dir's own and
+    its direct children's mtimes, so a spill that just finished writing
+    reads fresh even on schemes with lazy dir mtimes). Runs at the
+    start of every compaction; returns the reclaimed dir names.
+
+    A peer sweep deleting the same orphan first is the expected race
+    (not-found mid-walk, swallowed); any OTHER failure — permissions,
+    scheme errors — is surfaced as a RuntimeWarning rather than
+    swallowed silently (ADVICE r15), because housekeeping must not
+    fail the batch but must not hide real errors either."""
+    import time as _time
+
+    from replicadb_spark.fs import TableFS, join
+
+    fs = TableFS(spark, store_path)
+    now_ms = int(_time.time() * 1000)
+    reclaimed: "list[str]" = []
+    for name in fs.list_names(store_path):
+        if not name.startswith("compact-scratch-"):
+            continue
+        p = join(store_path, name)
+        try:
+            # mtime_ms returns 0 for a vanished path (a racing delete
+            # already won) — delete() below is then a harmless no-op
+            if now_ms - fs.mtime_ms(p) > grace_ms:
+                if fs.delete(p, recursive=True):
+                    reclaimed.append(name)
+        except Exception as e:  # noqa: BLE001 — race filter below
+            s = str(e)
+            if "FileNotFoundException" not in s and "No such file" not in s:
+                import warnings
+
+                warnings.warn(
+                    f"compact-scratch orphan sweep failed on {p}: "
+                    f"{e!r} — deferred to the next sweep",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+    return reclaimed
 
 
 def stream_additive_counts(
@@ -2557,7 +2609,13 @@ def stream_additive_counts(
     only — is reclaimed by the sweep at the start of every later
     compaction, sparing dirs younger than
     ``scratch_orphan_grace_ms`` (a LIVE concurrent compactor's
-    in-flight spill — the expire orphan-grace precedent).
+    in-flight spill — the expire orphan-grace precedent). The grace
+    window must exceed the worst-case spill→commit latency of any
+    live compactor: a peer sweeping an attempt's scratch mid-commit
+    fails that attempt (the delta log stays exact — the CAS refuses
+    nothing-published states — but the compaction is wasted work).
+    The 1-hour default is ~3 orders of magnitude above the measured
+    spill+commit path at gate scale; size it to YOUR store's p99.
 
     Streaming == batch value-for-value per prefix: summed deltas
     equal one-shot totals (addition is associative/commutative, batch
@@ -2588,20 +2646,12 @@ def stream_additive_counts(
             compact_every is not None
             and appended_since_compact[0] >= compact_every
         ):
-            import time as _time
             import uuid as _uuid
 
             fs = TableFS(spark, store_path)
-            now_ms = int(_time.time() * 1000)
-            for name in fs.list_names(store_path):
-                if not name.startswith("compact-scratch-"):
-                    continue
-                p = join(store_path, name)
-                try:
-                    if now_ms - fs.mtime_ms(p) > scratch_orphan_grace_ms:
-                        fs.delete(p, recursive=True)
-                except Exception:
-                    pass  # raced another sweep; harmless
+            sweep_compact_scratch(
+                spark, store_path, grace_ms=scratch_orphan_grace_ms
+            )
             tip = current_snapshot(store_path)
             scratch = join(
                 store_path, f"compact-scratch-{_uuid.uuid4().hex[:8]}"

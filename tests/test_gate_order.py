@@ -49,17 +49,17 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r15_window_is_the_r12_block():
-    """The r15 rotation (ROUND14.md "Round-15 gate plan", executed
-    verbatim): the driver window is exactly the 50 r12-gated queries,
+def test_r16_window_is_the_r13_block():
+    """The r16 rotation (ROUND15.md "Round-16 gate plan", executed
+    verbatim): the driver window is exactly the 50 r13-gated queries,
     bounded by its prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "dedup_simhash"
-    assert E._GATE_FIRST[-1] == "copurchase_degree_profile"
-    assert "cdc_apply_changelog" in E._GATE_FIRST
-    # the two blocks that rotated out sit in _GATE_LAST in r17/r16 order
-    assert E._GATE_LAST[0] == "basket_jaccard_customers"  # r14-gated block
-    assert E._GATE_LAST[50] == "dedup_containment"        # r13-gated block
-    assert E._GATE_LAST[-30:] == (
+    assert E._GATE_FIRST[0] == "dedup_containment"
+    assert E._GATE_FIRST[-1] == "events_tumbling_agg"
+    assert "q1_pricing_summary" in E._GATE_FIRST
+    # the two blocks that rotated out sit in _GATE_LAST in r18/r17 order
+    assert E._GATE_LAST[0] == "dedup_simhash"              # r15-gated block
+    assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r14-gated block
+    assert E._GATE_LAST[-31:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -82,4 +82,6 @@ def test_r15_window_is_the_r12_block():
         "streaming_phrase_state",
         # r15 local-evidence addition
         "streaming_ngram_topk_state",
+        # r16 local-evidence addition
+        "contamination_drift_gate",
     )

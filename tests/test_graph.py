@@ -210,3 +210,44 @@ def test_merge_components_equals_full_recompute(spark):
     # final clusters: {1,2,5,6,7}, {3,4,100,101}, {9}
     comp = {r["vertex"]: r["component"] for r in labels.collect()}
     assert comp[7] == 1 and comp[101] == 3 and comp[9] == 9
+
+
+def test_edge_layout_reader_is_lazy_and_tolerates_pre_linked_layouts(
+    spark, tmp_path
+):
+    """ADVICE r15: read_edge_layout used to eagerly open all four
+    frames (a query needing only `oriented` paid three extra parquet
+    opens) and failed outright on layouts written before the linked/
+    frame existed. Pin both fixes: frames open on first access only,
+    and a layout whose linked/ subdir is missing (pre-r15 publish
+    marker — no version field) still serves PageRank by deriving
+    (u, v, deg) from edges+deg, rank-for-rank identically."""
+    import shutil
+
+    from replicadb_spark.operators.graph import (
+        pagerank_layout,
+        read_edge_layout,
+        write_edge_layout,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    path = str(tmp_path / "lay3")
+    write_edge_layout(edges, path)
+
+    lay = read_edge_layout(spark, path)
+    assert lay._frames == {}  # nothing opened yet
+    lay["oriented"].count()
+    assert set(lay._frames) == {"oriented"}  # only what was asked for
+
+    with_linked = {
+        r.vertex: round(r.rank, 12)
+        for r in pagerank_layout(spark, path, iterations=3).collect()
+    }
+    shutil.rmtree(tmp_path / "lay3" / "linked")  # pre-r15 layout shape
+    derived = {
+        r.vertex: round(r.rank, 12)
+        for r in pagerank_layout(spark, path, iterations=3).collect()
+    }
+    assert derived == with_linked

@@ -680,3 +680,22 @@ def test_dsir_vocab_hash_broadcasts_not_per_occurrence(spark):
     # broadcasts into the per-doc sum
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q2_part_predicate_below_the_offer_aggregate(spark):
+    """q2_min_cost_supplier (VERDICT r15 item 3): per-part best price
+    is independent across parts, so the PROMO/size part predicate must
+    prune lineitem BEFORE the heavy (l_partkey, l_suppkey) offer
+    aggregate — a broadcast semi-join against the filtered part keys
+    as the aggregate's child. At 100 TB this is the difference between
+    shuffling all of lineitem and the ~10x-pruned slice."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    # the part filter reaches the part parquet scan
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "LessThanOrEqual(p_size,10)" in plan
+    # the semi-join sits BELOW the partial aggregate (top-down plan
+    # text: the parent partial_min prints before its LeftSemi child)
+    assert "LeftSemi" in plan
+    assert plan.index("partial_min") < plan.index("LeftSemi")
+    # one heavy exchange on the reduced offer rows; dimensions broadcast
+    assert "SortMergeJoin" not in plan

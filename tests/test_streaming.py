@@ -3014,3 +3014,121 @@ def test_stream_dedup_components_equals_batch(spark, tmp_path):
     assert mid[7] == 5 and mid[2] == 1
     run("ck2")  # replay guard
     assert current_snapshot(store) == 3
+
+
+def test_compact_scratch_sweep_grace_boundary_thread_race(spark, tmp_path):
+    """VERDICT r15 item 6: race the grace-guarded orphan sweep against
+    a CAS compactor whose scratch is MID-PUBLISH (spilled, not yet
+    committed) — real threads, real primitives, at the grace boundary.
+
+    (a) A sweep whose grace exceeds the compactor's spill→commit
+    window must NOT reclaim the live attempt's scratch: the attempt
+    wins its publish race and the compacted store is exact.
+    (b) The same race with grace below the window (the misconfigured
+    boundary) deletes the scratch mid-window: the attempt FAILS — but
+    the delta log stays exact (no overwrite published from a vanished
+    spill; every append still readable, sums unchanged).
+    (c) The sweep stays selective under (a): an aged hard-crash orphan
+    sitting next to the live scratch is reclaimed in the same pass."""
+    import os
+    import threading
+    import time
+
+    from replicadb_spark.fs import TableFS, join as fs_join
+    from replicadb_spark.operators.snapshot_table import (
+        current_snapshot,
+        snapshot_commit,
+        snapshot_history,
+    )
+    from replicadb_spark.streaming.pipeline import (
+        additive_counts_view,
+        sweep_compact_scratch,
+    )
+
+    def build_store(name):
+        store = str(tmp_path / name)
+        for i, rows in enumerate(
+            [[("a", 2), ("b", 1)], [("a", 3)], [("b", 4), ("c", 5)]]
+        ):
+            snapshot_commit(
+                spark.createDataFrame(rows, "k string, n long"),
+                store, meta={"batch_id": i},
+            )
+        return store
+
+    def totals(store):
+        return {
+            (r["k"], r["n"])
+            for r in additive_counts_view(spark, store, ("k",)).collect()
+        }
+
+    WANT = {("a", 5), ("b", 5), ("c", 5)}
+    HOLD_S = 1.5  # the compactor's simulated spill→commit latency
+
+    def run_race(store, grace_ms):
+        """Compactor thread: spill → hold mid-publish → CAS commit.
+        Sweeper thread: fires DURING the hold. Returns (compactor_error,
+        reclaimed_names)."""
+        spilled = threading.Event()
+        result = {"err": None, "reclaimed": None}
+        tip = current_snapshot(store)
+        scratch = fs_join(store, "compact-scratch-racetest")
+
+        def compactor():
+            fs = TableFS(spark, store)
+            try:
+                additive_counts_view(
+                    spark, store, ("k",), snapshot_id=tip
+                ).write.mode("overwrite").parquet(scratch)
+                spilled.set()
+                time.sleep(HOLD_S)  # the mid-publish window under test
+                snapshot_commit(
+                    spark.read.parquet(scratch), store,
+                    mode="overwrite", meta={"batch_id": 99},
+                    expect_parent=tip,
+                )
+            except Exception as e:  # noqa: BLE001 — asserted by caller
+                result["err"] = e
+            finally:
+                fs.delete(scratch, recursive=True)
+
+        def sweeper():
+            spilled.wait(30)
+            result["reclaimed"] = sweep_compact_scratch(
+                spark, store, grace_ms=grace_ms
+            )
+
+        t1 = threading.Thread(target=compactor)
+        t2 = threading.Thread(target=sweeper)
+        t1.start(); t2.start()
+        t1.join(120); t2.join(120)
+        return result
+
+    # (a)+(c) grace above the window: live scratch spared, aged orphan
+    # reclaimed, compaction wins
+    store = build_store("grace_ok")
+    orphan = os.path.join(store, "compact-scratch-crashed0")
+    os.makedirs(orphan)
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    res = run_race(store, grace_ms=int(HOLD_S * 20 * 1000))
+    assert res["err"] is None, res["err"]
+    assert res["reclaimed"] == ["compact-scratch-crashed0"]
+    ops = [
+        r["operation"] for r in snapshot_history(spark, store).collect()
+    ]
+    assert sorted(ops) == ["append", "append", "append", "overwrite"]
+    assert totals(store) == WANT
+
+    # (b) grace below the window: the sweep reclaims the LIVE scratch
+    # mid-publish — the attempt fails, nothing is published from the
+    # vanished spill, and the un-compacted log stays exact
+    store = build_store("grace_low")
+    res = run_race(store, grace_ms=0)
+    assert res["err"] is not None  # the attempt lost its spill
+    assert res["reclaimed"] == ["compact-scratch-racetest"]
+    ops = [
+        r["operation"] for r in snapshot_history(spark, store).collect()
+    ]
+    assert sorted(ops) == ["append", "append", "append"]  # no overwrite
+    assert totals(store) == WANT  # the log is still exact

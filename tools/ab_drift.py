@@ -1,16 +1,17 @@
-"""Tree-vs-tree A/B for the r14 bench drift (VERDICT r14 item 2).
+"""Tree-vs-tree A/B for bench drift root-causing (VERDICT r14 item 2).
 
-Usage: python tools/ab_drift.py <tree_root> [n_runs]
+Usage: python tools/ab_drift.py <tree_root> [n_runs] [query ...]
 
-Runs the drift-cluster queries (the five named in VERDICT r14) from the
+Runs the named queries (default: the five from VERDICT r14) from the
 given checked-out tree, with bench.py's exact protocol — same session
 config, same warmups, same host-throughput probes, cache-cold runs with
 release_caches + clearCache between — but 3 runs per query instead of
 2, and prints one JSON line with every raw timing. Run it alternately
-against the r14 tree and the r13 tree (8881fb4) on a QUIET host; if the
-per-query deltas reproduce tree-vs-tree the regression is real code or
-memory-pressure effect, if they vanish the r14 readings were host drift
-the probe under-corrected.
+(BOTH orders — the r15 A/B showed run order alone can fake a 20%
+delta) against the two trees on a QUIET host; if the per-query deltas
+reproduce tree-vs-tree the regression is real code or memory-pressure
+effect, if they vanish the readings were host drift the probe
+under-corrected.
 
 Each invocation is its own process (fresh JVM) so per-(process, sf_dir)
 persisted layouts rebuild exactly like a driver bench run.
@@ -23,7 +24,7 @@ import os
 import sys
 import time
 
-QUERIES = [
+DEFAULT_QUERIES = [
     "dedup_containment",
     "q2_min_cost_supplier",
     "basket_jaccard_customers",
@@ -35,6 +36,7 @@ QUERIES = [
 def main() -> int:
     tree = os.path.abspath(sys.argv[1])
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    QUERIES = sys.argv[3:] or DEFAULT_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, tree)
     os.chdir(tree)
