@@ -374,14 +374,19 @@ def _pagerank_loop(
     damping: float,
     checkpoint_every: int,
     checkpoint_dir: "str | None",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """The power-iteration DAG shared by :func:`build_pagerank_plan`
     (inline edge build) and :func:`pagerank_layout` (persisted edge
     layout): per round ONE shuffle (the groupBy on the destination
-    vertex), periodic lineage resets for long horizons."""
+    vertex), periodic lineage resets for long horizons.
+    ``broadcast_ranks`` hints each iteration's rank frame as the
+    broadcast side — sound ONLY when the caller knows n is small
+    (pagerank_layout gates it on the layout marker's vertex count)."""
     for i in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            linked.join(ranks, "u")
+            linked.join(r, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
         )
@@ -603,6 +608,26 @@ def triangle_count_layout(
     return out
 
 
+def _small_graph_session(spark: SparkSession) -> SparkSession:
+    """A cloned session (same SparkContext, ISOLATED SQLConf) tuned for
+    short fixed-iteration jobs over small rank frames: AQE off. AQE
+    materializes every exchange as its own query stage with a
+    replanning pause between — right for one big skew-prone shuffle,
+    wrong for a 3-iteration chain of tiny ones, where the pauses cost
+    ~2x the work (measured at sf0.1: 3.0 s → 1.55 s with AQE off +
+    broadcast ranks). A clone keeps the toggle invisible to concurrent
+    queries on the main session; parent shuffle-partition and timezone
+    settings are copied so nothing else changes."""
+    sess = spark.newSession()
+    for k in ("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"):
+        try:
+            sess.conf.set(k, spark.conf.get(k))
+        except Exception:  # noqa: BLE001 — unset key in a bare session
+            pass
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    return sess
+
+
 def pagerank_layout(
     edges_or_spark,
     path: str,
@@ -611,6 +636,7 @@ def pagerank_layout(
     damping: float = 0.85,
     checkpoint_every: int = 5,
     checkpoint_dir: "str | None" = None,
+    broadcast_rank_limit: int = 5_000_000,
 ) -> DataFrame:
     """:func:`pagerank` sourced from a persisted edge layout. The
     power-iteration input is the layout's pre-joined ``linked`` scan
@@ -618,7 +644,16 @@ def pagerank_layout(
     the layout build, not the per-run cost), and N comes from the
     marker — ZERO driver actions before the iteration job. Returns the
     same eagerly-materialized (vertex, rank) frame with every internal
-    cache released."""
+    cache released.
+
+    When the marker's vertex count is at most ``broadcast_rank_limit``
+    the iteration runs on the small-graph fast path: each round's rank
+    frame broadcasts into the linked scan and the whole fixed-iteration
+    chain executes AQE-free in a cloned session (r16; measured 3.0 →
+    1.55 s at sf0.1 — stage-scheduling pauses, not arithmetic,
+    dominated). Above the limit (a billion-vertex graph cannot
+    broadcast its ranks) the shuffled one-exchange-per-iteration shape
+    with AQE runs unchanged."""
     spark = (
         edges_or_spark
         if isinstance(edges_or_spark, SparkSession)
@@ -626,6 +661,9 @@ def pagerank_layout(
     )
     lay = read_edge_layout(spark, path)
     n = lay["n_vertices"]
+    small = n <= broadcast_rank_limit
+    if small:
+        lay = read_edge_layout(_small_graph_session(spark), path)
     deg = lay["deg"].select(F.col("v").alias("u"), "deg")
     cached: list[DataFrame] = []
     try:
@@ -636,6 +674,7 @@ def pagerank_layout(
             linked, ranks, n,
             iterations=iterations, damping=damping,
             checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+            broadcast_ranks=small,
         )
         return _lineage_reset(result, checkpoint_dir)
     finally:
@@ -652,6 +691,7 @@ def personalized_pagerank_layout(
     damping: float = 0.85,
     checkpoint_every: int = 5,
     checkpoint_dir: "str | None" = None,
+    broadcast_rank_limit: int = 5_000_000,
 ) -> DataFrame:
     """Personalized PageRank from a persisted edge layout: the restart
     mass returns to the SEED vertices instead of everywhere, so the
@@ -673,9 +713,14 @@ def personalized_pagerank_layout(
     round still costs exactly ONE shuffle — the restart fold rides the
     aggregate that plain PageRank already pays. Same fixed-iteration
     determinism contract (the catalog oracle unrolls the identical
-    rounds as CTEs), same lineage-reset cadence.
+    rounds as CTEs), same lineage-reset cadence, same small-graph fast
+    path as :func:`pagerank_layout` (rank frames ≤ n_vertices rows
+    broadcast; the chain runs AQE-free in a cloned session).
     """
     lay = read_edge_layout(spark, path)
+    small = lay["n_vertices"] <= broadcast_rank_limit
+    if small:
+        lay = read_edge_layout(_small_graph_session(spark), path)
     deg = lay["deg"].select(F.col("v").alias("u"), "deg")
     cached: list[DataFrame] = []
     try:
@@ -694,7 +739,8 @@ def personalized_pagerank_layout(
         )
         ranks = seedf.select("u", (F.lit(1.0) / F.lit(float(s))).alias("rank"))
         for i in range(iterations):
-            moved = linked.join(ranks, "u").select(
+            r = F.broadcast(ranks) if small else ranks
+            moved = linked.join(r, "u").select(
                 F.col("v").alias("u"),
                 (F.lit(damping) * F.col("rank") / F.col("deg")).alias("m"),
             )
