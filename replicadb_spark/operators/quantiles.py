@@ -158,10 +158,13 @@ def kmv_grouped_sketch(
 
     Plan: the same two-stage shape as kmv_distinct_sketch, grouped —
     an Arrow pre-prune keeps ≤ k distinct candidate ranks per group
-    per batch, so the keyed exchange that follows moves ≤ k·batches
-    rows per group instead of every distinct key; the final per-group
-    window rank then runs over a pre-pruned set. Without the pre-prune
-    a 10^9-distinct-key group would sort wholesale at the exchange."""
+    per batch, so the ONE keyed exchange that follows moves ≤ k·batches
+    rows per group instead of every distinct key; the sketch then folds
+    in a single grouped aggregate (collect_set dedups, array_sort +
+    slice keep the bottom k — r16: the former distinct → window-rank →
+    collect_list chain cost two extra exchanges and a per-group sort
+    for the identical result). Without the pre-prune a
+    10^9-distinct-key group would flood the exchange wholesale."""
     import pandas as pd
 
     hashed = df.select(
@@ -184,11 +187,7 @@ def kmv_grouped_sketch(
     schema = ", ".join(
         f"{c} {t}" for c, t in df.select(*group_cols).dtypes
     ) + ", __rk long"
-    pruned = hashed.mapInPandas(prune, schema=schema).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("__rk")
-    return (
-        pruned.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list("__rk")).alias("ranks"))
+    pruned = hashed.mapInPandas(prune, schema=schema)
+    return pruned.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_set("__rk")), 1, k).alias("ranks")
     )

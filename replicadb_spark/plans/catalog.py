@@ -7370,21 +7370,21 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         t: _kmv_estimate(sorted(rk)[:k], k) for t, rk in type_ranks.items()
     }
 
+    # both exact grains fold from ONE persisted distinct frame (r16):
+    # the per-type exact distinct is a second distinct over the already
+    # deduped (type, week, user) rows, not another full events scan
+    d = tracked_persist(keyed.distinct())
     exact = (
-        e.select(
-            "event_type",
-            F.date_trunc("week", F.col("ts")).cast("string").alias("week_s"),
-            "user_id",
-        )
-        .distinct()
-        .groupBy("event_type", "week_s")
+        d.groupBy("event_type", "week_s")
         .agg(F.count("*").alias("exact_week"))
         .collect()
     )
     exact_type = {
         r["event_type"]: r["n"]
-        for r in e.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+        for r in d.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
         .collect()
     }
 
@@ -8074,6 +8074,10 @@ def rfm_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mon").cast("double").alias("mv"),
         )
     )
+    # base feeds three consumers (exact windows, the cut aggregate, the
+    # approx scorer) — persist it so the orders aggregate runs once
+    # (r16: it re-ran three times, ~0.4 s each at sf0.1)
+    base = tracked_persist(base)
     exact = base.select(
         "custkey",
         F.ntile(5)
