@@ -85,3 +85,20 @@ def test_r16_window_is_the_r13_block():
         # r16 local-evidence addition
         "contamination_drift_gate",
     )
+
+
+def test_cas_exception_taxonomy():
+    """ADVICE r15 item 4: a CAS refusal is contention, not I/O failure
+    — callers catching IOError for transient filesystem problems must
+    never swallow a refusal that needs a refold; retry exhaustion is a
+    third, distinct signal."""
+    from replicadb_spark.operators.snapshot_table import (
+        CommitRetryExhausted,
+        ConcurrentCommitError,
+    )
+
+    assert issubclass(ConcurrentCommitError, RuntimeError)
+    assert not issubclass(ConcurrentCommitError, IOError)
+    assert issubclass(CommitRetryExhausted, RuntimeError)
+    assert not issubclass(CommitRetryExhausted, IOError)
+    assert not issubclass(CommitRetryExhausted, ConcurrentCommitError)

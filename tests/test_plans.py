@@ -707,3 +707,16 @@ def test_q2_part_predicate_below_the_offer_aggregate(spark):
     assert plan.index("partial_min") < plan.index("LeftSemi")
     # one heavy exchange on the reduced offer rows; dimensions broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_layout_builds_are_recorded_in_the_ledger(spark):
+    """VERDICT r15 item 4: the bench headline amortizes layout builds
+    out of the warm minimums, so every memoized layout build must
+    leave an auditable (seconds, bytes) record for the sidecar."""
+    from replicadb_spark.plans.catalog import LAYOUT_LEDGER
+
+    QUERIES["fuzzy_name_match"](spark, SF).count()
+    entry = LAYOUT_LEDGER.get(f"edit1_sigs:{SF}")
+    assert entry is not None
+    assert entry["build_seconds"] > 0
+    assert entry["bytes"] > 0
