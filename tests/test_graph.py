@@ -251,3 +251,46 @@ def test_edge_layout_reader_is_lazy_and_tolerates_pre_linked_layouts(
         for r in pagerank_layout(spark, path, iterations=3).collect()
     }
     assert derived == with_linked
+
+
+def test_pagerank_layout_fast_and_shuffled_paths_agree(spark, tmp_path):
+    """r16: pagerank_layout picks a broadcast/AQE-free fast path when
+    the layout's vertex count is under broadcast_rank_limit, and the
+    shuffled AQE shape above it. Both paths must produce identical
+    ranks from the same layout — pin it by forcing the limit to 0
+    (every graph 'large') and comparing against the default path, and
+    likewise for personalized PageRank."""
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.graph import (
+        pagerank_layout,
+        personalized_pagerank_layout,
+        write_edge_layout,
+    )
+
+    edges = spark.range(400).select(
+        (F.col("id") % 30).alias("src"), ((F.col("id") * 11) % 30).alias("dst")
+    )
+    path = str(tmp_path / "lay_fastslow")
+    write_edge_layout(edges, path)
+
+    def ranks(limit):
+        return {
+            r.vertex: round(r.rank, 12)
+            for r in pagerank_layout(
+                spark, path, iterations=3, broadcast_rank_limit=limit
+            ).collect()
+        }
+
+    assert ranks(5_000_000) == ranks(0)
+
+    def ppr(limit):
+        return {
+            r.vertex: round(r.rank, 12)
+            for r in personalized_pagerank_layout(
+                spark, path, [0, 1, 2], iterations=3,
+                broadcast_rank_limit=limit,
+            ).collect()
+        }
+
+    assert ppr(5_000_000) == ppr(0)

@@ -175,3 +175,33 @@ def test_kmv_grouped_sketch_matches_per_group_sketch(spark):
             ).collect()
         )
         assert grouped[g] == solo and len(solo) == 64
+
+
+def test_kmv_grouped_sketch_equals_bruteforce_bottom_k(spark):
+    """r16 (the one-aggregate sketch shape): on seeded random data with
+    skewed group sizes, each group's ranks must equal the bottom-k of
+    the exact distinct xxhash64 set — computed independently via a
+    plain Spark projection collected and reduced in Python."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.operators.quantiles import kmv_grouped_sketch
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{rng.randint(0, 3)}", rng.randint(0, 500))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long").repartition(16)
+    k = 32
+    got = {
+        r["g"]: list(r["ranks"])
+        for r in kmv_grouped_sketch(df, ["g"], "k", k=k).collect()
+    }
+    hashed = df.select("g", F.xxhash64("k").alias("h")).collect()
+    want: dict = {}
+    for r in hashed:
+        want.setdefault(r["g"], set()).add(r["h"])
+    want = {g: sorted(s)[:k] for g, s in want.items()}
+    assert got == want
