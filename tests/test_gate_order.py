@@ -49,16 +49,16 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r16_window_is_the_r13_block():
-    """The r16 rotation (ROUND15.md "Round-16 gate plan", executed
-    verbatim): the driver window is exactly the 50 r13-gated queries,
+def test_r17_window_is_the_r14_block():
+    """The r17 rotation (ROUND16.md "Round-17 gate plan", executed
+    verbatim): the driver window is exactly the 50 r14-gated queries,
     bounded by its prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "dedup_containment"
-    assert E._GATE_FIRST[-1] == "events_tumbling_agg"
-    assert "q1_pricing_summary" in E._GATE_FIRST
-    # the two blocks that rotated out sit in _GATE_LAST in r18/r17 order
-    assert E._GATE_LAST[0] == "dedup_simhash"              # r15-gated block
-    assert E._GATE_LAST[50] == "basket_jaccard_customers"  # r14-gated block
+    assert E._GATE_FIRST[0] == "basket_jaccard_customers"
+    assert E._GATE_FIRST[-1] == "q18_large_orders"
+    assert "pagerank_copurchase" in E._GATE_FIRST
+    # the two blocks that rotated out sit in _GATE_LAST in r19/r18 order
+    assert E._GATE_LAST[0] == "dedup_containment"  # r16-gated block
+    assert E._GATE_LAST[50] == "dedup_simhash"     # r15-gated block
     assert E._GATE_LAST[-31:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
