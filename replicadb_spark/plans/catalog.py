@@ -2492,6 +2492,37 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The contamination gate's two-commit snapshot store is a pure
+# function of the corpus: commit 1 = doc_id % 3 != 2, commit 2 = the
+# rest. Memoized per (process, sf_dir) like the other layouts (ADVICE
+# r16: a fresh store per invocation re-paid the two full-corpus
+# commits on every bench run and piled /tmp dirs until process exit).
+_CONTAM_LOCK = threading.Lock()
+_CONTAM_STORES: dict[str, str] = {}
+
+
+def _contam_store(spark: SparkSession, sf_dir: str) -> str:
+    path = _CONTAM_STORES.get(sf_dir)
+    if path is not None:
+        return path
+    with _CONTAM_LOCK:
+        path = _CONTAM_STORES.get(sf_dir)
+        if path is None:
+            from replicadb_spark.operators.snapshot_table import (
+                snapshot_commit,
+            )
+
+            t0 = time.time()
+            path = _spool_dir("contam_snap_")
+            d = _t(spark, sf_dir, "documents")["documents"]
+            corpus = d.where(F.col("doc_id") >= 5).select("doc_id", "text")
+            snapshot_commit(corpus.where(F.col("doc_id") % 3 != 2), path)
+            snapshot_commit(corpus.where(F.col("doc_id") % 3 == 2), path)
+            _ledger_record("contam_store", sf_dir, path, t0)
+            _CONTAM_STORES[sf_dir] = path
+    return path
+
+
 @register(
     "contamination_drift_gate",
     oracle=r"""
@@ -2551,23 +2582,25 @@ def contamination_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-snapshot cost is one scan + one broadcast-hash-join + two
     aggregates, and the N-snapshot audit is N independent such passes.
     """
-    from replicadb_spark.operators.snapshot_table import (
-        snapshot_commit,
-        snapshot_read,
-    )
+    from replicadb_spark.operators.snapshot_table import snapshot_read
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    corpus = d.where(F.col("doc_id") >= 5).select("doc_id", "text")
-    store = _spool_dir("contam_snap_")
-    snapshot_commit(corpus.where(F.col("doc_id") % 3 != 2), store)
-    snapshot_commit(corpus.where(F.col("doc_id") % 3 == 2), store)
+    store = _contam_store(spark, sf_dir)
 
     def doc_grams(df):
-        return df.select(
+        # Stage the token array as a projected attribute BEFORE
+        # shingling (ADVICE r16): higher-order functions get no
+        # common-subexpression elimination, so an inline
+        # shingles_tokens(word_tokens(text), 5) re-evaluates the
+        # split+filter subtree once per gram index — O(tokens^2) per
+        # row. The projection makes tokenization O(tokens), same
+        # discipline as decontaminate_overlap above.
+        staged = df.select(
+            "doc_id", D.word_tokens(F.col("text")).alias("toks")
+        )
+        return staged.select(
             "doc_id",
-            F.explode(
-                D.shingles_tokens(D.word_tokens(F.col("text")), 5)
-            ).alias("s"),
+            F.explode(D.shingles_tokens(F.col("toks"), 5)).alias("s"),
         )
 
     bench = doc_grams(d.where(F.col("doc_id") < 5)).select("s").distinct()
