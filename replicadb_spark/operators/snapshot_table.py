@@ -220,16 +220,29 @@ _OCC_RETRIES = 5
 
 
 class ConcurrentCommitError(RuntimeError):
-    """A commit carrying an ``expect_parent`` precondition found the
-    table tip moved past it — the state the commit's data was derived
-    from is no longer the latest. The caller decides: recompute from
-    the new tip and retry, or (for pure housekeeping like delta-log
-    compaction, where the un-compacted table is still exact) skip.
+    """A commit refused because a concurrent writer changed the state
+    it was derived from. Raised by every contention refusal in this
+    module (r17 — ADVICE r16 unified the taxonomy; previously the
+    ``_cow_publish`` refusals raised plain IOError):
+
+    - an ``expect_parent`` CAS precondition found the tip moved;
+    - a COW retry found its victims rewritten/removed underneath it
+      (stale rewrite);
+    - a COW retry would republish a schema pin a concurrent evolution
+      superseded;
+    - a merge-on-key retry found concurrently-added files sharing its
+      staging PKs (Delta's ConcurrentAppendException shape);
+    - a non-retrying single-shot publish (bucketed commits) lost.
+
+    The caller decides: recompute from the new tip and retry, or (for
+    pure housekeeping like delta-log compaction, where the un-compacted
+    table is still exact) skip.
 
     Derives from RuntimeError, NOT IOError (ADVICE r15): a CAS refusal
     is contention, not filesystem failure — a caller catching IOError
     for transient FS problems must never swallow a refusal that needs
-    a refold."""
+    a refold. (Breaking for callers that caught IOError/OSError around
+    commits before r17 — catch ConcurrentCommitError.)"""
 
 
 class CommitRetryExhausted(RuntimeError):
@@ -277,7 +290,7 @@ def _publish(fs: TableFS, path: str, rec: dict) -> None:
     """Single-shot publish for paths without an OCC retry (bucketed
     commits keep the documented single-writer contract): loses loudly."""
     if not _try_publish(fs, path, rec):
-        raise IOError(
+        raise ConcurrentCommitError(
             f"commit of snapshot {rec['snapshot_id']} lost to a "
             "concurrent writer and this operation does not retry — "
             "re-run against the new table tip"
@@ -539,7 +552,7 @@ def _cow_publish(
         }
         gone = sorted(victims_set - visible)
         if gone:
-            raise IOError(
+            raise ConcurrentCommitError(
                 f"{op}: a concurrent commit rewrote or removed "
                 f"{len(gone)} file(s) this operation also rewrote "
                 f"(e.g. {gone[:2]}) — refusing to publish a stale "
@@ -563,7 +576,7 @@ def _cow_publish(
                 if covered is None or _nullable(covered).json() != (
                     _nullable(ours).json()
                 ):
-                    raise IOError(
+                    raise ConcurrentCommitError(
                         f"{op}: a concurrent commit evolved the table "
                         "schema — refusing to republish the old pin; "
                         "re-run against the new snapshot"
@@ -588,7 +601,7 @@ def _cow_publish(
                     .count()
                 )
                 if overlap:
-                    raise IOError(
+                    raise ConcurrentCommitError(
                         f"{op}: a concurrent commit added rows sharing "
                         "primary keys with this batch (concurrent "
                         "append/upsert of the same keys) — retrying "

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from replicadb_spark.operators import snapshot_table as snap_mod
 from replicadb_spark.operators.snapshot_table import (
+    ConcurrentCommitError,
     snapshot_commit,
     snapshot_history,
     snapshot_merge,
@@ -177,7 +178,7 @@ def test_merge_occ_refuses_concurrent_same_key_append(
         return real(fs, p, rec)
 
     monkeypatch.setattr(snap_mod, "_try_publish", racy)
-    with pytest.raises(IOError, match="sharing primary keys"):
+    with pytest.raises(ConcurrentCommitError, match="sharing primary keys"):
         snapshot_merge(
             spark, path, _df(spark, STAGE), pk_columns=["id"],
             when_matched="update", when_not_matched="insert",

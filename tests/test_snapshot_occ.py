@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from replicadb_spark.fs import TableFS, join
 from replicadb_spark.operators import snapshot_table as snap_mod
 from replicadb_spark.operators.snapshot_table import (
+    ConcurrentCommitError,
     snapshot_commit,
     snapshot_delete,
     snapshot_expire,
@@ -118,7 +119,7 @@ def test_cow_refuses_when_victims_rewritten_underneath(
         monkeypatch,
         lambda: snapshot_delete(spark, path, F.col("id") == 0),
     )
-    with pytest.raises(IOError, match="refusing to publish a stale"):
+    with pytest.raises(ConcurrentCommitError, match="refusing to publish a stale"):
         snapshot_delete(spark, path, F.col("id") == 5)
     # the winner's delete is the table tip; the loser published nothing
     got = {r["id"] for r in snapshot_read(spark, path).collect()}
@@ -143,7 +144,7 @@ def test_cow_refuses_when_schema_evolved_underneath(
             path, stat_columns=["id"], evolve=True,
         ),
     )
-    with pytest.raises(IOError, match="evolved the table schema"):
+    with pytest.raises(ConcurrentCommitError, match="evolved the table schema"):
         snapshot_upsert(spark, path, _df(spark, [(1, 11)]), pk_columns=["id"])
     assert snapshot_read(spark, path).columns == ["id", "v", "tag"]
 
@@ -512,7 +513,7 @@ def test_upsert_refuses_concurrent_append_of_same_key(
             _df(spark, [(5, 99)]), path, stat_columns=["id"]
         ),
     )
-    with pytest.raises(IOError, match="sharing primary keys"):
+    with pytest.raises(ConcurrentCommitError, match="sharing primary keys"):
         snapshot_upsert(
             spark, path, _df(spark, [(2, 22), (5, 55)]), pk_columns=["id"]
         )
@@ -540,7 +541,7 @@ def test_two_pruned_upserts_of_same_new_key_refuse(
             pk_columns=["id"], prune_column="id",
         ),
     )
-    with pytest.raises(IOError, match="sharing primary keys"):
+    with pytest.raises(ConcurrentCommitError, match="sharing primary keys"):
         snapshot_upsert(
             spark, path, _df(spark, [(7, 71)]),
             pk_columns=["id"], prune_column="id",
@@ -751,7 +752,7 @@ def test_uncoordinated_parallel_disjoint_merges_all_land(spark, tmp_path):
                 return snapshot_merge(
                     spark, path, staging, pk_columns=["id"]
                 ), retries
-            except IOError as e:
+            except ConcurrentCommitError as e:
                 assert "re-run against the new snapshot" in str(e)
                 retries += 1
                 assert retries <= 16, "merge loop failed to converge"
