@@ -608,6 +608,13 @@ def triangle_count_layout(
     return out
 
 
+# One clone per parent session, weakly keyed so a released parent does
+# not pin its clone (ADVICE r16: a fresh newSession() per pagerank call
+# accumulated SessionStates for the life of a long-running process —
+# bench loops, streaming drivers).
+_SMALL_GRAPH_SESSIONS: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
 def _small_graph_session(spark: SparkSession) -> SparkSession:
     """A cloned session (same SparkContext, ISOLATED SQLConf) tuned for
     short fixed-iteration jobs over small rank frames: AQE off. AQE
@@ -617,7 +624,23 @@ def _small_graph_session(spark: SparkSession) -> SparkSession:
     ~2x the work (measured at sf0.1: 3.0 s → 1.55 s with AQE off +
     broadcast ranks). A clone keeps the toggle invisible to concurrent
     queries on the main session; parent shuffle-partition and timezone
-    settings are copied so nothing else changes."""
+    settings are copied so nothing else changes.
+
+    Memoized per PARENT session (WeakKeyDictionary): repeated calls in
+    one process reuse one clone instead of accumulating SessionStates.
+    Note the contract this implies for callers: a DataFrame returned
+    off the clone stays bound to the clone's SQLConf — anything
+    composed on top of it also executes AQE-free. The layout-backed
+    rank frames are eagerly reset (parquet-backed) before returning,
+    so only the internal iteration chain runs under the clone."""
+    global _SMALL_GRAPH_SESSIONS
+    import weakref
+
+    if _SMALL_GRAPH_SESSIONS is None:
+        _SMALL_GRAPH_SESSIONS = weakref.WeakKeyDictionary()
+    sess = _SMALL_GRAPH_SESSIONS.get(spark)
+    if sess is not None:
+        return sess
     sess = spark.newSession()
     for k in ("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"):
         try:
@@ -625,6 +648,7 @@ def _small_graph_session(spark: SparkSession) -> SparkSession:
         except Exception:  # noqa: BLE001 — unset key in a bare session
             pass
     sess.conf.set("spark.sql.adaptive.enabled", "false")
+    _SMALL_GRAPH_SESSIONS[spark] = sess
     return sess
 
 
@@ -636,7 +660,7 @@ def pagerank_layout(
     damping: float = 0.85,
     checkpoint_every: int = 5,
     checkpoint_dir: "str | None" = None,
-    broadcast_rank_limit: int = 5_000_000,
+    broadcast_rank_limit: int = 1_000_000,
 ) -> DataFrame:
     """:func:`pagerank` sourced from a persisted edge layout. The
     power-iteration input is the layout's pre-joined ``linked`` scan
@@ -653,7 +677,17 @@ def pagerank_layout(
     1.55 s at sf0.1 — stage-scheduling pauses, not arithmetic,
     dominated). Above the limit (a billion-vertex graph cannot
     broadcast its ranks) the shuffled one-exchange-per-iteration shape
-    with AQE runs unchanged."""
+    with AQE runs unchanged.
+
+    The 1M default (ADVICE r16, down from 5M): F.broadcast is an
+    unconditional hint rebuilt and shipped EVERY iteration, so the
+    limit must size the per-round table, not what fits once — 1M
+    (long, double) rows ≈ 16 MB serialized (tens of MB as a JVM hash
+    relation), the same order as a generous
+    autoBroadcastJoinThreshold and inside the regime the sf0.1
+    measurement actually validated; 5M rows would ship hundreds of MB
+    per iteration and court driver pressure / broadcastTimeout right
+    at the cutoff."""
     spark = (
         edges_or_spark
         if isinstance(edges_or_spark, SparkSession)
@@ -691,7 +725,7 @@ def personalized_pagerank_layout(
     damping: float = 0.85,
     checkpoint_every: int = 5,
     checkpoint_dir: "str | None" = None,
-    broadcast_rank_limit: int = 5_000_000,
+    broadcast_rank_limit: int = 1_000_000,
 ) -> DataFrame:
     """Personalized PageRank from a persisted edge layout: the restart
     mass returns to the SEED vertices instead of everywhere, so the

@@ -294,3 +294,18 @@ def test_pagerank_layout_fast_and_shuffled_paths_agree(spark, tmp_path):
         }
 
     assert ppr(5_000_000) == ppr(0)
+
+
+def test_small_graph_session_is_memoized_per_parent(spark):
+    """ADVICE r16: one clone per parent session — repeated fast-path
+    pagerank calls in a long-running process must reuse a single
+    cloned SessionState, not accumulate one per call; the clone stays
+    AQE-free and isolated from the parent's conf."""
+    from replicadb_spark.operators.graph import _small_graph_session
+
+    a = _small_graph_session(spark)
+    assert _small_graph_session(spark) is a
+    assert a is not spark
+    assert a.conf.get("spark.sql.adaptive.enabled") == "false"
+    # isolation: the parent's AQE setting is untouched
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
