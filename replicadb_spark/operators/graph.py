@@ -623,8 +623,9 @@ def _small_graph_session(spark: SparkSession) -> SparkSession:
     wrong for a 3-iteration chain of tiny ones, where the pauses cost
     ~2x the work (measured at sf0.1: 3.0 s → 1.55 s with AQE off +
     broadcast ranks). A clone keeps the toggle invisible to concurrent
-    queries on the main session; parent shuffle-partition and timezone
-    settings are copied so nothing else changes.
+    queries on the main session; the parent's timezone is copied, and
+    shuffle partitions are capped at 8 for the small-regime reduce
+    sides this clone exists for (see inline comment).
 
     Memoized per PARENT session (WeakKeyDictionary): repeated calls in
     one process reuse one clone instead of accumulating SessionStates.
@@ -642,12 +643,25 @@ def _small_graph_session(spark: SparkSession) -> SparkSession:
     if sess is not None:
         return sess
     sess = spark.newSession()
-    for k in ("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"):
+    for k in ("spark.sql.session.timeZone",):
         try:
             sess.conf.set(k, spark.conf.get(k))
         except Exception:  # noqa: BLE001 — unset key in a bare session
             pass
     sess.conf.set("spark.sql.adaptive.enabled", "false")
+    # Small-regime reduce sizing (r17): the clone only ever runs
+    # fixed-iteration loops whose per-round reduce side is ≤ n ≤
+    # broadcast_rank_limit rows AFTER map-side combine — ≤1M (key,
+    # double) rows per iteration, so 8 reduce tasks keeps each at
+    # ≤128K rows while the expensive map side (the linked scan +
+    # broadcast join) keeps the input's parallelism, which
+    # shuffle.partitions does not govern. With AQE off this is what
+    # coalescing would have picked without the per-stage replanning
+    # pause; measured at sf0.1: 3-iteration pagerank 1.8 → 1.26 s vs
+    # inheriting the parent's 32. Fixed at clone creation, never
+    # mutated per call — the memoized clone may be shared.
+    parent_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sess.conf.set("spark.sql.shuffle.partitions", str(min(parent_parts, 8)))
     _SMALL_GRAPH_SESSIONS[spark] = sess
     return sess
 
