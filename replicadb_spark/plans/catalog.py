@@ -6612,27 +6612,50 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     try:
         n_total = e.count()
+        # r17: the gate's tail used to be FIVE driver actions (vstats,
+        # n_removed, both_kept, covered as separate jobs) — ~1.0 s of
+        # scheduling on a 2.4 s query. Fold them into two: one verdict
+        # aggregate carrying the removed count, and ONE pass over
+        # pairs that joins the verdict flags for both endpoints and
+        # folds both invariant counts together (AQE broadcasts the
+        # small verdict side on its own — no hint needed).
         vstats = verdict.agg(
-            F.count("*").alias("nv"), F.countDistinct("id").alias("nd")
+            F.count("*").alias("nv"),
+            F.countDistinct("id").alias("nd"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
         ).first()
         partition_ok = vstats["nv"] == n_total and vstats["nd"] == n_total
+        n_removed = vstats["n_removed"]
 
-        kept = verdict.where("kept").select("id")
-        removed = verdict.where("NOT kept").select("id")
-        n_removed = removed.count()
-
-        both_kept = (
-            pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
-            .join(kept.withColumnRenamed("id", "id_b"), "id_b")
-            .count()
+        inv = (
+            pairs.join(
+                verdict.select(
+                    F.col("id").alias("id_a"), F.col("kept").alias("kept_a")
+                ),
+                "id_a",
+            )
+            .join(
+                verdict.select(
+                    F.col("id").alias("id_b"), F.col("kept").alias("kept_b")
+                ),
+                "id_b",
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("kept_a") & F.col("kept_b"), 1).otherwise(0)
+                ).alias("both_kept"),
+                F.countDistinct(
+                    F.when(
+                        F.col("kept_a") & ~F.col("kept_b"), F.col("id_b")
+                    )
+                ).alias("covered"),
+            )
+            .first()
         )
-        covered = (
-            pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a")
-            .join(removed.withColumnRenamed("id", "id_b"), "id_b")
-            .select("id_b")
-            .distinct()
-            .count()
-        )
+        both_kept = inv["both_kept"] or 0
+        covered = inv["covered"]
     finally:
         verdict.unpersist()
         pairs.unpersist()
