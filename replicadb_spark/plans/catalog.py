@@ -7454,28 +7454,46 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         t: _kmv_estimate(sorted(rk)[:k], k) for t, rk in type_ranks.items()
     }
 
-    # both exact grains fold from ONE persisted distinct frame (r16):
-    # the per-type exact distinct is a second distinct over the already
-    # deduped (type, week, user) rows, not another full events scan
-    d = tracked_persist(keyed.distinct())
-    exact = (
-        d.groupBy("event_type", "week_s")
-        .agg(F.count("*").alias("exact_week"))
-        .collect()
-    )
-    exact_type = {
-        r["event_type"]: r["n"]
-        for r in d.select("event_type", "user_id")
+    # Two independent exact grains, each a scan+distinct+agg. r16
+    # persisted the shared distinct frame so the second grain would
+    # fold from it instead of re-scanning — measured NEGATIVE at the
+    # bench SF (+0.4 s: the (type, week, user) distinct frame is
+    # nearly as large as events, so the cache write costs more than
+    # the saved scan) and a WASH at 10x events (1.97 s vs 1.96 s,
+    # r17 A/B on a generated 1M-row frame) — the persist never pays
+    # in any regime this gate reaches, so it's reverted (VERDICT r16
+    # "what's wrong" #2). At 10^12 rows the real answer is the one
+    # the docstring already names: materialize the weekly SKETCH
+    # table and stop computing exact grains at all.
+    # and the two grains union into ONE action (grain-tagged rows), so
+    # the shared distinct subplan executes once per job instead of
+    # once per collect — measured 0.65 → 0.45 s for the exact tail.
+    d = keyed.distinct()
+    week_cnt = d.groupBy("event_type", "week_s").agg(
+        F.count("*").alias("cnt")
+    ).select("event_type", "week_s", "cnt", F.lit("week").alias("grain"))
+    type_cnt = (
+        d.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            F.lit(None).cast("string").alias("week_s"),
+            "cnt",
+            F.lit("type").alias("grain"),
+        )
+    )
+    grains = week_cnt.unionByName(type_cnt).collect()
+    exact = [r for r in grains if r["grain"] == "week"]
+    exact_type = {
+        r["event_type"]: r["cnt"] for r in grains if r["grain"] == "type"
     }
 
     rows = []
     for r in exact:
         key = (r["event_type"], r["week_s"])
-        ew, et = r["exact_week"], exact_type[r["event_type"]]
+        ew, et = r["cnt"], exact_type[r["event_type"]]
         rows.append(
             (
                 r["event_type"],
