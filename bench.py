@@ -124,6 +124,108 @@ BENCH_QUERIES = [
 ]
 
 
+# Quiet-start thresholds (the ROUND16 manual protocol, codified per
+# VERDICT r16 "what's wrong" #1): a close-out attempt starts only when
+# the 1-min load average is below 0.3 and the 5-min below 0.6 — on a
+# 32-core box that is a genuinely idle machine, and the r16 close-out
+# showed attempts started above it swing the raw total up to 1.85x.
+QUIET_LOAD_1M = 0.3
+QUIET_LOAD_5M = 0.6
+
+
+def _bpe_repl_section(spark, sf_dir: str, timings: dict, raw_runs: dict) -> None:
+    """The two named non-catalog lines of every attempt's total.
+
+    bpe_tokenize_pack — end-to-end tokenize→pack throughput (VERDICT
+    r12 item 6): the tokenizer DEPLOYMENT shape at corpus scale —
+    merges trained ONCE offline (bounded driver-side work, untimed,
+    exactly like a real pipeline loading a saved vocabulary), then the
+    timed region runs the map-only Arrow apply WITH token-ID emission
+    over every sf document and packs shards by the real BPE token
+    counts. Two cache-cold runs like every query; NOT in BENCH_QUERIES
+    (the 100-query comparability set is frozen), so the total gains
+    exactly this one named line from r13 on.
+
+    repl_bulk_write_parquet — bulk-replication throughput (the
+    reference's headline number: ~666K rows/min per 4-core worker,
+    BASELINE.md): lineitem → parquet."""
+    import shutil
+    import tempfile
+
+    from replicadb_spark.cache import release_caches
+    from replicadb_spark.functions.bpe import bpe_tokenize, train_bpe
+    from replicadb_spark.operators.ordering import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, "text", "doc_id", n_merges=80,
+                       sample_docs=200, seed=42)
+    runs = []
+    n_shards = 0
+    for _ in range(2):
+        t0 = time.time()
+        tok = bpe_tokenize(docs, "doc_id", "text", merges, with_ids=True)
+        packed = pack_shards(tok, "id", "n_tokens", budget=2048)
+        agg = packed.selectExpr(
+            "count(*) AS docs", "sum(n_tokens) AS toks",
+            "count(distinct shard) AS shards",
+        ).collect()[0]
+        runs.append(time.time() - t0)
+        n_shards = agg["shards"]
+        release_caches(spark)
+        spark.catalog.clearCache()
+    timings["bpe_tokenize_pack"] = round(min(runs), 3)
+    raw_runs["bpe_tokenize_pack"] = [round(r, 3) for r in runs] + [int(n_shards)]
+    print(
+        f"# bpe_tokenize_pack: {min(runs):.2f}s (runs {runs[0]:.2f}/"
+        f"{runs[1]:.2f}, {agg['docs']} docs, {agg['toks']} tokens, "
+        f"{n_shards} shards ≈ {agg['toks'] / min(runs):,.0f} tokens/s)",
+        file=sys.stderr,
+    )
+
+    out = tempfile.mkdtemp(prefix="bench_repl_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        t0 = time.time()
+        li.write.mode("overwrite").parquet(f"{out}/lineitem")
+        wall = time.time() - t0
+        n_rows = spark.read.parquet(f"{out}/lineitem").count()
+        timings["repl_bulk_write_parquet"] = round(wall, 3)
+        raw_runs["repl_bulk_write_parquet"] = [round(wall, 3), n_rows]
+        print(
+            f"# repl_bulk_write_parquet: {wall:.2f}s "
+            f"({n_rows} rows ≈ {n_rows / wall * 60:,.0f} rows/min)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _loadavg() -> "tuple[float, float]":
+    try:
+        l1, l5, _ = os.getloadavg()
+        return (round(l1, 2), round(l5, 2))
+    except OSError:  # platform without getloadavg
+        return (-1.0, -1.0)
+
+
+def _wait_quiet(max_wait_s: float) -> "tuple[bool, float, float]":
+    """Block until the host is quiet-start or the wait budget runs out.
+    Returns (quiet, load_1m, load_5m) as observed at the decision."""
+    deadline = time.time() + max_wait_s
+    while True:
+        l1, l5 = _loadavg()
+        if l1 < 0 or (l1 < QUIET_LOAD_1M and l5 < QUIET_LOAD_5M):
+            return (l1 >= 0, l1, l5)
+        if time.time() >= deadline:
+            return (False, l1, l5)
+        print(
+            f"# host not quiet (load {l1:.2f}/{l5:.2f} vs "
+            f"{QUIET_LOAD_1M}/{QUIET_LOAD_5M}) — waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+
+
 def main() -> int:
     # strict flag parsing (ADVICE r15): a typo like --side-car used to
     # silently demote a close-out run to the scratch sidecar; argparse
@@ -138,9 +240,29 @@ def main() -> int:
         help="write the committed BENCH_LOCAL.json (quiet-host close-out "
         "evidence) instead of the scratch BENCH_DRIVER.json",
     )
+    ap.add_argument(
+        "--attempts",
+        type=int,
+        default=None,
+        help="number of full measurement attempts (default: 3 with "
+        "--sidecar, 1 otherwise). Every attempt's raw total + host "
+        "factor is recorded in the sidecar's bench_attempts array; the "
+        "reported run is the quiet-start attempt whose host factor is "
+        "closest to 1 — a rule, not a hand-pick (VERDICT r16 #1).",
+    )
+    ap.add_argument(
+        "--quiet-wait",
+        type=float,
+        default=600.0,
+        help="max seconds to wait for a quiet host before each "
+        "--sidecar attempt (load thresholds 0.3/0.6); attempts that "
+        "start loud are still recorded, flagged quiet_start=false",
+    )
     cli = ap.parse_args()
     sidecar_name = "BENCH_LOCAL.json" if cli.sidecar else "BENCH_DRIVER.json"
-    print(f"# sidecar destination: {sidecar_name}", file=sys.stderr)
+    n_attempts = cli.attempts if cli.attempts else (3 if cli.sidecar else 1)
+    print(f"# sidecar destination: {sidecar_name}, attempts: {n_attempts}",
+          file=sys.stderr)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -198,54 +320,123 @@ def main() -> int:
         spark.range(0, 200_000_000).selectExpr("sum(id * 2 + 1)").collect()
         return time.time() - t0
 
-    probe_runs = {
-        "py": [round(_probe_py(), 3) for _ in range(3)],
-        "jvm": [round(_probe_jvm(), 3) for _ in range(3)],
-    }
-    probes = {k: min(v) for k, v in probe_runs.items()}
-    print(f"# probes: py={probes['py']:.2f}s jvm={probes['jvm']:.2f}s "
-          f"(runs {probe_runs})", file=sys.stderr)
+    # Quiet-host reference probe pair (r11 final-tree calibration) —
+    # needed per attempt for the host factor.
+    REF_PROBES = {"py": 0.777, "jvm": 0.161}
 
-    # Each query runs TWICE, cache-cold both times (the per-run
-    # release_caches + clearCache evicts any frame the query
-    # persisted), and reports the MIN — single cold runs on this shared
-    # host swing up to 2x from ambient noise, which round-3 analysis
-    # misdiagnosed as regressions. Min of two cold runs keeps the
-    # cold-plan semantics while damping the noise to ~±20% across
-    # driver invocations.
-    #
-    # Cache hygiene is part of the artifact (VERDICT r10 item 6): after
-    # each query, release the session's tracked persists and record how
-    # many cached frames REMAIN (ground truth from the SQL
-    # CacheManager) — any nonzero residual is a persist() that slipped
-    # past the tracked_persist contract and would accrete executor
-    # storage in a long-lived pipeline service.
     from replicadb_spark.cache import persisted_df_count, release_caches
 
-    timings: dict[str, float] = {}
-    raw_runs: dict[str, list] = {}
-    residual_caches: dict[str, int] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        runs = []
-        n = 0
-        resid = 0
-        for _ in range(2):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.time() - t0)
-            release_caches(spark)
-            resid = max(resid, persisted_df_count(spark))
-            spark.catalog.clearCache()
-        timings[name] = round(min(runs), 3)
-        raw_runs[name] = [round(r, 3) for r in runs] + [n]
-        if resid:
-            residual_caches[name] = resid
+    def run_attempt(attempt_idx: int) -> dict:
+        """One full measurement pass: probes, the frozen query sweep,
+        bpe_tokenize_pack, repl_bulk_write_parquet — everything that
+        feeds the headline total — plus this attempt's host factor.
+
+        Each query runs TWICE, cache-cold both times (the per-run
+        release_caches + clearCache evicts any frame the query
+        persisted), and reports the MIN — single cold runs on this
+        shared host swing up to 2x from ambient noise, which round-3
+        analysis misdiagnosed as regressions.
+
+        Cache hygiene is part of the artifact (VERDICT r10 item 6):
+        after each query, release the session's tracked persists and
+        record how many cached frames REMAIN (ground truth from the
+        SQL CacheManager) — any nonzero residual is a persist() that
+        slipped past the tracked_persist contract and would accrete
+        executor storage in a long-lived pipeline service."""
+        if cli.sidecar:
+            quiet, l1, l5 = _wait_quiet(cli.quiet_wait)
+        else:
+            l1, l5 = _loadavg()
+            quiet = 0 <= l1 < QUIET_LOAD_1M and l5 < QUIET_LOAD_5M
+        print(f"# attempt {attempt_idx}: start load {l1:.2f}/{l5:.2f} "
+              f"quiet_start={quiet}", file=sys.stderr)
+
+        probe_runs = {
+            "py": [round(_probe_py(), 3) for _ in range(3)],
+            "jvm": [round(_probe_jvm(), 3) for _ in range(3)],
+        }
+        probes = {k: min(v) for k, v in probe_runs.items()}
+        print(f"# probes: py={probes['py']:.2f}s jvm={probes['jvm']:.2f}s "
+              f"(runs {probe_runs})", file=sys.stderr)
+
+        timings: dict[str, float] = {}
+        raw_runs: dict[str, list] = {}
+        residual_caches: dict[str, int] = {}
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            runs = []
+            n = 0
+            resid = 0
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
+                release_caches(spark)
+                resid = max(resid, persisted_df_count(spark))
+                spark.catalog.clearCache()
+            timings[name] = round(min(runs), 3)
+            raw_runs[name] = [round(r, 3) for r in runs] + [n]
+            if resid:
+                residual_caches[name] = resid
+            print(
+                f"# {name}: {timings[name]:.2f}s (runs "
+                f"{runs[0]:.2f}/{runs[1]:.2f}, "
+                f"{n} rows, {resid} cached frames after release)",
+                file=sys.stderr,
+            )
+
+        _bpe_repl_section(spark, sf_dir, timings, raw_runs)
+
+        total = round(sum(timings.values()), 3)
+        host_factor = round(
+            (
+                (probes["py"] / REF_PROBES["py"])
+                * (probes["jvm"] / REF_PROBES["jvm"])
+            )
+            ** 0.5,
+            3,
+        )
+        value_normalized = round(total / host_factor, 3)
         print(
-            f"# {name}: {timings[name]:.2f}s (runs {runs[0]:.2f}/{runs[1]:.2f}, "
-            f"{n} rows, {resid} cached frames after release)",
+            f"# attempt {attempt_idx}: total {total:.1f}s, host_factor "
+            f"{host_factor:.2f} → normalized {value_normalized:.1f}s",
             file=sys.stderr,
         )
+        return {
+            "total": total,
+            "host_factor": host_factor,
+            "value_normalized": value_normalized,
+            "quiet_start": quiet,
+            "load_1m": l1,
+            "load_5m": l5,
+            "probes": probes,
+            "probe_runs": probe_runs,
+            "timings": timings,
+            "raw_runs": raw_runs,
+            "residual_caches": residual_caches,
+        }
+
+    attempts = [run_attempt(i) for i in range(n_attempts)]
+    # Deterministic selection (VERDICT r16 #1: codify the protocol so
+    # a noisy round can't accidentally — or selectively — commit a
+    # lucky run): among quiet-start attempts (all attempts, if none
+    # started quiet) report the one whose host factor is CLOSEST TO 1 —
+    # probe parity with the reference host, the most conservative
+    # normalization — never the lowest raw total. Every attempt's
+    # numbers stay in the sidecar's bench_attempts array.
+    pool = [a for a in attempts if a["quiet_start"]] or attempts
+    chosen = min(pool, key=lambda a: abs(a["host_factor"] - 1.0))
+    selected_attempt = attempts.index(chosen)
+    timings = chosen["timings"]
+    raw_runs = chosen["raw_runs"]
+    residual_caches = chosen["residual_caches"]
+    probe_runs = chosen["probe_runs"]
+    probes = chosen["probes"]
+    print(
+        f"# selected attempt {selected_attempt} of {len(attempts)} "
+        f"(quiet-start pool {len(pool)}, |host_factor-1| rule)",
+        file=sys.stderr,
+    )
 
     # Sketch-quality gates at THIS scale factor: the driver's gate runs
     # them at sf0.01; re-measuring here proves recall holds on the
@@ -296,89 +487,17 @@ def main() -> int:
           file=sys.stderr)
     spark.catalog.clearCache()
 
-    # end-to-end tokenize→pack throughput (VERDICT r12 item 6): the
-    # tokenizer DEPLOYMENT shape at corpus scale — merges trained ONCE
-    # offline (bounded driver-side work, untimed, exactly like a real
-    # pipeline loading a saved vocabulary), then the timed region runs
-    # the map-only Arrow apply WITH token-ID emission over every sf
-    # document and packs shards by the real BPE token counts. Two
-    # cache-cold runs like every query; NOT in BENCH_QUERIES (the
-    # 100-query comparability set is frozen), so the total gains
-    # exactly this one named line from r13 on.
-    from replicadb_spark.functions.bpe import bpe_tokenize, train_bpe
-    from replicadb_spark.operators.ordering import pack_shards
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = train_bpe(docs, "text", "doc_id", n_merges=80,
-                       sample_docs=200, seed=42)
-    runs = []
-    n_shards = 0
-    for _ in range(2):
-        t0 = time.time()
-        tok = bpe_tokenize(docs, "doc_id", "text", merges, with_ids=True)
-        packed = pack_shards(tok, "id", "n_tokens", budget=2048)
-        agg = packed.selectExpr(
-            "count(*) AS docs", "sum(n_tokens) AS toks",
-            "count(distinct shard) AS shards",
-        ).collect()[0]
-        runs.append(time.time() - t0)
-        n_shards = agg["shards"]
-        release_caches(spark)
-        spark.catalog.clearCache()
-    timings["bpe_tokenize_pack"] = round(min(runs), 3)
-    raw_runs["bpe_tokenize_pack"] = [round(r, 3) for r in runs] + [int(n_shards)]
-    print(
-        f"# bpe_tokenize_pack: {min(runs):.2f}s (runs {runs[0]:.2f}/"
-        f"{runs[1]:.2f}, {agg['docs']} docs, {agg['toks']} tokens, "
-        f"{n_shards} shards ≈ {agg['toks'] / min(runs):,.0f} tokens/s)",
-        file=sys.stderr,
-    )
-
-    # bulk-replication throughput (the reference's headline number:
-    # ~666K rows/min per 4-core worker, BASELINE.md): lineitem → parquet
-    import shutil
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="bench_repl_")
-    try:
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        t0 = time.time()
-        li.write.mode("overwrite").parquet(f"{out}/lineitem")
-        wall = time.time() - t0
-        n_rows = spark.read.parquet(f"{out}/lineitem").count()
-        timings["repl_bulk_write_parquet"] = round(wall, 3)
-        raw_runs["repl_bulk_write_parquet"] = [round(wall, 3), n_rows]
-        print(
-            f"# repl_bulk_write_parquet: {wall:.2f}s "
-            f"({n_rows} rows ≈ {n_rows / wall * 60:,.0f} rows/min)",
-            file=sys.stderr,
-        )
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-
-    total = round(sum(timings.values()), 3)
-
-    # Probe-normalized companion total (VERDICT r11 item 2): r11's
-    # driver bench read 102.0 s against the same tree's quiet-host
-    # 85.7 s — a uniform 1.19x host tax only diagnosable by
-    # cross-referencing the committed sidecar. The probes make that
-    # split legible INSIDE one artifact: host_factor is the geometric
-    # mean of this run's probe pair over the pinned quiet-host
-    # reference pair (r11 final-tree calibration), and
-    # value_normalized = value / host_factor is what this run would
-    # have read on the reference host. A normalized total that moves
-    # while host_factor explains the raw delta is host load; a
-    # normalized total that moves on its own is a real plan change.
-    REF_PROBES = {"py": 0.777, "jvm": 0.161}
-    host_factor = round(
-        (
-            (probes["py"] / REF_PROBES["py"])
-            * (probes["jvm"] / REF_PROBES["jvm"])
-        )
-        ** 0.5,
-        3,
-    )
-    value_normalized = round(total / host_factor, 3)
+    # Probe-normalized companion total (VERDICT r11 item 2): host_factor
+    # is the geometric mean of the attempt's probe pair over the pinned
+    # quiet-host reference pair, and value_normalized = value /
+    # host_factor is what the run would have read on the reference
+    # host. A normalized total that moves while host_factor explains
+    # the raw delta is host load; a normalized total that moves on its
+    # own is a real plan change. All computed per attempt above; the
+    # headline figures are the selected attempt's.
+    total = chosen["total"]
+    host_factor = chosen["host_factor"]
+    value_normalized = chosen["value_normalized"]
     print(
         f"# total {total:.1f}s, host_factor {host_factor:.2f} vs quiet "
         f"reference → normalized {value_normalized:.1f}s",
@@ -421,6 +540,23 @@ def main() -> int:
         # queries with cached frames remaining after release_caches —
         # MUST stay empty (untracked persist = storage leak at scale)
         "residual_caches": residual_caches,
+        # Every attempt's headline figures + start-load evidence, so
+        # run selection is visible in the committed artifact, not only
+        # in the round log (VERDICT r16 #1). selected_attempt indexes
+        # this array; per-query detail above is the selected attempt's.
+        "bench_attempts": [
+            {
+                "total": a["total"],
+                "host_factor": a["host_factor"],
+                "value_normalized": a["value_normalized"],
+                "quiet_start": a["quiet_start"],
+                "load_1m": a["load_1m"],
+                "load_5m": a["load_5m"],
+                "probes": a["probes"],
+            }
+            for a in attempts
+        ],
+        "selected_attempt": selected_attempt,
         "layout_builds": layout_builds,
         "layout_builds_total": {
             "build_seconds": layout_total_s,
@@ -459,6 +595,10 @@ def main() -> int:
             "queries_benched": len(timings),
             "recall": {k: v["ok"] for k, v in recall.items()},
             "probes": probes,
+            # [raw_total, host_factor] per attempt + selected index —
+            # the selection rule's inputs, visible in the driver tail
+            "attempts": [[a["total"], a["host_factor"]] for a in attempts],
+            "sel": selected_attempt,
             "sf": sf,
             "sidecar": sidecar_name,
         }, separators=(",", ":"))
