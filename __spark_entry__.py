@@ -185,6 +185,11 @@ _GATE_LAST = (
     # append/time-travel path, full DuckDB oracle (two fixed snapshot
     # states), verified green at sf0.01 AND sf0.1 before registration
     "contamination_drift_gate",
+    # r17 local-evidence addition (ROUND17.md): duplicate-rate drift
+    # between the same two time-traveled corpus snapshots — the
+    # exact-key counter + the verified MinHash-LSH near-dup pairs per
+    # snapshot state, full DuckDB oracle over the two fixed commits
+    "dup_rate_drift_gate",
 )
 
 

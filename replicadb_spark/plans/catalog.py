@@ -2633,6 +2633,153 @@ def contamination_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_rate_drift_gate",
+    oracle=r"""
+    WITH snapdocs AS (
+      SELECT 1 AS snapshot_id, doc_id FROM documents
+      WHERE doc_id >= 5 AND doc_id % 3 != 2
+      UNION ALL
+      SELECT 2, doc_id FROM documents WHERE doc_id >= 5
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS t
+      FROM documents WHERE doc_id >= 5
+    ), keys AS (
+      SELECT doc_id, array_to_string(t[1:2], ' ') AS dup_key FROM toks
+    ), ed0 AS (
+      SELECT sd.snapshot_id, k.dup_key, COUNT(*) AS c
+      FROM snapdocs sd JOIN keys k USING (doc_id)
+      GROUP BY 1, 2
+    ), ed AS (
+      SELECT snapshot_id,
+             COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS n_exact_dup_docs
+      FROM ed0 GROUP BY 1
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS s
+      FROM toks
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+      FROM sh l JOIN sh r USING (s)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz za ON id_a = za.doc_id
+      JOIN sz zb ON id_b = zb.doc_id
+      WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.5
+    ), sp AS (
+      SELECT a.snapshot_id, COUNT(*) AS n_pairs
+      FROM pairs p
+      JOIN snapdocs a ON p.id_a = a.doc_id
+      JOIN snapdocs b ON p.id_b = b.doc_id
+       AND a.snapshot_id = b.snapshot_id
+      GROUP BY 1
+    ), counts AS (
+      SELECT snapshot_id, COUNT(*) AS n_docs FROM snapdocs GROUP BY 1
+    )
+    SELECT c.snapshot_id, c.n_docs,
+           CAST(COALESCE(e.n_exact_dup_docs, 0) AS BIGINT) AS n_exact_dup_docs,
+           CAST(COALESCE(sp.n_pairs, 0) AS BIGINT) AS n_neardup_pairs,
+           round(COALESCE(e.n_exact_dup_docs, 0) * 1.0 / c.n_docs, 6) AS exact_dup_rate,
+           round(COALESCE(sp.n_pairs, 0) * 1.0 / c.n_docs, 6) AS neardup_rate
+    FROM counts c
+    LEFT JOIN ed e USING (snapshot_id)
+    LEFT JOIN sp USING (snapshot_id)
+    """,
+)
+def dup_rate_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate drift between corpus snapshots (VERDICT r16 item
+    5): the exact-key and MinHash near-dup counters re-run at the TWO
+    time-traveled states of the snapshot-table corpus the
+    contamination gate already commits (``_contam_store`` — commit 1 =
+    2/3 of the corpus, commit 2 appends the rest), answering the
+    training-data audit question "did the duplicate rate rise between
+    corpus versions?" — per snapshot: corpus size, docs sharing an
+    exact blocking key (``dedup_exact_key``'s first-2-token prefix),
+    near-dup pairs at exact Jaccard ≥ 0.5 from the persisted
+    MinHash-LSH candidate layout (``dedup_minhash_lsh``'s exact-verify
+    contract — the oracle's all-pairs Jaccard is what LSH@64x2 catches
+    with miss probability ~1e-8 at s=0.5), and both as per-doc rates.
+
+    Composes three oracle-gated components: snapshot time travel
+    (immutable commit states), the exact-key dedup counter, and the
+    verified MinHash candidate path. Scale: the verify pass runs ONCE
+    over the corpus-wide persisted candidate layout (never per
+    snapshot); each snapshot adds one manifest-pruned scan + one
+    groupBy for the key counter + two semi-joins of the bounded pair
+    list against its membership; an N-snapshot audit is N independent
+    such passes over the same verified pairs."""
+    from replicadb_spark.operators.snapshot_table import snapshot_read
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    store = _contam_store(spark, sf_dir)
+    cands = spark.read.parquet(
+        f"{_minhash_buckets_layout(spark, sf_dir)}/cands"
+    )
+    pairs = D.exact_jaccard_verify(
+        d.select(F.col("doc_id").alias("id"), "text"), cands,
+        k=3, threshold=0.5,
+    ).select("id_a", "id_b")
+
+    def per_snapshot(sid: int) -> DataFrame:
+        snap = snapshot_read(spark, store, snapshot_id=sid)
+        staged = snap.select(
+            "doc_id", D.word_tokens(F.col("text")).alias("toks")
+        )
+        exact = (
+            staged.select(
+                F.concat_ws(" ", F.slice(F.col("toks"), 1, 2)).alias(
+                    "dup_key"
+                )
+            )
+            .groupBy("dup_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0))
+                .cast("long")
+                .alias("n_exact_dup_docs")
+            )
+        )
+        members = snap.select("doc_id")
+        near = (
+            pairs.join(
+                members.withColumnRenamed("doc_id", "id_a"),
+                "id_a",
+                "left_semi",
+            )
+            .join(
+                members.withColumnRenamed("doc_id", "id_b"),
+                "id_b",
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
+        )
+        return (
+            snap.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(exact)
+            .crossJoin(near)
+            .select(
+                F.lit(sid).cast("int").alias("snapshot_id"),
+                "n_docs",
+                "n_exact_dup_docs",
+                "n_neardup_pairs",
+                F.round(
+                    F.col("n_exact_dup_docs") / F.col("n_docs"), 6
+                ).alias("exact_dup_rate"),
+                F.round(
+                    F.col("n_neardup_pairs") / F.col("n_docs"), 6
+                ).alias("neardup_rate"),
+            )
+        )
+
+    return per_snapshot(1).unionByName(per_snapshot(2))
+
+
+@register(
     "dedup_incremental_batch",
     oracle=_SHINGLE_CTE + """
     SELECT id_a, id_b,

@@ -59,7 +59,7 @@ def test_r17_window_is_the_r14_block():
     # the two blocks that rotated out sit in _GATE_LAST in r19/r18 order
     assert E._GATE_LAST[0] == "dedup_containment"  # r16-gated block
     assert E._GATE_LAST[50] == "dedup_simhash"     # r15-gated block
-    assert E._GATE_LAST[-31:] == (
+    assert E._GATE_LAST[-32:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
         # r7 local-evidence additions
@@ -84,6 +84,8 @@ def test_r17_window_is_the_r14_block():
         "streaming_ngram_topk_state",
         # r16 local-evidence addition
         "contamination_drift_gate",
+        # r17 local-evidence addition
+        "dup_rate_drift_gate",
     )
 
 
