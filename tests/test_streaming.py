@@ -3132,3 +3132,149 @@ def test_compact_scratch_sweep_grace_boundary_thread_race(spark, tmp_path):
     ]
     assert sorted(ops) == ["append", "append", "append"]  # no overwrite
     assert totals(store) == WANT  # the log is still exact
+
+
+def test_gc_races_cas_overwrite_refold(spark, tmp_path, monkeypatch):
+    """VERDICT r16 item 7: snapshot GC's aged-orphan sweep raced
+    against an in-flight CAS overwrite chain MID-REFOLD
+    (refold-after-refusal) — real threads, real primitives.
+
+    The folder derives an additive-counts compaction from tip 3; a
+    concurrent append lands batch 4 inside its publish window, so the
+    CAS genuinely refuses (and reclaims the loser's own data files);
+    the folder refolds from tip 4, and WHILE its second attempt sits
+    mid-publish (data + manifest written, record not yet claimed) a
+    full snapshot_expire pass runs with keep_last=1 and an hour of
+    orphan grace. Pinned:
+
+    - the GC expires snapshots 1-3 and reclaims a planted AGED
+      hard-crash orphan in the same pass (sweep selectivity), but
+      SPARES the live attempt's young unpublished data dir + manifest;
+    - the refold then lands exactly once on the post-GC store, and the
+      final fold equals all four batches — replay guards + CAS keep
+      the fold exact through the interleaving;
+    - the kept pre-overwrite snapshot stays time-travelable; an
+      expired id raises by name."""
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from replicadb_spark.operators import snapshot_table as snap_mod
+    from replicadb_spark.operators.snapshot_table import (
+        ConcurrentCommitError,
+        current_snapshot,
+        snapshot_commit,
+        snapshot_expire,
+        snapshot_history,
+        snapshot_read,
+    )
+    from replicadb_spark.streaming.pipeline import additive_counts_view
+
+    store = str(tmp_path / "gc_refold")
+    for i, rows in enumerate(
+        [[("a", 2), ("b", 1)], [("a", 3)], [("b", 4), ("c", 5)]]
+    ):
+        snapshot_commit(
+            spark.createDataFrame(rows, "k string, n long"),
+            store, meta={"batch_id": i},
+        )
+
+    real = snap_mod._try_publish
+    state = {"phase": 0}
+    in_publish = threading.Event()  # folder's 2nd attempt is mid-publish
+    gc_done = threading.Event()
+
+    def racy(fs, p, rec):
+        if rec.get("operation") != "overwrite":
+            return real(fs, p, rec)  # the interleaved append passes through
+        if state["phase"] == 0:
+            state["phase"] = 1
+            # batch 4 lands between the folder's read and its publish —
+            # the tip moves, the CAS must refuse for real
+            snapshot_commit(
+                spark.createDataFrame([("c", 6)], "k string, n long"),
+                store, meta={"batch_id": 3},
+            )
+            return real(fs, p, rec)
+        if state["phase"] == 1:
+            state["phase"] = 2
+            in_publish.set()
+            assert gc_done.wait(120)  # GC runs NOW, inside the window
+        return real(fs, p, rec)
+
+    monkeypatch.setattr(snap_mod, "_try_publish", racy)
+
+    result: dict = {}
+
+    def folder():
+        try:
+            refusals = 0
+            for _ in range(6):
+                tip = current_snapshot(store)
+                fold = additive_counts_view(
+                    spark, store, ("k",), snapshot_id=tip
+                )
+                try:
+                    snapshot_commit(
+                        fold, store, mode="overwrite",
+                        meta={"batch_id": 99}, expect_parent=tip,
+                    )
+                    result["refusals"] = refusals
+                    return
+                except ConcurrentCommitError:
+                    refusals += 1
+                    continue
+            result["err"] = "retries exhausted"
+        except Exception as e:  # noqa: BLE001 — asserted below
+            result["err"] = e
+
+    # a planted aged hard-crash orphan: an unpublished data dir from a
+    # writer that died an hour ago — must go in the same GC pass that
+    # spares the live attempt's young files
+    orphan = os.path.join(store, "data", "snap-000099-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    old = time.time() - 3600
+    os.utime(os.path.join(orphan, "part-0.parquet"), (old, old))
+    os.utime(orphan, (old, old))
+
+    t = threading.Thread(target=folder)
+    t.start()
+    assert in_publish.wait(120), "folder never reached its second publish"
+    report = snapshot_expire(
+        spark, store, keep_last=1, orphan_grace_ms=3_600_000 // 2
+    )
+    gc_done.set()
+    t.join(120)
+
+    # the refold landed exactly once, after exactly one real refusal
+    assert result == {"refusals": 1}, result
+    # GC: snapshots 1-3 expired, the aged orphan's file reclaimed, and
+    # nothing of the live attempt or the kept tip touched
+    assert report["kept"] == [4] and report["expired"] == [1, 2, 3]
+    assert not os.path.exists(orphan) or not os.listdir(orphan)
+    # the fold is exact over all four batches despite the interleaving
+    got = {
+        (r["k"], r["n"])
+        for r in additive_counts_view(spark, store, ("k",)).collect()
+    }
+    assert got == {("a", 5), ("b", 5), ("c", 11)}
+    hist = {
+        r["snapshot_id"]: r["operation"]
+        for r in snapshot_history(spark, store).collect()
+    }
+    assert hist == {4: "append", 5: "overwrite"}
+    # the kept pre-overwrite state stays time-travelable...
+    pre = {
+        (r["k"], r["n"])
+        for r in additive_counts_view(
+            spark, store, ("k",), snapshot_id=4
+        ).collect()
+    }
+    assert pre == {("a", 5), ("b", 5), ("c", 11)}
+    # ...and an expired id raises by name
+    with pytest.raises(Exception, match="2"):
+        snapshot_read(spark, store, snapshot_id=2).collect()
