@@ -107,8 +107,38 @@ def jaccard_pairs_from_sets(
     """Jaccard pair generation from an already-derived (id, item) set
     frame (:func:`capped_set_pairs`, persisted or layout-scanned): the
     inverted-index self-join on item, the per-pair intersection count,
-    and the size join — the tail of :func:`set_jaccard_pairs`, shared
-    so a layout-backed caller ranks IDENTICALLY."""
+    and the set sizes — the tail of :func:`set_jaccard_pairs`, shared
+    so a layout-backed caller ranks IDENTICALLY.
+
+    If the frame carries a precomputed per-id set size column ``n``
+    (a layout can attach it once at build time — ``_basket_layout``
+    does), the sizes RIDE the inverted-index join as grouping keys:
+    the plan is one bucketed self-join + ONE pair aggregate, with the
+    size groupBy and both post-aggregate size-join exchanges gone
+    (r17 — measured 2.9 → 2.0 s warm at sf0.1 on the basket corpus).
+    ``n`` must be the size of the id's CAPPED set, constant per id;
+    grouping on it adds no groups."""
+    # threshold on the RAW ratio (the rounded column is output-only) so
+    # a value that rounds up across the threshold can't diverge from an
+    # exact-arithmetic oracle
+    raw = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    if "n" in pairs_src.columns:
+        inter = (
+            pairs_src.alias("a")
+            .join(pairs_src.alias("b"), "item")
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.where(raw >= threshold)
+            .select("id_a", "id_b", "inter", F.round(raw, 6).alias("jaccard"))
+        )
     sizes = pairs_src.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs_src.alias("a")
@@ -117,10 +147,6 @@ def jaccard_pairs_from_sets(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # threshold on the RAW ratio (the rounded column is output-only) so
-    # a value that rounds up across the threshold can't diverge from an
-    # exact-arithmetic oracle
-    raw = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")

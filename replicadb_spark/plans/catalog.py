@@ -5085,6 +5085,12 @@ def _basket_layout(spark: SparkSession, sf_dir: str) -> str:
                 )
             )
             sets = capped_set_pairs(basket, "id", "item", max_item_df=500)
+            # attach each id's CAPPED set size as a layout column (r17):
+            # the one build-time shuffle lets jaccard_pairs_from_sets
+            # carry sizes through the pair aggregate as grouping keys —
+            # no size groupBy and no post-aggregate size joins per run
+            sizes = sets.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+            sets = sets.join(sizes, "id")
             basket_path = _spool_dir("basket_sets_")
             write_bucketed_table(
                 sets.repartition(32, "item"),

@@ -668,6 +668,13 @@ def test_basket_jaccard_shape_is_pinned(spark):
     assert "Bucketed: true" in plan
     # per-pair intersection is a partial-aggregated count, not a window
     assert plan.count("HashAggregate") >= 2
+    # r17: set sizes ride the layout's n column through the pair
+    # aggregate as grouping keys — the per-run size groupBy and both
+    # post-aggregate size-join exchanges are GONE (no exchange keyed
+    # on a bare id / id_a / id_b anywhere in the plan)
+    assert "Exchange hashpartitioning(id," not in plan
+    assert "Exchange hashpartitioning(id_a" not in plan
+    assert "Exchange hashpartitioning(id_b" not in plan
 
 
 def test_hybrid_rrf_legs_are_broadcast_equijoins(spark):
