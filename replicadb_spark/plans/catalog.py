@@ -1697,30 +1697,38 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style: orders whose total quantity exceeds a threshold
     (HAVING subquery → aggregate + semi join).
 
-    Scale: the HAVING aggregate and the main join both shuffle on
-    orderkey — co-partitioned, so AQE plans at most one extra exchange;
-    the qualifying-order set semi-joins (broadcast when small)."""
+    Single-scan shape (r17): the HAVING aggregate IS the output's
+    total_qty — o_orderkey is the orders PK, so the final group is
+    per-order and its SUM(l_quantity) equals the filter aggregate's.
+    The old shape (the SQL's literal structure: HAVING subquery, then
+    re-join lineitem and re-sum) scanned and aggregated lineitem
+    TWICE; this computes the per-order sum once, filters, and
+    broadcast-joins the ~|big| surviving rows to orders and customer —
+    lineitem is scanned once and never joined.
+
+    Scale: ONE shuffle on orderkey (the aggregate, map-side combined);
+    the survivor set's size is a runtime fact (a selectivity, not a
+    bound), so the join strategy is left to AQE — it broadcast-
+    converts the small side when it actually is small rather than
+    trusting a compile-time hint that 100x data would break."""
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    li = t["lineitem"]
     big = (
-        li.groupBy("l_orderkey")
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(_dec(F.col("l_quantity"))).alias("q"))
         .where(F.col("q") > 250)
-        .select("l_orderkey")
     )
     return (
         t["orders"]
-        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big, "o_orderkey")
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
         .select(
             "c_custkey", "o_orderkey",
             F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
-            "o_totalprice", "total_qty",
+            "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
         )
     )
 
