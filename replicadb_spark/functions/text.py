@@ -243,34 +243,50 @@ def bigram_logprob(df, id_col: str, text_col: str):
     calculus the catalog's other float scores use, with 100x more
     headroom than 6 dp.
 
-    Plan: tokens via posexplode (codegen), bigrams via ONE lead()
-    window on (doc, pos) — no positional self-join — then two
-    map-side-partial count aggregates for the model, a broadcast |V|
-    count, and a model join back keyed on the bigram. The token frame
-    and the reduced bigram-count model persist once each (two
-    consumers each); the corpus-sized bigram stream itself is never
-    cached — recomputing the lead window from cached tokens is one
-    narrow pass.
+    Plan: bigrams are formed MAP-SIDE from each doc's token array —
+    ``transform(sequence(1, n-1), i -> (a[i], a[i+1]))`` then one
+    explode — so no per-doc window shuffle exists anywhere (r17: the
+    prior lead()-window shape shuffled token-sized data on doc id
+    TWICE, once for the model build and once for the recomputed
+    scoring pass; both are gone). The model is two map-side-partial
+    count aggregates, |V| a broadcast 1-row count over per-doc
+    array_distinct (explode volume capped at the doc's distinct
+    terms), and the model join back is keyed on the bigram (AQE
+    broadcasts the model when the vocab is small). The token-array
+    frame persists once (three consumers: both bigram passes and the
+    vocab count); the corpus-sized bigram stream itself is never
+    cached — re-exploding from cached arrays is one narrow pass.
     """
-    from pyspark.sql import Window
-
-    toks = tracked_persist(df.select(
+    arr = tracked_persist(df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-        ).alias("pos", "term"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("a"),
     ))
-    w = Window.partitionBy("id").orderBy("pos")
     big = (
-        toks.withColumn("w2", F.lead("term").over(w))
-        .where(F.col("w2").isNotNull())
-        .select("id", F.col("term").alias("w1"), "w2")
+        arr.where(F.size("a") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("a"), i).alias("w1"),
+                        F.element_at(F.col("a"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     bc = tracked_persist(
         big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     )
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = toks.agg(F.countDistinct("term").alias("vocab"))
+    vocab = (
+        arr.select(F.explode(F.array_distinct("a")).alias("term"))
+        .agg(F.countDistinct("term").alias("vocab"))
+    )
     return (
         # bc and uc scale with the corpus vocabulary — no forced
         # broadcast; AQE promotes them when they fit (the 1-row vocab

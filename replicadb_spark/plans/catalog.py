@@ -2232,14 +2232,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate > orderdate + 90 days; no receipt/commit dates exist).
 
     Scale: the exists/not-exists pair decorrelates through ONE
-    (order, supplier)-grained aggregate — per_supp's single lineitem
-    shuffle replaces two correlated lineitem self-joins, and avoids the
-    Expand(×2) a double countDistinct would put on every lineitem row.
-    per_supp feeds both the order stats and the late-pair set through
-    Spark's ReusedExchange (identical subtrees share one shuffle
-    materialization — pinned in tests/test_plans.py), so lineitem is
-    read and shuffled once with no persist on the critical path.
-    Supplier join AQE-chosen; no SF-scaled broadcast.
+    order-grained aggregate — ``collect_set(l_suppkey)`` (distinct
+    suppliers) and ``collect_set(late suppkey)`` fold both correlated
+    subqueries into a single lineitem-sized exchange; the sole late
+    supplier is ``element_at`` of the one-element late set. r17: this
+    replaces the previous three-exchange chain (per-supp groupBy →
+    order-stats regroup → semi-join reshuffle) — everything after the
+    one groupBy is map-side. Per-order supplier sets are bounded (~7
+    in TPC-H), so the ObjectHashAggregate state is O(1) per order at
+    any SF. Supplier join AQE-chosen; no SF-scaled broadcast.
     """
     t = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     li = (
@@ -2257,26 +2258,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    # grain 1: one row per (order, supplier) with its lateness flag —
-    # the only shuffle that touches lineitem-sized data
-    per_supp = (
-        li.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(F.col("late"), 1).otherwise(0)).alias("is_late"))
-    )
-    # grain 2: per order, supplier count and late-supplier count — the
-    # decorrelated exists / not-exists, distinct-free
-    stats = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").alias("n_late_supp"),
+    # ONE order-grained aggregate carries both decorrelated subqueries:
+    # distinct-supplier count (exists) and the distinct LATE-supplier
+    # set (not-exists + the sole supplier's identity, in one value)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.collect_set(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("late_supps"),
     )
     sole_late = (
-        per_supp.where(F.col("is_late") == 1)
-        .join(
-            stats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-            "left_semi",
+        per_order.where(
+            (F.col("n_supp") > 1) & (F.size("late_supps") == 1)
         )
-        .select("l_orderkey", "l_suppkey")
+        .select(
+            "l_orderkey", F.element_at("late_supps", 1).alias("l_suppkey")
+        )
     )
     return (
         sole_late.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
@@ -6244,9 +6241,10 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffled text score far below fluent docs even when their
     unigram mix is normal.
 
-    Scale: bigrams come from ONE lead() window on (doc, pos) — never a
-    positional self-join; the model is two map-side-partial counts; the
-    model join is keyed on the bigram (AQE broadcasts when the vocab is
+    Scale: bigrams are formed map-side from each doc's token array
+    (transform+explode — no per-doc window shuffle, never a positional
+    self-join); the model is two map-side-partial counts; the model
+    join is keyed on the bigram (AQE broadcasts when the vocab is
     small). Both engines average the identical ln() terms; 4-dp round
     (functions/text.bigram_logprob's margin analysis — a tighter round
     would sit inside cross-engine float-summation jitter)."""

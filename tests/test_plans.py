@@ -74,10 +74,15 @@ def test_q7_broadcasts_all_dimensions(spark):
     assert plan.count("SortMergeJoin") <= 1
 
 
-def test_q18_semi_join_before_wide_join(spark):
-    plan = _plan(spark, "q18_large_orders")
-    assert "LeftSemi" in plan
+def test_q18_single_lineitem_scan(spark):
+    # r17: the HAVING aggregate IS the output sum — one lineitem scan,
+    # one orderkey shuffle, no semi join, no second sum
+    plan = _final_plan(spark, "q18_large_orders")
+    assert "LeftSemi" not in plan
     assert "TakeOrderedAndProject" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("lineitem.parquet") == 1
+    assert final.count("Exchange hashpartitioning") <= 1
 
 
 def test_q10_topk_no_global_sort(spark):
@@ -135,13 +140,17 @@ def test_q19_disjunction_splits_to_both_scans(spark):
 
 def test_q21_single_lineitem_shuffle_decorrelated(spark):
     plan = _final_plan(spark, "q21_waiting_suppliers")
-    # exists/not-exists decorrelates to ONE stats groupBy + semi join;
-    # orderstatus filter reaches the orders scan
+    # exists/not-exists decorrelates into ONE order-grained
+    # collect_set aggregate (r17); orderstatus filter reaches the
+    # orders scan; the only hash exchanges are that aggregate and the
+    # tiny final per-name count — no semi-join reshuffle, no
+    # order-stats regroup
     assert "EqualTo(o_orderstatus,F)" in plan
-    assert "LeftSemi" in plan
+    assert "collect_set" in plan
     assert "TakeOrderedAndProject" in plan
-    # per_supp feeds both consumers through ONE shuffle materialization
-    assert "ReusedExchange" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "LeftSemi" not in plan and "Window" not in plan
 
 
 def test_chunk_and_redact_and_sample_no_shuffle(spark):
@@ -459,13 +468,14 @@ def test_hard_negative_label_filter_precedes_scoring(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bigram_uses_lead_window_not_positional_self_join(spark):
+def test_bigram_is_window_free_map_side(spark):
     plan = _plan(spark, "bigram_logprob_score")
-    # bigram formation must be the lead() window — if it regresses to a
-    # positional self-join the lead call vanishes from the plan
-    assert "lead(" in plan
-    assert "Window" in plan
+    # r17: bigrams form map-side from the token array (transform +
+    # explode) — no per-doc window shuffle, no positional self-join
+    assert "Window" not in plan
+    assert "lead(" not in plan
     assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "explode" in plan
 
 
 def test_mad_medians_are_grouped_aggregates(spark):
