@@ -226,6 +226,20 @@ def _wait_quiet(max_wait_s: float) -> "tuple[bool, float, float]":
         time.sleep(15)
 
 
+def select_attempt(attempts: "list[dict]") -> int:
+    """Deterministic attempt selection (VERDICT r16 #1: codify the
+    protocol so a noisy round can't accidentally — or selectively —
+    commit a lucky run): among quiet-start attempts (all attempts, if
+    none started quiet) report the one whose host factor is CLOSEST TO
+    1 — probe parity with the reference host, the most conservative
+    normalization — never the lowest raw total. Every attempt's numbers
+    stay in the sidecar's bench_attempts array regardless. Pure
+    function, pinned by tests/test_bench_protocol.py."""
+    pool = [a for a in attempts if a["quiet_start"]] or attempts
+    chosen = min(pool, key=lambda a: abs(a["host_factor"] - 1.0))
+    return attempts.index(chosen)
+
+
 def main() -> int:
     # strict flag parsing (ADVICE r15): a typo like --side-car used to
     # silently demote a close-out run to the scratch sidecar; argparse
@@ -417,24 +431,18 @@ def main() -> int:
         }
 
     attempts = [run_attempt(i) for i in range(n_attempts)]
-    # Deterministic selection (VERDICT r16 #1: codify the protocol so
-    # a noisy round can't accidentally — or selectively — commit a
-    # lucky run): among quiet-start attempts (all attempts, if none
-    # started quiet) report the one whose host factor is CLOSEST TO 1 —
-    # probe parity with the reference host, the most conservative
-    # normalization — never the lowest raw total. Every attempt's
-    # numbers stay in the sidecar's bench_attempts array.
-    pool = [a for a in attempts if a["quiet_start"]] or attempts
-    chosen = min(pool, key=lambda a: abs(a["host_factor"] - 1.0))
-    selected_attempt = attempts.index(chosen)
+    selected_attempt = select_attempt(attempts)
+    chosen = attempts[selected_attempt]
     timings = chosen["timings"]
     raw_runs = chosen["raw_runs"]
     residual_caches = chosen["residual_caches"]
     probe_runs = chosen["probe_runs"]
     probes = chosen["probes"]
+    n_quiet = sum(1 for a in attempts if a["quiet_start"])
     print(
         f"# selected attempt {selected_attempt} of {len(attempts)} "
-        f"(quiet-start pool {len(pool)}, |host_factor-1| rule)",
+        f"(quiet-start pool {n_quiet or len(attempts)}, "
+        f"|host_factor-1| rule)",
         file=sys.stderr,
     )
 
