@@ -37,6 +37,29 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
+def parallelize_small_scan(df):
+    """Local small-scan guard for per-row-heavy map-only screens.
+
+    Higher-order-function folds are interpreted (never codegen'd), so
+    their cost is per-row CPU — which makes scan parallelism the whole
+    game. A real corpus has ~10⁶ splits and saturates every core for
+    free, but a local single-row-group parquet file yields ONE split
+    (parquet cannot split inside a row group), serializing the whole
+    screen onto one core. Repartition ONLY in that degenerate case: a
+    batch frame whose scan has fewer partitions than the session's
+    default parallelism — by construction never a real corpus, where
+    this is a no-op branch and the plan stays shuffle-free.
+
+    Call it AFTER pushdown-able filters (a repartition above a filter
+    would block predicate pushdown to the scan)."""
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens(text))
@@ -321,73 +344,67 @@ GOPHER_DUP_NGRAM = (
 )
 
 
-def _gram_array(toks: Column, n: int) -> Column:
-    """Lexicographically sorted word n-grams (space-joined) — sorted so
-    the fold below sees equal grams as one contiguous run."""
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.sort_array(grams)
+def _gram_array_sql(toks: str, n: int) -> str:
+    """SQL for the lexicographically sorted word n-gram array
+    (space-joined) — sorted so the folds below see equal grams as one
+    contiguous run. String-generated (r17): the fold helpers used to
+    build these trees through nested python lambda Columns, costing
+    ~1 s of py4j round trips PER gopher_screen call; one F.expr parse
+    is JVM-side and near-free, and the parsed tree (and therefore the
+    per-row interpreted evaluation) is identical."""
+    return (
+        f"sort_array(CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
 
 
-def _top_ngram_chars(toks: Column, n: int) -> Column:
+# the run-length recurrence shared by both folds: the gram array is
+# sorted, so "current run length" needs only the previous element
+_RUN2 = "CASE WHEN g = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END"
+
+
+def _top_ngram_chars(toks: str, n: int) -> Column:
     """Characters covered by the most frequent n-gram: count × token
     chars (gram length minus its n-1 separators). Ties on count go to
     the lexicographically smallest gram — the sorted fold reaches the
-    first max-count run before any tied later run can exceed it."""
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"),
-        zero.alias("best"), F.lit("").alias("bestg"),
-    )
-
-    def merge(acc, g):
-        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("long")
-        )
-        better = run2 > acc["best"]
-        return F.struct(
-            g.alias("prev"),
-            run2.alias("run"),
-            F.when(better, run2).otherwise(acc["best"]).alias("best"),
-            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
-        )
-
-    return F.aggregate(
-        _gram_array(toks, n),
-        init,
-        merge,
-        lambda acc: acc["best"]
-        * F.greatest(F.length(acc["bestg"]) - (n - 1), F.lit(0)).cast("long"),
+    first max-count run before any tied later run can exceed it.
+    ``toks`` is a column NAME (the expression is F.expr-parsed)."""
+    return F.expr(
+        f"aggregate({_gram_array_sql(toks, n)}, "
+        "named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT), 'bestg', ''), "
+        "(acc, g) -> named_struct("
+        "'prev', g, "
+        f"'run', {_RUN2}, "
+        f"'best', CASE WHEN ({_RUN2}) > acc.best THEN ({_RUN2}) "
+        "ELSE acc.best END, "
+        f"'bestg', CASE WHEN ({_RUN2}) > acc.best THEN g ELSE acc.bestg END"
+        "), "
+        f"acc -> acc.best * CAST(greatest(length(acc.bestg) - {n - 1}, 0) "
+        "AS BIGINT))"
     )
 
 
-def _dup_ngram_chars(toks: Column, n: int) -> Column:
+def _dup_ngram_chars(toks: str, n: int) -> Column:
     """Characters covered by n-grams occurring 2+ times: every occurrence
     of a duplicated gram contributes its token chars (when a run reaches
-    its 2nd element both retroactively count)."""
-    zero = F.lit(0).cast("long")
-    init = F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("dup"))
-
-    def merge(acc, g):
-        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("long")
-        )
-        glen = (F.length(g) - (n - 1)).cast("long")
-        add = (
-            F.when(run2 == 2, 2 * glen)
-            .when(run2 > 2, glen)
-            .otherwise(zero)
-        )
-        return F.struct(
-            g.alias("prev"), run2.alias("run"), (acc["dup"] + add).alias("dup")
-        )
-
-    return F.aggregate(_gram_array(toks, n), init, merge, lambda acc: acc["dup"])
+    its 2nd element both retroactively count). ``toks`` is a column
+    NAME (the expression is F.expr-parsed)."""
+    glen = f"CAST(length(g) - {n - 1} AS BIGINT)"
+    return F.expr(
+        f"aggregate({_gram_array_sql(toks, n)}, "
+        "named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+        "'dup', CAST(0 AS BIGINT)), "
+        "(acc, g) -> named_struct("
+        "'prev', g, "
+        f"'run', {_RUN2}, "
+        f"'dup', acc.dup + CASE WHEN ({_RUN2}) = 2 THEN 2 * ({glen}) "
+        f"WHEN ({_RUN2}) > 2 THEN {glen} ELSE CAST(0 AS BIGINT) END"
+        "), "
+        "acc -> acc.dup)"
+    )
 
 
 def gopher_screen(df, *, id_cols=("doc_id", "source"), text_col="text"):
@@ -414,36 +431,50 @@ def gopher_screen(df, *, id_cols=("doc_id", "source"), text_col="text"):
     break to the lexicographically smallest gram; every ratio is an
     exact int/int double division.
 
-    Scale: scan → project → project — ZERO shuffle at any corpus size;
+    Scale: scan → project → project — ZERO shuffle on any real corpus;
     the gram folds run over per-row sorted arrays (O(len·log len) per
-    document), exactly the map-only screen a 100 TB filter pass must be.
+    document), exactly the map-only screen a 100 TB filter pass must
+    be. Higher-order-function folds are interpreted (not codegen'd),
+    so per-row cost is the bound — which makes SCAN PARALLELISM the
+    whole game: a 100 TB corpus has ~10⁶ splits and saturates every
+    core for free, but a local single-row-group parquet file yields
+    ONE split and serializes the entire screen onto one core. The
+    small-scan guard below repartitions ONLY in that degenerate case
+    (batch frame with fewer scan partitions than cores — by
+    construction never a real corpus, where it is a no-op branch and
+    the plan stays shuffle-free).
     """
-    lt = F.lower(F.col(text_col))
+    df = parallelize_small_scan(df)
+    # Every lambda-bearing column below is F.expr-parsed from a static
+    # SQL string (r17): nested python-lambda Column construction cost
+    # ~1 s of py4j round trips per call; the parsed trees are identical.
+    lsum = (
+        "aggregate(transform({a}, x -> CAST(length(x) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     staged = df.select(
         *id_cols,
-        lt.alias("__lt"),
-        tokens(lt).alias("__toks"),
-        F.filter(
-            F.transform(F.split(lt, "\n"), lambda s: F.trim(s)),
-            lambda s: s != "",
+        F.lower(F.col(text_col)).alias("__lt"),
+        F.expr(
+            r"filter(split(trim(lower(`" + text_col + r"`)), '\\s+'), "
+            "t -> t != '')"
+        ).alias("__toks"),
+        F.expr(
+            "filter(transform(split(lower(`" + text_col + "`), '\\n'), "
+            "s -> trim(s)), s -> s != '')"
         ).alias("__lines"),
-    )
-    toks, lines = F.col("__toks"), F.col("__lines")
-    lsum = lambda arr: F.aggregate(  # noqa: E731
-        F.transform(arr, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
     m = staged.select(
         *id_cols,
-        F.size(toks).cast("long").alias("n_words"),
-        lsum(toks).alias("total_chars"),
-        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long").alias(
-            "n_alpha"
-        ),
-        F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
-        .cast("long")
-        .alias("n_stop"),
+        F.expr("CAST(size(__toks) AS BIGINT)").alias("n_words"),
+        F.expr(lsum.format(a="__toks")).alias("total_chars"),
+        F.expr(
+            "CAST(size(filter(__toks, x -> x RLIKE '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(
+            f"CAST(size(filter(__toks, x -> x IN ({stop_list}))) AS BIGINT)"
+        ).alias("n_stop"),
         (
             F.length("__lt")
             - F.length(F.replace(F.col("__lt"), F.lit("#"), F.lit("")))
@@ -453,27 +484,26 @@ def gopher_screen(df, *, id_cols=("doc_id", "source"), text_col="text"):
             )
             / 3
         ).alias("n_symbols"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(
-            F.filter(
-                lines,
-                lambda s: s.startswith("- ")
-                | s.startswith("* ")
-                | s.startswith("•"),
-            )
-        ).cast("long").alias("n_bullet"),
-        F.size(
-            F.filter(lines, lambda s: s.endswith("...") | s.endswith("…"))
-        ).cast("long").alias("n_ell"),
-        F.size(F.array_distinct(lines)).cast("long").alias("n_dlines"),
-        lsum(lines).alias("line_chars"),
-        lsum(F.array_distinct(lines)).alias("dline_chars"),
+        F.expr("CAST(size(__lines) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            "CAST(size(filter(__lines, s -> startswith(s, '- ') "
+            "OR startswith(s, '* ') OR startswith(s, '•'))) AS BIGINT)"
+        ).alias("n_bullet"),
+        F.expr(
+            "CAST(size(filter(__lines, s -> endswith(s, '...') "
+            "OR endswith(s, '…'))) AS BIGINT)"
+        ).alias("n_ell"),
+        F.expr("CAST(size(array_distinct(__lines)) AS BIGINT)").alias(
+            "n_dlines"
+        ),
+        F.expr(lsum.format(a="__lines")).alias("line_chars"),
+        F.expr(lsum.format(a="array_distinct(__lines)")).alias("dline_chars"),
         *[
-            _top_ngram_chars(toks, n).alias(f"top{n}_chars")
+            _top_ngram_chars("__toks", n).alias(f"top{n}_chars")
             for n, _ in GOPHER_TOP_NGRAM
         ],
         *[
-            _dup_ngram_chars(toks, n).alias(f"dup{n}_chars")
+            _dup_ngram_chars("__toks", n).alias(f"dup{n}_chars")
             for n, _ in GOPHER_DUP_NGRAM
         ],
     )

@@ -2427,10 +2427,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of duplicated word 2-grams / 3-grams per document — high
     values mark boilerplate/spam for corpus filtering.
 
-    Scale: pure codegen array expressions per row (split, transform,
-    array_distinct) — no explode, no shuffle; the gram arrays live only
-    inside the row's expression evaluation."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    Scale: pure array expressions per row (split, transform,
+    array_distinct) — no explode, no shuffle on any real corpus; the
+    gram arrays live only inside the row's expression evaluation.
+    Higher-order functions are interpreted, so the local
+    single-row-group file needs the small-scan parallelism guard
+    (functions/text.parallelize_small_scan — no-op at scale)."""
+    from replicadb_spark.functions.text import parallelize_small_scan
+
+    d = parallelize_small_scan(_t(spark, sf_dir, "documents")["documents"])
     staged = d.select("doc_id", D.word_tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
 

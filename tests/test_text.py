@@ -222,9 +222,9 @@ def test_gopher_gram_folds_match_python_reference_fuzz(spark):
         r["doc_id"]: r
         for r in staged.select(
             "doc_id",
-            *[_top_ngram_chars(F.col("toks"), n).alias(f"t{n}")
+            *[_top_ngram_chars("toks", n).alias(f"t{n}")
               for n in (2, 3, 4)],
-            *[_dup_ngram_chars(F.col("toks"), n).alias(f"d{n}")
+            *[_dup_ngram_chars("toks", n).alias(f"d{n}")
               for n in (2, 5, 10)],
         ).collect()
     }
