@@ -9,6 +9,7 @@ batch transfer for the (rare) Pandas-UDF paths.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +64,19 @@ def get_spark(app_name: str = "replicadb_spark", **extra_conf: str) -> SparkSess
     return builder.getOrCreate()
 
 
+# Per-session memo for tables(): {"dfs": {(sf_dir, name): DataFrame},
+# "views": {name: sf_dir}}. A DataFrame here is a lazy immutable PLAN —
+# memoizing it caches zero rows and zero results; it only avoids
+# re-paying the spark.read.parquet footer/schema round trip (~100 ms
+# per table) and the view re-registration py4j call on every query
+# construction. The memo dies with its session (WeakKeyDictionary), and
+# the view registry tracks which sf_dir each base-table view currently
+# points at so alternating sf_dirs within one session re-register
+# correctly. session.tables is the only temp-view registrar in the
+# repo (verified by grep, r17), so the registry cannot go stale.
+_TABLES_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the TESTDATA star-schema parquet tables as a dict of DataFrames.
 
@@ -83,19 +97,29 @@ def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = Non
         "lineitem": ("l_shipdate",),
         "events": ("ts",),
     }
+    state = _TABLES_MEMO.setdefault(spark, {"dfs": {}, "views": {}})
+    dfs, views = state["dfs"], state["views"]
     out = {}
     for name in names or all_names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for c in ts_cols.get(name, ()):
-            if dict(df.dtypes).get(c) == "bigint":
-                # integer `div`, NOT float `/`: epoch nanos (~1.7e18)
-                # exceed double's 2^53 exact-integer range, and DuckDB
-                # truncates nanos→micros exactly — µs drift breaks oracle
-                # hashes on ts outputs and can flip near-tie orderings.
-                df = df.withColumn(
-                    c,
-                    F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
-                )
-        df.createOrReplaceTempView(name)
+        key = (sf_dir, name)
+        df = dfs.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            for c in ts_cols.get(name, ()):
+                if dict(df.dtypes).get(c) == "bigint":
+                    # integer `div`, NOT float `/`: epoch nanos (~1.7e18)
+                    # exceed double's 2^53 exact-integer range, and DuckDB
+                    # truncates nanos→micros exactly — µs drift breaks oracle
+                    # hashes on ts outputs and can flip near-tie orderings.
+                    df = df.withColumn(
+                        c,
+                        F.timestamp_micros(
+                            F.expr(f"`{c}` div 1000")
+                        ).cast("timestamp_ntz"),
+                    )
+            dfs[key] = df
+        if views.get(name) != sf_dir:
+            df.createOrReplaceTempView(name)
+            views[name] = sf_dir
         out[name] = df
     return out
