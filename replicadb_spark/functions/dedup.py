@@ -580,26 +580,15 @@ def minhash_dedup_pairs(
     return exact_jaccard_verify(docs, cands, k=k, threshold=threshold)
 
 
-def exact_jaccard_verify(
-    docs: DataFrame,
-    cands: DataFrame,
-    *,
-    k: int,
-    threshold: float,
+def shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, *, k: int
 ) -> DataFrame:
-    """Exact-Jaccard verification of LSH candidate pairs — the
-    precision phase of the two-phase near-dup pipeline, factored so
-    every candidate producer (one-shot self-LSH, bipartite incremental,
-    a persisted bucket layout) shares one engine-exact verify.
-    ``docs`` is an (id, text) frame covering every candidate id (ids
-    unique across it); ``cands`` is (id_a, id_b). Only candidate docs
-    are shingled (left-semi prune before the Arrow pass), so verify
-    cost scales with the candidate set, never the corpus."""
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    """Per-doc distinct k-shingle sets as (id, ss array<string>) — the
+    verify-side representation of the near-dup index. A pure function
+    of (corpus, k), so callers that verify against the same corpus
+    repeatedly (the persisted MinHash layout) write it ONCE next to
+    the bucket sketch instead of re-running the Arrow shingle pass per
+    query (r17)."""
     import pandas as pd
 
     def cand_sets(batches):
@@ -618,11 +607,19 @@ def exact_jaccard_verify(
                 "ss": out_ss,
             })
 
-    ssets = tracked_persist(  # read by both pair sides; candidate-only, so tiny
-        docs.select("id", "text")
-        .join(cand_ids, "id", "left_semi")
-        .mapInPandas(cand_sets, schema="id long, ss array<string>")
-    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(cand_sets, schema="id long, ss array<string>")
+
+
+def exact_jaccard_verify_sets(
+    ssets: DataFrame, cands: DataFrame, *, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify over precomputed shingle sets: join the
+    (id, ss) frame to both candidate endpoints and keep pairs at or
+    above threshold. ``ssets`` must cover every candidate id with ids
+    unique. Scale: the bounded candidate side broadcasts, so the set
+    store is scanned once and never shuffled."""
     joined = (
         cands.join(
             ssets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a")), "id_a"
@@ -639,6 +636,37 @@ def exact_jaccard_verify(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def exact_jaccard_verify(
+    docs: DataFrame,
+    cands: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs — the
+    precision phase of the two-phase near-dup pipeline, factored so
+    every candidate producer (one-shot self-LSH, bipartite incremental,
+    a persisted bucket layout) shares one engine-exact verify.
+    ``docs`` is an (id, text) frame covering every candidate id (ids
+    unique across it); ``cands`` is (id_a, id_b). Only candidate docs
+    are shingled (left-semi prune before the Arrow pass), so verify
+    cost scales with the candidate set, never the corpus. Callers with
+    a persisted set store skip the shingle pass entirely via
+    exact_jaccard_verify_sets."""
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    ssets = tracked_persist(  # read by both pair sides; candidate-only, so tiny
+        shingle_sets(
+            docs.select("id", "text").join(cand_ids, "id", "left_semi"),
+            "id", "text", k=k,
+        )
+    )
+    return exact_jaccard_verify_sets(ssets, cands, threshold=threshold)
 
 
 def minhash_dedup_pairs_bipartite(

@@ -910,6 +910,15 @@ def _minhash_buckets_layout(spark: SparkSession, sf_dir: str) -> str:
             D.minhash_band_buckets(
                 d, "doc_id", "text", k=3, num_hashes=128, bands=64
             ).write.mode("overwrite").parquet(f"{path}/buckets")
+            # the per-doc exact shingle sets are the VERIFY side of the
+            # same index and a pure function of (corpus, k): persist
+            # them next to the sketch so every verify consumer joins
+            # the set store instead of re-running the Arrow shingle
+            # pass per query (r17; the at-scale shape — the candidate
+            # side broadcasts, the set store scans once, zero shuffle)
+            D.shingle_sets(d, "doc_id", "text", k=3).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/ssets")
             # the SELF-join candidate pairs are a pure function of
             # (corpus, params) too — persist them alongside, so the
             # one-shot dedup query is verify-only (the bipartite
@@ -942,17 +951,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r15: the candidate pairs themselves are part of the persisted
     per-(process, sf_dir) sketch layout (_minhash_buckets_layout
-    cands/ — a pure function of corpus + params) — the query plan is
-    the candidate scan plus the candidate-only exact verify
-    (dedup.exact_jaccard_verify); neither the Arrow sketch pass nor
-    the bucket self-join re-runs per invocation."""
-    d = _t(spark, sf_dir, "documents")["documents"]
-    cands = spark.read.parquet(
-        f"{_minhash_buckets_layout(spark, sf_dir)}/cands"
-    )
-    pairs = D.exact_jaccard_verify(
-        d.select(F.col("doc_id").alias("id"), "text"), cands,
-        k=3, threshold=0.5,
+    cands/ — a pure function of corpus + params). r17: so are the
+    per-doc exact shingle sets (ssets/ — the verify side of the same
+    index), so the query plan is two scans of the layout joined
+    (dedup.exact_jaccard_verify_sets): no Arrow shingle pass, no
+    semi-join, no persist per invocation."""
+    lay = _minhash_buckets_layout(spark, sf_dir)
+    cands = spark.read.parquet(f"{lay}/cands")
+    pairs = D.exact_jaccard_verify_sets(
+        spark.read.parquet(f"{lay}/ssets"), cands, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -2724,14 +2731,11 @@ def dup_rate_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     such passes over the same verified pairs."""
     from replicadb_spark.operators.snapshot_table import snapshot_read
 
-    d = _t(spark, sf_dir, "documents")["documents"]
     store = _contam_store(spark, sf_dir)
-    cands = spark.read.parquet(
-        f"{_minhash_buckets_layout(spark, sf_dir)}/cands"
-    )
-    pairs = D.exact_jaccard_verify(
-        d.select(F.col("doc_id").alias("id"), "text"), cands,
-        k=3, threshold=0.5,
+    lay = _minhash_buckets_layout(spark, sf_dir)
+    cands = spark.read.parquet(f"{lay}/cands")
+    pairs = D.exact_jaccard_verify_sets(
+        spark.read.parquet(f"{lay}/ssets"), cands, threshold=0.5
     ).select("id_a", "id_b")
 
     def per_snapshot(sid: int) -> DataFrame:
@@ -2814,11 +2818,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc bucket sketch (_minhash_buckets_layout — minhash is
     per-row, so corpus/batch membership is just an id predicate on the
     same layout), and the query is the bipartite bucket join plus the
-    candidate-only exact verify (dedup.exact_jaccard_verify)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
-    buckets = spark.read.parquet(
-        f"{_minhash_buckets_layout(spark, sf_dir)}/buckets"
-    )
+    candidate-only exact verify. r17: the verify joins the layout's
+    persisted per-doc shingle sets (ssets/ —
+    dedup.exact_jaccard_verify_sets) instead of re-shingling the
+    candidate docs per run."""
+    lay = _minhash_buckets_layout(spark, sf_dir)
+    buckets = spark.read.parquet(f"{lay}/buckets")
     cands = tracked_persist(
         buckets.where(F.col("id") < 250).alias("l")
         .join(
@@ -2828,9 +2833,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    pairs = D.exact_jaccard_verify(
-        d.select(F.col("doc_id").alias("id"), "text"), cands,
-        k=3, threshold=0.5,
+    pairs = D.exact_jaccard_verify_sets(
+        spark.read.parquet(f"{lay}/ssets"), cands, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -6775,21 +6779,30 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
     ))
     try:
-        n_total = e.count()
         # r17: the gate's tail used to be FIVE driver actions (vstats,
         # n_removed, both_kept, covered as separate jobs) — ~1.0 s of
         # scheduling on a 2.4 s query. Fold them into two: one verdict
-        # aggregate carrying the removed count, and ONE pass over
-        # pairs that joins the verdict flags for both endpoints and
-        # folds both invariant counts together (AQE broadcasts the
-        # small verdict side on its own — no hint needed).
-        vstats = verdict.agg(
-            F.count("*").alias("nv"),
-            F.countDistinct("id").alias("nd"),
-            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_removed"),
-        ).first()
+        # aggregate carrying the removed count AND the independent
+        # corpus count (a 1-row × 1-row crossJoin fold — the
+        # contamination-gate pattern; the count subtree still reads e
+        # directly, so partition_ok stays an independent check), and
+        # ONE pass over pairs that joins the verdict flags for both
+        # endpoints and folds both invariant counts together (AQE
+        # broadcasts the small verdict side on its own — no hint
+        # needed). This action also materializes the verdict persist
+        # that the pairs pass below reuses.
+        vstats = (
+            verdict.agg(
+                F.count("*").alias("nv"),
+                F.countDistinct("id").alias("nd"),
+                F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_removed"),
+            )
+            .crossJoin(e.agg(F.count("*").alias("n_total")))
+            .first()
+        )
+        n_total = vstats["n_total"]
         partition_ok = vstats["nv"] == n_total and vstats["nd"] == n_total
         n_removed = vstats["n_removed"]
 
@@ -6944,7 +6957,7 @@ def kmv_setops_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side's one-shot distinct/union/intersect exists only to gate
     the sketch — at 10^12 keys you'd ship ONLY the sketches."""
     from replicadb_spark.operators.quantiles import (
-        kmv_distinct_sketch,
+        kmv_grouped_sketch,
         kmv_set_estimates,
     )
 
@@ -6952,12 +6965,21 @@ def kmv_setops_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat_ws(
         "|", F.col("user_id"), F.col("ts").cast("date").cast("string")
     )
-    ab = {}
-    for name, typ in (("a", "click"), ("b", "view")):
-        s = e.where(F.col("event_type") == typ).select(key.alias("k"))
-        ab[name] = [
-            r["__rk"] for r in kmv_distinct_sketch(s, "k", k=1024).collect()
-        ]
+    # r17: BOTH sketches in one grouped action (kmv_grouped_sketch is
+    # bottom-k of the same xxhash64 ranks per group — identical rank
+    # sets to two kmv_distinct_sketch runs, pinned by the r16 seeded
+    # property) instead of two separate collect jobs over two filtered
+    # scans of the same events table.
+    sk = {
+        r["event_type"]: list(r["ranks"])
+        for r in kmv_grouped_sketch(
+            e.where(F.col("event_type").isin("click", "view")).select(
+                "event_type", key.alias("k")
+            ),
+            ["event_type"], "k", k=1024,
+        ).collect()
+    }
+    ab = {"a": sk.get("click", []), "b": sk.get("view", [])}
     est = kmv_set_estimates(ab["a"], ab["b"], 1024)
 
     exact = (
@@ -7604,19 +7626,13 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from replicadb_spark.operators.quantiles import kmv_grouped_sketch
 
-    sketches = kmv_grouped_sketch(
+    sketch_rows = kmv_grouped_sketch(
         keyed, ["event_type", "week_s"], "user_id", k=k
-    ).collect()  # ≤ k ranks × |groups| — bounded summary, not data
-    week_est = {
-        (r["event_type"], r["week_s"]): _kmv_estimate(list(r["ranks"]), k)
-        for r in sketches
-    }
-    type_ranks: dict[str, set] = {}
-    for r in sketches:
-        type_ranks.setdefault(r["event_type"], set()).update(r["ranks"])
-    type_est = {
-        t: _kmv_estimate(sorted(rk)[:k], k) for t, rk in type_ranks.items()
-    }
+    ).select(  # ≤ k ranks × |groups| — bounded summary, not data
+        "event_type", "week_s", "ranks",
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit("sketch").alias("grain"),
+    )
 
     # Two independent exact grains, each a scan+distinct+agg. r16
     # persisted the shared distinct frame so the second grain would
@@ -7632,10 +7648,18 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the two grains union into ONE action (grain-tagged rows), so
     # the shared distinct subplan executes once per job instead of
     # once per collect — measured 0.65 → 0.45 s for the exact tail.
+    # r17 opt round: the SKETCH rows join the same tagged union (ranks
+    # column, null cnt), so the whole gate is ONE collect job instead
+    # of two — the sketch subtree and both exact grains schedule
+    # together.
     d = keyed.distinct()
     week_cnt = d.groupBy("event_type", "week_s").agg(
         F.count("*").alias("cnt")
-    ).select("event_type", "week_s", "cnt", F.lit("week").alias("grain"))
+    ).select(
+        "event_type", "week_s",
+        F.lit(None).cast("array<bigint>").alias("ranks"),
+        "cnt", F.lit("week").alias("grain"),
+    )
     type_cnt = (
         d.select("event_type", "user_id")
         .distinct()
@@ -7644,14 +7668,26 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.lit(None).cast("string").alias("week_s"),
+            F.lit(None).cast("array<bigint>").alias("ranks"),
             "cnt",
             F.lit("type").alias("grain"),
         )
     )
-    grains = week_cnt.unionByName(type_cnt).collect()
-    exact = [r for r in grains if r["grain"] == "week"]
+    tagged = sketch_rows.unionByName(week_cnt).unionByName(type_cnt).collect()
+    sketches = [r for r in tagged if r["grain"] == "sketch"]
+    week_est = {
+        (r["event_type"], r["week_s"]): _kmv_estimate(list(r["ranks"]), k)
+        for r in sketches
+    }
+    type_ranks: dict[str, set] = {}
+    for r in sketches:
+        type_ranks.setdefault(r["event_type"], set()).update(r["ranks"])
+    type_est = {
+        t: _kmv_estimate(sorted(rk)[:k], k) for t, rk in type_ranks.items()
+    }
+    exact = [r for r in tagged if r["grain"] == "week"]
     exact_type = {
-        r["event_type"]: r["cnt"] for r in grains if r["grain"] == "type"
+        r["event_type"]: r["cnt"] for r in tagged if r["grain"] == "type"
     }
 
     rows = []

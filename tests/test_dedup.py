@@ -382,3 +382,42 @@ def test_pair_intersections_match_bruteforce(spark):
         }
         assert got_j == want_j, f"jaccard mismatch (cap={cap})"
         assert got_c == want_c, f"containment mismatch (cap={cap})"
+
+
+def test_verify_sets_path_matches_docs_path(spark):
+    """r17: exact_jaccard_verify_sets over a precomputed shingle-set
+    frame must equal the original docs-path verify (which shingles
+    candidate docs per run) — the equivalence the persisted ssets/
+    layout leans on."""
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.session import tables
+
+    d = tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ].select(F.col("doc_id").alias("id"), "text")
+    cands = D.minhash_band_buckets(
+        d.withColumnRenamed("id", "doc_id").withColumnRenamed("text", "text"),
+        "doc_id", "text", k=3, num_hashes=128, bands=64,
+    )
+    cands = (
+        cands.alias("l")
+        .join(cands.alias("r"), on=["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    via_docs = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.exact_jaccard_verify(
+            d, cands, k=3, threshold=0.5
+        ).collect()
+    }
+    ssets = D.shingle_sets(d, "id", "text", k=3)
+    via_sets = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.exact_jaccard_verify_sets(
+            ssets, cands, threshold=0.5
+        ).collect()
+    }
+    assert via_docs and via_sets == via_docs
