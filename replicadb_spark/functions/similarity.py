@@ -52,12 +52,30 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine.
 
-    Plan: broadcast(queries) × corpus → score → window top-k. The
-    cross-join is broadcast (no corpus shuffle); the only shuffle is the
-    final top-k on query_id, which AQE coalesces. Excludes self-matches.
-    Returns (query_id, neighbor_id, score) with deterministic (score desc,
-    id asc) ranking.
+    Plan (r17, guide §4.2): the bounded query set is collected to the
+    driver (the codebook/broadcast precedent — the same memory class as
+    the broadcast relation the old crossJoin built) and its matrix
+    rides the scoring closure; the corpus streams through ONE Arrow
+    pass that scores a whole batch against every query with a single
+    BLAS matmul and keeps only its local top-k per query. The corpus
+    is never joined and never shuffled — the only exchange is the
+    final ≤ k·partitions·|queries|-row ranking window on query_id.
+    (The prior shape scored the broadcast crossJoin with the
+    interpreted zip_with/aggregate fold — per-row expression
+    interpretation over |corpus|·|queries| rows was the whole cost.)
+    Excludes self-matches. Returns (query_id, neighbor_id, score) with
+    deterministic (score desc, id asc) ranking; NaN scores rank first
+    (Spark NaN-greatest), zero-norm vectors score null and rank last,
+    matching `cosine`'s try_divide contract exactly.
+
+    Float note: scores are double matmuls (pairwise summation) where
+    the old fold summed sequentially — identical inputs, ±1e-15 on the
+    sum. Every gated consumer rounds scores to 4 dp and ranks with an
+    id tiebreak, the same margin calculus the catalog's other float
+    scores document (and the cross-engine DuckDB comparison already
+    tolerated a different summation order than the fold's).
     """
+    import numpy as np
     import pandas as pd
 
     if exclude_same_label and label_col is None:
@@ -69,54 +87,79 @@ def knn_bruteforce(
         c_cols.append(F.col(label_col).alias("c_label"))
     q = queries.select(*q_cols)
     c = corpus.select(*c_cols)
+    q_t = q.schema["query_id"].dataType.simpleString()
+    c_t = c.schema["neighbor_id"].dataType.simpleString()
+
+    q_rows = q.collect()  # bounded query set — the broadcast precedent
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id {q_t}, neighbor_id {c_t}, score double, rank int"
+        )
+    qids = np.array([r["query_id"] for r in q_rows], dtype=object)
+    Q = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    q_labels = (
+        np.array([r["q_label"] for r in q_rows], dtype=object)
+        if exclude_same_label
+        else None
+    )
+    nq = len(qids)
+
     # a narrow input (single parquet file → one partition) would score
-    # the whole cross product on one core; fan out to cluster width
-    # (no-op when the corpus is already wider)
+    # the whole corpus on one core; fan out to cluster width (no-op
+    # when the corpus is already wider)
     width = c.sparkSession.sparkContext.defaultParallelism
     if c.rdd.getNumPartitions() < width:
         c = c.repartition(width)
-    candidates = c.crossJoin(F.broadcast(q)).where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    if exclude_same_label:
-        # hard-negative mining: rank only candidates whose label differs
-        # from the query's — the label filter runs BEFORE scoring, so
-        # same-label vectors cost neither the dot product nor shuffle
-        candidates = candidates.where(
-            ~F.col("c_label").eqNullSafe(F.col("q_label"))
-        )
-    scored = (
-        candidates
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
-            # NaN must survive the Arrow boundary: pandas→Arrow folds NaN
-            # into null, and Spark orders null LAST under desc while NaN
-            # ranks FIRST — so the flag rides along and the NaN is
-            # restored after the reducer.
-            F.coalesce(F.isnan("score"), F.lit(False)).alias("score_nan"),
-        )
-    )
 
-    # Per-partition partial top-k BEFORE the window shuffle: each corpus
-    # partition keeps only its k best candidates per query, so the
-    # exchange moves ≤ k·partitions·|queries| rows instead of
-    # |corpus|·|queries|. The reducer only FILTERS rows whose score was
-    # computed JVM-side, and applies the exact global order the final
-    # window uses — (NaN first, finite desc, null last, id asc) — so the
-    # global top-k of the reduced set is provably the global top-k of
-    # the full set, bit-identical. In pandas both NaN and null arrive as
-    # NaN; the score_nan flag separates them (flag desc ⇒ true-NaN rows
-    # first, remaining NaN==genuine-null rows sort last via
-    # na_position). Id columns keep their input types (derived below,
-    # not hard-coded).
-    def local_topk(batches):
+    # One Arrow pass: batch matmul scoring + running local top-k. The
+    # task keeps ≤ k rows per query under the exact global order the
+    # final window uses — (NaN first, finite desc, null last, id asc)
+    # — so the global top-k of the reduced set is provably the global
+    # top-k of the full set. In pandas both NaN and null are NaN; the
+    # score_nan flag separates them (flag desc ⇒ true-NaN rows first,
+    # null rows sort last via na_position). Id columns keep their
+    # input types (derived above, not hard-coded).
+    def score_topk(batches):
         best: "pd.DataFrame | None" = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            merged = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            denom = cn[:, None] * qn[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = (C @ Q.T) / denom
+            # try_divide semantics: divisor exactly 0 → NULL (never
+            # ±inf); NaN from NaN-element vectors propagates as NaN
+            null_m = denom == 0.0
+            nan_m = np.isnan(S) & ~null_m
+            S = np.where(null_m, np.nan, S)
+
+            b = len(pdf)
+            nids = pdf["neighbor_id"].to_numpy()
+            nid_rep = np.repeat(nids, nq)
+            qid_til = np.tile(qids, b)
+            # Spark `!=`: a null id never matches (row dropped)
+            keep = np.asarray(nid_rep != qid_til, dtype=bool)
+            keep &= ~pd.isna(nid_rep) & ~pd.isna(qid_til)
+            if exclude_same_label:
+                cl = pd.Series(np.repeat(pdf["c_label"].to_numpy(), nq))
+                ql = pd.Series(np.tile(q_labels, b))
+                same = ((cl.isna() & ql.isna()) | (cl == ql)).fillna(False)
+                keep &= ~same.to_numpy()  # ~eqNullSafe
+            cand = pd.DataFrame(
+                {
+                    "query_id": qid_til[keep],
+                    "neighbor_id": nid_rep[keep],
+                    "score": S.ravel()[keep],
+                    "score_nan": nan_m.ravel()[keep],
+                }
+            )
+            merged = (
+                cand if best is None else pd.concat((best, cand), ignore_index=True)
+            )
             merged = merged.sort_values(
                 ["query_id", "score_nan", "score", "neighbor_id"],
                 ascending=[True, False, False, True],
@@ -127,10 +170,10 @@ def knn_bruteforce(
         if best is not None:
             yield best
 
-    q_t = q.schema["query_id"].dataType.simpleString()
-    c_t = c.schema["neighbor_id"].dataType.simpleString()
-    reduced = scored.mapInPandas(
-        local_topk,
+    reduced = c.select("neighbor_id", "c_vec", *(
+        ["c_label"] if exclude_same_label else []
+    )).mapInPandas(
+        score_topk,
         schema=f"query_id {q_t}, neighbor_id {c_t}, score double, score_nan boolean",
     )
     restored = reduced.withColumn(

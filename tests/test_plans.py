@@ -63,8 +63,15 @@ def test_window_topk_pushes_group_limit(spark):
 
 
 def test_knn_corpus_never_shuffles_before_scoring(spark):
+    # r17: scoring is ONE Arrow matmul kernel over corpus batches (the
+    # query matrix rides the closure) — no join of any kind, and the
+    # only exchanges are the degenerate-scan fanout and the final
+    # ≤ k·partitions·|queries|-row ranking window
     plan = _plan(spark, "knn_bruteforce")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    for join in ("BroadcastNestedLoopJoin", "SortMergeJoin",
+                 "ShuffledHashJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
 
 
 def test_q7_broadcasts_all_dimensions(spark):
@@ -581,13 +588,14 @@ def test_scd2_pit_windows_all_keyed_by_user(spark):
 
 
 def test_knn_label_mrr_rides_broadcast_knn_plan(spark):
-    """The eval layer must not change knn's scale shape: queries
-    broadcast (nested-loop over broadcast), label tables broadcast,
-    corpus never sort-merge-joins."""
+    """The eval layer must not change knn's scale shape: the r17 Arrow
+    matmul kernel scores the corpus join-free (query matrix in the
+    closure), label tables broadcast, corpus never sort-merge-joins."""
     plan = _plan(spark, "knn_label_mrr")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_chunk_dedup_no_cartesian_and_partial_aggs(spark):

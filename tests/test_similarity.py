@@ -49,11 +49,14 @@ def test_knn_ranks_expected_neighbors(vectors):
 
 
 def test_knn_broadcast_no_corpus_shuffle(vectors):
+    # r17: the corpus streams through the Arrow matmul kernel — no join
+    # node anywhere in the plan (the query matrix rides the closure)
     plan = (
         S.knn_bruteforce(vectors, vectors.where(F.col("vec_id") == 0), k=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_ann_lsh_recall_on_testdata(spark):
@@ -98,6 +101,104 @@ def test_knn_string_ids(spark):
     df = spark.createDataFrame(rows, schema)
     out = S.knn_bruteforce(df, df.where(F.col("vec_id") == "a"), k=1).collect()
     assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in out] == [("a", "b", 1)]
+
+
+def _ref_knn(corpus, queries, k, *, exclude_same_label=False):
+    """The pre-r17 knn plan — broadcast crossJoin scored by the
+    sequential-fold `cosine` expression, window top-k — kept here as
+    the equivalence reference for the Arrow matmul kernel."""
+    from pyspark.sql import Window
+
+    q_cols = [F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")]
+    c_cols = [F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")]
+    if exclude_same_label:
+        q_cols.append(F.col("label").alias("q_label"))
+        c_cols.append(F.col("label").alias("c_label"))
+    cand = corpus.select(*c_cols).crossJoin(
+        F.broadcast(queries.select(*q_cols))
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    if exclude_same_label:
+        cand = cand.where(~F.col("c_label").eqNullSafe(F.col("q_label")))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        S.cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _knn_by_rank(rows):
+    out = {}
+    for r in rows:
+        out[(r["query_id"], r["rank"])] = (r["neighbor_id"], r["score"])
+    return out
+
+
+def test_knn_matmul_matches_expression_fold(spark):
+    """r17 kernel equivalence pin: the Arrow matmul scorer must produce
+    the same neighbors at the same ranks as the old expression-fold
+    plan, scores equal to 1e-9, across zero-norm (null score), NaN
+    vectors (NaN-first), duplicate vectors (id tiebreak), and null
+    labels on the exclude_same_label path."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1.0, 1.0) for _ in range(8)], i % 4)
+        for i in range(40)
+    ]
+    rows.append((60, [0.0] * 8, None))                     # zero-norm → null
+    rows.append((61, [float("nan")] + [0.1] * 7, 2))       # NaN → ranks first
+    rows.append((62, list(rows[0][1]), 0))                 # duplicate of id 0
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    q = df.where((F.col("vec_id") < 4) | F.col("vec_id").isin(60, 61))
+
+    for excl in (False, True):
+        got = _knn_by_rank(
+            S.knn_bruteforce(
+                df, q, k=5,
+                label_col="label" if excl else None,
+                exclude_same_label=excl,
+            ).collect()
+        )
+        ref = _knn_by_rank(_ref_knn(df, q, k=5, exclude_same_label=excl).collect())
+        assert set(got) == set(ref)
+        for key, (nid, score) in ref.items():
+            g_nid, g_score = got[key]
+            assert g_nid == nid, (key, g_nid, nid)
+            if score is None or g_score is None:
+                assert score is None and g_score is None
+            elif math.isnan(score) or math.isnan(g_score):
+                assert math.isnan(score) and math.isnan(g_score)
+            else:
+                assert g_score == pytest.approx(score, abs=1e-9)
+
+
+def test_knn_null_scores_rank_last(spark):
+    """Zero-norm corpus vectors score NULL (try_divide) and must sort
+    after every finite score — with a corpus small enough that the
+    null row lands inside the top-k."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero-norm → null score
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    out = S.knn_bruteforce(df, df.where(F.col("vec_id") == 0), k=3).collect()
+    by_rank = {r["rank"]: (r["neighbor_id"], r["score"]) for r in out}
+    assert by_rank[1][0] == 1 and by_rank[2][0] == 3
+    assert by_rank[3] == (2, None)
 
 
 def test_knn_nan_scores_rank_first(spark):
