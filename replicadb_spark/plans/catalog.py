@@ -6773,25 +6773,26 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict = tracked_persist(D.semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", n_cells=16, threshold=0.30
     ))
-    # pairs feeds BOTH invariant counts below — persist so the per-cell
-    # Gram matrices (the gate's dominant cost) run once, not twice
-    pairs = tracked_persist(D.semantic_cell_pairs(
+    # pairs is consumed by exactly ONE aggregate below (both invariant
+    # counts fold together), so it needs no persist of its own; only
+    # verdict — referenced four times in the fused plan — is cached.
+    pairs = D.semantic_cell_pairs(
         e, verdict, id_col="vec_id", vec_col="embedding", threshold=0.30
-    ))
+    )
     try:
         # r17: the gate's tail used to be FIVE driver actions (vstats,
         # n_removed, both_kept, covered as separate jobs) — ~1.0 s of
-        # scheduling on a 2.4 s query. Fold them into two: one verdict
-        # aggregate carrying the removed count AND the independent
-        # corpus count (a 1-row × 1-row crossJoin fold — the
-        # contamination-gate pattern; the count subtree still reads e
+        # scheduling on a 2.4 s query — then two; now it is ONE: the
+        # verdict aggregate (carrying the removed count), the
+        # independent corpus count (its subtree still reads e
         # directly, so partition_ok stays an independent check), and
-        # ONE pass over pairs that joins the verdict flags for both
-        # endpoints and folds both invariant counts together (AQE
-        # broadcasts the small verdict side on its own — no hint
-        # needed). This action also materializes the verdict persist
-        # that the pairs pass below reuses.
-        vstats = (
+        # the single pass over pairs that joins the verdict flags for
+        # both endpoints all meet in a 1-row × 1-row × 1-row crossJoin
+        # fold (the contamination-gate pattern; AQE broadcasts the
+        # small verdict side on its own — no hint needed). One driver
+        # job schedules the whole gate; the shared verdict subtree is
+        # computed once under the persist.
+        row = (
             verdict.agg(
                 F.count("*").alias("nv"),
                 F.countDistinct("id").alias("nd"),
@@ -6800,42 +6801,39 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_removed"),
             )
             .crossJoin(e.agg(F.count("*").alias("n_total")))
-            .first()
-        )
-        n_total = vstats["n_total"]
-        partition_ok = vstats["nv"] == n_total and vstats["nd"] == n_total
-        n_removed = vstats["n_removed"]
-
-        inv = (
-            pairs.join(
-                verdict.select(
-                    F.col("id").alias("id_a"), F.col("kept").alias("kept_a")
-                ),
-                "id_a",
-            )
-            .join(
-                verdict.select(
-                    F.col("id").alias("id_b"), F.col("kept").alias("kept_b")
-                ),
-                "id_b",
-            )
-            .agg(
-                F.sum(
-                    F.when(F.col("kept_a") & F.col("kept_b"), 1).otherwise(0)
-                ).alias("both_kept"),
-                F.countDistinct(
-                    F.when(
-                        F.col("kept_a") & ~F.col("kept_b"), F.col("id_b")
-                    )
-                ).alias("covered"),
+            .crossJoin(
+                pairs.join(
+                    verdict.select(
+                        F.col("id").alias("id_a"), F.col("kept").alias("kept_a")
+                    ),
+                    "id_a",
+                )
+                .join(
+                    verdict.select(
+                        F.col("id").alias("id_b"), F.col("kept").alias("kept_b")
+                    ),
+                    "id_b",
+                )
+                .agg(
+                    F.sum(
+                        F.when(F.col("kept_a") & F.col("kept_b"), 1).otherwise(0)
+                    ).alias("both_kept"),
+                    F.countDistinct(
+                        F.when(
+                            F.col("kept_a") & ~F.col("kept_b"), F.col("id_b")
+                        )
+                    ).alias("covered"),
+                )
             )
             .first()
         )
-        both_kept = inv["both_kept"] or 0
-        covered = inv["covered"]
+        n_total = row["n_total"]
+        partition_ok = row["nv"] == n_total and row["nd"] == n_total
+        n_removed = row["n_removed"]
+        both_kept = row["both_kept"] or 0
+        covered = row["covered"]
     finally:
         verdict.unpersist()
-        pairs.unpersist()
     return spark.range(1).select(
         F.lit(n_total).cast("long").alias("n"),
         F.lit(bool(partition_ok)).alias("partition_ok"),
