@@ -65,12 +65,18 @@ def quantize_int8(
     id_col: str,
     vec_col: str,
     params: "list[tuple[float, float]]",
+    *,
+    keep: "list[str] | None" = None,
 ) -> DataFrame:
     """Encode vectors to int8 codes with the given per-dim (lo, hi).
     Constant dimensions (hi == lo) map to code 0. Zero shuffle — the
-    params ride into the kernel as plan constants."""
+    params ride into the kernel as plan constants. ``keep`` columns of
+    ``df`` ride through the kernel untouched (the bottomk_sample
+    precedent) — a caller comparing codes back to a source column then
+    needs no id join."""
     import numpy as np
 
+    keep = list(keep or [])
     lo = np.array([p[0] for p in params])
     step = np.array([max(p[1] - p[0], 0.0) / 254.0 for p in params])
     safe = np.where(step == 0.0, 1.0, step)
@@ -91,12 +97,18 @@ def quantize_int8(
             Cf = np.clip(np.rint((M - lo) / safe), 0.0, 254.0)
             C = (Cf - 127.0).astype(np.int64)
             C = np.where(step == 0.0, 0, C).astype(np.int8)
-            yield pd.DataFrame({"id": pdf["__id"], "codes": list(C)})
+            out = {"id": pdf["__id"], "codes": list(C)}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    id_t = dict(df.dtypes)[id_col]
+    dt = dict(df.dtypes)
+    schema = f"id {dt[id_col]}, codes array<tinyint>" + "".join(
+        f", {c} {dt[c]}" for c in keep
+    )
     return df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(encode, schema=f"id {id_t}, codes array<tinyint>")
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), *keep
+    ).mapInPandas(encode, schema=schema)
 
 
 def dequantize_int8(
@@ -105,11 +117,14 @@ def dequantize_int8(
     *,
     id_col: str = "id",
     codes_col: str = "codes",
+    keep: "list[str] | None" = None,
 ) -> DataFrame:
     """Reconstruct doubles from int8 codes: x̂ = (code + 127)·step + lo.
-    Zero shuffle, same kernel shape as encode."""
+    Zero shuffle, same kernel shape as encode (including ``keep``
+    pass-through)."""
     import numpy as np
 
+    keep = list(keep or [])
     lo = np.array([p[0] for p in params])
     step = np.array([max(p[1] - p[0], 0.0) / 254.0 for p in params])
 
@@ -121,7 +136,13 @@ def dequantize_int8(
                 continue
             C = np.array(pdf[codes_col].tolist(), dtype=np.float64)
             R = (C + 127.0) * step + lo
-            yield pd.DataFrame({"id": pdf[id_col], "recon": list(R)})
+            out = {"id": pdf[id_col], "recon": list(R)}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    id_t = dict(codes.dtypes)[id_col]
-    return codes.mapInPandas(decode, schema=f"id {id_t}, recon array<double>")
+    dt = dict(codes.dtypes)
+    schema = f"id {dt[id_col]}, recon array<double>" + "".join(
+        f", {c} {dt[c]}" for c in keep
+    )
+    return codes.mapInPandas(decode, schema=schema)

@@ -27,8 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from replicadb_spark.cache import tracked_persist
-
 
 def bottomk_sample(
     df: DataFrame,
@@ -63,25 +61,36 @@ def quantile_estimates(
 
     Null values are excluded from the ranking (they carry no rank
     information; Spark's asc ordering would otherwise place them at the
-    lowest ranks and corrupt every estimate), and the persist keeps the
-    full-input TakeOrdered job from running once for the count and
-    again for the join."""
-    import math
+    lowest ranks and corrupt every estimate).
 
-    cleaned = tracked_persist(
+    Fully LAZY (r17): the sample size used to be a driver-side
+    ``count()`` on a persisted copy of the sample — a whole extra
+    full-input TakeOrdered job paid at CONSTRUCTION time. The size is
+    now a second window aggregate over the same bounded single-
+    partition frame (count over the whole frame costs nothing new —
+    the row_number sort already moved it to one partition), and the
+    rank targets move into the join condition, so a caller's single
+    action computes the sample exactly once, with no persist and no
+    construction-time job. ceil(q·n) is IEEE-754 double arithmetic on
+    both paths, so the targets are bit-identical to the old
+    ``math.ceil`` ones."""
+    cleaned = (
         sample.select(F.col(value_col).alias("v"), "__rk")
         .where(F.col("v").isNotNull())
     )
-    n = cleaned.count()
     w = Window.orderBy(F.col("v").asc(), F.col("__rk").asc())
-    ranked = cleaned.withColumn("rn", F.row_number().over(w))
-    qs = sample.sparkSession.createDataFrame(
-        [(float(q), max(1, math.ceil(q * n))) for q in quantiles],
-        "q double, target int",
+    ranked = cleaned.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
+    qs = sample.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    target = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("n")))
     return (
         F.broadcast(qs)
-        .join(ranked, F.col("rn") == F.col("target"))
+        .join(ranked, F.col("rn") == target)
         .select("q", F.col("v").alias("est"))
     )
 

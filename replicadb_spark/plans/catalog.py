@@ -6877,15 +6877,19 @@ def emb_int8_quant_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     params = Q.quant_params(e, "embedding")
-    codes = Q.quantize_int8(e, "vec_id", "embedding", params)
-    recon = Q.dequantize_int8(codes, params)
+    # r17: the original vector rides through encode/decode as a keep=
+    # column, so original and reconstruction meet in the SAME row —
+    # the former e ⋈ recon id join (a second corpus scan + exchange)
+    # is gone and the whole check is one zero-shuffle kernel chain.
+    codes = Q.quantize_int8(e, "vec_id", "embedding", params, keep=["embedding"])
+    recon = Q.dequantize_int8(codes, params, keep=["embedding"])
 
     step = np.array([max(hi - lo, 0.0) / 254.0 for lo, hi in params])
     bound = step / 2.0 + 1e-9
 
-    joined = e.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("__orig")
-    ).join(recon, "id")
+    joined = recon.select(
+        "id", F.col("embedding").alias("__orig"), "recon"
+    )
 
     def check(batches):
         for pdf in batches:
@@ -8374,22 +8378,10 @@ def rfm_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mon").cast("double").alias("mv"),
         )
     )
-    # base feeds three consumers (exact windows, the cut aggregate, the
-    # approx scorer) — persist it so the orders aggregate runs once
-    # (r16: it re-ran three times, ~0.4 s each at sf0.1)
+    # base feeds two consumers (the cut aggregate and the fused
+    # exact+approx scorer) — persist it so the orders aggregate runs
+    # once (r16: it re-ran three times, ~0.4 s each at sf0.1)
     base = tracked_persist(base)
-    exact = base.select(
-        "custkey",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rv").desc(), "custkey"))
-        .alias("r_ex"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("fv").desc(), "custkey"))
-        .alias("f_ex"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("mv").desc(), "custkey"))
-        .alias("m_ex"),
-    )
     cuts = base.agg(
         *[
             F.percentile_approx(c, [0.2, 0.4, 0.6, 0.8], 10000).alias(f"{c}_c")
@@ -8404,10 +8396,26 @@ def rfm_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (F.lit(5) - above).alias(f"{c[0]}_ap")
 
-    approx = base.crossJoin(F.broadcast(cuts)).select(
-        "custkey", apx_score("rv"), apx_score("fv"), apx_score("mv")
-    )
-    long = exact.join(approx, "custkey").select(
+    # r17: exact ntile scores and cut-value scores are BOTH row-wise
+    # functions of the persisted base (the 1-row cut table rides in by
+    # broadcast, changing no row multiplicity), so they are computed in
+    # ONE projection — the former exact ⋈ approx equi-join on custkey
+    # re-partitioned ~N rows twice for columns that never left the row.
+    long = base.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rv").desc(), "custkey"))
+        .alias("r_ex"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("fv").desc(), "custkey"))
+        .alias("f_ex"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mv").desc(), "custkey"))
+        .alias("m_ex"),
+        apx_score("rv"),
+        apx_score("fv"),
+        apx_score("mv"),
+    ).select(
         F.expr(
             "stack(3, 'r', r_ex, r_ap, 'f', f_ex, f_ap, 'm', m_ex, m_ap)"
             " AS (dim, ex, ap)"

@@ -100,6 +100,38 @@ def test_int8_quant_roundtrip_error_bound(spark):
     assert all(abs(got[i][5] - 7.25) < 1e-12 for i in range(200))
 
 
+def test_int8_quant_keep_columns_ride_through(spark):
+    """keep= pass-through (r17): kept columns ride the encode/decode
+    kernels untouched and codes/recon are identical with or without
+    them — the emb_int8_quant_gate uses this to compare original and
+    reconstruction in the same row instead of an id join."""
+    import numpy as np
+
+    from replicadb_spark.functions import quantization as Q
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(50, 4)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = Q.quant_params(df, "embedding")
+
+    plain = Q.quantize_int8(df, "vec_id", "embedding", params)
+    kept = Q.quantize_int8(df, "vec_id", "embedding", params, keep=["embedding"])
+    assert kept.columns == ["id", "codes", "embedding"]
+    pc = {r["id"]: r["codes"] for r in plain.collect()}
+    for r in kept.collect():
+        assert r["codes"] == pc[r["id"]]
+        assert np.allclose(r["embedding"], V[r["id"]])
+
+    recon = Q.dequantize_int8(kept, params, keep=["embedding"]).collect()
+    plain_recon = {r["id"]: r["recon"] for r in Q.dequantize_int8(plain, params).collect()}
+    step = np.array([max(hi - lo, 0.0) / 254.0 for lo, hi in params])
+    for r in recon:
+        assert r["recon"] == plain_recon[r["id"]]
+        assert np.allclose(r["embedding"], V[r["id"]])  # source col intact
+        assert (np.abs(np.array(r["recon"]) - V[r["id"]]) <= step / 2 + 1e-9).all()
+
+
 def test_kmv_exact_when_unsaturated(spark):
     from replicadb_spark.operators.quantiles import (
         _kmv_estimate,

@@ -345,6 +345,36 @@ def test_quantile_estimates_ignore_nulls(spark):
     assert abs(ests[0.5] / 1000.0 - 0.5) <= 0.1
 
 
+def test_quantile_estimates_construction_is_action_free(spark):
+    """r17: the sample size is folded into the plan (count window +
+    rank target in the join condition), so building the estimates
+    frame schedules NO Spark job — the caller's single action computes
+    the whole thing. Pinned by constructing against a source whose
+    evaluation would blow up if any action ran at build time."""
+    from pyspark.sql import DataFrame
+
+    from replicadb_spark.operators.quantiles import (
+        bottomk_sample,
+        quantile_estimates,
+    )
+
+    df = spark.range(5000).select("id", F.col("id").cast("double").alias("value"))
+    s = bottomk_sample(df, "id", k=256, keep=["value"])
+
+    import unittest.mock as mock
+
+    def _boom(self):
+        raise AssertionError("quantile_estimates ran a driver action at construction")
+
+    with mock.patch.object(DataFrame, "count", _boom), \
+         mock.patch.object(DataFrame, "collect", _boom), \
+         mock.patch.object(DataFrame, "first", _boom):
+        ests = quantile_estimates(s, "value", quantiles=[0.25, 0.5, 0.9])
+    got = {r.q: r.est for r in ests.collect()}
+    for q, est in got.items():
+        assert abs(est / 5000.0 - q) <= 0.1, (q, est)
+
+
 def test_pca_recovers_planted_low_rank_structure(spark):
     import numpy as np
 
