@@ -117,15 +117,27 @@ def run_checks(df: DataFrame, rules: list) -> DataFrame:
         aggs.append(
             F.sum(F.when(r.predicate, 1).otherwise(0)).alias(f"__c{i}")
         )
-    base = df.agg(*aggs).collect()[0]  # one row, O(|rules|) wide
+    # ONE driver action for the whole report (r17): each uniqueness
+    # rule's key-distinct count used to be its own count() job after
+    # the row-rule aggregate — the 1-row subtrees now meet the wide
+    # aggregate in a crossJoin fold (the contamination-gate pattern),
+    # so every rule subtree schedules inside a single job.
+    report = df.agg(*aggs)
+    for j, r in enumerate(uniq_rules):
+        report = report.crossJoin(
+            df.select(*r.cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(f"__u{j}"))
+        )
+    base = report.collect()[0]  # one row, O(|rules|) wide
     n = base["__n"]
 
     rows = []
     for i, r in enumerate(row_rules):
         metric = (base[f"__c{i}"] / n) if n else 1.0
         rows.append((r.name, round6(metric), r.min_ratio, metric >= r.min_ratio))
-    for r in uniq_rules:
-        dn = df.select(*r.cols).distinct().count()
+    for j, r in enumerate(uniq_rules):
+        dn = base[f"__u{j}"]
         metric = (dn / n) if n else 1.0
         rows.append(
             (r.label(), round6(metric), r.min_ratio, metric >= r.min_ratio)

@@ -346,6 +346,34 @@ def test_dq_rules_single_aggregate_plan(spark):
     assert "Join" not in plan
 
 
+def test_dq_run_checks_is_one_driver_action(spark):
+    """r17: uniqueness counts fold into the row-rule aggregate via a
+    crossJoin of 1-row subtrees — the whole report is ONE collect()
+    with no per-rule count() jobs. Pinned by forbidding count() for
+    the duration of the call."""
+    import unittest.mock as mock
+
+    from pyspark.sql import DataFrame
+
+    from replicadb_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], "id long, s string"
+    )
+
+    def _boom(self):
+        raise AssertionError("run_checks ran a per-rule count() job")
+
+    with mock.patch.object(DataFrame, "count", _boom):
+        report = dq.run_checks(
+            df, [dq.not_null("s"), dq.unique("id"), dq.at_least(1)]
+        )
+    got = {r["rule"]: (r["metric"], r["passed"]) for r in report.collect()}
+    assert got["unique(id)"] == (round(2 / 3, 6), False)
+    assert got["not_null(s)"] == (1.0, True)
+    assert got["at_least(1)"] == (1.0, True)
+
+
 def test_dq_at_least_fails_empty_table(spark):
     """Per-row rules are vacuously green on an empty table; the count
     floor is the rule that catches a failed extraction."""
