@@ -6971,20 +6971,18 @@ def kmv_setops_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bottom-k of the same xxhash64 ranks per group — identical rank
     # sets to two kmv_distinct_sketch runs, pinned by the r16 seeded
     # property) instead of two separate collect jobs over two filtered
-    # scans of the same events table.
-    sk = {
-        r["event_type"]: list(r["ranks"])
-        for r in kmv_grouped_sketch(
-            e.where(F.col("event_type").isin("click", "view")).select(
-                "event_type", key.alias("k")
-            ),
-            ["event_type"], "k", k=1024,
-        ).collect()
-    }
-    ab = {"a": sk.get("click", []), "b": sk.get("view", [])}
-    est = kmv_set_estimates(ab["a"], ab["b"], 1024)
-
-    exact = (
+    # scans of the same events table; r17 (opt pass 2): the exact-side
+    # aggregate rides the SAME collect as a tagged union row (sketch
+    # rows carry null exact columns and vice versa — the
+    # kmv_rollup_gate pattern), so the whole gate is ONE driver action
+    # and both subtrees schedule in the same job.
+    sketch_df = kmv_grouped_sketch(
+        e.where(F.col("event_type").isin("click", "view")).select(
+            "event_type", key.alias("k")
+        ),
+        ["event_type"], "k", k=1024,
+    )
+    exact_df = (
         e.where(F.col("event_type").isin("click", "view"))
         .select(
             "event_type",
@@ -7005,8 +7003,16 @@ def kmv_setops_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("ni"),
         )
-        .collect()[0]
     )
+    rows = sketch_df.unionByName(exact_df, allowMissingColumns=True).collect()
+    sk = {
+        r["event_type"]: list(r["ranks"])
+        for r in rows
+        if r["ranks"] is not None
+    }
+    ab = {"a": sk.get("click", []), "b": sk.get("view", [])}
+    est = kmv_set_estimates(ab["a"], ab["b"], 1024)
+    exact = next(r for r in rows if r["ranks"] is None)
 
     def ok(est_v: float, exact_v: int, rel: float, abs_pad: float = 0.0) -> bool:
         return abs(est_v - exact_v) <= max(rel * max(exact_v, 1), abs_pad)
@@ -7162,10 +7168,19 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.row_number().over(w).alias("rank_in_source")
     )
     srcs = d.select("source").distinct()
-    n_src = srcs.count()  # |sources| — bounded driver scalar
+    # r17 (opt pass 2): |sources| used to be a construction-time
+    # count() — it now rides the tiny src_idx frame as a windowed
+    # count (|sources| rows through a single-partition window, the
+    # same exchange the dense_rank already pays), so the query builds
+    # with ZERO driver actions.
     src_idx = srcs.select(
         "source",
         (F.dense_rank().over(Window.orderBy("source")) - 1).alias("src_idx"),
+        F.count("*").over(
+            Window.orderBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_src"),
     )
     return (
         ranked.join(F.broadcast(src_idx), "source")
@@ -7174,7 +7189,7 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "rank_in_source",
             (
-                (F.col("rank_in_source") - 1) * n_src + F.col("src_idx")
+                (F.col("rank_in_source") - 1) * F.col("n_src") + F.col("src_idx")
             ).cast("long").alias("global_pos"),
         )
     )
@@ -7871,13 +7886,16 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     is clipped at the corpus max day (one-row driver scalar)."""
     e = _t(spark, sf_dir, "events")["events"]
     ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    hi = ud.agg(F.max("d")).collect()[0][0]  # 1-row action, documented
-    if hi is None:  # empty input: agree with the oracle's empty result
-        return spark.createDataFrame([], "day_s string, wau long")
-    x = ud.select(
+    # r17 (opt pass 2): the corpus max day used to be a 1-row driver
+    # action before the main job; it now rides a broadcast 1-row
+    # aggregate crossJoined into the explode, so the whole query is
+    # ONE action (the empty-corpus case degenerates to an empty
+    # crossJoin — same empty result, no special-casing).
+    hi = ud.agg(F.max("d").alias("hi"))
+    x = ud.crossJoin(F.broadcast(hi)).select(
         "user_id",
         F.explode(
-            F.expr(f"sequence(d, least(date_add(d, 6), date'{hi}'), interval 1 day)")
+            F.expr("sequence(d, least(date_add(d, 6), hi), interval 1 day)")
         ).alias("wd"),
     )
     return x.groupBy(F.col("wd").cast("string").alias("day_s")).agg(
@@ -8127,19 +8145,27 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the card costs a scan per side, never a join. skew_factor is an
     exact bigint/avg double division rounded at 6 dp."""
     t = _t(spark, sf_dir, "lineitem", "orders")
-    o_n = t["orders"].count()
+    # r17 (opt pass 2): the build-side count and the probe-side skew
+    # profile are both 1-row aggregates — they meet in a crossJoin fold
+    # so the advisory card is ONE driver action (two scans, one job)
+    # instead of two sequential jobs.
     prof = (
-        t["lineitem"]
-        .groupBy("l_orderkey")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.max("c").alias("mx"),
-            F.avg("c").alias("av"),
-            F.count("*").alias("nk"),
-            F.sum("c").alias("n_rows"),
+        t["orders"]
+        .agg(F.count("*").alias("o_n"))
+        .crossJoin(
+            t["lineitem"]
+            .groupBy("l_orderkey")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.max("c").alias("mx"),
+                F.avg("c").alias("av"),
+                F.count("*").alias("nk"),
+                F.sum("c").alias("n_rows"),
+            )
         )
         .collect()[0]
     )
+    o_n = prof["o_n"]
     l_n = prof["n_rows"]
     skew = prof["mx"] / prof["av"]
     strategy = (

@@ -353,7 +353,9 @@ def test_dq_run_checks_is_one_driver_action(spark):
     the duration of the call."""
     import unittest.mock as mock
 
-    from pyspark.sql import DataFrame
+    # the CLASSIC class — instances override count() there; a patch
+    # on the pyspark.sql dispatch parent never fires (Spark 4)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from replicadb_spark.operators import dq
 

@@ -745,3 +745,59 @@ def test_layout_builds_are_recorded_in_the_ledger(spark):
     assert entry is not None
     assert entry["build_seconds"] > 0
     assert entry["bytes"] > 0
+
+
+def test_interleave_and_wau_construction_is_action_free(spark):
+    """r17 (opt pass 2): curriculum_interleave's |sources| scalar and
+    rolling_wau's corpus-max-day scalar both moved from construction-
+    time driver actions into the plan (a windowed count on the tiny
+    source-index frame; a broadcast 1-row max crossJoined into the
+    explode) — building either query schedules NO Spark job."""
+    import unittest.mock as mock
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("query construction ran a driver action")
+
+    with mock.patch.object(DataFrame, "count", _boom), \
+         mock.patch.object(DataFrame, "collect", _boom), \
+         mock.patch.object(DataFrame, "first", _boom):
+        ci = QUERIES["curriculum_interleave"](spark, SF)
+        wau = QUERIES["rolling_wau"](spark, SF)
+    # the frames still compute correctly once an action DOES run
+    rows = {r["doc_id"]: r["global_pos"] for r in ci.collect()}
+    assert len(rows) == ci.count()
+    assert wau.count() > 0
+
+
+def test_advisor_and_setops_gate_are_one_driver_action(spark):
+    """r17 (opt pass 2): join_strategy_advisor's build-side count and
+    kmv_setops_gate's exact-side aggregate each fold into the query's
+    single collect (crossJoin fold / tagged union), so construction
+    runs exactly ONE driver action instead of two sequential jobs."""
+    import unittest.mock as mock
+
+    # patch the CLASSIC class — pyspark.sql.DataFrame is the dispatch
+    # parent in Spark 4 and instances override collect/count on the
+    # classic subclass, so a parent patch never fires
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0}
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    def _boom(self, *a, **k):
+        raise AssertionError("construction ran a count()/first() job")
+
+    for name in ("join_strategy_advisor", "kmv_setops_gate"):
+        calls["n"] = 0
+        with mock.patch.object(DataFrame, "collect", counting_collect), \
+             mock.patch.object(DataFrame, "count", _boom), \
+             mock.patch.object(DataFrame, "first", _boom):
+            df = QUERIES[name](spark, SF)
+        assert calls["n"] == 1, (name, calls["n"])
+        assert df.count() == 1

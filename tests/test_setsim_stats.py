@@ -351,7 +351,9 @@ def test_quantile_estimates_construction_is_action_free(spark):
     frame schedules NO Spark job — the caller's single action computes
     the whole thing. Pinned by constructing against a source whose
     evaluation would blow up if any action ran at build time."""
-    from pyspark.sql import DataFrame
+    # the CLASSIC class — instances override count/collect/first there;
+    # a patch on the pyspark.sql dispatch parent never fires (Spark 4)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from replicadb_spark.operators.quantiles import (
         bottomk_sample,
