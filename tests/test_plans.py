@@ -540,11 +540,19 @@ def test_multigrain_rollup_expands_once(spark):
 
 def test_rolling_wau_contribution_explode_no_range_join(spark):
     """Sliding-distinct via contribution explode: a Generate (explode)
-    feeds the per-day distinct — no inequality join anywhere."""
+    feeds the per-day distinct — no inequality join anywhere. The ONE
+    BroadcastNestedLoopJoin allowed is the 1-row max-day scalar attach
+    (r17 opt pass 2: the corpus max day rides a broadcast 1-row
+    aggregate instead of a construction-time collect) — a Cross of a
+    1-row aggregate, not a data×data inequality join."""
     plan = _plan(spark, "rolling_wau")
     assert "Generate" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the lone BNLJ is the scalar attach: Cross type, and its build
+    # side is the 1-row max(d) aggregate
+    assert "BuildRight, Cross" in plan
+    assert "max(d" in plan
 
 
 def test_attribution_windows_are_keyed(spark):
