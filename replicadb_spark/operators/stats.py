@@ -206,6 +206,7 @@ def mad_outlier_profile(
     z: float = 3.5,
     approx: bool = False,
     accuracy: int = 10000,
+    base: "DataFrame | None" = None,
 ) -> DataFrame:
     """Robust per-key outlier profile via median/MAD: (key, med, mad,
     n_outliers) where an outlier is |x - med| > z · 1.4826 · mad (the
@@ -232,15 +233,22 @@ def mad_outlier_profile(
     once each (each feeds two consumers); the per-key joins carry no
     broadcast hint — key cardinality is the caller's business and AQE
     promotes small sides itself.
+
+    ``base``: an already-projected, already-persisted ``(key, x)``
+    frame. A caller computing SEVERAL profiles of the same input
+    (mad_approx_gate runs exact + approx) passes one shared base so
+    the input is scanned and cached once instead of once per profile;
+    ``df``/``key_col``/``value_col`` are ignored when it is given.
     """
     def _median(col):
         if approx:
             return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
         return F.median(col)
 
-    base = tracked_persist(df.select(
-        F.col(key_col).alias("key"), F.col(value_col).alias("x")
-    ))
+    if base is None:
+        base = tracked_persist(df.select(
+            F.col(key_col).alias("key"), F.col(value_col).alias("x")
+        ))
     med = tracked_persist(
         base.groupBy("key").agg(_median(F.col("x")).alias("med"))
     )

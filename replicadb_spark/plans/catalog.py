@@ -6338,9 +6338,17 @@ def mad_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replicadb_spark.operators.stats import mad_outlier_profile
 
     ev = _t(spark, sf_dir, "events")["events"]
-    exact = mad_outlier_profile(ev, "event_type", "value", z=3.5)
+    # one shared projected+persisted base for BOTH estimator paths
+    # (r17 opt: each profile call used to project and persist its own
+    # copy of the same (key, x) frame — two events scans and two cache
+    # writes for byte-identical content; interleaved min-of-5 at sf0.1
+    # won all 5 pairs, 1.30 → 1.13 s mean)
+    base = tracked_persist(ev.select(
+        F.col("event_type").alias("key"), F.col("value").alias("x")
+    ))
+    exact = mad_outlier_profile(ev, "event_type", "value", z=3.5, base=base)
     apx = mad_outlier_profile(
-        ev, "event_type", "value", z=3.5, approx=True
+        ev, "event_type", "value", z=3.5, approx=True, base=base
     ).select(
         "key",
         F.col("med").alias("a_med"),
@@ -7075,45 +7083,56 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: identical exact decile bounds in both engines, strict
     ``>`` bucketing, proportions are exact int/int divisions, and the
     single ln() per bucket is rounded at 6 dp after identical-operand
-    arithmetic (the bigram-LM margin precedent). Scale: two filtered
-    aggregate passes (the decile buffer per period, then a 10-key
-    bucket count via one broadcast of the 1-row bounds) — no window, no
-    join of the periods; swap percentile_approx in at 10^12 rows (the
+    arithmetic (the bigram-LM margin precedent). Scale: two aggregate
+    passes — the decile buffer over the reference period, then ONE
+    10-key bucket count over the whole table with per-period
+    conditional sums (r17 opt: the periods partition the table, so
+    bucketing them in separate passes scanned events twice and paid
+    two bucket aggregates; folding the period into conditional counts
+    of one aggregate is the same arithmetic — exact int counts, exact
+    divisions — for one scan and one shuffle; interleaved min-of-5 at
+    sf0.1: 0.93 → 0.69 s mean). No window over data, no join of the
+    periods; swap percentile_approx in at 10^12 rows (the
     mad_approx_gate-proven trade)."""
     e = _t(spark, sf_dir, "events")["events"]
     split = F.lit("2024-01-16").cast("timestamp_ntz")
     ref = e.where(F.col("ts") < split)
-    cur = e.where(F.col("ts") >= split)
     bounds = ref.agg(
         F.percentile("value", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])).alias(
             "bs"
         )
     )
 
-    def bucketed(df: DataFrame) -> DataFrame:
-        # unrolled element_at comparisons, not a higher-order filter:
-        # the chain stays in whole-stage codegen where HOF lambdas are
-        # interpreted per row (the band_hashes precedent); identical
-        # arithmetic to the oracle's list_filter count
-        bucket = F.lit(1)
-        for i in range(1, 10):
-            bucket = bucket + (
-                F.col("value") > F.element_at("bs", i)
-            ).cast("int")
-        return (
-            df.crossJoin(F.broadcast(bounds))
-            .select(bucket.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("c"))
-            .withColumn("p", F.col("c") / F.sum("c").over(Window.partitionBy()))
+    # unrolled element_at comparisons, not a higher-order filter:
+    # the chain stays in whole-stage codegen where HOF lambdas are
+    # interpreted per row (the band_hashes precedent); identical
+    # arithmetic to the oracle's list_filter count
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (
+            F.col("value") > F.element_at("bs", i)
+        ).cast("int")
+    counts = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), (F.col("ts") < split).alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
         )
-
+    )
+    # the window runs over the ≤11-row bucket frame, never over data;
+    # each period's denominator is its own conditional-count sum, so
+    # the divisions are the identical int/int the two-pass shape did
+    w = Window.partitionBy()
+    pcts = counts.select(
+        "bucket",
+        (F.col("c_ref") / F.sum("c_ref").over(w)).alias("p_ref0"),
+        (F.col("c_cur") / F.sum("c_cur").over(w)).alias("p_cur0"),
+    )
     grid = spark.range(1, 11).select(F.col("id").cast("long").alias("bucket"))
-    p1 = bucketed(ref).select("bucket", F.col("p").alias("p_ref0"))
-    p2 = bucketed(cur).select("bucket", F.col("p").alias("p_cur0"))
     j = (
-        grid.join(p1, "bucket", "left")
-        .join(p2, "bucket", "left")
+        grid.join(pcts, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("p_ref0", F.lit(0.0)).alias("pr"),
@@ -7651,46 +7670,41 @@ def kmv_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sketch").alias("grain"),
     )
 
-    # Two independent exact grains, each a scan+distinct+agg. r16
-    # persisted the shared distinct frame so the second grain would
-    # fold from it instead of re-scanning — measured NEGATIVE at the
-    # bench SF (+0.4 s: the (type, week, user) distinct frame is
-    # nearly as large as events, so the cache write costs more than
-    # the saved scan) and a WASH at 10x events (1.97 s vs 1.96 s,
-    # r17 A/B on a generated 1M-row frame) — the persist never pays
-    # in any regime this gate reaches, so it's reverted (VERDICT r16
-    # "what's wrong" #2). At 10^12 rows the real answer is the one
-    # the docstring already names: materialize the weekly SKETCH
-    # table and stop computing exact grains at all.
-    # and the two grains union into ONE action (grain-tagged rows), so
-    # the shared distinct subplan executes once per job instead of
-    # once per collect — measured 0.65 → 0.45 s for the exact tail.
+    # Both exact grains come from ONE grouping-sets distinct aggregate:
+    # GROUPING SETS ((type, week), (type)) with COUNT(DISTINCT user) is
+    # a single subtree — one events scan, one Expand, one
+    # distinct-aggregate shuffle — where the prior shape computed the
+    # shared `keyed.distinct()` once PER union branch (two scans, two
+    # full shuffles; Spark shares no subtrees across union branches
+    # without a persist, and persisting the near-events-sized distinct
+    # frame measured NEGATIVE in r16 — +0.4 s at the bench SF, a wash
+    # at 10x events — because the cache write costs more than the
+    # saved scan). Interleaved min-of-5 at sf0.1: 1.03 → 0.89 s.
+    # grouping_id: a bit is 1 when the column is aggregated-over, so
+    # the (type, week) set reads gid 0 and the (type) set gid 1.
+    # At 10^12 rows the real answer is the one the docstring already
+    # names: materialize the weekly SKETCH table and stop computing
+    # exact grains at all.
     # r17 opt round: the SKETCH rows join the same tagged union (ranks
-    # column, null cnt), so the whole gate is ONE collect job instead
-    # of two — the sketch subtree and both exact grains schedule
-    # together.
-    d = keyed.distinct()
-    week_cnt = d.groupBy("event_type", "week_s").agg(
-        F.count("*").alias("cnt")
-    ).select(
+    # column, null cnt), so the whole gate is ONE collect job — the
+    # sketch subtree and the exact-grain subtree schedule together.
+    gs = keyed.groupingSets(
+        [[F.col("event_type"), F.col("week_s")], [F.col("event_type")]],
         "event_type", "week_s",
+    ).agg(
+        F.countDistinct("user_id").alias("cnt"),
+        F.grouping_id().alias("gid"),
+    )
+    exact_rows = gs.select(
+        "event_type",
+        F.when(F.col("gid") == 0, F.col("week_s")).alias("week_s"),
         F.lit(None).cast("array<bigint>").alias("ranks"),
-        "cnt", F.lit("week").alias("grain"),
+        "cnt",
+        F.when(F.col("gid") == 0, F.lit("week"))
+        .otherwise(F.lit("type"))
+        .alias("grain"),
     )
-    type_cnt = (
-        d.select("event_type", "user_id")
-        .distinct()
-        .groupBy("event_type")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            "event_type",
-            F.lit(None).cast("string").alias("week_s"),
-            F.lit(None).cast("array<bigint>").alias("ranks"),
-            "cnt",
-            F.lit("type").alias("grain"),
-        )
-    )
-    tagged = sketch_rows.unionByName(week_cnt).unionByName(type_cnt).collect()
+    tagged = sketch_rows.unionByName(exact_rows).collect()
     sketches = [r for r in tagged if r["grain"] == "sketch"]
     week_est = {
         (r["event_type"], r["week_s"]): _kmv_estimate(list(r["ranks"]), k)
