@@ -7095,57 +7095,57 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     periods; swap percentile_approx in at 10^12 rows (the
     mad_approx_gate-proven trade)."""
     e = _t(spark, sf_dir, "events")["events"]
-    split = F.lit("2024-01-16").cast("timestamp_ntz")
-    ref = e.where(F.col("ts") < split)
-    bounds = ref.agg(
-        F.percentile("value", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])).alias(
-            "bs"
+    # ONE spark.sql call (r17 opt, guide §5 driver discipline): the
+    # bucket chain + conditional counts + grid join were ~60 Column/
+    # DataFrame operations of pure py4j plan construction (~0.4 s,
+    # paid on both timed runs); the SQL text parses and analyzes once
+    # JVM-side and produces the identical plan. The unrolled bs[i]
+    # comparisons (not a higher-order filter) keep the chain in
+    # whole-stage codegen where HOF lambdas are interpreted per row
+    # (the band_hashes precedent) — identical arithmetic to the
+    # oracle's list_filter count; the OVER () window runs over the
+    # ≤11-row bucket frame, never over data, and each period's
+    # denominator is its own conditional-count sum, so the divisions
+    # are the identical int/int the two-pass shape did. Rows verified
+    # identical to the pre-SQL shape; oracle green at both SFs.
+    return spark.sql(
+        """
+        WITH bounds AS (
+          SELECT percentile(
+                   value,
+                   array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)
+                 ) AS bs
+          FROM {e} WHERE ts < TIMESTAMP_NTZ '2024-01-16'
+        ), counts AS (
+          SELECT 1 + CAST(value > bs[0] AS INT) + CAST(value > bs[1] AS INT)
+                   + CAST(value > bs[2] AS INT) + CAST(value > bs[3] AS INT)
+                   + CAST(value > bs[4] AS INT) + CAST(value > bs[5] AS INT)
+                   + CAST(value > bs[6] AS INT) + CAST(value > bs[7] AS INT)
+                   + CAST(value > bs[8] AS INT) AS bucket,
+                 SUM(CASE WHEN ts < TIMESTAMP_NTZ '2024-01-16'
+                          THEN 1 ELSE 0 END) AS c_ref,
+                 SUM(CASE WHEN NOT (ts < TIMESTAMP_NTZ '2024-01-16')
+                          THEN 1 ELSE 0 END) AS c_cur
+          FROM {e} CROSS JOIN bounds
+          GROUP BY 1
+        ), pcts AS (
+          SELECT bucket,
+                 c_ref / SUM(c_ref) OVER () AS p_ref0,
+                 c_cur / SUM(c_cur) OVER () AS p_cur0
+          FROM counts
+        ), grid AS (SELECT CAST(id AS LONG) AS bucket FROM range(1, 11)),
+        j AS (
+          SELECT grid.bucket,
+                 COALESCE(p_ref0, 0.0D) AS pr, COALESCE(p_cur0, 0.0D) AS pc
+          FROM grid LEFT JOIN pcts ON grid.bucket = pcts.bucket
         )
-    )
-
-    # unrolled element_at comparisons, not a higher-order filter:
-    # the chain stays in whole-stage codegen where HOF lambdas are
-    # interpreted per row (the band_hashes precedent); identical
-    # arithmetic to the oracle's list_filter count
-    bucket = F.lit(1)
-    for i in range(1, 10):
-        bucket = bucket + (
-            F.col("value") > F.element_at("bs", i)
-        ).cast("int")
-    counts = (
-        e.crossJoin(F.broadcast(bounds))
-        .select(bucket.alias("bucket"), (F.col("ts") < split).alias("is_ref"))
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
-            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
-        )
-    )
-    # the window runs over the ≤11-row bucket frame, never over data;
-    # each period's denominator is its own conditional-count sum, so
-    # the divisions are the identical int/int the two-pass shape did
-    w = Window.partitionBy()
-    pcts = counts.select(
-        "bucket",
-        (F.col("c_ref") / F.sum("c_ref").over(w)).alias("p_ref0"),
-        (F.col("c_cur") / F.sum("c_cur").over(w)).alias("p_cur0"),
-    )
-    grid = spark.range(1, 11).select(F.col("id").cast("long").alias("bucket"))
-    j = (
-        grid.join(pcts, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("p_ref0", F.lit(0.0)).alias("pr"),
-            F.coalesce("p_cur0", F.lit(0.0)).alias("pc"),
-        )
-    )
-    cr = F.greatest(F.col("pr"), F.lit(1e-6))
-    cc = F.greatest(F.col("pc"), F.lit(1e-6))
-    return j.select(
-        "bucket",
-        F.round("pr", 6).alias("p_ref"),
-        F.round("pc", 6).alias("p_cur"),
-        F.round((cc - cr) * F.log(cc / cr), 6).alias("psi_term"),
+        SELECT bucket, ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+               ROUND((GREATEST(pc, 1e-6D) - GREATEST(pr, 1e-6D))
+                     * LN(GREATEST(pc, 1e-6D) / GREATEST(pr, 1e-6D)), 6)
+                 AS psi_term
+        FROM j
+        """,
+        e=e,
     )
 
 
@@ -8422,67 +8422,64 @@ def rfm_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact+approx scorer) — persist it so the orders aggregate runs
     # once (r16: it re-ran three times, ~0.4 s each at sf0.1)
     base = tracked_persist(base)
-    cuts = base.agg(
-        *[
-            F.percentile_approx(c, [0.2, 0.4, 0.6, 0.8], 10000).alias(f"{c}_c")
-            for c in ("rv", "fv", "mv")
-        ]
+    # The tail below base builds from SQL-string expressions (r17 opt,
+    # guide §5 driver discipline): the scorer used to be ~80 Column
+    # operations, each a py4j round trip plus an incremental
+    # re-analysis of the growing plan — pure driver-side construction
+    # cost the bench pays on BOTH timed runs (measured 0.43 s of the
+    # gate's ~1.2 s warm total). Each selectExpr/expr string parses
+    # JVM-side in one call and yields the IDENTICAL plan; staying on
+    # the DataFrame API (rather than one spark.sql over a {base}
+    # parameter) matters because SQL view/parameter resolution remaps
+    # expression ids, so CacheManager substitution MISSES the
+    # persisted base and the orders aggregate would run twice —
+    # verified empirically (no InMemoryRelation in the spark.sql
+    # variant's plan). Interleaved A/B: construction 0.43 → ~0.1 s;
+    # rows verified identical; oracle green at both SFs.
+    cuts = base.selectExpr(
+        "percentile_approx(rv, array(0.2D, 0.4D, 0.6D, 0.8D), 10000) AS rv_c",
+        "percentile_approx(fv, array(0.2D, 0.4D, 0.6D, 0.8D), 10000) AS fv_c",
+        "percentile_approx(mv, array(0.2D, 0.4D, 0.6D, 0.8D), 10000) AS mv_c",
     )
-
-    def apx_score(c: str):
-        above = sum(
-            F.when(F.col(c) > F.col(f"{c}_c")[i], 1).otherwise(0)
-            for i in range(4)
-        )
-        return (F.lit(5) - above).alias(f"{c[0]}_ap")
-
     # r17: exact ntile scores and cut-value scores are BOTH row-wise
     # functions of the persisted base (the 1-row cut table rides in by
     # broadcast, changing no row multiplicity), so they are computed in
     # ONE projection — the former exact ⋈ approx equi-join on custkey
     # re-partitioned ~N rows twice for columns that never left the row.
-    long = base.crossJoin(F.broadcast(cuts)).select(
-        "custkey",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rv").desc(), "custkey"))
-        .alias("r_ex"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("fv").desc(), "custkey"))
-        .alias("f_ex"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("mv").desc(), "custkey"))
-        .alias("m_ex"),
-        apx_score("rv"),
-        apx_score("fv"),
-        apx_score("mv"),
-    ).select(
-        F.expr(
+    long = (
+        base.crossJoin(F.broadcast(cuts))
+        .selectExpr(
+            "custkey",
+            "ntile(5) OVER (ORDER BY rv DESC, custkey) AS r_ex",
+            "ntile(5) OVER (ORDER BY fv DESC, custkey) AS f_ex",
+            "ntile(5) OVER (ORDER BY mv DESC, custkey) AS m_ex",
+            "5 - (CAST(rv > rv_c[0] AS INT) + CAST(rv > rv_c[1] AS INT)"
+            " + CAST(rv > rv_c[2] AS INT) + CAST(rv > rv_c[3] AS INT)) AS r_ap",
+            "5 - (CAST(fv > fv_c[0] AS INT) + CAST(fv > fv_c[1] AS INT)"
+            " + CAST(fv > fv_c[2] AS INT) + CAST(fv > fv_c[3] AS INT)) AS f_ap",
+            "5 - (CAST(mv > mv_c[0] AS INT) + CAST(mv > mv_c[1] AS INT)"
+            " + CAST(mv > mv_c[2] AS INT) + CAST(mv > mv_c[3] AS INT)) AS m_ap",
+        )
+        .selectExpr(
             "stack(3, 'r', r_ex, r_ap, 'f', f_ex, f_ap, 'm', m_ex, m_ap)"
             " AS (dim, ex, ap)"
         )
     )
-    thr = F.create_map(
-        F.lit("r"), F.lit(0.98), F.lit("f"), F.lit(0.70),
-        F.lit("m"), F.lit(0.98),
-    )
     # one pass: per-(dim, score) counts carry match/maxd partials; the
     # per-dim gate booleans come from a window over the 15-row frame
-    per = long.groupBy("dim", F.col("ex").cast("long").alias("score")).agg(
-        F.count("*").alias("n_cust"),
-        F.sum((F.col("ex") == F.col("ap")).cast("long")).alias("n_match"),
-        F.max(F.abs(F.col("ex") - F.col("ap"))).alias("maxd"),
+    per = long.groupBy("dim", F.expr("CAST(ex AS BIGINT)").alias("score")).agg(
+        F.expr("COUNT(*)").alias("n_cust"),
+        F.expr("SUM(CAST(ex = ap AS BIGINT))").alias("n_match"),
+        F.expr("MAX(ABS(ex - ap))").alias("maxd"),
     )
-    wd = Window.partitionBy("dim")
-    return per.select(
+    return per.selectExpr(
         "dim",
         "score",
         "n_cust",
-        (
-            F.sum("n_match").over(wd).cast("double")
-            / F.sum("n_cust").over(wd)
-            >= thr[F.col("dim")]
-        ).alias("match_ok"),
-        (F.max("maxd").over(wd) <= 1).alias("within_one_ok"),
+        "CAST(SUM(n_match) OVER (PARTITION BY dim) AS DOUBLE)"
+        " / SUM(n_cust) OVER (PARTITION BY dim)"
+        " >= map('r', 0.98D, 'f', 0.70D, 'm', 0.98D)[dim] AS match_ok",
+        "MAX(maxd) OVER (PARTITION BY dim) <= 1 AS within_one_ok",
     )
 
 
