@@ -564,18 +564,41 @@ class _EdgeLayout:
         raise KeyError(key)
 
 
+# Opened layouts memoized per (session, path) — r18: every consumer
+# (pagerank opens the layout twice per call: once for n_vertices, once
+# on the clone session for the frames; triangles/degree-profile/PPR
+# once each) re-paid the marker read (a py4j FS round trip) plus a
+# parquet footer read per frame touched, all for an immutable
+# per-process layout. The memoized _EdgeLayout holds lazy plans only
+# (the tables()/read_parquet_memo contract: zero rows cached). A
+# layout is written ONCE into a fresh tempdir per process
+# (write_edge_layout's documented invalidation contract is
+# "rebuild = new path"), so entries can never go stale.
+_EDGE_LAYOUT_MEMO: "weakref.WeakKeyDictionary | None" = None
+
+
 def read_edge_layout(spark: SparkSession, path: str) -> _EdgeLayout:
     """Open a :func:`write_edge_layout` layout: per-frame LAZY access
     to ``edges`` / ``deg`` / ``oriented`` / ``linked`` plus the counted
     ``m`` / ``n_vertices`` from the publish marker. Nothing is opened
     until a frame is indexed, so a caller that reads only the marker
-    counts (or only one frame) pays exactly that much I/O."""
+    counts (or only one frame) pays exactly that much I/O. Opened
+    layouts are memoized per (session, path) — repeat opens are free."""
+    import weakref
+
     from replicadb_spark.fs import TableFS, join as fs_join
 
-    meta = json.loads(
-        TableFS(spark, path).read_text(fs_join(path, _LAYOUT_META))
-    )
-    return _EdgeLayout(spark, path, meta)
+    global _EDGE_LAYOUT_MEMO
+    if _EDGE_LAYOUT_MEMO is None:
+        _EDGE_LAYOUT_MEMO = weakref.WeakKeyDictionary()
+    memo = _EDGE_LAYOUT_MEMO.setdefault(spark, {})
+    lay = memo.get(path)
+    if lay is None:
+        meta = json.loads(
+            TableFS(spark, path).read_text(fs_join(path, _LAYOUT_META))
+        )
+        lay = memo[path] = _EdgeLayout(spark, path, meta)
+    return lay
 
 
 def triangle_count_layout(

@@ -33,7 +33,7 @@ from replicadb_spark.functions import similarity as S
 from replicadb_spark.functions import text as X
 from replicadb_spark.modes import upsert_dataframe
 from replicadb_spark.operators import asof_join, range_join_pairs
-from replicadb_spark.session import tables
+from replicadb_spark.session import read_parquet_memo, tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -856,8 +856,8 @@ def _shingle_inter_frames(
 ) -> "tuple[DataFrame, DataFrame]":
     path = _shingle_inter_layout(spark, sf_dir)
     return (
-        spark.read.parquet(f"{path}/inter"),
-        spark.read.parquet(f"{path}/sizes"),
+        read_parquet_memo(spark, f"{path}/inter"),
+        read_parquet_memo(spark, f"{path}/sizes"),
     )
 
 
@@ -957,9 +957,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.exact_jaccard_verify_sets): no Arrow shingle pass, no
     semi-join, no persist per invocation."""
     lay = _minhash_buckets_layout(spark, sf_dir)
-    cands = spark.read.parquet(f"{lay}/cands")
+    cands = read_parquet_memo(spark, f"{lay}/cands")
     pairs = D.exact_jaccard_verify_sets(
-        spark.read.parquet(f"{lay}/ssets"), cands, threshold=0.5
+        read_parquet_memo(spark, f"{lay}/ssets"), cands, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -2329,7 +2329,7 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource needs a directory-or-glob path; point it at the
     # single events file via a glob with the sf dir as basePath
     src = (
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        spark.readStream.schema(read_parquet_memo(spark, f"{sf_dir}/events.parquet").schema)
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.[p]arquet")
     )
@@ -2733,9 +2733,9 @@ def dup_rate_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _contam_store(spark, sf_dir)
     lay = _minhash_buckets_layout(spark, sf_dir)
-    cands = spark.read.parquet(f"{lay}/cands")
+    cands = read_parquet_memo(spark, f"{lay}/cands")
     pairs = D.exact_jaccard_verify_sets(
-        spark.read.parquet(f"{lay}/ssets"), cands, threshold=0.5
+        read_parquet_memo(spark, f"{lay}/ssets"), cands, threshold=0.5
     ).select("id_a", "id_b")
 
     def per_snapshot(sid: int) -> DataFrame:
@@ -2823,7 +2823,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.exact_jaccard_verify_sets) instead of re-shingling the
     candidate docs per run."""
     lay = _minhash_buckets_layout(spark, sf_dir)
-    buckets = spark.read.parquet(f"{lay}/buckets")
+    buckets = read_parquet_memo(spark, f"{lay}/buckets")
     cands = tracked_persist(
         buckets.where(F.col("id") < 250).alias("l")
         .join(
@@ -2834,7 +2834,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = D.exact_jaccard_verify_sets(
-        spark.read.parquet(f"{lay}/ssets"), cands, threshold=0.5
+        read_parquet_memo(spark, f"{lay}/ssets"), cands, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -4705,7 +4705,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored terms — never the corpus. Ties break on term, so ranks are
     total."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    tf = spark.read.parquet(_tf_layout(spark, sf_dir))
+    tf = read_parquet_memo(spark, _tf_layout(spark, sf_dir))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -4751,7 +4751,7 @@ def unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the (doc,term) tf agg is the persisted term-frequency
     layout (_tf_layout, r15); cf and the 1-row total derive from its
     scan; the term-keyed join never touches raw text at all."""
-    tf = spark.read.parquet(_tf_layout(spark, sf_dir))
+    tf = read_parquet_memo(spark, _tf_layout(spark, sf_dir))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     tot = tf.agg(F.sum("tf").alias("total"))
     return (
@@ -4796,8 +4796,8 @@ def docs_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ids[0]`` — the string-keyed min-agg AND the shingle-keyed join
     back both disappear; the query is one explode + one per-doc agg
     over the layout scan. Linear in index size at any corpus scale."""
-    lists = spark.read.parquet(
-        f"{_shingle_inter_layout(spark, sf_dir)}/lists"
+    lists = read_parquet_memo(
+        spark, f"{_shingle_inter_layout(spark, sf_dir)}/lists"
     )
     ex = lists.select(
         F.element_at("ids", 1).alias("first_id"),
@@ -5548,7 +5548,7 @@ def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replicadb_spark.operators.setsim import tfidf_cosine_pairs_from_tf
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    tf = spark.read.parquet(_tf_layout(spark, sf_dir)).withColumnRenamed(
+    tf = read_parquet_memo(spark, _tf_layout(spark, sf_dir)).withColumnRenamed(
         "doc_id", "id"
     )
     n = d.agg(F.count(F.lit(1)).alias("n"))
@@ -5909,7 +5909,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak, so float jitter can't flip the cutoff."""
     query_terms = ("hash", "join", "scan")
     k1, b = 1.2, 0.75
-    layout = spark.read.parquet(_tf_layout(spark, sf_dir))
+    layout = read_parquet_memo(spark, _tf_layout(spark, sf_dir))
     dl = tracked_persist(
         layout.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     )
@@ -8610,7 +8610,7 @@ def streaming_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f_src = (
         spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            read_parquet_memo(spark, f"{sf_dir}/events.parquet").schema
         )
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.[p]arquet")
@@ -8621,7 +8621,7 @@ def streaming_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     d_src = (
         spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+            read_parquet_memo(spark, f"{sf_dir}/orders.parquet").schema
         )
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/orders.[p]arquet")
@@ -8707,7 +8707,7 @@ def streaming_dq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     src = (
         spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            read_parquet_memo(spark, f"{sf_dir}/events.parquet").schema
         )
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.[p]arquet")

@@ -76,6 +76,29 @@ def get_spark(app_name: str = "replicadb_spark", **extra_conf: str) -> SparkSess
 # repo (verified by grep, r17), so the registry cannot go stale.
 _TABLES_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
+# Same contract for arbitrary immutable parquet paths (the persisted
+# per-(process, sf_dir) layouts: tf/, minhash buckets/ssets/cands,
+# shingle inter/sizes, edge layouts): ``spark.read.parquet`` pays a
+# directory listing + footer read (~50-150 ms) per call for schema
+# discovery, and every layout consumer used to re-pay it on every
+# query construction. The memoized DataFrame is a lazy immutable plan
+# — zero rows and zero results cached. ONLY for paths whose contents
+# never change within a process (layout dirs are written once into a
+# fresh tempdir, sf_dir is immutable per TESTDATA.md); snapshot-table
+# paths evolve per commit and must NOT go through this.
+_PARQUET_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def read_parquet_memo(spark: SparkSession, path: str):
+    """Memoized lazy ``spark.read.parquet(path)`` per (session, path),
+    for immutable-within-process paths (persisted layouts, sf_dir
+    inputs). The memo dies with its session (WeakKeyDictionary)."""
+    memo = _PARQUET_MEMO.setdefault(spark, {})
+    df = memo.get(path)
+    if df is None:
+        df = memo[path] = spark.read.parquet(path)
+    return df
+
 
 def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the TESTDATA star-schema parquet tables as a dict of DataFrames.

@@ -43,3 +43,42 @@ def test_tables_timestamp_conversion_survives_memo(spark):
     assert dict(o.dtypes)["o_orderdate"] == "timestamp_ntz"
     o2 = tables(spark, SF001, ("orders",))["orders"]
     assert dict(o2.dtypes)["o_orderdate"] == "timestamp_ntz"
+
+
+def test_read_parquet_memo_reuses_plan_per_session_and_path(spark, tmp_path):
+    # r18: layout consumers read immutable per-process parquet dirs
+    # through read_parquet_memo — repeat opens must return the SAME
+    # lazy plan object (zero rows cached, footer read paid once),
+    # while distinct paths load their own frames.
+    from replicadb_spark.session import read_parquet_memo
+
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    spark.range(5).write.parquet(p1)
+    spark.range(7).write.parquet(p2)
+    a = read_parquet_memo(spark, p1)
+    b = read_parquet_memo(spark, p1)
+    c = read_parquet_memo(spark, p2)
+    assert a is b, "same (session, path) must reuse the plan object"
+    assert a is not c, "different path must load its own frame"
+    assert a.count() == 5 and c.count() == 7
+
+
+def test_edge_layout_memoized_per_session_and_path(spark, tmp_path):
+    # r18: read_edge_layout memoizes opened layouts — the marker read
+    # and per-frame footer reads are paid once per (session, path).
+    from replicadb_spark.operators.graph import (
+        read_edge_layout,
+        write_edge_layout,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    path = str(tmp_path / "lay")
+    write_edge_layout(edges, path)
+    lay1 = read_edge_layout(spark, path)
+    lay2 = read_edge_layout(spark, path)
+    assert lay1 is lay2, "repeat opens must return the memoized layout"
+    assert lay1["oriented"] is lay2["oriented"]
+    assert lay1["n_vertices"] == 3 and lay1["m"] == 3
