@@ -703,9 +703,13 @@ def pagerank_layout(
     power-iteration input is the layout's pre-joined ``linked`` scan
     ((u, v, deg) both directions — the union + degree join is part of
     the layout build, not the per-run cost), and N comes from the
-    marker — ZERO driver actions before the iteration job. Returns the
-    same eagerly-materialized (vertex, rank) frame with every internal
-    cache released.
+    marker — ZERO driver actions before the iteration job. On the
+    small-graph path the returned (vertex, rank) frame is fully LAZY
+    (r18 — every input is a durable parquet scan, so there is nothing
+    to persist and nothing to checkpoint; the caller's action runs the
+    whole chain as one job); on the shuffled path it is the
+    eagerly-materialized frame with every internal cache released, as
+    before.
 
     When the marker's vertex count is at most ``broadcast_rank_limit``
     the iteration runs on the small-graph fast path: each round's rank
@@ -734,7 +738,25 @@ def pagerank_layout(
     n = lay["n_vertices"]
     small = n <= broadcast_rank_limit
     if small:
+        # Small-graph fast path (r18): fully LAZY. Every input is a
+        # durable parquet scan, so nothing needs a persist (the three
+        # re-scans of linked are cheaper than one cache write at this
+        # size) and nothing needs the eager final checkpoint — the
+        # caller's single action runs the whole broadcast chain as ONE
+        # job with zero construction-time driver work. Measured at
+        # sf0.1 (copurchase graph): eager persist+checkpoint shape
+        # 1.4 s of build before the caller's action; lazy shape moves
+        # the whole query under the action. Periodic mid-loop resets
+        # for long horizons still fire inside _pagerank_loop.
         lay = read_edge_layout(_small_graph_session(spark), path)
+        deg = lay["deg"].select(F.col("v").alias("u"), "deg")
+        ranks = deg.select("u", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+        return _pagerank_loop(
+            lay["linked"], ranks, n,
+            iterations=iterations, damping=damping,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+            broadcast_ranks=True,
+        )
     deg = lay["deg"].select(F.col("v").alias("u"), "deg")
     cached: list[DataFrame] = []
     try:
@@ -745,7 +767,7 @@ def pagerank_layout(
             linked, ranks, n,
             iterations=iterations, damping=damping,
             checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
-            broadcast_ranks=small,
+            broadcast_ranks=False,
         )
         return _lineage_reset(result, checkpoint_dir)
     finally:
@@ -795,16 +817,22 @@ def personalized_pagerank_layout(
     deg = lay["deg"].select(F.col("v").alias("u"), "deg")
     cached: list[DataFrame] = []
     try:
-        seedf = deg.select("u").where(F.col("u").isin(list(seeds))).persist()
-        cached.append(seedf)
+        seedf = deg.select("u").where(F.col("u").isin(list(seeds)))
+        if not small:
+            seedf = seedf.persist()
+            cached.append(seedf)
+        # the seed-survivor count is a REQUIRED bounded driver action
+        # (the restart mass is 1/|seeds ∩ V|) on both paths
         s = seedf.count()
         if s == 0:
             raise ValueError(
                 "personalized_pagerank_layout: no seed id exists in the "
                 "graph — restart mass would be undefined"
             )
-        linked = lay["linked"].persist()  # pre-joined (u, v, deg) scan
-        cached.append(linked)
+        linked = lay["linked"]
+        if not small:
+            linked = linked.persist()  # pre-joined (u, v, deg) scan
+            cached.append(linked)
         restart = seedf.select(
             "u", F.lit((1.0 - damping) / s).alias("m")
         )
@@ -822,9 +850,11 @@ def personalized_pagerank_layout(
             )
             if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
                 ranks = _lineage_reset(ranks, checkpoint_dir)
-        return _lineage_reset(
-            ranks.select(F.col("u").alias("vertex"), "rank"), checkpoint_dir
-        )
+        out = ranks.select(F.col("u").alias("vertex"), "rank")
+        # small path (r18): fully lazy, like pagerank_layout — durable
+        # parquet inputs, a ≤|seeds|-row re-derived seed frame, nothing
+        # worth a cache write or an eager checkpoint
+        return out if small else _lineage_reset(out, checkpoint_dir)
     finally:
         for f in cached:
             f.unpersist()

@@ -245,10 +245,16 @@ def test_edge_layout_reader_is_lazy_and_tolerates_pre_linked_layouts(
         r.vertex: round(r.rank, 12)
         for r in pagerank_layout(spark, path, iterations=3).collect()
     }
-    shutil.rmtree(tmp_path / "lay3" / "linked")  # pre-r15 layout shape
+    # pre-r15 layout shape = a layout published WITHOUT linked/. Layouts
+    # are immutable once published (r18: read_edge_layout memoizes open
+    # layouts on that contract), so build the old shape as its own
+    # path instead of deleting a subdir out from under the open one.
+    old_path = str(tmp_path / "lay3_prelinked")
+    shutil.copytree(path, old_path)
+    shutil.rmtree(tmp_path / "lay3_prelinked" / "linked")
     derived = {
         r.vertex: round(r.rank, 12)
-        for r in pagerank_layout(spark, path, iterations=3).collect()
+        for r in pagerank_layout(spark, old_path, iterations=3).collect()
     }
     assert derived == with_linked
 
