@@ -76,21 +76,24 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the convergence flag rides the label update itself (r18):
+        # least(label, nbr_min) < label ⟺ this vertex changed, so the
+        # per-round "did anything move" check is a cheap scan of the
+        # just-materialized reset blocks — the prior shape re-JOINED
+        # new labels against old labels every round, a second full
+        # pass over |V| per iteration at any scale.
+        new_lab = F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
         new_labels = _lineage_reset(
             labels.join(neighbor_min, "v", "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+                new_lab.alias("label"),
+                (new_lab < F.col("label")).alias("__chg"),
             ),
             checkpoint_dir,
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "v")
-            .where(F.col("a.label") != F.col("b.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.select("v", "label")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))

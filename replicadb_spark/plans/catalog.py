@@ -2395,12 +2395,34 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the iterative loop shuffles only the edge list (pairs — a
     sliver of the corpus), once per round, bounded by cluster diameter
-    (near-dup clusters are quasi-cliques, diameter ≈ 2-3)."""
-    from replicadb_spark.operators import connected_components
+    (near-dup clusters are quasi-cliques, diameter ≈ 2-3).
 
-    d = _t(spark, sf_dir, "documents")["documents"]
-    pairs = D.minhash_dedup_pairs(
-        d, "doc_id", "text", k=3, num_hashes=128, bands=64, threshold=0.5
+    r18: the pair list rides the persisted per-(process, sf_dir)
+    MinHash layout exactly like dedup_minhash_lsh — candidates from
+    cands/, exact-Jaccard verify against the ssets/ store — instead of
+    re-running the full Arrow minhash + bucket join + shingle pass per
+    call (warm build 5.4 → ~1 s; the from-scratch and layout pair
+    paths are pinned equal by
+    tests/test_dedup.py::test_verify_sets_path_matches_docs_path and
+    the dedup_minhash_lsh oracle row). Only the CC loop is per-run
+    work, as it should be — and that loop runs in the AQE-free
+    small-graph clone session (the pagerank_layout fast-path
+    precedent, VERDICT r16 item 2's suggestion applied to the one
+    remaining CC consumer): the label-propagation rounds over a
+    bounded near-dup pair list are exactly the chain of tiny fixed
+    shuffles whose per-stage AQE replanning pauses cost more than the
+    work. Identical arithmetic, identical labels; the pair list is
+    bounded (verified near-dup pairs, a sliver of the corpus), the
+    regime the clone exists for."""
+    from replicadb_spark.operators import connected_components
+    from replicadb_spark.operators.graph import _small_graph_session
+
+    lay = _minhash_buckets_layout(spark, sf_dir)
+    sess = _small_graph_session(spark)
+    pairs = D.exact_jaccard_verify_sets(
+        read_parquet_memo(sess, f"{lay}/ssets"),
+        read_parquet_memo(sess, f"{lay}/cands"),
+        threshold=0.5,
     )
     return connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("canonical_id")
