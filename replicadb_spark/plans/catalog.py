@@ -1016,9 +1016,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check of rounds 1-2.
 
     Scale: both sides are the banded near-dup shapes (O(n·bands)
-    shuffles); the intersection joins two tiny pair sets."""
+    shuffles); the intersection joins two tiny pair sets.
+
+    r18: the truth side starts from the persisted shingle layout's
+    UNCAPPED doc-list frame (lists/) instead of re-tokenizing the
+    corpus — jaccard_pairs IS shingle_doc_lists →
+    pair_intersections_from_lists(cap=None) → jaccard_from_counts, so
+    reading the identical persisted head changes nothing the query
+    computes (the exact, uncapped Jaccard-0.5 pair set the oracle
+    pins); it only skips the per-call tokenize/shingle/groupBy."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    truth = D.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).select(
+    t_inter, t_sizes = D.pair_intersections_from_lists(
+        read_parquet_memo(
+            spark, f"{_shingle_inter_layout(spark, sf_dir)}/lists"
+        ),
+        max_shingle_df=None,
+    )
+    truth = D.jaccard_from_counts(t_inter, t_sizes, threshold=0.5).select(
         "id_a", "id_b"
     )
     approx = D.simhash_pairs(d, "doc_id", "text", max_hamming=8).select(
