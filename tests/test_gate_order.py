@@ -49,16 +49,16 @@ def test_queries_and_oracles_share_the_gate_order():
     assert list(E.queries()) == list(E.oracle_sql())
 
 
-def test_r17_window_is_the_r14_block():
-    """The r17 rotation (ROUND16.md "Round-17 gate plan", executed
-    verbatim): the driver window is exactly the 50 r14-gated queries,
+def test_r18_window_is_the_r15_block():
+    """The r18 rotation (ROUND17.md "Round-18 gate plan", executed
+    verbatim): the driver window is exactly the 50 r15-gated queries,
     bounded by its prescribed endpoints."""
-    assert E._GATE_FIRST[0] == "basket_jaccard_customers"
-    assert E._GATE_FIRST[-1] == "q18_large_orders"
-    assert "pagerank_copurchase" in E._GATE_FIRST
-    # the two blocks that rotated out sit in _GATE_LAST in r19/r18 order
-    assert E._GATE_LAST[0] == "dedup_containment"  # r16-gated block
-    assert E._GATE_LAST[50] == "dedup_simhash"     # r15-gated block
+    assert E._GATE_FIRST[0] == "dedup_simhash"
+    assert E._GATE_FIRST[-1] == "copurchase_degree_profile"
+    assert "semantic_dedup_gate" in E._GATE_FIRST
+    # the two blocks that rotated out sit in _GATE_LAST in r20/r19 order
+    assert E._GATE_LAST[0] == "basket_jaccard_customers"  # r17-gated block
+    assert E._GATE_LAST[50] == "dedup_containment"        # r16-gated block
     assert E._GATE_LAST[-32:] == (
         "rfm_approx_gate", "equidepth_split_gate", "streaming_asof_state",
         "streaming_dq_state", "gopher_quality_rules", "ann_index_gate",
