@@ -347,9 +347,6 @@ def coarse_centroids(
     )
 
     vec_t = corpus.schema[vec_col].dataType.simpleString()
-    w_cell = Window.partitionBy("__vid").orderBy(
-        F.col("__cscore").desc(), F.col("cell").asc()
-    )
 
     def _cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("__vid")  # fixed fold order → deterministic mean
@@ -358,19 +355,31 @@ def coarse_centroids(
             {"cell": [pdf["cell"].iloc[0]], "mean_vec": [(M.sum(axis=0) / len(M))]}
         )
 
+    # Lloyd steps (r18): per iteration the CURRENT centroids — bounded
+    # at n_cells rows by construction — are collected and the
+    # broadcast-assign runs as the zero-shuffle Arrow argmax kernel
+    # (assign_cells_kernel) instead of the crossJoin + per-vector
+    # window: same (cosine desc, cell asc) assignment, no per-vector
+    # window exchange and no interpreted per-pair cosine fold. The
+    # empty-cells-keep-previous left join stays against the LAZY
+    # previous-centroid plan, exactly as before (a createDataFrame of
+    # the collected rows measured 4-7 s per materialization on the
+    # pickled-local-RDD path — far worse than re-running the bounded
+    # centroid aggregate). The id-sorted per-cell mean is unchanged.
     for _ in range(lloyd_iters):
-        assigned = (
-            corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-            .crossJoin(F.broadcast(centroids))
-            .select(
-                "__vid", "__v", "cell",
-                cosine(F.col("__v"), F.col("cent_vec")).alias("__cscore"),
-            )
-            .withColumn("__r", F.row_number().over(w_cell))
-            .where(F.col("__r") == 1)
-            .select("cell", "__vid", "__v")
-        )
-        means = assigned.groupBy("cell").applyInPandas(
+        crows, cells_arr, Cn = _collect_centroid_matrix(centroids)
+        assigned = assign_cells_kernel(
+            corpus, cells_arr, Cn,
+            id_col=id_col, vec_col=vec_col, top=1, keep_vec=True,
+        ).select("cell", "__vid", "__v")
+        # pin the mean aggregation's exchange to the ACTUAL cell count:
+        # a downstream user coalesce/repartition (ann_index writes the
+        # codebook with coalesce(1)) disables AQE for the query, and
+        # the static shuffle.partitions would then spawn one Python
+        # applyInPandas task per partition — mostly empty ones. n_cells
+        # is bounded, so this is exact sizing, not a local-mode tune;
+        # groupBy reuses the same hash partitioning (no extra shuffle).
+        means = assigned.repartition(len(crows), "cell").groupBy("cell").applyInPandas(
             _cell_mean, schema=f"cell int, mean_vec {vec_t}"
         )
         centroids = (
@@ -411,6 +420,79 @@ def assign_cells(
         .where(F.col("__r") <= top)
         .select("__vid", "cell")
     )
+
+
+def _collect_centroid_matrix(centroids: DataFrame):
+    """Collect the BOUNDED centroid table (n_cells rows — the codebook
+    precedent) as (rows, cell_ids, row-normalized matrix) for the
+    zero-shuffle Arrow assignment kernel. Zero-norm centroids divide
+    by 1.0 (the semantic_dedup convention)."""
+    import numpy as np
+
+    crows = centroids.orderBy("cell").collect()
+    cells = np.array([r["cell"] for r in crows])
+    C = np.array([r["cent_vec"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    return crows, cells, C / cn[:, None]
+
+
+def assign_cells_kernel(
+    df: DataFrame,
+    cells,
+    Cn,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top: int = 1,
+    keep_vec: bool = False,
+):
+    """Nearest-cell assignment against a COLLECTED centroid matrix: ONE
+    zero-shuffle, zero-join Arrow pass (r18 — the semantic_dedup argmax
+    kernel generalized to top-k; guide §4.2). Ordering contract is
+    assign_cells' (cosine desc, cell asc) bit-for-bit on an
+    epsilon-free score matrix: the matrix columns are cell-ordered, so
+    ``argmax`` returns the first maximal column and the stable
+    ``argsort(-S)`` keeps lower cells first among equal scores. Zero
+    vectors score 0.0 against every cell and land in the lowest cell —
+    the same cell the window path's NULL-ranks-last ordering picks.
+    Returns (__vid, cell[, __v when keep_vec]); equivalence to the
+    window path is pinned by tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = dict(df.dtypes)[id_col]
+    vec_t = df.schema[vec_col].dataType.simpleString()
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            S = (M / mn[:, None]) @ Cn.T
+            if top == 1:
+                idx = S.argmax(axis=1)[:, None]
+            else:
+                idx = np.argsort(-S, axis=1, kind="stable")[:, :top]
+            n = idx.shape[1]
+            out = {
+                "__vid": np.repeat(pdf["__vid"].values, n),
+                "cell": cells[idx].ravel(),
+            }
+            if keep_vec:
+                out["__v"] = pdf["__v"].iloc[
+                    np.repeat(np.arange(len(pdf)), n)
+                ].values
+            yield pd.DataFrame(out)
+
+    schema = f"__vid {id_t}, cell int"
+    if keep_vec:
+        schema += f", __v {vec_t}"
+    return df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).mapInPandas(go, schema=schema)
 
 
 def ann_ivf(
@@ -456,9 +538,18 @@ def ann_ivf(
         n_cells=n_cells,
         lloyd_iters=lloyd_iters,
     )
-    c_assign = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col, top=1)
-    q_probe = assign_cells(
-        queries, centroids, id_col=id_col, vec_col=vec_col, top=n_probe
+    # r18: the centroid table is bounded (n_cells rows) — collect it
+    # once (the codebook precedent) and assign both sides with the
+    # zero-shuffle Arrow argmax kernel instead of two crossJoin +
+    # per-vector-window passes over the interpreted cosine fold.
+    # Assignment ordering is identical (pinned); the corpus partition
+    # still never shuffles to assign.
+    _, cells_arr, Cn = _collect_centroid_matrix(centroids)
+    c_assign = assign_cells_kernel(
+        corpus, cells_arr, Cn, id_col=id_col, vec_col=vec_col, top=1
+    )
+    q_probe = assign_cells_kernel(
+        queries, cells_arr, Cn, id_col=id_col, vec_col=vec_col, top=n_probe
     )
 
     c = corpus.select(
@@ -752,9 +843,13 @@ def ann_ivf_pq(
     centroids = coarse_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
     )
+    # r18: collected-matrix Arrow argmax assignment (see ann_ivf)
+    _, _cells_arr, _Cn = _collect_centroid_matrix(centroids)
 
     def assign(df: DataFrame, top: int) -> DataFrame:
-        return assign_cells(df, centroids, id_col=id_col, vec_col=vec_col, top=top)
+        return assign_cells_kernel(
+            df, _cells_arr, _Cn, id_col=id_col, vec_col=vec_col, top=top
+        )
 
     # --- codebook: ks hash-sampled vectors, constant size -------------
     sample = (

@@ -398,3 +398,69 @@ def test_semantic_dedup_with_lloyd_refinement(spark):
     assert not any(p.id_a in kept and p.id_b in kept for p in pairs)
     covered = {p.id_b for p in pairs if p.id_a in kept}
     assert removed <= covered
+
+
+def test_assign_kernel_matches_window_path(spark):
+    """r18: ann_ivf/ann_ivf_pq assign through the collected-matrix
+    Arrow argmax kernel (assign_cells_kernel); the window-shaped
+    assign_cells stays as the lazy API and the in-test REFERENCE. Both
+    paths must pick identical cell sets — top-1 and top-k, including
+    duplicate vectors (exact score ties across cells resolve to the
+    lower cell id on both paths) and the zero vector (NULL cosine
+    ranks last in the window path, all-zero scores tie to the lowest
+    cell in the kernel — same cell either way)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from replicadb_spark.functions.similarity import (
+        _collect_centroid_matrix,
+        assign_cells,
+        assign_cells_kernel,
+        coarse_centroids,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((60, list(rows[3][1])))   # duplicate vector → tied scores
+    rows.append((61, [0.0] * 8))          # zero vector → degenerate cosine
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = coarse_centroids(corpus, n_cells=5)
+    _, cells_arr, Cn = _collect_centroid_matrix(cents)
+
+    for top in (1, 3):
+        ref = {
+            (r["__vid"], r["cell"])
+            for r in assign_cells(corpus, cents, top=top).collect()
+        }
+        got = {
+            (r["__vid"], r["cell"])
+            for r in assign_cells_kernel(
+                corpus, cells_arr, Cn, top=top
+            ).collect()
+        }
+        assert got == ref, f"top={top}: kernel != window assignment"
+
+
+def test_assign_kernel_keep_vec_roundtrip(spark):
+    """keep_vec=True (the Lloyd-step shape) must carry each vector
+    unchanged next to its assignment."""
+    from replicadb_spark.functions.similarity import (
+        _collect_centroid_matrix,
+        assign_cells_kernel,
+        coarse_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    _, cells_arr, Cn = _collect_centroid_matrix(coarse_centroids(corpus, n_cells=3))
+    got = {
+        r["__vid"]: list(r["__v"])
+        for r in assign_cells_kernel(
+            corpus, cells_arr, Cn, top=1, keep_vec=True
+        ).collect()
+    }
+    assert got == {i: [float(i), float(-i), 1.0] for i in range(10)}
